@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the LLM-pipeline
+  * extensions) is exposed as a named query over the synthetic tables in a
+  * scale-factor directory, with a DuckDB-equivalent oracle in [[oracleSql]]
+  * where the semantics are SQL-expressible.
+  */
 object SparkEntry {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    sources.Sources.table(spark, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("mr_wordcount")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- MapReduce parity core (SURVEY §2 rows 1-7, 13) ----
+    "mr_wordcount" -> { (s, dir) =>
+      import s.implicits._
+      val lines = tbl(s, dir, "documents")
+        .select($"doc_id", $"text").as[(Long, String)]
+      core.WordCount.counts(lines).toDF("word", "cnt")
+    },
+    "mr_top_words" -> { (s, dir) =>
+      import s.implicits._
+      val lines = tbl(s, dir, "documents")
+        .select($"doc_id", $"text").as[(Long, String)]
+      core.WordCount.counts(lines).toDF("word", "cnt")
+        .orderBy(desc("cnt"), asc("word")).limit(25)
+    },
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_top_words" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+  )
 }

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Sources — the engine's `datafn` equivalents.
+  *
+  * The reference's only source is a user generator yielding `(key, value)`
+  * pairs, pulled one record per task message by the driver
+  * (`server.py:209`, `220-224`); its example is an mmap'd text file
+  * enumerated line-by-line (`example.py:8-20`). Here sources are Spark
+  * readers: distributed, columnar where the format allows, with predicate
+  * pushdown and column pruning handled by Catalyst.
+  */
+object Sources {
+
+  /** Parquet table by name from a scale-factor directory
+    * (`/root/testdata/sfN/name.parquet`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Text file as `(lineIndex, line)` — the reference example's source
+    * shape (`example.py:15-20`: mmap'd file, line-per-record with a
+    * monotonically increasing key). `zipWithIndex` gives stable global
+    * indices without collecting to the driver (one extra count job to size
+    * the partition offsets — cheap relative to any real downstream work).
+    */
+  def textWithIndex(spark: SparkSession, path: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex().map(_.swap).toDS()
+  }
+
+  /** kaylee-style `datafn` adapter: lift a driver-side generator into a
+    * Dataset. ONLY for small, test-sized inputs — the reference's
+    * "any generator" contract is inherently driver-resident, which is the
+    * very pattern this engine exists to avoid; production paths should use
+    * [[table]]/[[textWithIndex]]/`spark.read` instead.
+    */
+  def fromDatafn[K, V](spark: SparkSession, datafn: () => Iterator[(K, V)])(
+      implicit e: org.apache.spark.sql.Encoder[(K, V)]): Dataset[(K, V)] =
+    spark.createDataset(datafn().toSeq)
+}

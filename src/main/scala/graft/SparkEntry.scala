@@ -12,34 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    sources.Sources.table(spark, dir, name)
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("mr_wordcount")(spark, "/root/testdata/sf0.001")
+    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- MapReduce parity core (SURVEY §2 rows 1-7, 13) ----
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    mapReduceQueries ++ graft.queries.Relational.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    mapReduceOracles ++ graft.queries.Relational.oracles
+
+  // ---- MapReduce parity core (SURVEY §2 rows 1-7, 13) ----
+  private def mapReduceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> { (s, dir) =>
       import s.implicits._
-      val lines = tbl(s, dir, "documents")
+      val lines = sources.Sources.table(s, dir, "documents")
         .select($"doc_id", $"text").as[(Long, String)]
       core.WordCount.counts(lines).toDF("word", "cnt")
     },
     "mr_top_words" -> { (s, dir) =>
       import s.implicits._
-      val lines = tbl(s, dir, "documents")
+      val lines = sources.Sources.table(s, dir, "documents")
         .select($"doc_id", $"text").as[(Long, String)]
       core.WordCount.counts(lines).toDF("word", "cnt")
         .orderBy(desc("cnt"), asc("word")).limit(25)
     },
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  private def mapReduceOracles: Map[String, String] = Map(
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t

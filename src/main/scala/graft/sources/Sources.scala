@@ -18,6 +18,21 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The `events` table with its TIMESTAMP(NANOS) parquet column read as
+    * a microsecond `TimestampType`. Spark has no native nanos timestamp:
+    * the reader rejects INT64(TIMESTAMP(NANOS)) unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw long, which
+    * we then truncate (floor-divide) to micros — matching DuckDB's
+    * ns→µs cast semantics for the oracle. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-wide and sticky: only affects parquet columns that ARE
+    // nanos-typed, i.e. only events.ts.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
   /** Text file as `(lineIndex, line)` — the reference example's source
     * shape (`example.py:15-20`: mmap'd file, line-per-record with a
     * monotonically increasing key). `zipWithIndex` gives stable global

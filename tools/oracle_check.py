@@ -26,7 +26,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype('Int64')
         elif df[c].dtype == object:
+            import datetime
             df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            if df[c].apply(lambda v: v is None or isinstance(v, (datetime.date, datetime.datetime))).all():
+                df[c] = pd.to_datetime(df[c]).astype('datetime64[us]')
     df = df.sort_values(by=list(df.columns), kind='mergesort', na_position='last')
     return df.reset_index(drop=True)
 

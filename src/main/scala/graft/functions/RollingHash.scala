@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial (Karp-Rabin) rolling hash of a string column — the
+  * document-fingerprinting primitive.
+  *
+  * `h = fold(chars, 0, (h, c) => (h * base + c) mod m)` over UTF-16 code
+  * units, with `base = 31`, `m = 1_000_000_007` (fits comfortably in a
+  * long: max intermediate < 2^40). Deterministic and cheap enough to run
+  * per-shingle at 100 TB; implemented as a native Catalyst Expression
+  * with whole-stage codegen (a Scala UDF here would break the codegen
+  * pipeline and pay serialization per row).
+  *
+  * The reference has no hashing/fingerprinting operators at all (its
+  * vestigial LLVM JIT path is dead code — see SURVEY.md §2 row 9,
+  * reference `server.py:312-319`); this is part of the LLM-pipeline
+  * extension surface.
+  */
+case class RollingHash(child: Expression, base: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * base + s.charAt(i)) % mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * $base + $s.charAt($i)) % ${mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val DefaultBase = 31
+  val DefaultMod = 1000000007L
+
+  /** Register `rolling_hash(str)` for SQL/expr use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head, DefaultBase, DefaultMod),
+      "scala_udf")
+}

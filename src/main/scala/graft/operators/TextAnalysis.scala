@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines, over a string column.
+  *
+  * All column functions here are built from `org.apache.spark.sql.
+  * functions._` higher-order array functions (codegen'd, no UDFs), so a
+  * 100 TB documents scan stays a single whole-stage-codegen'd pass:
+  * tokenize once, derive every feature from the token array.
+  *
+  * The reference has no text operators — its word-count example
+  * (`example.py:22-29`) is the closest thing, and [[tokens]] matches its
+  * whitespace tokenization semantics.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (python `str.split()` semantics,
+    * reference `example.py:24`). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword-boundary tokens: alpha runs, digit runs, and
+    * single punctuation marks — a cheap deterministic proxy for a real
+    * BPE vocab (tokenizer libs aren't in this container). */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** English-ish stopwords used for quality ratio + language ID. */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with")
+  val StopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "nicht")
+  val StopwordsFr: Seq[String] =
+    Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "que", "qui")
+  val StopwordsEs: Seq[String] =
+    Seq("el", "los", "las", "y", "una", "es", "en", "por", "como", "pero")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Quality features: char/token counts, mean token length, stopword
+    * ratio, alphanumeric ratio. NULL-free doubles rounded to 6 so the
+    * DuckDB oracle hash-matches. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("toks", toks)
+      .withColumn("n_chars_calc", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("avg_token_len",
+        round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("stopword_ratio",
+        round(countIn(col("toks"), StopwordsEn).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("alnum_ratio",
+        round(length(regexp_replace(col(textCol), "[^A-Za-z0-9]", ""))
+          .cast("double") / greatest(col("n_chars_calc"), lit(1L)), 6))
+      .drop("toks")
+  }
+
+  /** Heuristic language ID: stopword-hit argmax over {en, de, fr, es}
+    * with a fixed tie-break order (en > de > fr > es), 'und' when no
+    * list hits. Deterministic — mirrored exactly by the DuckDB oracle.
+    */
+  def langId(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val en = countIn(toks, StopwordsEn)
+    val de = countIn(toks, StopwordsDe)
+    val fr = countIn(toks, StopwordsFr)
+    val es = countIn(toks, StopwordsEs)
+    when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — exact-dedup grade. */
+  def md5Fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+
+  /** Rolling-hash fingerprint via the native [[graft.functions.RollingHash]]
+    * Catalyst expression (codegen'd). */
+  def rollingHashFingerprint(df: DataFrame, textCol: String): Column = {
+    graft.functions.RollingHash.register(df.sparkSession)
+    expr(s"rolling_hash($textCol)")
+  }
+
+  /** Word n-grams (space-joined) from the token array; 1-based
+    * element_at keeps semantics identical to the DuckDB oracle's
+    * 1-based list indexing. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    // sequence(a, b) DESCENDS when b < a — guard short docs explicitly
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+}

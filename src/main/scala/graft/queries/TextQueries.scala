@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.sources.Sources.table
+
+/** Text-analysis queries over the `documents` table, each mirrored by a
+  * DuckDB oracle (including the rolling hash, re-expressed in DuckDB as
+  * a `list_reduce` over codepoints).
+  */
+object TextQueries {
+
+  private val stopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+    },
+
+    "q_text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityFeatures(table(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+          "stopword_ratio", "alnum_ratio")
+    },
+
+    "q_lang_id" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    "q_fingerprint" -> { (s, dir) =>
+      val df = table(s, dir, "documents")
+      df.select(
+        col("doc_id"),
+        TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
+        TextAnalysis.rollingHashFingerprint(df, "text").as("fp_roll"))
+    },
+
+    "q_top_ngrams" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(TextAnalysis.wordNgrams(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("ngram"))
+        .limit(50)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars_calc,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+         |        / greatest(len(toks), 1), 6) AS avg_token_len,
+         |  round(len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE
+         |        / greatest(len(toks), 1), 6) AS stopword_ratio,
+         |  round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+         |        / greatest(length(text), 1), 6) AS alnum_ratio
+         |FROM t""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> x IN (${sqlList(TextAnalysis.StopwordsEn)}))) AS s_en,
+         |    len(list_filter(toks, x -> x IN (${sqlList(TextAnalysis.StopwordsDe)}))) AS s_de,
+         |    len(list_filter(toks, x -> x IN (${sqlList(TextAnalysis.StopwordsFr)}))) AS s_fr,
+         |    len(list_filter(toks, x -> x IN (${sqlList(TextAnalysis.StopwordsEs)}))) AS s_es
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM c""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), x -> unicode(x)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007)::BIGINT AS fp_roll
+        |FROM documents""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+        |  FROM t)
+        |SELECT ngram, count(1) AS n FROM g GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect().head.get(0)
+
+  test("tokens: python str.split semantics") {
+    assert(one("  a  b\tc ", TextAnalysis.tokens(col("text")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === Seq("a", "b", "c"))
+    assert(one("", TextAnalysis.tokenCount(col("text"))) === 0)
+  }
+
+  test("bpeish tokens split alpha/digit/punct runs") {
+    assert(one("ab12,cd", TextAnalysis.bpeishTokens(col("text")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === Seq("ab", "12", ",", "cd"))
+  }
+
+  test("rolling hash: eval matches reference fold, interpreted == codegen") {
+    val expected = "abc".foldLeft(0L)((h, ch) => (h * 31 + ch) % 1000000007L)
+    assert(one("abc", TextAnalysis.rollingHashFingerprint(
+      Seq("x").toDF("text"), "text")) === expected)
+    // non-ASCII safety: stays in range, deterministic
+    val h2 = one("héllo wörld", expr("rolling_hash(text)"))
+    assert(h2.asInstanceOf[Long] >= 0L && h2.asInstanceOf[Long] < 1000000007L)
+  }
+
+  test("langId: argmax with fixed tiebreak, und when no hits") {
+    val df = Seq(
+      (1L, "the fast data of the run"),  // en
+      (2L, "der hund und die katze ist"),// de
+      (3L, "xyz qrs"),                   // und
+      (4L, "le chat est dans une boite") // fr
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "fr"))
+  }
+
+  test("wordNgrams: standard, short-doc, and exact-length cases") {
+    def ng(s: String) = one(s, TextAnalysis.wordNgrams(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(ng("a b c d") === Seq("a b c", "b c d"))
+    assert(ng("a b c") === Seq("a b c"))
+    assert(ng("a b") === Seq.empty)
+    assert(ng("") === Seq.empty)
+  }
+
+  test("quality features on a known doc") {
+    val df = TextAnalysis.qualityFeatures(
+      Seq((1L, "the cat, and dog!")).toDF("id", "text"), "text")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_chars_calc") === 17L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    // stopwords: the, and -> 2/4
+    assert(r.getAs[Double]("stopword_ratio") === 0.5)
+  }
+}

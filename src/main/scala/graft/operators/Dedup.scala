@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash near-dup.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - every pair-finding op is a candidate-generation JOIN on a bucket
+  *    key (shingle, LSH band, simhash block) — never an O(n²) cross
+  *    product;
+  *  - shingling/hashing is one codegen'd pass (higher-order array
+  *    functions + xxhash64), no UDFs;
+  *  - candidate verification is bounded by bucket size; ultra-frequent
+  *    shingles can be capped (`maxShingleFreq`) to stop the classic
+  *    stopword-shingle join blowup — the frequency cap is itself a
+  *    distributed groupBy, not a driver-side filter.
+  *
+  * The reference has no dedup operators (SURVEY.md §2: its only example
+  * workload is word count); this is extension surface per the north star.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per row: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("shingle"))
+
+  /** Exact dedup by content fingerprint: one row per distinct (normalized)
+    * text with the smallest surviving id and the duplicate count.
+    * Single hash-shuffle on the fingerprint; at scale this is the
+    * cheapest possible exact dedup (no sort, map-side partial agg). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.md5Fingerprint(col(textCol)).as("fp_md5"), col(idCol))
+      .groupBy(col("fp_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact n-gram Jaccard similarity join: pairs (a < b) with
+    * `|A∩B| / |A∪B| >= threshold` over distinct word n-gram shingles.
+    *
+    * Candidate pairs come from an equi-join on the shingle itself, so
+    * only pairs sharing at least one shingle are ever materialized.
+    * `maxShingleFreq` (0 = off) drops shingles appearing in more than
+    * that many docs from CANDIDATE GENERATION only — with a threshold
+    * t, any pair at similarity >= t shares many shingles, so dropping
+    * the few ultra-common ones keeps recall while bounding join fanout.
+    * (The oracle-checked query runs uncapped for exactness.)
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val capped =
+      if (maxShingleFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+          .filter(col("df_freq") <= maxShingleFreq).select("shingle")
+        sh.join(freq, "shingle")
+      }
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = capped.select(col("id").as("a"), col("shingle"))
+    val b = capped.select(col("id").as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(counts.select(col("id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: for each id, `numHashes` minima of seeded
+    * xxhash64 over its shingle set — one shuffle (groupBy id), k
+    * aggregates computed in a single pass. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup: candidate pairs share at least one
+    * of `bands` band-hashes (r = numHashes/bands rows per band), then
+    * are verified by estimated Jaccard (signature agreement fraction).
+    *
+    * For a pair at true Jaccard j, P[missed] = (1 - j^r)^bands — with
+    * the defaults (128/32 → r=4), a j=0.9 pair is missed with
+    * probability ~2e-6. Deterministic given the fixed xxhash64 seeds.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes).cache()
+    val banded = sigs.select(col("id"), posexplode(
+      array((0 until bands).map(bi =>
+        hash(lit(bi) +: (0 until r).map(j => element_at(col("sig"), bi * r + j + 1)): _*)): _*))
+      .as(Seq("band", "band_key")))
+    val cands = banded.select(col("id").as("a"), col("band"), col("band_key"))
+      .join(banded.select(col("id").as("b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over shingle hashes: bit j of the signature is the
+    * majority vote of bit j across all shingle xxhash64 values. One
+    * groupBy(id) with 64 conditional-sum aggregates — a single pass. */
+  def simHashSignatures(sh: DataFrame): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val aggs = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup: pairs with hamming distance <= maxHamming.
+    * Pigeonhole banding: split 64 bits into (maxHamming+1) blocks — any
+    * pair within distance d shares at least one exact block, so the
+    * candidate join is an equi-join on (block index, block value). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = simHashSignatures(shingles(df, idCol, textCol, n)).cache()
+    val banded = sigs.select(col("id"), col("simhash"), posexplode(
+      array((0 until blocks).map { bi =>
+        val lo = bi * width
+        val w = if (bi == blocks - 1) 64 - lo else width
+        // unsigned shift: extract bits [lo, lo+w)
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(if (w >= 64) -1L else (1L << w) - 1)
+      }: _*)).as(Seq("block", "block_val")))
+    val cands = banded.select(col("id").as("a"), col("simhash").as("sh_a"),
+        col("block"), col("block_val"))
+      .join(banded.select(col("id").as("b"), col("simhash").as("sh_b"),
+        col("block"), col("block_val")), Seq("block", "block_val"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sh_a", "sh_b").distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Sources.table
+
+/** Dedup queries over `documents`. Exact dedup and the exact n-gram
+  * Jaccard similarity join are DuckDB-oracled; MinHash-LSH and SimHash
+  * use non-SQL-portable hash functions (xxhash64/murmur3) so they get
+  * rows-only driver checks + ScalaTest verification against the exact
+  * Jaccard result (DedupSpec).
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+    },
+    "q_neardup_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    },
+    "q_neardup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minHashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    },
+    "q_neardup_simhash" -> { (s, dir) =>
+      Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxHamming = 8)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+        |  min(doc_id) AS keep_id, count(1) AS dup_count
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "q_neardup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+        |      FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t)
+        |SELECT p.a, p.b,
+        |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+        |FROM p
+        |JOIN c ca ON p.a = ca.doc_id
+        |JOIN c cb ON p.b = cb.doc_id
+        |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+  )
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Sources
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Sources.table(spark, sf0001, "documents").cache()
+
+  test("exact dedup: collapses identical normalized texts, keeps min id") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count")))
+      .toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: exact pairs found on planted near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "expected planted near-dup pairs at sf0.001")
+    assert(pairs.contains((26L, 176L)) || pairs.contains((144L, 161L)))
+  }
+
+  test("shingle frequency cap keeps high-similarity recall") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9,
+      maxShingleFreq = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.subsetOf(capped) || uncapped == capped,
+      s"cap lost pairs: ${uncapped -- capped}")
+  }
+
+  test("minhash LSH: finds every pair with true jaccard >= 0.9") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(truth.subsetOf(lsh), s"LSH missed: ${truth -- lsh}")
+  }
+
+  test("minhash LSH: no wildly-false positives at high threshold") {
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, threshold = 0.9)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.getOrElse(key, 0.0) >= 0.5,
+        s"pair $key est=${r.getDouble(2)} but true jaccard < 0.5")
+    }
+  }
+
+  test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
+    val sigs = Dedup.simHashSignatures(
+      Dedup.shingles(docs, "doc_id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3, maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(pairs.nonEmpty, "expected simhash near-dup pairs")
+    pairs.foreach { case ((a, b), d) =>
+      assert(d === java.lang.Long.bitCount(sigs(a) ^ sigs(b)), s"pair ($a,$b)")
+      assert(d <= 8)
+    }
+  }
+}

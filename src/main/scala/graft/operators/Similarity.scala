@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, trading exactness for scale:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *    the full corpus; the corpus is scanned once, never collected. The
+  *    correct baseline, and the right plan whenever |queries| is small.
+  *  - [[srpCandidatePairs]] / near-dup — signed-random-projection LSH:
+  *    banded signature equi-join generates candidates, exact cosine
+  *    verifies. Join-keyed, so it scales like the dedup LSH.
+  *  - [[ivfTopK]] — IVF-style partitioned search: vectors are assigned
+  *    to their nearest coarse centroid cell; queries probe only
+  *    `nprobe` cells, cutting the scored fraction to ~nprobe/nCells.
+  *
+  * All dot products run as codegen'd higher-order array expressions in
+  * double precision (`zip_with` + `aggregate`) — no UDFs, no BLAS
+  * dependency. Hyperplanes/centroids are deterministic (seeded), so
+  * results are reproducible run-to-run — required by the driver's
+  * hash-compare and good practice besides.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision — same summation
+    * order as the DuckDB oracle's list_sum, so values match bit-for-bit
+    * after rounding. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for a query subset (`vec_id % every
+    * == 0`), self excluded. The query side is broadcast; ranking is a
+    * window partitioned by query id (shuffles only the scored pairs that
+    * survive, k per query after the filter). */
+  def bruteForceTopK(emb: DataFrame, k: Int, every: Long = 50L): DataFrame = {
+    val q = emb.filter(col("vec_id") % every === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Exact all-pairs above a cosine threshold (a < b). O(n²) scoring —
+    * the oracle baseline; use the LSH variant at scale. */
+  def exactNeardupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded). */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Signed-random-projection signature: bit i = [dot(v, plane_i) >= 0].
+    * Returned as an array<int> of 0/1 (band-sliceable). */
+  def srpSignature(emb: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    array(planes.map(p =>
+      when(dot(emb, typedLit(p)) >= 0.0, 1).otherwise(0)): _*)
+  }
+
+  /** SRP-LSH candidate pairs: equi-join on (band index, band signature
+    * slice); verify with exact cosine >= threshold. For similarity s,
+    * P[bit match] = 1 - acos(s)/π; with band width r and b bands,
+    * P[candidate] = 1 - (1 - p^r)^b. Defaults (32 bits, 8 bands of 4)
+    * give ~0.8 recall at s = 0.45 on unit-random 64-d data — tune r up
+    * for high-similarity regimes. */
+  def srpNeardupPairs(emb: DataFrame, dim: Int, threshold: Double,
+      nBits: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0)
+    val r = nBits / bands
+    val sigged = emb.select(col("vec_id"), col("embedding"),
+      srpSignature(col("embedding"), nBits, dim, seed).as("sig"))
+    val banded = sigged.select(col("vec_id"), col("embedding"), posexplode(
+      array((0 until bands).map(bi =>
+        hash(lit(bi) +: (0 until r).map(j => element_at(col("sig"), bi * r + j + 1)): _*)): _*))
+      .as(Seq("band", "band_key")))
+    val cands = banded
+      .select(col("vec_id").as("a"), col("embedding").as("emb_a"), col("band"), col("band_key"))
+      .join(banded.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "emb_a", "emb_b").distinct()
+    cands.withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-style top-k: coarse centroids are a deterministic sample of the
+    * corpus (lowest `nCells` vec_ids — a stand-in for trained k-means
+    * centers, which a production pipeline would fit offline). Every
+    * vector is assigned to its nearest centroid; each query probes the
+    * `nprobe` nearest cells and ranks only vectors in them —
+    * scoring ~nprobe/nCells of the corpus instead of all of it. */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
+      every: Long = 50L): DataFrame = {
+    val spark = emb.sparkSession
+    // bounded, deterministic collect: nCells rows of dim floats
+    val centroids: Seq[(Int, Seq[Double])] = emb
+      .orderBy(asc("vec_id")).limit(nCells)
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (row, i) =>
+        (i, row.getAs[scala.collection.Seq[Double]](0).toSeq)
+      }
+    def cellDots(v: Column): Column = array(centroids.map { case (i, c) =>
+      struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
+    }: _*)
+    // assignment: cell with max dot (struct sort is lexicographic -> sort
+    // descending by dot, take head)
+    def topCells(v: Column, m: Int): Column =
+      slice(reverse(array_sort(cellDots(v))), 1, m)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      element_at(topCells(col("embedding"), 1), 1).getField("cell").as("cell"))
+    val queries = emb.filter(col("vec_id") % every === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(transform(topCells(col("embedding"), nprobe), s => s.getField("cell")))
+          .as("cell"))
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Sources.table
+
+/** Similarity-search queries over `embeddings`. Brute-force top-k,
+  * exact near-dup pairs, and vector norms are DuckDB-oracled (explicit
+  * list arithmetic, double precision, same fold order). The LSH and IVF
+  * scale paths use seeded projections DuckDB can't replicate — rows-only
+  * checks + recall tests in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_norms" -> { (s, dir) =>
+      table(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(Similarity.norm(col("embedding")), 6).as("norm"),
+        size(col("embedding")).as("dim"))
+    },
+    "q_ann_bruteforce_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(table(s, dir, "embeddings"), k = 5, every = 50L)
+    },
+    "q_embedding_neardup_exact" -> { (s, dir) =>
+      Similarity.exactNeardupPairs(table(s, dir, "embeddings"), threshold = 0.4)
+    },
+    "q_embedding_neardup_lsh" -> { (s, dir) =>
+      Similarity.srpNeardupPairs(table(s, dir, "embeddings"), dim = 64,
+        threshold = 0.4)
+    },
+    "q_ann_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_vector_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,
+        |  len(embedding)::INTEGER AS dim
+        |FROM embeddings""".stripMargin,
+    "q_ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> q.q_emb[i] * e.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_embedding_neardup_exact" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(range(1, 65),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4""".stripMargin,
+  )
+}

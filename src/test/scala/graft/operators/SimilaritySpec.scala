@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Sources.table(spark, sf0001, "embeddings").cache()
+
+  test("cosine: matches hand-computed value, unit norms") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) === 0.0)
+    assert(got(1) === 1.0)
+    assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: k per query, self excluded, ranks ordered") {
+    val topk = Similarity.bruteForceTopK(emb, k = 5, every = 50L).collect()
+    val byQuery = topk.groupBy(_.getLong(0))
+    assert(byQuery.size === 10) // 500 vectors / 50
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === 5)
+      assert(rows.forall(_.getLong(1) != q), "self in neighbors")
+      val ordered = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("srp LSH near-dup: subset of exact pairs, decent recall") {
+    val exact = Similarity.exactNeardupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.srpNeardupPairs(emb, dim = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no exact pairs at threshold 0.4 — data drifted?")
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact join lacks")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("ivf topK: well-formed output and nontrivial recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, k = 5, every = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(ivf.nonEmpty)
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+  }
+
+  test("determinism: srp signatures identical across runs") {
+    val s1 = Similarity.srpNeardupPairs(emb, 64, 0.4).collect().toSet
+    val s2 = Similarity.srpNeardupPairs(emb, 64, 0.4).collect().toSet
+    assert(s1 === s2)
+  }
+}

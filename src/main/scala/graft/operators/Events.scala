@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time operators: tumbling windows, gap sessionization, ordered
+  * transitions, and a backward as-of join.
+  *
+  * Everything here is one shuffle on the natural key (user/window) with
+  * window functions doing the sequential logic — no driver-side state,
+  * no per-group collect. Sessionization uses Spark's `session_window`
+  * (the same operator Structured Streaming uses, so the batch and
+  * streaming paths share semantics — see graft.streaming).
+  *
+  * The reference has no time/stream operators (SURVEY.md §2: "single
+  * finite batch per server run", `server.py:260-263`).
+  */
+object Events {
+
+  /** Tumbling event-time window aggregate. */
+  def tumblingAgg(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessions per user via `session_window` (new session when
+    * the gap to the previous event is STRICTLY greater than `gap` —
+    * an exactly-gap-length silence stays in-session). Emits min/max
+    * event ts rather than the padded window end so the output is
+    * gap-parameter-free. */
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("start_ts")).as("session_start_us"),
+        unix_micros(col("end_ts")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Markov-style transition counts: (event_type -> next event_type) per
+    * user in event-time order (event_id tiebreak). */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Backward as-of join within one event stream: for each left-predicate
+    * row, the most recent right-predicate row with `right.ts <= left.ts`
+    * (inclusive) on the same key.
+    *
+    * Spark-first plan: tag sides, ONE shuffle+sort on (key, ts, side,
+    * id), then `last(..., ignoreNulls)` over an unbounded-preceding
+    * frame carries the latest right row forward — no join at all, so
+    * there's no candidate explosion regardless of key skew. This is the
+    * composition strategy of SURVEY.md §2 ("as-of via window"); a
+    * custom SparkPlan isn't warranted when a single sort-window
+    * expresses it exactly.
+    */
+  def asofPrior(events: DataFrame, isLeft: Column, isRight: Column): DataFrame = {
+    val tagged = events
+      .withColumn("__left", isLeft).withColumn("__right", isRight)
+      .filter(col("__left") || col("__right"))
+      // right rows order before left rows at equal ts -> inclusive match
+      .withColumn("__side", when(col("__right"), 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("__side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("matched_id",
+        last(when(col("__right"), col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("matched_ts_us",
+        last(when(col("__right"), unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("__left") && col("matched_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("matched_id"),
+        (unix_micros(col("ts")) - col("matched_ts_us")).as("lag_us"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+import graft.sources.Sources
+
+/** Event-time queries over `events`. The parquet column is
+  * TIMESTAMP(NANOS); Spark reads it truncated to micros
+  * (Sources.events), so every oracle casts `ts::TIMESTAMP` (ns → µs)
+  * before comparing, and timestamps are emitted as epoch micros.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> { (s, dir) =>
+      Events.tumblingAgg(Sources.events(s, dir), "1 hour")
+    },
+    "q_sessionize" -> { (s, dir) =>
+      Events.sessionize(Sources.events(s, dir), "30 minutes")
+    },
+    "q_event_transitions" -> { (s, dir) =>
+      Events.transitions(Sources.events(s, dir))
+    },
+    "q_asof_join" -> { (s, dir) =>
+      Events.asofPrior(Sources.events(s, dir),
+        isLeft = col("event_type") === "purchase",
+        isRight = col("event_type") === "view")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS window_start_us,
+        |  event_type, count(1) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+        |d AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |            THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(1) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),
+        |n AS (
+        |  SELECT event_type, lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type, next_type, count(1) AS n
+        |FROM n WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  v.event_id AS matched_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM p ASOF JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+  )
+}

@@ -28,9 +28,11 @@ object Sources {
     // Session-wide and sticky: only affects parquet columns that ARE
     // nanos-typed, i.e. only events.ts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // integer `div`, NOT `/`: epoch nanos exceed double precision (2^53),
+    // so float division is off by up to ±1µs
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Text file as `(lineIndex, line)` — the reference example's source

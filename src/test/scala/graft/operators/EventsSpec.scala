@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: (Long, Long, String, Long)*) = // id, user, type, ts_us
+    rows.toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", lit(1.0))
+      .drop("ts_us")
+
+  test("asofPrior: inclusive backward match, latest right wins") {
+    val M = 60L * 1000000L
+    val df = mkEvents(
+      (1L, 1L, "view", 0L),
+      (2L, 1L, "view", 10 * M),
+      (3L, 1L, "purchase", 10 * M), // equal ts -> inclusive match to id 2
+      (4L, 1L, "purchase", 25 * M), // latest prior view is id 2
+      (5L, 2L, "purchase", 5 * M),  // no prior view for user 2 -> dropped
+      (6L, 2L, "view", 6 * M))
+    val got = Events.asofPrior(df,
+      col("event_type") === "purchase", col("event_type") === "view")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((3L, 2L, 0L), (4L, 2L, 15 * M)))
+  }
+
+  test("sessionize: >30-minute gap splits; exact-boundary gap stays in-session") {
+    val M = 60L * 1000000L
+    val df = mkEvents(
+      (1L, 1L, "click", 0L),
+      (2L, 1L, "click", 29 * M),          // same session (< 30 min)
+      (3L, 1L, "click", 29 * M + 30 * M), // exactly 30 min -> SAME session
+      (4L, 1L, "click", 120 * M),         // 61 min gap -> new session
+      (5L, 2L, "click", 0L))
+    val got = Events.sessionize(df, "30 minutes")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n_events")))
+      .toSet
+    assert(got === Set((1L, 0L, 3L), (1L, 120 * M, 1L), (2L, 0L, 1L)))
+  }
+
+  test("transitions: ordered per user with event_id tiebreak") {
+    val df = mkEvents(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 1L), (3L, 1L, "a", 2L),
+      (4L, 2L, "b", 0L), (5L, 2L, "a", 1L))
+    val got = Events.transitions(df)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "a") -> 2L))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads plus a typed metadata struct, with decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The actual codecs (JPEG/PNG/opus/h264) are NOT in this container, so
+  * the byte-level decode below is a clearly-marked deterministic STUB —
+  * what is real, and what this module exists to pin down, is the
+  * Spark-side shape a production pipeline needs:
+  *  - payloads travel as `BinaryType` columns (Tungsten keeps them
+  *    off-heap; parquet stores them as BYTE_ARRAY pages) with metadata
+  *    in a sibling struct so pruning works — a scan that only needs
+  *    metadata never touches payload bytes;
+  *  - per-partition batch processing via `mapPartitions` on a typed
+  *    Dataset: the decoder is instantiated once per partition (the
+  *    expensive part for real codecs), then streamed over the iterator —
+  *    the JVM twin of `mapInPandas`' batch contract;
+  *  - outputs are columnar-friendly (fixed-width features,
+  *    `array<float>` embeddings) so downstream similarity/dedup
+  *    operators (graft.operators.Similarity) compose directly.
+  */
+object Multimodal {
+
+  case class MediaRecord(id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(id: Long, media_type: String, n_bytes: Long,
+      mean_byte: Double, embedding: Array[Float])
+  case class Frame(id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
+
+  /** Wrap any table with a binary payload column into the canonical
+    * media schema. (Test data has no real media; callers typically
+    * `encode(text)` or read raw files via `spark.read.format("binaryFile")`.) */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        lit(mediaType).as("media_type"),
+        col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract, batched per partition.
+    *
+    * STUB: `decodeBytes` stands in for a real codec. It is deterministic
+    * (byte statistics + a seeded byte-hash embedding) so results are
+    * reproducible and oracle-checkable; swap its body for e.g. TwelveMonkeys
+    * ImageIO or JavaCV without touching the Spark plumbing around it.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], embeddingDim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: instantiate the (expensive) codec ONCE per partition here
+      it.map { r =>
+        val (meanByte, emb) = decodeBytes(r.payload, embeddingDim)
+        MediaFeatures(r.id, r.media_type, r.payload.length.toLong,
+          meanByte, emb)
+      }
+    }
+  }
+
+  /** STUB decode: byte statistics + deterministic hash-folded embedding.
+    * A real implementation decodes pixels/samples here. */
+  private def decodeBytes(payload: Array[Byte], dim: Int): (Double, Array[Float]) = {
+    var sum = 0L
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b
+      acc(i % dim) += b.toLong * (i / dim + 1)
+      i += 1
+    }
+    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    val emb = acc.map(v => (v % 1000L).toFloat / 1000.0f)
+    (math.round(mean * 10000.0) / 10000.0, emb)
+  }
+
+  /** Frame sampling: split a payload into up to `maxFrames` fixed-size
+    * slices (stand-in for keyframe extraction), exploded to one row per
+    * frame. Row counts multiply here — exactly like real video pipelines —
+    * so this runs AFTER any payload-level filtering. */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
+      maxFrames: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = math.min(maxFrames,
+        (r.payload.length + frameSize - 1) / math.max(frameSize, 1))
+      (0 until n).iterator.map { fi =>
+        val off = fi.toLong * frameSize
+        val end = math.min(off + frameSize, r.payload.length.toLong).toInt
+        Frame(r.id, fi, off, java.util.Arrays.copyOfRange(r.payload, off.toInt, end))
+      }
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: (Long, Array[Byte])*) =
+    Multimodal.asMedia(
+      rows.toDF("id", "payload"), "id", "payload", "image/fake")
+
+  test("decodeFeatures: deterministic byte stats and embedding shape") {
+    val payload = Array[Byte](0, 10, 20, 30)
+    val got = Multimodal.decodeFeatures(media((1L, payload)), embeddingDim = 2)
+      .collect().head
+    assert(got.n_bytes === 4L)
+    assert(got.mean_byte === 15.0)
+    assert(got.embedding.length === 2)
+    // acc(0) = 0*1 + 20*2 = 40 ; acc(1) = 10*1 + 30*2 = 70
+    assert(got.embedding.toSeq === Seq(0.040f, 0.070f))
+    // empty payload: no NaNs
+    val empty = Multimodal.decodeFeatures(media((2L, Array.empty[Byte])), 2)
+      .collect().head
+    assert(empty.mean_byte === 0.0 && empty.n_bytes === 0L)
+  }
+
+  test("sampleFrames: slicing, cap, and tail frame") {
+    val payload = Array.tabulate[Byte](10)(_.toByte)
+    val frames = Multimodal.sampleFrames(media((1L, payload)), frameSize = 4, maxFrames = 5)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 3) // 4 + 4 + 2
+    assert(frames(0).frame_bytes.toSeq === (0 until 4).map(_.toByte))
+    assert(frames(2).frame_bytes.toSeq === Seq(8.toByte, 9.toByte))
+    assert(frames.map(_.offset).toSeq === Seq(0L, 4L, 8L))
+    val capped = Multimodal.sampleFrames(media((1L, payload)), frameSize = 2, maxFrames = 3)
+      .collect()
+    assert(capped.length === 3)
+  }
+
+  test("binary payloads round-trip through parquet with metadata pruning") {
+    val tmp = Files.createTempDirectory("graft_media").toFile
+    tmp.deleteOnExit()
+    val ds = media((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](4, 5)))
+    ds.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val back = spark.read.parquet(tmp.getAbsolutePath)
+    assert(back.schema("payload").dataType.typeName === "binary")
+    // metadata-only projection must not read payload bytes
+    val plan = back.select("id", "media_type").queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), plan)
+    assert(back.count() === 2)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Events
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  /** The file stream source needs a DIRECTORY; events.parquet is a single
+    * file, so stage it (in raw nanos-as-long form) into a temp dir. */
+  private def stageEventsDir(): String = {
+    val tmp = Files.createTempDirectory("graft_stream").toFile
+    tmp.deleteOnExit()
+    Sources.events(spark, sf0001)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    tmp.getAbsolutePath
+  }
+
+  test("streaming windowed counts == batch tumbling aggregate") {
+    val stream = StreamingOps.eventsStream(spark, stageEventsDir())
+    val q = StreamingOps.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = Events.tumblingAgg(Sources.events(spark, sf0001), "1 hour")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals converge to batch group-by") {
+    val stream = StreamingOps.eventsStream(spark, stageEventsDir())
+    val q = StreamingOps.runningUserTotals(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_out").start()
+    try {
+      q.processAllAvailable()
+      // update mode: keep the LAST row per user across micro-batches
+      val streamed = spark.table("totals_out")
+        .withColumn("__seq", monotonically_increasing_id())
+        .orderBy("__seq").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = Sources.events(spark, sf0001)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermark: sessions emit in append mode once watermark passes") {
+    val dir = stageEventsDir()
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.sessionCounts(stream, "30 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one far-future event pushes the watermark past every session
+      import spark.implicits._
+      Seq((999999L, 4102444800000000L * 1000L, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val emitted = spark.table("sess_out").count()
+      val batchSessions = Events.sessionize(Sources.events(spark, sf0001), "30 minutes").count()
+      assert(emitted === batchSessions,
+        s"append-mode sessions $emitted != batch sessions $batchSessions")
+    } finally q.stop()
+  }
+}

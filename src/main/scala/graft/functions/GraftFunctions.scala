@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry for graft's native Catalyst expressions. Idempotent; every
+  * operator entry point calls this with the session it's handed, so SQL
+  * and `call_function` references resolve in whichever session executes
+  * the plan. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash",
+      exprs => RollingHash(exprs.head, RollingHash.DefaultBase, RollingHash.DefaultMod),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot",
+      exprs => VectorDot(exprs(0), exprs(1)),
+      "scala_udf")
+  }
+}

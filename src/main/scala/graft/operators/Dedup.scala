@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per row: (id, shingle). */
+  /** Distinct word n-gram shingles per row: (id, shingle). Tokens are
+    * materialized per row before n-gramming (see TextAnalysis.wordNgrams
+    * scaladoc — the fused expression re-tokenizes per element). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("shingle"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(TextAnalysis.ngramsFromTokens(col("__toks"), n))).as("shingle"))
 
   /** Exact dedup by content fingerprint: one row per distinct (normalized)
     * text with the smallest surviving id and the duplicate count.

@@ -91,16 +91,24 @@ object TextAnalysis {
     expr(s"rolling_hash($textCol)")
   }
 
-  /** Word n-grams (space-joined) from the token array; 1-based
-    * element_at keeps semantics identical to the DuckDB oracle's
+  /** Word n-grams from an ALREADY-MATERIALIZED token array column.
+    * 1-based element_at keeps semantics identical to the DuckDB oracle's
     * 1-based list indexing. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def ngramsFromTokens(toks: Column, n: Int): Column =
     // sequence(a, b) DESCENDS when b < a — guard short docs explicitly
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-grams (space-joined) straight from a text column.
+    *
+    * ONLY for single-expression convenience on small inputs: Catalyst
+    * does not CSE the embedded tokenization, so each element_at
+    * re-splits the string (~3·#ngrams splits per row). Hot paths must
+    * materialize `tokens(c)` with withColumn first and use
+    * [[ngramsFromTokens]] — ~100× less work per row. */
+  def wordNgrams(c: Column, n: Int): Column =
+    ngramsFromTokens(tokens(c), n)
 }

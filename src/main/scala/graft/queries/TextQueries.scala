@@ -44,7 +44,8 @@ object TextQueries {
 
     "q_top_ngrams" -> { (s, dir) =>
       table(s, dir, "documents")
-        .select(explode(TextAnalysis.wordNgrams(col("text"), 3)).as("ngram"))
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+        .select(explode(TextAnalysis.ngramsFromTokens(col("toks"), 3)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("ngram"))

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Partitioning
+import graft.operators.Sampling
+import graft.sources.Sources.table
+
+/** Coverage extras: skew-safe salted aggregation, deterministic
+  * hash splits, pivot, exact percentiles, the fuller ranking-function
+  * set, and approximate distinct (rows-only — sketch internals aren't
+  * portable to DuckDB). */
+object Extras {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // salted two-stage agg == direct groupBy (oracle proves it)
+    "q_salted_agg" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      Partitioning.saltedSumCount(li, col("l_returnflag"), col("l_quantity"),
+        saltCol = concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+        saltBuckets = 16)
+        .select(col("k").as("l_returnflag"),
+          round(col("sum_v"), 4).as("sum_qty"), col("n"))
+    },
+
+    "q_hash_split" -> { (s, dir) =>
+      Sampling.split(table(s, dir, "documents"), col("doc_id"),
+        train16 = 12, valid16 = 2)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    },
+    "q_hash_sample" -> { (s, dir) =>
+      Sampling.sampleByHash(table(s, dir, "documents"), col("doc_id"), keep16 = 4)
+        .select("doc_id", "lang", "source")
+    },
+
+    // pivot: event counts per user across the 5 known event types
+    "q_pivot" -> { (s, dir) =>
+      graft.sources.Sources.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont)
+    "q_percentiles" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    },
+
+    // ranking-function battery over one deterministic ordering
+    "q_window_misc" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    },
+
+    // HLL sketch distinct — deterministic but sketch-specific, rows-only
+    "q_approx_distinct" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(1) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 12 THEN 'train'
+        |            WHEN bucket < 14 THEN 'valid'
+        |            ELSE 'test' END AS split, count(1) AS n
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 4""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_window_misc" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+  )
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks — the write side of the pipeline. The reference's only sink is
+  * the driver-resident results dict (`server.py:174-178`); a 100 TB
+  * pipeline needs layout-aware distributed writes instead.
+  */
+object Sinks {
+
+  /** Hive-style partitioned parquet: one directory per partition-column
+    * value, so downstream readers get partition PRUNING (a `lang='en'`
+    * scan touches only that subtree). `maxRecordsPerFile` bounds file
+    * size; repartitioning by the partition columns first avoids the
+    * classic small-files blowup (every task otherwise writes a file per
+    * partition value). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Sorted-within-partitions parquet: rows clustered by `sortCols` so
+    * min/max page statistics make selective scans skip row groups. */
+  def writeClustered(df: DataFrame, path: String, sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(path)
+}

@@ -66,6 +66,22 @@ class MapReduceSpec extends SparkSpec {
     counts.unpersist()
   }
 
+  test("MapReduceJob: reference three-function shape end-to-end") {
+    val job = MapReduceJob[Long, String, String, Long, Long](
+      datafn = s => {
+        import s.implicits._
+        s.createDataset(Seq((0L, "to be or not"), (1L, "to be")))
+      },
+      mapfn = (_, line) => WordCount.tokens(line).map(w => (w, 1L)),
+      reducefn = (_, vs) => vs.sum)
+    assert(job.results(spark) ===
+      Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L))
+  }
+
+  test("driver contract: entry() returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("sources: textWithIndex yields stable 0-based line indices") {
     val ds = graft.sources.Sources.textWithIndex(spark, "/root/reference/mobydick.txt")
     assert(ds.count() === 22108L)

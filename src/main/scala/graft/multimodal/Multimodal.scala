@@ -80,6 +80,27 @@ object Multimodal {
     (math.round(mean * 10000.0) / 10000.0, emb)
   }
 
+  /** Resize, batched per partition. STUB: deterministic byte
+    * downsampling stands in for pixel-space scaling — a real codec
+    * would decode, scale with an interpolation kernel, and re-encode.
+    * Shape matters: payload-in → payload-out keeps the record count
+    * stable (unlike frame sampling), so it composes anywhere in the
+    * pipeline. */
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: codec + scaler instantiated once per partition here
+      it.map { r =>
+        val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        r.copy(payload = out)
+      }
+    }
+  }
+
   /** Frame sampling: split a payload into up to `maxFrames` fixed-size
     * slices (stand-in for keyframe extraction), exploded to one row per
     * frame. Row counts multiply here — exactly like real video pipelines —

@@ -39,6 +39,16 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.length === 3)
   }
 
+  test("resize: deterministic downsample, record count stable") {
+    val payload = Array.tabulate[Byte](10)(_.toByte)
+    val out = Multimodal.resize(media((1L, payload)), factor = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.payload.toSeq === Seq(0.toByte, 3.toByte, 6.toByte, 9.toByte))
+    // factor 1 = identity
+    val same = Multimodal.resize(media((1L, payload)), factor = 1).collect().head
+    assert(same.payload.toSeq === payload.toSeq)
+  }
+
   test("binary payloads round-trip through parquet with metadata pruning") {
     val tmp = Files.createTempDirectory("graft_media").toFile
     tmp.deleteOnExit()

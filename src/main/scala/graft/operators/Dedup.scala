@@ -40,6 +40,19 @@ object Dedup {
       .groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup, survivor form: the full surviving ROW per distinct
+    * fingerprint (lowest id wins) — what a pipeline actually writes
+    * downstream. One window over the fingerprint shuffle; ties broken
+    * by id so the choice is deterministic. */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", TextAnalysis.md5Fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * `|A∩B| / |A∪B| >= threshold` over distinct word n-gram shingles.
     *

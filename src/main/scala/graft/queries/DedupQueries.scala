@@ -17,6 +17,10 @@ object DedupQueries {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
     },
+    "q_dedup_survivors" -> { (s, dir) =>
+      Dedup.exactSurvivors(table(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+    },
     "q_neardup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
@@ -37,6 +41,14 @@ object DedupQueries {
         |  min(doc_id) AS keep_id, count(1) AS dup_count
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "q_dedup_survivors" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r WHERE rn = 1""".stripMargin,
     "q_neardup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -64,6 +64,15 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids, keeping state only
+    * within the watermark horizon — the unbounded-stream form of
+    * graft.operators.Dedup.exact (state is bounded; an id recurring
+    * after the horizon would re-emit, the standard at-scale tradeoff). */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

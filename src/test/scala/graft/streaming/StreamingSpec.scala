@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: repeated event_ids collapse within the watermark") {
+    val dir = stageEventsDir()
+    // duplicate every event once (same event_ids appended)
+    Sources.events(spark, sf0001)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.dedupEvents(stream, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").select("event_id").distinct().count()
+      val total = spark.table("dedup_out").count()
+      val expected = Sources.events(spark, sf0001).count()
+      assert(total === expected, s"dedup emitted $total, expected $expected")
+      assert(n === expected)
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

@@ -109,6 +109,31 @@ object Relational {
         .select("c_custkey", "c_name", "c_mktsegment")
     },
 
+    // Left-outer join: every customer, zero-filled order stats.
+    "q_left_outer_join" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("big_total"))
+    },
+
+    // Full-outer join: 1995 vs 2001 spend per customer, nulls surfaced.
+    "q_full_outer_join" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+      def spend(y: Int, out: String) =
+        ord.filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey").as(s"ck_$out"))
+          .agg(round(sum(col("o_totalprice")), 4).as(out))
+      spend(1995, "spend_1995")
+        .join(spend(2001, "spend_2001"),
+          col("ck_spend_1995") === col("ck_spend_2001"), "full_outer")
+        .select(
+          coalesce(col("ck_spend_1995"), col("ck_spend_2001")).as("custkey"),
+          col("spend_1995"), col("spend_2001"))
+    },
+
     // Ranking window: top-2 orders per customer.
     "q_window_rank" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -316,6 +341,22 @@ object Relational {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q_left_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 4) AS big_total
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q_full_outer_join" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS ck, round(sum(o_totalprice), 4) AS spend_1995
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey AS ck, round(sum(o_totalprice), 4) AS spend_2001
+        |  FROM orders WHERE year(o_orderdate) = 2001 GROUP BY o_custkey)
+        |SELECT coalesce(a.ck, b.ck) AS custkey, spend_1995, spend_2001
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

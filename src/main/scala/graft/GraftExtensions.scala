@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{RollingHash, VectorDot}
+
+/** SparkSessionExtensions hook: injects graft's native expressions into
+  * the session's function registry at build time, so
+  * `spark.sql("SELECT rolling_hash(text) ...")` and
+  * `call_function("vector_dot", ...)` work in any session built with
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * }}}
+  *
+  * or `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster —
+  * no per-session GraftFunctions.register call needed. (The operators
+  * still self-register defensively for sessions built without it.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHash(exprs.head, RollingHash.DefaultBase, RollingHash.DefaultMod)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDot(exprs(0), exprs(1))))
+  }
+}

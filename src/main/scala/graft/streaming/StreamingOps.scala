@@ -73,6 +73,71 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
+  case class OpenSession(start_us: Long, last_us: Long, n: Long, sum_value: Double)
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Custom sessionizer via flatMapGroupsWithState + event-time timeout:
+    * the hand-rolled form of [[sessionCounts]], for session logic
+    * session_window can't express (per-session payloads, mid-session
+    * triggers, cross-session features).
+    *
+    * Within a batch, a user's events are sorted in memory (bounded by
+    * that user's PER-BATCH volume, not history) and folded through the
+    * gap rule; sessions that close inside the batch are emitted
+    * immediately, the open tail is kept in O(1) state with a timeout at
+    * `last + gap` — when the watermark passes it, the timeout fires and
+    * the final session is emitted. Same strict-gap semantics as the
+    * batch operator. */
+  def customSessionizer(events: DataFrame, gap: java.time.Duration,
+      watermark: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gap.toNanos / 1000L
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must stay in the schema (the analyzer
+      // requires it for EventTimeTimeout); session logic uses the µs
+      // projection (java.sql.Timestamp would truncate to ms)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) =
+            ClosedSession(user, s.start_us, s.last_us, s.n, s.sum_value)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts_us)
+            var open = state.getOption
+            val closed = List.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val tUs = e.ts_us
+              open match {
+                case Some(s) if tUs - s.last_us <= gapUs =>
+                  open = Some(OpenSession(s.start_us, tUs, s.n + 1, s.sum_value + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(OpenSession(tUs, tUs, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(tUs, tUs, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions registers graft functions for SQL use") {
+    // getOrCreate returns any ACTIVE session (ignoring extensions), so
+    // clear the session slots first; this builds a NEW SparkSession —
+    // with our extensions — over the JVM's existing SparkContext.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
+    val expected = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    assert(h === expected)
+    val d = spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d === 11.0)
+    // deliberately NOT stopping: the SparkContext is shared with the
+    // other suites in this JVM
+  }
+}

@@ -77,6 +77,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch sessionize exactly") {
+    val dir = stageEventsDir()
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.customSessionizer(stream,
+      java.time.Duration.ofMinutes(30), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgs_out").start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      // far-future event: advances watermark so every timeout fires
+      Seq((999999L, 4102444800000000L * 1000L, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("fmgs_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.operators.Events
+        .sessionize(Sources.events(spark, sf0001), "30 minutes")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events")))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

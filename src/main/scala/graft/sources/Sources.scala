@@ -46,6 +46,18 @@ object Sources {
     spark.read.textFile(path).rdd.zipWithIndex().map(_.swap).toDS()
   }
 
+  /** Schema-explicit CSV reader (header on). Schema inference is a
+    * full extra pass over the data — never acceptable at 100 TB, so the
+    * schema is a required argument. */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Schema-explicit JSON-lines reader — same no-inference rule. */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** kaylee-style `datafn` adapter: lift a driver-side generator into a
     * Dataset. ONLY for small, test-sized inputs — the reference's
     * "any generator" contract is inherently driver-resident, which is the

@@ -22,6 +22,24 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("csv and json-lines round-trip with explicit schemas") {
+    val tmp = Files.createTempDirectory("graft_fmt").toFile
+    tmp.deleteOnExit()
+    val docs = Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").option("header", "true")
+      .csv(s"${tmp.getAbsolutePath}/csv")
+    docs.write.mode("overwrite").json(s"${tmp.getAbsolutePath}/json")
+    val backCsv = Sources.csv(spark, s"${tmp.getAbsolutePath}/csv", docs.schema)
+    val backJson = Sources.jsonLines(spark, s"${tmp.getAbsolutePath}/json", docs.schema)
+    assert(backCsv.count() === docs.count())
+    assert(backJson.count() === docs.count())
+    assert(backCsv.schema === docs.schema)
+    val sumRef = docs.agg(sum("n_chars")).collect().head.getLong(0)
+    assert(backCsv.agg(sum("n_chars")).collect().head.getLong(0) === sumRef)
+    assert(backJson.agg(sum("n_chars")).collect().head.getLong(0) === sumRef)
+  }
+
   test("writeClustered round-trips with stable contents") {
     val tmp = Files.createTempDirectory("graft_sink2").toFile
     tmp.deleteOnExit()

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *    stopword-shingle join blowup — the frequency cap is itself a
   *    distributed groupBy, not a driver-side filter.
   *
+  * The candidate-generate/verify split follows the standard distributed
+  * similarity-join structure (cf. V-SMART-Join, VLDB 2012: per-element
+  * inverted-index joins for all-pair multiset similarity on MapReduce).
+  *
   * The reference has no dedup operators (SURVEY.md §2: its only example
   * workload is word count); this is extension surface per the north star.
   */

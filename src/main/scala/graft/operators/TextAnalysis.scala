@@ -91,6 +91,35 @@ object TextAnalysis {
     expr(s"rolling_hash($textCol)")
   }
 
+  /** Term frequencies per (id, term): one explode + count. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(col("__toks")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF with the smooth idf `ln(N / df)`: two aggregations (term
+    * frequencies, document frequencies) joined on term — the df side is
+    * |vocabulary|-sized and broadcastable. N is computed once (a count
+    * action; at scale, pass it in from pipeline metadata instead). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = tf.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Inverted-index statistics: per term, document frequency, total
+    * term count, and the smallest posting id (the full posting-list
+    * build is the same shuffle with collect_list instead of min). */
+  def invertedIndexStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFrequencies(df, idCol, textCol)
+      .groupBy("term")
+      .agg(countDistinct(col("id")).as("df"),
+        sum(col("tf")).as("total_tf"),
+        min(col("id")).as("first_id"))
+
   /** Word n-grams from an ALREADY-MATERIALIZED token array column.
     * 1-based element_at keeps semantics identical to the DuckDB oracle's
     * 1-based list indexing. */

@@ -42,6 +42,13 @@ object TextQueries {
         TextAnalysis.rollingHashFingerprint(df, "text").as("fp_roll"))
     },
 
+    "q_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfIdf(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+    },
+    "q_inverted_index" -> { (s, dir) =>
+      TextAnalysis.invertedIndexStats(table(s, dir, "documents"), "doc_id", "text")
+    },
     "q_top_ngrams" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(TextAnalysis.tokens(col("text")).as("toks"))
@@ -100,6 +107,28 @@ object TextQueries {
         |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), x -> unicode(x)::BIGINT)),
         |    (h, c) -> (h * 31 + c) % 1000000007)::BIGINT AS fp_roll
         |FROM documents""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(1) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |          x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(1)::DOUBLE AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin,
+    "q_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(1) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |          x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT term, count(DISTINCT doc_id) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf, min(doc_id) AS first_id
+        |FROM tf GROUP BY term""".stripMargin,
     "q_top_ngrams" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

@@ -1,0 +1,38 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class PartitioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount == direct groupBy on a skewed distribution") {
+    // 10k rows of one hot key + sparse tail — the case salting exists for
+    val rows = (1 to 10000).map(i => ("hot", i.toDouble, i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", i.toDouble, 100000L + i))
+    val df = rows.toDF("k", "v", "row_id").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Partitioning.saltedSumCount(df, col("k"), col("v"),
+      saltCol = col("row_id"), saltBuckets = 16)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
+  test("hash split: deterministic membership, partition-invariant, covers all") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+    def splits(parts: Int) = Sampling.split(docs.repartition(parts),
+        col("doc_id"), train16 = 12, valid16 = 2)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(2)
+    assert(a === splits(7), "split membership depends on partitioning")
+    assert(a.values.toSet === Set("train", "valid", "test"))
+    // sample == the train+valid+test decomposition's prefix buckets
+    val sampled = Sampling.sampleByHash(docs, col("doc_id"), keep16 = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.nonEmpty && sampled.size < a.size)
+  }
+}

@@ -93,6 +93,57 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact n-gram Jaccard join — same results as
+    * [[ngramJaccardPairs]] (lossless for the given threshold), far fewer
+    * candidate pairs.
+    *
+    * Standard prefix-filtering (cf. Bayardo et al. WWW'07 / SSJoin):
+    * under ANY fixed total order on shingles, two sets with
+    * J(A,B) >= t must share an element within their first
+    * `floor((1-t)|X|) + 1` elements. So candidates come from an
+    * equi-join on PREFIX shingles only (~(1-t) of the rows), plus the
+    * length filter `t·|B| <= |A|`; only surviving pairs pay the exact
+    * intersection count.
+    *
+    * The global order is ASCENDING document frequency (tie-break
+    * lexicographic): prefixes then hold each set's RAREST shingles, so
+    * prefix-join buckets stay small even on low-entropy corpora —
+    * lexicographic order degenerates exactly there (measured 6x slower
+    * than the naive join on the small-vocab test corpus; frequency
+    * order is ~4x faster). Any fixed order is lossless; the order only
+    * changes pruning power.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+    val wDoc = Window.partitionBy(col("id"))
+    val wRank = wDoc.orderBy(col("df_freq").asc, col("shingle").asc)
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .filter(col("rn") <=
+        (floor(lit(1.0 - threshold) * col("n_sh")) + 1).cast("int"))
+      .select(col("id"), col("n_sh"), col("shingle"))
+    val cands = prefix.select(col("id").as("a"), col("n_sh").as("na"), col("shingle"))
+      .join(prefix.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("a") < col("b") &&
+        col("na") >= lit(threshold) * col("nb") &&
+        col("nb") >= lit(threshold) * col("na"))
+      .select("a", "b", "na", "nb").distinct()
+    val inter = cands
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signatures: for each id, `numHashes` minima of seeded
     * xxhash64 over its shingle set — one shuffle (groupBy id), k
     * aggregates computed in a single pass. */

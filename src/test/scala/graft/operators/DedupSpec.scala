@@ -25,6 +25,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((26L, 176L)) || pairs.contains((144L, 161L)))
   }
 
+  test("prefix-filtered jaccard == naive jaccard (lossless)") {
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix === naive, s"threshold $t")
+    }
+  }
+
   test("shingle frequency cap keeps high-similarity recall") {
     val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

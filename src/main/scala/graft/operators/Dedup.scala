@@ -144,6 +144,49 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: every id (from
+    * `allIds`) labeled with the smallest id reachable through pairs —
+    * the clustering step that turns pairwise matches into dedup groups
+    * (keep `cluster_rep`, drop the rest).
+    *
+    * Iterative min-label propagation: each round, a node takes the min
+    * of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, and
+    * `maxIters` bounds the worst case. Each round is one join + one
+    * aggregation, all distributed; convergence is checked with a count
+    * action on changed labels. Results are cached per round and
+    * unpersisted after — at 100 TB this is the standard large-star
+    * shape (cf. Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14).
+    */
+  def connectedComponents(allIds: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = allIds.select(col("id"), col("id").as("label")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** MinHash signatures: for each id, `numHashes` minima of seeded
     * xxhash64 over its shingle set — one shuffle (groupBy id), k
     * aggregates computed in a single pass. */

@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
       s"cap lost pairs: ${uncapped -- capped}")
   }
 
+  test("connectedComponents: chains merge, singletons self-label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (1L to 8L).toDF("id")
+    // components: {1,2,3,4} (chain), {5,6}, {7}, {8}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("minhash LSH: finds every pair with true jaccard >= 0.9") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

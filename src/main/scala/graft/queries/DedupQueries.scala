@@ -27,6 +27,12 @@ object DedupQueries {
       Dedup.ngramJaccardPairsPrefix(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
     },
+    "q_curation_summary" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      graft.operators.Curation.curate(table(s, dir, "documents"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
     "q_dedup_clusters" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val docs = table(s, dir, "documents")
@@ -44,7 +50,57 @@ object DedupQueries {
     },
   )
 
+  private val anyStopword: String =
+    (graft.operators.TextAnalysis.StopwordsEn ++
+      graft.operators.TextAnalysis.StopwordsDe ++
+      graft.operators.TextAnalysis.StopwordsFr ++
+      graft.operators.TextAnalysis.StopwordsEs)
+      .distinct.map(w => s"'$w'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    // langId != 'und' <=> at least one hit in the union of stoplists
+    "q_curation_summary" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 10
+         |    AND len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |          x -> x IN ($anyStopword))) > 0),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |        FROM q)),
+         |e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+         |      FROM e0 ea JOIN e0 eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+         |      GROUP BY 1, 2),
+         |c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+         |pairs AS (
+         |  SELECT p.a, p.b FROM p
+         |  JOIN c ca ON p.a = ca.doc_id
+         |  JOIN c cb ON p.b = cb.doc_id
+         |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT doc_id, doc_id FROM q
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r),
+         |comp AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src),
+         |surv AS (
+         |  SELECT q.doc_id, q.lang FROM q JOIN comp ON q.doc_id = comp.doc_id
+         |  WHERE comp.doc_id = comp.rep),
+         |labeled AS (
+         |  SELECT lang,
+         |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 12 THEN 'train'
+         |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 14 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM surv)
+         |SELECT split, lang, count(1) AS n_docs FROM labeled GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
         |  min(doc_id) AS keep_id, count(1) AS dup_count

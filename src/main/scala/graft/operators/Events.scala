@@ -54,6 +54,53 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Sliding (hopping) event-time windows: each event lands in
+    * width/slide windows. Same operator as tumblingAgg with a slide —
+    * output row count multiplies by width/slide, which is the cost to
+    * budget at scale. */
+  def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Range join: enrich rows against a SMALL interval table
+    * (`lo <= value < hi`). Planned as a broadcast nested-loop join —
+    * correct for dimension-sized interval sets (tiers, buckets, SLA
+    * bands); interval sets that don't fit a broadcast need binning to
+    * an equi-key first. */
+  def rangeJoin(facts: DataFrame, intervals: DataFrame,
+      valueCol: Column): DataFrame =
+    facts.join(broadcast(intervals),
+      valueCol >= col("lo") && valueCol < col("hi"))
+
+  /** Backward as-of join across two tables: for each left row, the most
+    * recent right row with `right.ts <= left.ts` on the same key —
+    * the general form of [[asofPrior]], same single-sort strategy
+    * (tag, union, window) so disjoint inputs need no self-stream trick. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, leftIdCol: String, rightIdCol: String): DataFrame = {
+    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(leftIdCol).as("__lid")).withColumn("__rid", lit(null).cast("long"))
+      .withColumn("__side", lit(1))
+    val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(rightIdCol).as("__rid")).withColumn("__lid", lit(null).cast("long"))
+      .withColumn("__side", lit(0))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.select("__k", "__ts", "__lid", "__rid", "__side")
+      .union(r.select("__k", "__ts", "__lid", "__rid", "__side"))
+      .withColumn("matched_id", last(col("__rid"), ignoreNulls = true).over(w))
+      .withColumn("matched_ts_us",
+        last(when(col("__side") === 0, unix_micros(col("__ts"))), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("matched_id").isNotNull)
+      .select(col("__lid").as("left_id"), col("__k").as("key"),
+        unix_micros(col("__ts")).as("ts_us"), col("matched_id"),
+        (unix_micros(col("__ts")) - col("matched_ts_us")).as("lag_us"))
+  }
+
   /** Backward as-of join within one event stream: for each left-predicate
     * row, the most recent right-predicate row with `right.ts <= left.ts`
     * (inclusive) on the same key.

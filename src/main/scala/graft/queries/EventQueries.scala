@@ -22,6 +22,25 @@ object EventQueries {
     "q_event_transitions" -> { (s, dir) =>
       Events.transitions(Sources.events(s, dir))
     },
+    "q_events_sliding" -> { (s, dir) =>
+      Events.slidingAgg(Sources.events(s, dir), "1 hour", "15 minutes")
+    },
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val tiers = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+        ("high", 150.0, 1e18)).toDF("tier", "lo", "hi")
+      Events.rangeJoin(Sources.events(s, dir), tiers, col("value"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    },
+    "q_asof_join_2table" -> { (s, dir) =>
+      val ev = Sources.events(s, dir)
+      Events.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "event_id", rightIdCol = "event_id")
+    },
     "q_asof_join" -> { (s, dir) =>
       Events.asofPrior(Sources.events(s, dir),
         isLeft = col("event_type") === "purchase",
@@ -59,6 +78,33 @@ object EventQueries {
         |  FROM e)
         |SELECT event_type, next_type, count(1) AS n
         |FROM n WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q_events_sliding" ->
+      """WITH hops AS (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP)
+        |      - (h.hop * INTERVAL 15 MINUTE) AS w_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS hop) h)
+        |SELECT epoch_us(w_start) AS window_start_us, event_type,
+        |  count(1) AS n, round(sum(value), 4) AS sum_value
+        |FROM hops GROUP BY 1, 2""".stripMargin,
+    "q_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (
+        |  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e18))
+        |SELECT tier, count(1) AS n, round(sum(value), 4) AS sum_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier""".stripMargin,
+    "q_asof_join_2table" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT p.event_id AS left_id, p.user_id AS key, epoch_us(p.ts) AS ts_us,
+        |  v.event_id AS matched_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM p ASOF JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events

@@ -20,6 +20,41 @@ object Partitioning {
   def byKey(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
     df.repartition(numPartitions, keys: _*)
 
+  /** Custom RDD partitioner: hash partitioning with an explicit
+    * hot-key override — each listed hot key gets a RESERVED partition,
+    * everything else hashes over the remainder. The RDD-level
+    * counterpart of [[saltedSumCount]] for workloads where the skewed
+    * key must stay intact (per-key ordered processing, stateful
+    * mapPartitions) instead of being salted apart. */
+  class HotKeyAwarePartitioner(val partitions: Int, hotKeys: Seq[Any])
+      extends org.apache.spark.Partitioner {
+    require(partitions > hotKeys.size, "need partitions beyond the hot set")
+    private val hot = hotKeys.zipWithIndex.toMap
+    override def numPartitions: Int = partitions
+    override def getPartition(key: Any): Int = hot.get(key) match {
+      case Some(i) => i
+      case None =>
+        val h = key.## % (partitions - hot.size)
+        hot.size + (if (h < 0) h + (partitions - hot.size) else h)
+    }
+    override def equals(other: Any): Boolean = other match {
+      case p: HotKeyAwarePartitioner =>
+        p.partitions == partitions && p.hot == hot
+      case _ => false
+    }
+    override def hashCode(): Int = partitions * 31 + hot.hashCode()
+  }
+
+  /** Partition an RDD of key-value pairs with [[HotKeyAwarePartitioner]]
+    * — kaylee's PARTITION state (`server.py:243-247`, a no-op) made
+    * real: keys are co-located AND the known-hot keys can't swamp a
+    * random peer. */
+  def partitionByHotKeys[K, V](rdd: org.apache.spark.rdd.RDD[(K, V)],
+      numPartitions: Int, hotKeys: Seq[K])(
+      implicit kt: scala.reflect.ClassTag[K], vt: scala.reflect.ClassTag[V])
+      : org.apache.spark.rdd.RDD[(K, V)] =
+    rdd.partitionBy(new HotKeyAwarePartitioner(numPartitions, hotKeys))
+
   /** Two-stage salted aggregation for skewed keys: stage 1 aggregates on
     * (key, salt) — spreading a hot key over `saltBuckets` reducers —
     * stage 2 merges the per-salt partials. Works for any algebraic

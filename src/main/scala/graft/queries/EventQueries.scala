@@ -22,6 +22,19 @@ object EventQueries {
     "q_event_transitions" -> { (s, dir) =>
       Events.transitions(Sources.events(s, dir))
     },
+    // z-score outliers per event type (global window mean/std)
+    "q_zscore_outliers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      Sources.events(s, dir)
+        .withColumn("z",
+          (col("value") - avg(col("value")).over(w)) / stddev_samp(col("value")).over(w))
+        .filter(abs(col("z")) > 2.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          round(min(col("value")), 4).as("min_outlier_value"),
+          round(max(col("value")), 4).as("max_outlier_value"))
+    },
     "q_events_sliding" -> { (s, dir) =>
       Events.slidingAgg(Sources.events(s, dir), "1 hour", "15 minutes")
     },
@@ -78,6 +91,16 @@ object EventQueries {
         |  FROM e)
         |SELECT event_type, next_type, count(1) AS n
         |FROM n WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH z AS (
+        |  SELECT event_type, value,
+        |    (value - avg(value) OVER (PARTITION BY event_type))
+        |      / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        |  FROM events)
+        |SELECT event_type, count(1) AS n_outliers,
+        |  round(min(value), 4) AS min_outlier_value,
+        |  round(max(value), 4) AS max_outlier_value
+        |FROM z WHERE abs(z) > 2.0 GROUP BY event_type""".stripMargin,
     "q_events_sliding" ->
       """WITH hops AS (
         |  SELECT event_type, value,

@@ -33,6 +33,16 @@ object SimilarityQueries {
     "q_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5)
     },
+    // per-label centroids as (label, dim, value) rows — the vector
+    // aggregate an IVF/k-means trainer needs, exploded so the oracle
+    // compares scalars
+    "q_label_centroids" -> { (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("centroid_v"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,5 +77,10 @@ object SimilarityQueries {
         |         * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    "q_label_centroids" ->
+      """SELECT label, CAST(r.i - 1 AS INTEGER) AS dim,
+        |  round(avg(embedding[r.i]::DOUBLE), 6) AS centroid_v
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -21,6 +21,23 @@ class PartitioningSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("HotKeyAwarePartitioner: hot keys isolated, all keys co-located") {
+    val data = (1 to 1000).map(i => (if (i % 2 == 0) "hot" else s"k${i % 17}", i))
+    val rdd = spark.sparkContext.parallelize(data, 8)
+    val parted = Partitioning.partitionByHotKeys(rdd, 5, Seq("hot"))
+    assert(parted.getNumPartitions === 5)
+    val byPartition = parted.mapPartitionsWithIndex { (pi, it) =>
+      Iterator((pi, it.map(_._1).toSet))
+    }.collect().toMap
+    // hot key alone on its reserved partition
+    assert(byPartition(0) === Set("hot"))
+    // every key lives in exactly one partition (co-location)
+    val keyHomes = byPartition.toSeq.flatMap { case (pi, ks) => ks.map(_ -> pi) }
+    assert(keyHomes.size === keyHomes.map(_._1).distinct.size)
+    // counts preserved
+    assert(parted.count() === 1000L)
+  }
+
   test("hash split: deterministic membership, partition-invariant, covers all") {
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
     def splits(parts: Int) = Sampling.split(docs.repartition(parts),

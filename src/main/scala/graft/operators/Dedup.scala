@@ -165,23 +165,27 @@ object Dedup {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
     var labels = allIds.select(col("id"), col("id").as("label")).cache()
+    def propagate(ls: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(ls.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      ls.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+      // two propagation rounds per convergence check: the check is a
+      // full count action, and components converge in few rounds anyway
+      val next = propagate(propagate(labels)).cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0L
-      iter += 1
+      iter += 2
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))

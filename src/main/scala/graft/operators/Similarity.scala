@@ -149,6 +149,12 @@ object Similarity {
       .map { case (row, i) =>
         (i, row.getAs[scala.collection.Seq[Double]](0).toSeq)
       }
+    if (centroids.isEmpty) {
+      // empty corpus: no cells — return an empty, correctly-typed result
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "cos")
+    }
     def cellDots(v: Column): Column = array(centroids.map { case (i, c) =>
       struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
     }: _*)

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Empty-input robustness: every operator family must return an empty
+  * (not crashed, not null-poisoned) result on an empty table with the
+  * right schema — what incremental pipelines hit on quiet days. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType))))
+
+  private lazy val emptyEmb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType))))
+
+  test("dedup family on empty input") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.exactSurvivors(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 3, 0.8).count() === 0)
+    assert(Dedup.ngramJaccardPairsPrefix(emptyDocs, "doc_id", "text", 3, 0.8).count() === 0)
+    assert(Dedup.minHashLshPairs(emptyDocs, "doc_id", "text", 3, 0.8).count() === 0)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.connectedComponents(
+      emptyDocs.select(col("doc_id").as("id")),
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0)
+  }
+
+  test("similarity family on empty input") {
+    assert(Similarity.bruteForceTopK(emptyEmb, 5).count() === 0)
+    assert(Similarity.exactNeardupPairs(emptyEmb, 0.4).count() === 0)
+    assert(Similarity.srpNeardupPairs(emptyEmb, 64, 0.4).count() === 0)
+    assert(Similarity.ivfTopK(emptyEmb, 5, nCells = 4).count() === 0)
+  }
+
+  test("curation on empty input") {
+    assert(Curation.curate(emptyDocs).count() === 0)
+  }
+
+  test("single-row inputs produce no pairs but survive") {
+    val one = Seq((1L, "only one document here", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.ngramJaccardPairsPrefix(one, "doc_id", "text", 3, 0.8).count() === 0)
+    assert(Dedup.exactSurvivors(one, "doc_id", "text").count() === 1)
+    val oneEmb = Seq((1L, Seq.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.exactNeardupPairs(oneEmb, 0.4).count() === 0)
+    assert(Similarity.ivfTopK(oneEmb, 5, nCells = 1).count() === 0) // only self
+  }
+}

@@ -40,6 +40,18 @@ object DedupQueries {
         n = 3, threshold = 0.8)
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     },
+    // edit distance verification layer on the (few) Jaccard candidates —
+    // O(len²) DP is affordable only AFTER candidate generation
+    "q_neardup_edit_distance" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, levenshtein}
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      pairs
+        .join(docs.select(col("doc_id").as("a"), col("text").as("text_a")), Seq("a"))
+        .join(docs.select(col("doc_id").as("b"), col("text").as("text_b")), Seq("b"))
+        .select(col("a"), col("b"), col("jaccard"),
+          levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+    },
     "q_neardup_minhash_lsh" -> { (s, dir) =>
       Dedup.minHashLshPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
@@ -142,6 +154,31 @@ object DedupQueries {
         |  SELECT * FROM r)
         |SELECT src AS doc_id, min(dst) AS cluster_rep
         |FROM reach GROUP BY src""".stripMargin,
+    "q_neardup_edit_distance" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+        |      FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        |pairs AS (
+        |  SELECT p.a, p.b,
+        |    round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+        |  FROM p
+        |  JOIN c ca ON p.a = ca.doc_id
+        |  JOIN c cb ON p.b = cb.doc_id
+        |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8)
+        |SELECT pairs.a, pairs.b, pairs.jaccard,
+        |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+        |FROM pairs
+        |JOIN documents da ON pairs.a = da.doc_id
+        |JOIN documents db ON pairs.b = db.doc_id""".stripMargin,
     "q_neardup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

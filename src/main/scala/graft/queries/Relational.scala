@@ -194,6 +194,17 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("sum_price"))
     },
 
+    // Statistical aggregates.
+    "q_statistics" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(stddev_samp(col("l_discount")), 6).as("std_discount"),
+          round(variance(col("l_tax")), 6).as("var_tax"))
+    },
+
     // DISTINCT aggregation.
     "q_distinct_agg" -> { (s, dir) =>
       table(s, dir, "customer")
@@ -394,6 +405,13 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
         |  round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_statistics" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  round(stddev_samp(l_discount), 6) AS std_discount,
+        |  round(var_samp(l_tax), 6) AS var_tax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_distinct_agg" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
         |  count(1) AS n_customers

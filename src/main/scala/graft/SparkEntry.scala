@@ -46,7 +46,44 @@ object SparkEntry {
       core.WordCount.counts(lines).toDF("word", "cnt")
         .orderBy(desc("cnt"), asc("word")).limit(25)
     },
+    "mr_sessionize" -> (mrSessionize _),
   )
+
+  /** Sessionization through the typed MapReduce core — the reference's
+    * general per-key fold (`reducefn` sees the whole group) applied to a
+    * real non-associative computation. Produces exactly the rows of the
+    * declarative q_sessionize (same oracle SQL). */
+  private def mrSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = sources.Sources.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value")
+      .as[(Long, Long, Double)]
+      .map(e => (e._1, (e._2, e._3)))
+    val gapUs = 30L * 60L * 1000000L
+    val sessions = core.MapReduce.run[
+        Long, (Long, Double), Long, (Long, Double), Seq[(Long, Long, Long, Double)]](
+      ev,
+      (u, tv) => Seq((u, tv)),
+      (_, it) => {
+        val sorted = it.toArray.sortBy(_._1)
+        val out = Seq.newBuilder[(Long, Long, Long, Double)]
+        var start, last, n = 0L
+        var sum = 0.0
+        var open = false
+        sorted.foreach { case (t, v) =>
+          if (!open) { start = t; last = t; n = 1L; sum = v; open = true }
+          else if (t - last <= gapUs) { last = t; n += 1L; sum += v }
+          else { out += ((start, last, n, sum)); start = t; last = t; n = 1L; sum = v }
+        }
+        if (open) out += ((start, last, n, sum))
+        out.result()
+      })
+    sessions
+      .flatMap { case (u, ss) => ss.map(x => (u, x._1, x._2, x._3, x._4)) }
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events", "sum_raw")
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), round(col("sum_raw"), 4).as("sum_value"))
+  }
 
   private def mapReduceOracles: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -58,5 +95,8 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
         |WHERE word <> '' GROUP BY word
         |ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+    // identical to q_sessionize's oracle — the MapReduce core must
+    // reproduce the declarative operator's rows exactly
+    "mr_sessionize" -> graft.queries.EventQueries.oracles("q_sessionize"),
   )
 }

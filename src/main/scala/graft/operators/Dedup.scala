@@ -177,15 +177,16 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // two propagation rounds per convergence check: the check is a
-      // full count action, and components converge in few rounds anyway
-      val next = propagate(propagate(labels)).cache()
+      // single-step propagation: near-dup components are shallow
+      // (diameter 1-2), so one join per convergence check minimizes
+      // total jobs; deep graphs would amortize better with multi-step
+      val next = propagate(labels).cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0L
-      iter += 2
+      iter += 1
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))

@@ -156,6 +156,27 @@ object Relational {
           round(col("running_qty"), 4).as("running_qty"), col("prev_qty"))
     },
 
+    // RANGE window frame: value-based lookback (trailing 30 days).
+    "q_window_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("ship_epoch"))
+        .rangeBetween(-30L * 86400L, 0L)
+      table(s, dir, "lineitem")
+        .withColumn("ship_epoch", unix_timestamp(col("l_shipdate")))
+        .withColumn("qty_30d", round(sum(col("l_quantity")).over(w), 4))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "qty_30d")
+    },
+
+    // min_by/max_by: value at the extreme of another (unique) column.
+    "q_min_max_by" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+          round(min_by(col("o_totalprice"), col("o_orderkey")), 4).as("first_price"),
+          max(col("o_orderkey")).as("max_orderkey"))
+    },
+
     // Global sort + limit: planned as TakeOrderedAndProject (per-partition
     // top-k, no full sort) — scale-safe.
     "q_sort_limit" -> { (s, dir) =>
@@ -383,6 +404,18 @@ object Relational {
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
         |FROM lineitem""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (
+        |    PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4) AS qty_30d
+        |FROM lineitem""".stripMargin,
+    "q_min_max_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderstatus, o_orderkey) AS latest_status,
+        |  round(arg_min(o_totalprice, o_orderkey), 4) AS first_price,
+        |  max(o_orderkey) AS max_orderkey
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,

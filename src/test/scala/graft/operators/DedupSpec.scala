@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pair operators are partition-invariant (physical layout can't change results)") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = Seq(
+      Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 3, 0.8),
+      Dedup.minHashLshPairs(df, "doc_id", "text", 3, 0.8),
+      Dedup.simHashPairs(df, "doc_id", "text", 3, 8)
+    ).map(_.collect().map(_.toSeq).toSet)
+    val base = pairsOf(docs.repartition(1))
+    for (p <- Seq(3, 16)) {
+      assert(pairsOf(docs.repartition(p)) === base, s"partitions=$p")
+    }
+  }
+
   test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
     val sigs = Dedup.simHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3))

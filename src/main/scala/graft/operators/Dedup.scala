@@ -120,18 +120,25 @@ object Dedup {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
     val wDoc = Window.partitionBy(col("id"))
     val wRank = wDoc.orderBy(col("df_freq").asc, col("shingle").asc)
+    // prefix length |X| - ceil(t|X|) + 1, computed as
+    // floor((1-t)|X| + eps) + 1: the epsilon compensates binary-fraction
+    // error in (1-t) — floor(0.19999...96 * 50) = 9 would silently
+    // shorten the prefix by one and LOSE true pairs (caught by the
+    // sf0.1 oracle); erring long is merely less pruning, never wrong
     val prefix = sh.join(freq, "shingle")
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n_sh", count(lit(1)).over(wDoc))
       .filter(col("rn") <=
-        (floor(lit(1.0 - threshold) * col("n_sh")) + 1).cast("int"))
+        (floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("n_sh"), col("shingle"))
     val cands = prefix.select(col("id").as("a"), col("n_sh").as("na"), col("shingle"))
       .join(prefix.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle")),
         Seq("shingle"))
+      // same epsilon on the length filter: t*nb can exceed the exact
+      // rational t·nb by an ulp and reject a boundary-sized true pair
       .filter(col("a") < col("b") &&
-        col("na") >= lit(threshold) * col("nb") &&
-        col("nb") >= lit(threshold) * col("na"))
+        col("na") >= lit(threshold) * col("nb") - lit(1e-9) &&
+        col("nb") >= lit(threshold) * col("na") - lit(1e-9))
       .select("a", "b", "na", "nb").distinct()
     val inter = cands
       .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))

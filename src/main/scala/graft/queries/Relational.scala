@@ -145,9 +145,13 @@ object Relational {
     },
 
     // Analytic window frame: per-supplier running revenue + lag.
+    // NOTE sf0.1 lineitem contains duplicate (l_orderkey, l_linenumber)
+    // rows — the ordering includes the value columns so it is total up
+    // to FULL duplicates, which are prefix-sum-interchangeable.
     "q_window_running" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+        .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"),
+          asc("l_quantity"), asc("l_extendedprice"))
       table(s, dir, "lineitem")
         .withColumn("running_qty",
           sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -399,10 +403,10 @@ object Relational {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty
         |FROM lineitem""".stripMargin,
     "q_window_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -35,6 +35,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix filter survives float-boundary set sizes (regression: sf0.1 lost a pair)") {
+    import spark.implicits._
+    // doc of exactly 52 tokens -> 50 distinct 3-gram shingles, so
+    // (1-0.8)*50 = 10.0 sits exactly on the floor boundary where binary
+    // rounding of (1-t) used to shorten the prefix and drop the pair
+    val base = (1 to 52).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 51).map(i => s"w$i") :+ "zz").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val naive = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix === naive)
+  }
+
   test("shingle frequency cap keeps high-similarity recall") {
     val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

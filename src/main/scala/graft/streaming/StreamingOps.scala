@@ -64,6 +64,12 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: join each micro-batch against a small
+    * static dimension (broadcast — no state, no watermark needed; the
+    * standard way to attach reference data to a 100 TB/day stream). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
   /** Streaming exact dedup: drop repeated event_ids, keeping state only
     * within the watermark horizon — the unbounded-stream form of
     * graft.operators.Dedup.exact (state is bounded; an id recurring

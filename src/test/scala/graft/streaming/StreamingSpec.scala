@@ -106,6 +106,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches batch join") {
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val stream = StreamingOps.eventsStream(spark, stageEventsDir())
+    val q = StreamingOps.enrichWithDim(stream, dim, "event_type")
+      .groupBy("event_type")
+      .agg(round(sum(col("value") * col("weight")), 4).as("weighted"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = Sources.events(spark, sf0001).join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(round(sum(col("value") * col("weight")), 4).as("weighted"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: stream lands as partitioned parquet") {
+    val out = Files.createTempDirectory("graft_stream_sink").toFile
+    out.deleteOnExit()
+    val stream = StreamingOps.eventsStream(spark, stageEventsDir())
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sinks.writePartitioned(batch, out.getAbsolutePath,
+            Seq("event_type"))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out.getAbsolutePath)
+      assert(landed.count() === Sources.events(spark, sf0001).count())
+      assert(out.listFiles().exists(f => f.getName.startsWith("event_type=")))
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

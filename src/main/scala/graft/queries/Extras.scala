@@ -67,6 +67,50 @@ object Extras {
           round(cume_dist().over(w), 6).as("cume"))
     },
 
+    // navigation window functions over a deterministic full frame
+    "q_window_nav" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+    },
+
+    // conditional aggregation (FILTER / count_if)
+    "q_conditional_agg" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          round(sum(when(col("l_quantity") > 25.0, col("l_extendedprice"))
+            .otherwise(0.0)), 4).as("bulk_revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // string function battery
+    "q_string_functions" -> { (s, dir) =>
+      table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          lpad(col("s_name"), 25, "*").as("padded"),
+          reverse(col("s_name")).as("reversed"),
+          replace(col("s_name"), lit("#"), lit("-")).as("replaced"),
+          repeat(lit("ab"), 3).as("repeated"),
+          split_part(col("s_name"), lit("#"), lit(1)).as("name_prefix"),
+          translate(col("s_name"), "#0123456789", "N").as("digits_stripped"))
+    },
+
+    // bitwise aggregates
+    "q_bitwise_agg" -> { (s, dir) =>
+      table(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(bit_and(col("p_size")).as("and_size"),
+          bit_or(col("p_size")).as("or_size"),
+          bit_xor(col("p_size")).as("xor_size"))
+    },
+
     // HLL sketch distinct — deterministic but sketch-specific, rows-only
     "q_approx_distinct" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -106,6 +150,35 @@ object Extras {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  round(sum(CASE WHEN l_quantity > 25.0 THEN l_extendedprice ELSE 0.0 END), 4) AS bulk_revenue,
+        |  count(1) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_string_functions" ->
+      """SELECT s_suppkey,
+        |  lpad(s_name, 25, '*') AS padded,
+        |  reverse(s_name) AS reversed,
+        |  replace(s_name, '#', '-') AS replaced,
+        |  repeat('ab', 3) AS repeated,
+        |  split_part(s_name, '#', 1) AS name_prefix,
+        |  translate(s_name, '#0123456789', 'N') AS digits_stripped
+        |FROM supplier""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT p_brand,
+        |  CAST(bit_and(p_size) AS INTEGER) AS and_size,
+        |  CAST(bit_or(p_size) AS INTEGER) AS or_size,
+        |  CAST(bit_xor(p_size) AS INTEGER) AS xor_size
+        |FROM part GROUP BY p_brand""".stripMargin,
     "q_window_misc" ->
       """SELECT c_mktsegment, c_custkey,
         |  rank() OVER w AS rnk,

@@ -111,6 +111,58 @@ object Extras {
           bit_xor(col("p_size")).as("xor_size"))
     },
 
+    // date arithmetic
+    "q_date_arithmetic" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("ship_delay_days"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("due_date"))
+    },
+
+    // null-handling semantics through an outer join
+    "q_null_handling" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_custkey")).agg(round(sum(col("o_totalprice")), 4).as("big_spend"))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("big_spend"), lit(0.0)).as("spend_or_zero"),
+          col("big_spend").isNull.as("is_small_spender"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("segment_nb"),
+          nvl2(col("big_spend"), lit("whale"), lit("regular")).as("tier"))
+    },
+
+    // array function battery over token arrays (scalar outputs only)
+    "q_array_functions" -> { (s, dir) =>
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      table(s, dir, "documents")
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_contains(col("toks"), "the").as("has_the"),
+          coalesce(array_position(col("toks"), "spark"), lit(0L)).cast("long").as("pos_spark"),
+          arrays_overlap(col("toks"),
+            typedLit(Seq("spark", "hash", "join"))).as("has_engine_word"),
+          size(array_intersect(array_distinct(col("toks")),
+            typedLit(Seq("the", "a", "data", "key")))).as("n_common"),
+          element_at(col("toks"), 1).as("first_token"),
+          element_at(col("toks"), -1).as("last_token"))
+    },
+
+    // regex function battery (ASCII-safe patterns, identical in RE2/Java)
+    "q_regex_functions" -> { (s, dir) =>
+      table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          regexp_extract(col("s_name"), "([0-9]+)", 1).as("number_part"),
+          col("s_name").rlike("[0-9]{2}").as("has_2digits"),
+          regexp_replace(col("s_name"), "[0-9]", "x").as("digits_masked"),
+          size(regexp_extract_all(col("s_name"), lit("[0-9]"), lit(0))).as("n_digits"))
+    },
+
     // HLL sketch distinct — deterministic but sketch-specific, rows-only
     "q_approx_distinct" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -150,6 +202,42 @@ object Extras {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_date_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_delay_days,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_null_handling" ->
+      """WITH big AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 4) AS big_spend
+        |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |  coalesce(big_spend, 0.0) AS spend_or_zero,
+        |  big_spend IS NULL AS is_small_spender,
+        |  nullif(c_mktsegment, 'BUILDING') AS segment_nb,
+        |  CASE WHEN big_spend IS NOT NULL THEN 'whale' ELSE 'regular' END AS tier
+        |FROM customer LEFT JOIN big ON c_custkey = o_custkey""".stripMargin,
+    "q_array_functions" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::INTEGER AS n_tokens,
+        |  len(list_distinct(toks))::INTEGER AS n_distinct,
+        |  list_contains(toks, 'the') AS has_the,
+        |  coalesce(list_position(toks, 'spark'), 0)::BIGINT AS pos_spark,
+        |  list_has_any(toks, ['spark', 'hash', 'join']) AS has_engine_word,
+        |  len(list_intersect(list_distinct(toks), ['the', 'a', 'data', 'key']))::INTEGER AS n_common,
+        |  toks[1] AS first_token,
+        |  toks[-1] AS last_token
+        |FROM t""".stripMargin,
+    "q_regex_functions" ->
+      """SELECT s_suppkey,
+        |  regexp_extract(s_name, '([0-9]+)', 1) AS number_part,
+        |  regexp_matches(s_name, '[0-9]{2}') AS has_2digits,
+        |  regexp_replace(s_name, '[0-9]', 'x', 'g') AS digits_masked,
+        |  len(regexp_extract_all(s_name, '[0-9]'))::INTEGER AS n_digits
+        |FROM supplier""".stripMargin,
     "q_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_order,

@@ -304,6 +304,32 @@ object Relational {
           round(col("nation_avg"), 6).as("nation_avg"))
     },
 
+    // Correlated scalar subquery via the SQL surface — Catalyst
+    // decorrelates it into the same broadcast-join shape as
+    // q_above_nation_avg, but through the subquery planner.
+    "q_correlated_subquery" -> { (s, dir) =>
+      table(s, dir, "customer").createOrReplaceTempView("customer_cs")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+          |FROM customer_cs c1
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_cs c2
+          |                   WHERE c2.c_nationkey = c1.c_nationkey)
+          |""".stripMargin)
+    },
+
+    "q_intersect_all" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+      ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+        .intersectAll(ord.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey").as("custkey")))
+    },
+    "q_except_all" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+      ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+        .exceptAll(ord.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey").as("custkey")))
+    },
+
     // GROUPING SETS via SQL surface (also exercises spark.sql entry).
     "q_grouping_sets" -> { (s, dir) =>
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
@@ -495,6 +521,19 @@ object Relational {
         |JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
         |      FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
         |WHERE c_acctbal > nation_avg""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,
         |  round(sum(l_extendedprice), 4) AS sum_price

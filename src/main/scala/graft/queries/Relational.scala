@@ -317,6 +317,13 @@ object Relational {
           |""".stripMargin)
     },
 
+    "q_union_all" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+      ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+        .union(ord.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+    },
     "q_intersect_all" -> { (s, dir) =>
       val ord = table(s, dir, "orders")
       ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
@@ -526,6 +533,12 @@ object Relational {
         |FROM customer c1
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
+    "q_union_all" ->
+      """SELECT custkey, count(1) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+        |GROUP BY custkey""".stripMargin,
     "q_intersect_all" ->
       """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT ALL

@@ -37,8 +37,13 @@ object Bench {
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query reports -1.0 for its own slot; exclude it from the
+    // total (a failure must not make the benchmark look FASTER) and name
+    // it explicitly so a broken query can't hide in the sum
+    val (failed, ok) = results.partition(_._2 < 0.0)
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,8 +8,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Polynomial (Karp-Rabin) rolling hash of a string column — the
   * document-fingerprinting primitive.
   *
-  * `h = fold(chars, 0, (h, c) => (h * base + c) mod m)` over UTF-16 code
-  * units, with `base = 31`, `m = 1_000_000_007` (fits comfortably in a
+  * `h = fold(codepoints, 0, (h, c) => (h * base + c) mod m)` over Unicode
+  * CODE POINTS (not UTF-16 units — surrogate pairs fold as one value, so
+  * the result agrees with codepoint-based oracles like DuckDB's
+  * `unicode(x)` on ALL inputs, not just the BMP), with `base = 31`,
+  * `m = 1_000_000_007` (fits comfortably in a
   * long: max intermediate < 2^40). Deterministic and cheap enough to run
   * per-shingle at 100 TB; implemented as a native Catalyst Expression
   * with whole-stage codegen (a Scala UDF here would break the codegen
@@ -31,8 +34,9 @@ case class RollingHash(child: Expression, base: Int, mod: Long)
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * base + s.charAt(i)) % mod
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
     }
     h
   }
@@ -42,11 +46,15 @@ case class RollingHash(child: Expression, base: Int, mod: Long)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
+      val cp = ctx.freshName("cp")
       s"""
          |java.lang.String $s = $c.toString();
          |long $h = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $h = ($h * $base + $s.charAt($i)) % ${mod}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * $base + $cp) % ${mod}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $h;
        """.stripMargin

@@ -63,10 +63,16 @@ object Dedup {
     * Candidate pairs come from an equi-join on the shingle itself, so
     * only pairs sharing at least one shingle are ever materialized.
     * `maxShingleFreq` (0 = off) drops shingles appearing in more than
-    * that many docs from CANDIDATE GENERATION only — with a threshold
-    * t, any pair at similarity >= t shares many shingles, so dropping
-    * the few ultra-common ones keeps recall while bounding join fanout.
-    * (The oracle-checked query runs uncapped for exactness.)
+    * that many docs from CANDIDATE GENERATION only, bounding join
+    * fanout. NOTE the cap can lose recall: the intersection is counted
+    * over CAPPED shingles while set sizes stay uncapped, so the score
+    * underestimates for pairs whose overlap is concentrated in capped
+    * (ultra-common) shingles, and a true pair just above `threshold`
+    * can be dropped. In practice near-dup overlap is spread across many
+    * shingles and the cap only removes stopword-like ones, but this is
+    * a heuristic, not a guarantee — for exactness run uncapped, or use
+    * [[ngramJaccardPairsPrefix]] which is lossless by construction.
+    * (The oracle-checked query runs uncapped.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
@@ -165,6 +171,12 @@ object Dedup {
     * unpersisted after — at 100 TB this is the standard large-star
     * shape (cf. Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14).
+    *
+    * If `maxIters` is exhausted before convergence (a component with
+    * diameter > maxIters), the labels are PARTIAL — over-segmented
+    * clusters. That is a correctness hazard for callers, so it throws
+    * rather than returning silently-wrong labels; raise `maxIters` for
+    * deep graphs (near-dup clusters are shallow, diameter 1-2).
     */
   def connectedComponents(allIds: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
@@ -183,6 +195,7 @@ object Dedup {
     }
     var iter = 0
     var converged = false
+    var lastChanged = 0L
     while (iter < maxIters && !converged) {
       // single-step propagation: near-dup components are shallow
       // (diameter 1-2), so one join per convergence check minimizes
@@ -192,10 +205,18 @@ object Dedup {
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
+      lastChanged = changed
       converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+        s"($lastChanged labels still changing) — partial labels would " +
+        "over-segment clusters; raise maxIters for deep components")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -162,9 +162,11 @@ object StreamingOps {
           var n = prev.n_events
           var s = prev.sum_value
           rows.foreach { e => n += 1; s += e.value }
-          val next = UserTotals(user, n, math.round(s * 10000.0) / 10000.0)
-          state.update(next)
-          next
+          // state keeps the RAW running sum — rounding only the emitted
+          // record, so error can't compound across micro-batches and the
+          // streaming total tracks the batch sum of the same events
+          state.update(UserTotals(user, n, s))
+          UserTotals(user, n, math.round(s * 10000.0) / 10000.0)
       }
   }
 }

@@ -22,11 +22,15 @@ object Curation {
   def curate(docs: DataFrame, minTokens: Long = 10L,
       jaccardThreshold: Double = 0.8, train16: Int = 12,
       valid16: Int = 2): DataFrame = {
+    // quality feeds shingling (multiple consumers inside the pair join)
+    // AND the survivor join — cache so the tokenCount+langId scan of the
+    // full corpus runs once
     val quality = docs
       .withColumn("__n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .filter(col("__n_tokens") >= minTokens &&
         TextAnalysis.langId(col("text")) =!= "und")
       .drop("__n_tokens")
+      .cache()
     val pairs = Dedup.ngramJaccardPairsPrefix(quality, "doc_id", "text",
       n = 3, threshold = jaccardThreshold)
     val clusters = Dedup.connectedComponents(

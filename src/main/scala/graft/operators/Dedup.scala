@@ -76,7 +76,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // shingles feed three consumers (counts + both join sides); cache so
+    // the tokenize/explode scan runs once, not three times
+    val sh = shingles(df, idCol, textCol, n).cache()
     val capped =
       if (maxShingleFreq <= 0) sh
       else {
@@ -122,7 +124,10 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(df, idCol, textCol, n)
+    // shingles feed the frequency count, the prefix ranking, and both
+    // sides of the exact-intersection join — cache so the
+    // tokenize/explode scan of the corpus runs once, not four times
+    val sh = shingles(df, idCol, textCol, n).cache()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
     val wDoc = Window.partitionBy(col("id"))
     val wRank = wDoc.orderBy(col("df_freq").asc, col("shingle").asc)
@@ -137,6 +142,7 @@ object Dedup {
       .filter(col("rn") <=
         (floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("n_sh"), col("shingle"))
+      .cache() // both sides of the candidate self-join
     val cands = prefix.select(col("id").as("a"), col("n_sh").as("na"), col("shingle"))
       .join(prefix.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle")),
         Seq("shingle"))
@@ -183,15 +189,26 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = allIds.select(col("id"), col("id").as("label")).cache()
+    // Iterate ONLY over nodes that touch an edge — in a near-dup graph
+    // the overwhelming majority of ids are isolated (at 100 TB, pairs
+    // are sparse relative to the corpus), and isolated nodes are their
+    // own trivial component. They rejoin via one left join at the end,
+    // so per-iteration work is O(|edge endpoints|), not O(|corpus|).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"),
+        lit(false).as("__changed")).cache()
+    // Every edge node has >= 1 neighbor, so neighborMin covers all of
+    // `ls` and the join is inner; the changed flag is computed in the
+    // same pass (no separate old-vs-new compare join per iteration).
     def propagate(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(ls.withColumnRenamed("id", "dst"), "dst")
+        .join(ls.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      ls.join(neighborMin, Seq("id"), "left_outer")
+      ls.select(col("id"), col("label")).join(neighborMin, Seq("id"))
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).as("__changed"))
     }
     var iter = 0
     var converged = false
@@ -201,8 +218,7 @@ object Dedup {
       // (diameter 1-2), so one join per convergence check minimizes
       // total jobs; deep graphs would amortize better with multi-step
       val next = propagate(labels).cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val changed = next.filter(col("__changed")).count()
       labels.unpersist()
       labels = next
       lastChanged = changed
@@ -217,7 +233,10 @@ object Dedup {
         s"($lastChanged labels still changing) — partial labels would " +
         "over-segment clusters; raise maxIters for deep components")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+    allIds.select(col("id"))
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_rep"))
   }
 
   /** MinHash signatures: for each id, `numHashes` minima of seeded

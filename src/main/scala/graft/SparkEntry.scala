@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     mapReduceQueries ++ graft.queries.Relational.queries ++
+      graft.queries.Relational2.queries ++
       graft.queries.TextQueries.queries ++ graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++ graft.queries.EventQueries.queries ++
       graft.queries.MultimodalQueries.queries ++ graft.queries.Extras.queries
@@ -27,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     mapReduceOracles ++ graft.queries.Relational.oracles ++
+      graft.queries.Relational2.oracles ++
       graft.queries.TextQueries.oracles ++ graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++ graft.queries.EventQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++ graft.queries.Extras.oracles

@@ -144,6 +144,34 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream event-time interval join: each purchase joins every
+    * view by the same user within the trailing `horizon` — the
+    * attribution-join shape. BOTH sides are watermarked and the join
+    * condition bounds v_ts to [p_ts - horizon, p_ts], so Spark can
+    * compute how long each side's state must be retained and evict
+    * everything older — state stays bounded on an unbounded stream
+    * (without the time bound this join would be rejected by the
+    * analyzer precisely because state would grow forever). Inner join →
+    * append mode; matches emit as soon as both sides arrive. */
+  def intervalJoin(purchases: DataFrame, views: DataFrame,
+      watermark: String, horizon: String): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"interval $horizon"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        col("view_id"), unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -147,6 +147,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = stageEventsDir()
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.intervalJoin(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view"),
+        watermark = "10 minutes", horizon = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      val ev = Sources.events(spark, sf0001)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+          col("ts").as("v_ts"))
+      val batch = p.join(v,
+          col("user_id") === col("v_user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("interval 1 hour"))
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

@@ -72,6 +72,22 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("connectedComponents: throws instead of returning partial labels") {
+    import spark.implicits._
+    val ids = (1L to 6L).toDF("id")
+    // a 6-node path has diameter 5: maxIters=2 cannot converge, and
+    // silently-partial labels would over-segment the cluster
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(ids, path, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough iterations the same graph converges to one component
+    val ok = Dedup.connectedComponents(ids, path, maxIters = 10)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok === Set(1L))
+  }
+
   test("minhash LSH: finds every pair with true jaccard >= 0.9") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -41,4 +41,24 @@ object Curation {
       .select(quality("doc_id"), col("text"), col("lang"), col("source"))
     Sampling.split(survivors, col("doc_id"), train16, valid16)
   }
+
+  /** Benchmark decontamination: for each candidate (eval/test) doc, the
+    * number of distinct word n-grams it shares with ANY reference
+    * (training) doc — docs with n_shared_ngrams > 0 are contaminated
+    * and must be dropped from the eval set (or vice versa, from
+    * training). One distinct-project of the reference shingles and one
+    * equi-join on the shingle — at 100 TB the reference side is a
+    * persisted, pre-distincted shingle table, and the join key is
+    * already the bucket key, so no extra shuffle of the corpus.
+    * Long n (default 8) keeps the signal specific: sharing an 8-gram is
+    * memorization-grade overlap, not vocabulary coincidence. */
+  def decontaminate(candidates: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val cand = Dedup.shingles(candidates, idCol, textCol, n)
+    val ref = Dedup.shingles(reference, idCol, textCol, n)
+      .select("shingle").distinct()
+    cand.join(ref, Seq("shingle"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
 }

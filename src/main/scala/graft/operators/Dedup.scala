@@ -163,6 +163,32 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental (cross-corpus) n-gram Jaccard join: pairs
+    * (left_id, right_id) with J >= threshold where the sides come from
+    * DIFFERENT corpora — the shape of deduplicating a NEW ingest batch
+    * against an existing 100 TB corpus. Only cross pairs are generated
+    * (the equi-join key is the shingle, sides never self-join), so each
+    * incremental run costs |batch shingles| ⋈ |corpus shingles| on the
+    * bucket key — not a full re-dedup of the corpus. At scale the
+    * corpus side's shingle table is the thing to persist between runs.
+    */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    val lsh = shingles(left, idCol, textCol, n).cache()
+    val rsh = shingles(right, idCol, textCol, n).cache()
+    val lc = lsh.groupBy("id").agg(count(lit(1)).as("n_l"))
+    val rc = rsh.groupBy("id").agg(count(lit(1)).as("n_r"))
+    lsh.select(col("id").as("left_id"), col("shingle"))
+      .join(rsh.select(col("id").as("right_id"), col("shingle")), Seq("shingle"))
+      .groupBy("left_id", "right_id").agg(count(lit(1)).as("inter"))
+      .join(lc.select(col("id").as("left_id"), col("n_l")), Seq("left_id"))
+      .join(rc.select(col("id").as("right_id"), col("n_r")), Seq("right_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_l") + col("n_r") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair list: every id (from
     * `allIds`) labeled with the smallest id reachable through pairs —
     * the clustering step that turns pairwise matches into dedup groups

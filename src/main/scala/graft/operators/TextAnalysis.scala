@@ -120,6 +120,24 @@ object TextAnalysis {
         sum(col("tf")).as("total_tf"),
         min(col("id")).as("first_id"))
 
+  /** Gopher-style repetition signal: the fraction of word n-grams that
+    * are repeats of an earlier n-gram in the same doc
+    * (`1 - distinct/total`, 0 for docs shorter than n tokens). High
+    * values flag boilerplate/spam — a standard pre-training quality
+    * gate. Single codegen'd pass: tokens materialized once, n-grams
+    * derived per row, no shuffle at all. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__ngrams", ngramsFromTokens(col("__toks"), n))
+      .select(col(idCol),
+        size(col("__ngrams")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("__ngrams"))).cast("long").as("n_distinct"),
+        round(when(size(col("__ngrams")) > 0,
+          lit(1.0) - size(array_distinct(col("__ngrams"))).cast("double") /
+            size(col("__ngrams")))
+          .otherwise(0.0), 6).as("rep_ratio"))
+
   /** Word n-grams from an ALREADY-MATERIALIZED token array column.
     * 1-based element_at keeps semantics identical to the DuckDB oracle's
     * 1-based list indexing. */

@@ -60,6 +60,27 @@ object DedupQueries {
       Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, maxHamming = 8)
     },
+    // incremental-ingest shape: dedup the "test" hash-split (the new
+    // batch) against everything already in the corpus — only cross
+    // pairs are generated
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      Dedup.crossJaccardPairs(
+        docs.filter(col("split") === "test"),
+        docs.filter(col("split") =!= "test"),
+        "doc_id", "text", n = 3, threshold = 0.8)
+    },
+    // benchmark decontamination: eval docs (test split) sharing any
+    // 8-gram with any training doc are contaminated
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      graft.operators.Curation.decontaminate(
+        docs.filter(col("split") === "test"),
+        docs.filter(col("split") === "train"),
+        "doc_id", "text", n = 8)
+    },
   )
 
   private val anyStopword: String =
@@ -70,6 +91,51 @@ object DedupQueries {
       .distinct.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, bkt,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM b),
+        |t AS (
+        |  SELECT doc_id, bkt,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM tk),
+        |le AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE bkt >= 14),
+        |re AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE bkt < 14),
+        |p AS (SELECT le.doc_id AS left_id, re.doc_id AS right_id, count(1) AS inter
+        |      FROM le JOIN re ON le.s = re.s GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n FROM t)
+        |SELECT p.left_id, p.right_id,
+        |  round(inter::DOUBLE / (ca.n + cb.n - inter), 6) AS jaccard
+        |FROM p
+        |JOIN c ca ON p.left_id = ca.doc_id
+        |JOIN c cb ON p.right_id = cb.doc_id
+        |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin,
+    "q_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, bkt,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM b),
+        |t AS (
+        |  SELECT doc_id, bkt,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) AS sh
+        |  FROM tk),
+        |cand AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE bkt >= 14),
+        |refs AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE bkt < 12)
+        |SELECT cand.doc_id, count(1) AS n_shared_ngrams
+        |FROM cand JOIN refs ON cand.s = refs.s
+        |GROUP BY 1""".stripMargin,
     // langId != 'und' <=> at least one hit in the union of stoplists
     "q_curation_summary" ->
       s"""WITH q AS (

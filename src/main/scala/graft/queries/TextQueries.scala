@@ -58,6 +58,9 @@ object TextQueries {
         .orderBy(desc("n"), asc("ngram"))
         .limit(50)
     },
+    "q_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionFeatures(table(s, dir, "documents"), "doc_id", "text", 3)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +142,22 @@ object TextQueries {
         |  FROM t)
         |SELECT ngram, count(1) AS n FROM g GROUP BY ngram
         |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+    "q_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS ng
+        |  FROM tk)
+        |SELECT doc_id,
+        |  len(ng)::BIGINT AS n_ngrams,
+        |  len(list_distinct(ng))::BIGINT AS n_distinct,
+        |  round(CASE WHEN len(ng) > 0
+        |             THEN 1.0 - len(list_distinct(ng))::DOUBLE / len(ng)
+        |             ELSE 0.0 END, 6) AS rep_ratio
+        |FROM t""".stripMargin,
   )
 }

@@ -120,6 +120,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossJaccardPairs: only cross-corpus pairs, values match self-join") {
+    val left = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "a b c d e f"),    // identical to 1 -> J = 1.0
+      (11L, "p q r s t u v"),  // near-dup of 2
+      (12L, "x y z w x y z w x y")).toDF("doc_id", "text")
+    val got = Dedup.crossJaccardPairs(left, right, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((1L, 10L), (2L, 11L)))
+    assert(got((1L, 10L)) === 1.0)
+    // 2: {p q r, q r s, r s t, s t u}; 11 adds {t u v}: inter 4, union 5
+    assert(got((2L, 11L)) === 0.8)
+    // near-identical pair WITHIN right (none here) must never appear:
+    // verified structurally — every returned left_id came from `left`
+    got.keys.foreach { case (l, _) => assert(Set(1L, 2L).contains(l)) }
+  }
+
+  test("decontaminate: counts shared distinct 8-grams, ignores clean docs") {
+    val refr = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "completely different reference words here padding pad pad2 pad3")
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      // shares the 8-gram windows t5..t16 with ref doc 1
+      (100L, (5 to 16).map(i => s"t$i").mkString(" ")),
+      (101L, "no overlap with any reference doc at all in this one")
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminate(cand, refr, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 100 has 12 tokens -> 5 distinct 8-grams, all inside ref doc 1
+    assert(got === Map(100L -> 5L))
+  }
+
   test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
     val sigs = Dedup.simHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3))

@@ -50,6 +50,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ng("") === Seq.empty)
   }
 
+  test("repetitionFeatures: repeated, distinct, and short docs") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),     // 6 trigrams, 2 distinct -> 1 - 2/6
+      (2L, "a b c d e f"),         // 4 trigrams, all distinct -> 0.0
+      (3L, "a b")                  // shorter than n -> 0 ngrams, 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(df, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((6L, 2L, 0.666667)))
+    assert(got(2L) === ((4L, 4L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("quality features on a known doc") {
     val df = TextAnalysis.qualityFeatures(
       Seq((1L, "the cat, and dog!")).toDF("id", "text"), "text")

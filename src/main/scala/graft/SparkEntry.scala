@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.TextQueries.queries ++ graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++ graft.queries.EventQueries.queries ++
-      graft.queries.MultimodalQueries.queries ++ graft.queries.Extras.queries
+      graft.queries.MultimodalQueries.queries ++ graft.queries.Extras.queries ++
+      graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,7 +32,8 @@ object SparkEntry {
       graft.queries.Relational2.oracles ++
       graft.queries.TextQueries.oracles ++ graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++ graft.queries.EventQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles ++ graft.queries.Extras.oracles
+      graft.queries.MultimodalQueries.oracles ++ graft.queries.Extras.oracles ++
+      graft.queries.TpchQueries.oracles
 
   // ---- MapReduce parity core (SURVEY §2 rows 1-7, 13) ----
   private def mapReduceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

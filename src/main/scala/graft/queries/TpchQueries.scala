@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources.table
+
+/** TPC-H-shaped analytical queries over the synthetic star schema —
+  * the classic multi-join/agg workload a user of a general analytics
+  * engine expects to run. Shapes follow the published TPC-H queries
+  * (adapted where the synthetic schema lacks a column: no partsupp, no
+  * commit/receipt dates, so Q2/Q11/Q12/Q20/Q21 have no faithful
+  * equivalent; Q9's supplycost is approximated from p_retailprice).
+  *
+  * Scale notes (100 TB discipline):
+  *  - `nation`/`region` are broadcast explicitly — bounded dimensions
+  *    at any scale factor.
+  *  - `part`/`supplier`/`customer` joins are left to Catalyst/AQE:
+  *    they grow with SF, so hard-coding broadcast would break at
+  *    cluster scale. Where a FILTERED side is provably small
+  *    (brand+type selected part in Q17) it is broadcast.
+  *  - every aggregation is declarative groupBy → map-side partial agg;
+  *    top-k uses orderBy+limit (TakeOrderedAndProject, no full sort).
+  *  - computed doubles are rounded in BOTH engines (oracle parity);
+  *    quantity sums are integer-valued doubles, exact in any
+  *    summation order.
+  */
+object TpchQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q3 shipping priority: segment customers' unshipped orders
+    "q_shipping_priority" -> { (s, dir) =>
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q6 forecast revenue: tight scan-only filter + global agg
+    "q_forecast_revenue" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.04, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+    },
+
+    // Q7 volume shipping: nation-pair trade volume by ship year
+    "q_volume_shipping" -> { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
+
+    // Q8 market share: one nation's share of a region's volume per year
+    "q_market_share" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("2000-01-01"))
+      val p = table(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val r = table(s, dir, "region").filter(col("r_name") === "EUROPE")
+      table(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(0.0)) /
+            sum(col("volume")), 6).as("mkt_share"))
+    },
+
+    // Q9 product-type profit (adapted: supplycost ~ 10% of retailprice
+    // per unit — the synthetic schema has no partsupp)
+    "q_nation_profit" -> { (s, dir) =>
+      val p = table(s, dir, "part").filter(col("p_name").contains("widget"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+      table(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("s_nk"))
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.1) * col("p_retailprice") * col("l_quantity"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("amount")), 4).as("sum_profit"))
+    },
+
+    // Q10 returned-item losses: revenue at risk per customer, top 20
+    "q_returned_items" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01") &&
+          col("o_orderdate") < lit("1999-04-01"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("nation"))
+      table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("c_nk"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
+    // Q13 customer order-count distribution (left join keeps 0-order
+    // customers; priority filter stands in for the comment NOT LIKE)
+    "q_custdist" -> { (s, dir) =>
+      val o = table(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+      table(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // Q15 top supplier: all suppliers achieving the max quarterly
+    // revenue (revenue rounded BEFORE the max-compare so the
+    // equality is stable across summation orders)
+    "q_top_supplier" -> { (s, dir) =>
+      val rev = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("1999-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // Q17 small-quantity-order revenue: correlated per-part average
+    // (quantities are integer-valued doubles -> the avg is exact and
+    // the 0.2*avg comparison is engine-stable)
+    "q_small_qty_revenue" -> { (s, dir) =>
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      val lp = table(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("p_partkey").as("ap_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      lp.join(broadcast(avgq), col("p_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+    },
+
+    // Q18 large-volume orders: HAVING over a fact-fact join feeder
+    "q_large_orders" -> { (s, dir) =>
+      val big = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      big.join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate)::INTEGER AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_market_share" ->
+      """SELECT year(o_orderdate)::INTEGER AS o_year,
+        |  round(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |  AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_nation_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - 0.1 * p_retailprice * l_quantity), 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_custdist" ->
+      """SELECT c_count, count(1) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH lp AS (
+        |  SELECT l_quantity, l_extendedprice, p_partkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+        |aq AS (
+        |  SELECT p_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lp GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lp JOIN aq ON p_partkey = ap_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+  )
+}

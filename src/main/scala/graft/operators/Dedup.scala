@@ -189,6 +189,32 @@ object Dedup {
       .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Containment near-dup join: pairs (a < b) where
+    * `|A∩B| / min(|A|,|B|)` >= threshold over distinct word n-gram
+    * shingles — i.e. the SMALLER set is mostly inside the larger one.
+    * Catches subset duplicates (a doc quoted or embedded wholesale in
+    * a longer one) that symmetric Jaccard misses: a 100-shingle doc
+    * fully contained in a 1000-shingle doc has J = 0.1 but
+    * containment = 1.0. Same candidate-generation join as
+    * [[ngramJaccardPairs]] (equi-join on the shingle), so the cost
+    * profile and 100 TB behavior are identical. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("id").as("a"), col("shingle"))
+    val b = sh.select(col("id").as("b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(counts.select(col("id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Connected components over a near-dup pair list: every id (from
     * `allIds`) labeled with the smallest id reachable through pairs —
     * the clustering step that turns pairwise matches into dedup groups

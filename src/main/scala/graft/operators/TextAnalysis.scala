@@ -138,6 +138,51 @@ object TextAnalysis {
             size(col("__ngrams")))
           .otherwise(0.0), 6).as("rep_ratio"))
 
+  /** Unigram language-model scoring — the classic perplexity-proxy
+    * quality gate: train a unigram LM on the corpus itself
+    * (`p(w) = count(w) / total`), score each doc by its mean negative
+    * log-probability. Low-probability-dense docs are gibberish/noise
+    * candidates; unusually LOW scores flag boilerplate.
+    *
+    * Two shuffles at any scale: one vocabulary-sized term count
+    * (map-side combined, then broadcast — a vocabulary is bounded, a
+    * corpus is not) and one per-doc re-aggregation. No OOV smoothing
+    * is needed because the LM is trained on the scored corpus; to
+    * score against a FOREIGN reference LM, pass its freq table in
+    * place of the self-computed one. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+    tok.join(broadcast(freq), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id"))
+      .agg(round(avg(-log(col("c") / col("t"))), 6).as("avg_neg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Deterministic sequence packing: assign docs to fixed-capacity
+    * training chunks (`capacity` tokens) by contiguous fill within
+    * each `groupCol` partition, ordered by id — the
+    * "concat docs into 4k-token training sequences" step of a
+    * pre-training pipeline, reproducible across reruns because the
+    * order is data-defined (id), not partitioning-defined.
+    * A doc spanning a chunk boundary belongs to the chunk where its
+    * first token lands. One window (running sum) per group — groups
+    * pack independently, so the shuffle is on the group key and skew
+    * is bounded by the largest group. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, capacity: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / lit(capacity.toDouble))
+          .cast("int").as("chunk_id"))
+  }
+
   /** Word n-grams from an ALREADY-MATERIALIZED token array column.
     * 1-based element_at keeps semantics identical to the DuckDB oracle's
     * 1-based list indexing. */

@@ -81,6 +81,12 @@ object DedupQueries {
         docs.filter(col("split") === "train"),
         "doc_id", "text", n = 8)
     },
+    // containment (asymmetric overlap) catches subset duplicates that
+    // symmetric Jaccard misses
+    "q_containment_pairs" -> { (s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.9)
+    },
   )
 
   private val anyStopword: String =
@@ -91,6 +97,25 @@ object DedupQueries {
       .distinct.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+        |      FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t)
+        |SELECT p.a, p.b,
+        |  round(inter::DOUBLE / least(ca.n_sh, cb.n_sh), 6) AS containment
+        |FROM p
+        |JOIN c ca ON p.a = ca.doc_id
+        |JOIN c cb ON p.b = cb.doc_id
+        |WHERE inter::DOUBLE / least(ca.n_sh, cb.n_sh) >= 0.9""".stripMargin,
     "q_dedup_incremental" ->
       """WITH b AS (
         |  SELECT doc_id, text,

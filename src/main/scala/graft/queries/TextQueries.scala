@@ -61,6 +61,14 @@ object TextQueries {
     "q_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionFeatures(table(s, dir, "documents"), "doc_id", "text", 3)
     },
+    "q_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("avg_neg_logprob"), col("n_tokens"))
+    },
+    "q_seq_packing" -> { (s, dir) =>
+      TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
+        "source", capacity = 512L)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +166,27 @@ object TextQueries {
         |  round(CASE WHEN len(ng) > 0
         |             THEN 1.0 - len(list_distinct(ng))::DOUBLE / len(ng)
         |             ELSE 0.0 END, 6) AS rep_ratio
+        |FROM t""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(1) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM freq)
+        |SELECT doc_id, round(avg(-ln(c / t)), 6) AS avg_neg_logprob,
+        |  count(1) AS n_tokens
+        |FROM tok JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "q_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |         - n_tokens) / 512.0)::INTEGER AS chunk_id
         |FROM t""".stripMargin,
   )
 }

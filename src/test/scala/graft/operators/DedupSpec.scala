@@ -155,6 +155,18 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(100L -> 5L))
   }
 
+  test("containment catches a subset duplicate that jaccard misses") {
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")           // 10 shingles
+    val long = ((1 to 12) ++ (100 to 187)).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.9).count()
+    val con = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(jac === 0L, "jaccard should miss the subset pair")
+    assert(con.map(_._1).toSeq === Seq((1L, 2L)))
+    assert(con.head._2 === 1.0, "short doc fully contained")
+  }
+
   test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
     val sigs = Dedup.simHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3))

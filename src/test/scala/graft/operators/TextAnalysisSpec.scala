@@ -65,6 +65,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("unigramLogProb: hand-computed LM scores") {
+    // corpus: "a a a b" -> p(a)=3/4, p(b)=1/4
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val lnPa = -math.log(3.0 / 4.0)
+    val lnPb = -math.log(1.0 / 4.0)
+    assert(got(1L)._1 === BigDecimal(lnPa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1L)._2 === 3L)
+    assert(got(2L)._1 === BigDecimal(lnPb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("packSequences: contiguous fill per group, boundary doc stays in first chunk") {
+    val df = Seq(
+      (1L, "w " * 300, "s1"), // cum 300 -> chunk 0
+      (2L, "w " * 300, "s1"), // starts at 300 -> chunk 0 (spans boundary)
+      (3L, "w " * 300, "s1"), // starts at 600 -> chunk 1
+      (4L, "w " * 100, "s2")  // separate group restarts at 0
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.packSequences(df, "doc_id", "text", "source", 512L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
   test("quality features on a known doc") {
     val df = TextAnalysis.qualityFeatures(
       Seq((1L, "the cat, and dog!")).toDF("id", "text"), "text")

@@ -16,5 +16,18 @@ object GraftFunctions {
       "vector_dot",
       exprs => VectorDot(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_agg numHashes must be an int literal, got $other")
+        }
+        require(k > 0 && k <= MinHashAgg.MaxHashes,
+          s"numHashes must be in (0, ${MinHashAgg.MaxHashes}]")
+        MinHashAgg(exprs.head, k).toAggregateExpression()
+      },
+      "scala_udf")
   }
 }

@@ -300,14 +300,16 @@ object Dedup {
         coalesce(col("label"), col("id")).as("cluster_rep"))
   }
 
-  /** MinHash signatures: for each id, `numHashes` minima of seeded
-    * xxhash64 over its shingle set — one shuffle (groupBy id), k
-    * aggregates computed in a single pass. */
+  /** MinHash signatures: for each id, `numHashes` minima of a derived
+    * universal-hash family over its shingle set — one shuffle
+    * (groupBy id), all k minima in a single buffer pass via the native
+    * [[graft.functions.MinHashAgg]] TypedImperativeAggregate (the
+    * composed k-column min() form evaluates k full xxhash64 per row
+    * and falls out of whole-stage codegen at k=128). */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    sh.groupBy("id")
+      .agg(call_function("minhash_agg", col("shingle"), lit(numHashes)).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup: candidate pairs share at least one

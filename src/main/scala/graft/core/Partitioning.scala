@@ -55,6 +55,34 @@ object Partitioning {
       : org.apache.spark.rdd.RDD[(K, V)] =
     rdd.partitionBy(new HotKeyAwarePartitioner(numPartitions, hotKeys))
 
+  /** Salted equi-join for a skewed fact side: the fact table gets a
+    * deterministic per-row salt in [0, saltBuckets), the dimension side
+    * is replicated once per salt value, and the join key becomes
+    * (key, salt) — so a hot fact key spreads over `saltBuckets`
+    * reducers instead of pinning one. Results are identical to the
+    * plain equi-join (verified by oracle + spec).
+    *
+    * When this is the right tool: the dim side is too big to broadcast
+    * but cheap to replicate ×saltBuckets, and the fact side has keys
+    * hot enough that AQE's skew-split (which only splits one side's
+    * oversized partitions post-shuffle) isn't available or isn't
+    * enough. For a broadcastable dim, broadcast — salting a broadcast
+    * join is pure overhead.
+    *
+    * `saltFrom` must be row-unique-ish fact columns (an id, or the
+    * natural key tuple) — NOT the join key itself, which would put the
+    * whole hot key in one bucket again. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltFrom: Seq[Column], saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must exceed 1")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(saltFrom: _*), lit(saltBuckets)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
+
   /** Two-stage salted aggregation for skewed keys: stage 1 aggregates on
     * (key, salt) — spreading a hot key over `saltBuckets` reducers —
     * stage 2 merges the per-salt partials. Works for any algebraic

@@ -24,6 +24,18 @@ object Extras {
           round(col("sum_v"), 4).as("sum_qty"), col("n"))
     },
 
+    // salted fact-dim join == plain equi-join (oracle proves it)
+    "q_salted_join" -> { (s, dir) =>
+      Partitioning.saltedJoin(
+        table(s, dir, "lineitem"), table(s, dir, "supplier"),
+        "l_suppkey", "s_suppkey",
+        saltFrom = Seq(col("l_orderkey"), col("l_linenumber")),
+        saltBuckets = 8)
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("total_price"),
+          count(lit(1)).as("n_items"))
+    },
+
     "q_hash_split" -> { (s, dir) =>
       Sampling.split(table(s, dir, "documents"), col("doc_id"),
         train16 = 12, valid16 = 2)
@@ -177,6 +189,11 @@ object Extras {
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
         |  count(1) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_name, round(sum(l_extendedprice), 4) AS total_price,
+        |  count(1) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket

@@ -21,4 +21,17 @@ trait SparkSpec extends AnyFunSuite {
 
   def sf0001 = "/root/testdata/sf0.001"
   def sf001 = "/root/testdata/sf0.01"
+
+  /** Run `f` with the given SQL confs set, restoring prior values after. */
+  def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) =>
+      k -> scala.util.Try(Option(conf.get(k))).toOption.flatten
+    }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

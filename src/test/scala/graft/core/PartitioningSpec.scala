@@ -38,6 +38,33 @@ class PartitioningSpec extends SparkSpec {
     assert(parted.count() === 1000L)
   }
 
+  test("saltedJoin == plain equi-join; salt spreads the hot key; no broadcast") {
+    // one hot fact key (90% of rows) + tail, dim too "big" to broadcast
+    val fact = ((1 to 9000).map(i => (1L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 20 + 2).toLong, 100000L + i)))
+      .toDF("fk", "row_id")
+    val dim = (1L to 25L).map(k => (k, s"name$k")).toDF("dk", "dname")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("dname").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val salted = Partitioning.saltedJoin(fact, dim, "fk", "dk",
+        saltFrom = Seq(col("row_id")), saltBuckets = 8)
+      val p = salted.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("__salt"), "join key must include the salt\n" + p)
+      val got = salted.groupBy("dname").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === plain)
+      // the hot key's rows really land in multiple buckets
+      val buckets = fact.filter(col("fk") === 1L)
+        .select(pmod(xxhash64(col("row_id")), lit(8)).cast("int"))
+        .distinct().count()
+      assert(buckets === 8L)
+    }
+  }
+
   test("hash split: deterministic membership, partition-invariant, covers all") {
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
     def splits(parts: Int) = Sampling.split(docs.repartition(parts),

@@ -49,7 +49,8 @@ object Relational2 {
           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_ic
           |                   WHERE c_acctbal > 0.0)
           |  AND NOT EXISTS (SELECT 1 FROM orders_ic o
-          |                  WHERE o.o_custkey = c.c_custkey)
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
           |GROUP BY c_mktsegment""".stripMargin)
     },
 
@@ -255,7 +256,8 @@ object Relational2 {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey)
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
     "q_promo_revenue" ->
       """WITH s AS (

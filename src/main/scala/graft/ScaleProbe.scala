@@ -35,12 +35,17 @@ object ScaleProbe {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ev = sources.Sources.events(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
 
     for (n <- Seq(1, mult)) {
       println(s"=== multiplier $n ===")
       val liN = amplify(li, Seq("l_orderkey"), n)
       val evN = amplify(ev, Seq("event_id", "user_id"), n)
       val docsN = amplify(docs, Seq("doc_id"), n)
+      val ordN = amplify(ord, Seq("o_orderkey", "o_custkey"), n)
+      val custN = amplify(cust, Seq("c_custkey"), n)
       time(s"agg_q1_${n}x") {
         liN.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
@@ -58,6 +63,34 @@ object ScaleProbe {
       }
       time(s"minhash_lsh_${n}x") {
         operators.Dedup.minHashLshPairs(docsN, "doc_id", "text", 3, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"tpch_q3_join_${n}x") {
+        liN.filter(col("l_shipdate") > lit("1998-07-01"))
+          .join(ordN.filter(col("o_orderdate") < lit("1998-07-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custN.filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .orderBy(desc("rev"), asc("l_orderkey")).limit(10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"unigram_lm_${n}x") {
+        operators.TextAnalysis.unigramLogProb(docsN, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"decontaminate_${n}x") {
+        val sp = operators.Sampling.split(docsN, col("doc_id"), 12, 2)
+        operators.Curation.decontaminate(
+          sp.filter(col("split") === "test"),
+          sp.filter(col("split") === "train"), "doc_id", "text", 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"salted_join_${n}x") {
+        core.Partitioning.saltedJoin(liN, sup, "l_suppkey", "s_suppkey",
+          Seq(col("l_orderkey"), col("l_linenumber")), 8)
+          .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
           .write.format("noop").mode("overwrite").save()
       }
     }

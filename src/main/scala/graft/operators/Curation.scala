@@ -23,13 +23,15 @@ object Curation {
       jaccardThreshold: Double = 0.8, train16: Int = 12,
       valid16: Int = 2): DataFrame = {
     // quality feeds shingling (multiple consumers inside the pair join)
-    // AND the survivor join — cache so the tokenCount+langId scan of the
-    // full corpus runs once
+    // AND the survivor join — cache so the corpus scan runs once.
+    // Tokenize ONCE per row: token count and language ID both derive
+    // from the materialized array (a second split() per row is the
+    // no-CSE trap documented on TextAnalysis.wordNgrams).
     val quality = docs
-      .withColumn("__n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
-      .filter(col("__n_tokens") >= minTokens &&
-        TextAnalysis.langId(col("text")) =!= "und")
-      .drop("__n_tokens")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("__toks")) >= minTokens &&
+        TextAnalysis.langIdFromTokens(transform(col("__toks"), t => lower(t))) =!= "und")
+      .drop("__toks")
       .cache()
     val pairs = Dedup.ngramJaccardPairsPrefix(quality, "doc_id", "text",
       n = 3, threshold = jaccardThreshold)

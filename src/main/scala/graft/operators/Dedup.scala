@@ -215,6 +215,56 @@ object Dedup {
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
   }
 
+  /** Prefix-filtered containment join — same results as
+    * [[containmentPairs]] (lossless), far fewer candidates.
+    *
+    * One-sided prefix filtering: if `|A∩B| >= t·min(|A|,|B|)`, then
+    * writing S for the smaller set, the intersection must touch S's
+    * first `|S| - ceil(t|S|) + 1` shingles under any fixed global
+    * order — were all shared shingles outside that prefix, at most
+    * `ceil(t|S|) - 1 < t·|S|` could be shared (pigeonhole). Unlike the
+    * Jaccard prefix join, the partner side has NO length bound (a tiny
+    * doc can be contained in a huge one), so prefixes join against the
+    * FULL shingle table, not against other prefixes. The global order
+    * is ascending document frequency, so prefixes hold each set's
+    * rarest shingles and join buckets stay small. */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+    val wDoc = Window.partitionBy(col("id"))
+    val wRank = wDoc.orderBy(col("df_freq").asc, col("shingle").asc)
+    // prefix length |X| - ceil(t|X|) + 1; the epsilon inside ceil
+    // compensates binary-fraction error in t|X| — rounding ceil UP
+    // would shorten the prefix and silently lose true pairs, rounding
+    // long merely prunes less
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .filter(col("rn") <=
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1).cast("int"))
+      .select(col("id").as("pa"), col("shingle"))
+    val cands = prefix
+      .join(sh.select(col("id").as("fb"), col("shingle")), Seq("shingle"))
+      .filter(col("pa") =!= col("fb"))
+      .select(least(col("pa"), col("fb")).as("a"),
+        greatest(col("pa"), col("fb")).as("b"))
+      .distinct()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(counts.select(col("id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Connected components over a near-dup pair list: every id (from
     * `allIds`) labeled with the smallest id reachable through pairs —
     * the clustering step that turns pairwise matches into dedup groups

@@ -66,12 +66,19 @@ object TextAnalysis {
     * with a fixed tie-break order (en > de > fr > es), 'und' when no
     * list hits. Deterministic — mirrored exactly by the DuckDB oracle.
     */
-  def langId(textCol: Column): Column = {
-    val toks = tokens(lower(textCol))
-    val en = countIn(toks, StopwordsEn)
-    val de = countIn(toks, StopwordsDe)
-    val fr = countIn(toks, StopwordsFr)
-    val es = countIn(toks, StopwordsEs)
+  def langId(textCol: Column): Column =
+    langIdFromTokens(tokens(lower(textCol)))
+
+  /** [[langId]] over ALREADY-LOWERCASED, already-materialized tokens —
+    * for fused single-tokenization pipelines (Catalyst does not CSE a
+    * repeated split(), see [[wordNgrams]]). `transform(toks, lower)`
+    * over whitespace tokens is identical to tokenizing `lower(text)`:
+    * lowercasing never creates or removes whitespace. */
+  def langIdFromTokens(toksLower: Column): Column = {
+    val en = countIn(toksLower, StopwordsEn)
+    val de = countIn(toksLower, StopwordsDe)
+    val fr = countIn(toksLower, StopwordsFr)
+    val es = countIn(toksLower, StopwordsEs)
     when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")

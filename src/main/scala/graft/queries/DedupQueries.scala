@@ -82,9 +82,9 @@ object DedupQueries {
         "doc_id", "text", n = 8)
     },
     // containment (asymmetric overlap) catches subset duplicates that
-    // symmetric Jaccard misses
+    // symmetric Jaccard misses; prefix variant == naive (DedupSpec)
     "q_containment_pairs" -> { (s, dir) =>
-      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+      Dedup.containmentPairsPrefix(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.9)
     },
   )

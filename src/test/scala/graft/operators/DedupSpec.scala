@@ -155,6 +155,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(100L -> 5L))
   }
 
+  test("prefix-filtered containment == naive containment (lossless)") {
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val naive = Dedup.containmentPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix === naive, s"threshold $t")
+    }
+    // the subset-pair case (tiny doc inside a big one) survives the
+    // prefix filter too — the partner side is unbounded by design
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long = ((1 to 12) ++ (100 to 187)).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsPrefix(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq((1L, 2L)) && got.head._2 === 1.0)
+  }
+
   test("containment catches a subset duplicate that jaccard misses") {
     val short = (1 to 12).map(i => s"w$i").mkString(" ")           // 10 shingles
     val long = ((1 to 12) ++ (100 to 187)).map(i => s"w$i").mkString(" ")

@@ -9,7 +9,12 @@ import org.apache.spark.sql.SparkSession
   * full computation of every output column without driver-side collect),
   * after one untimed warm-up pass over the whole set (JIT + parquet
   * footer caches; the driver's per-round numbers should measure the
-  * engine, not JVM cold start).
+  * engine, not JVM cold start). The table cache is CLEARED before every
+  * timed query: several operators `.cache()` intermediates internally
+  * (shingle tables, label loops), and CacheManager substitutes those
+  * cached plans into any later canonically-equal query — without the
+  * clear, the warm-up pass would pre-materialize them and the timed
+  * pass would measure cached-table scans instead of real work.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +30,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String): Double = {
+      spark.catalog.clearCache() // no cross-query or warm-up cache reuse
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

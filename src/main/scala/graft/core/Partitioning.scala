@@ -75,6 +75,9 @@ object Partitioning {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, saltFrom: Seq[Column], saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must exceed 1")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs already carry a __salt column — rename it before saltedJoin " +
+        "(the working column would be clobbered and dropped)")
     val f = fact.withColumn("__salt",
       pmod(xxhash64(saltFrom: _*), lit(saltBuckets)).cast("int"))
     val d = dim.withColumn("__salt",

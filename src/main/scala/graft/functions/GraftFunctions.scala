@@ -19,10 +19,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => {
+        require(exprs.length == 2,
+          s"minhash_agg(value, numHashes) takes 2 arguments, got ${exprs.length}")
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
           case other => throw new IllegalArgumentException(
-            s"minhash_agg numHashes must be an int literal, got $other")
+            s"minhash_agg numHashes must be an integer literal, got $other")
         }
         require(k > 0 && k <= MinHashAgg.MaxHashes,
           s"numHashes must be in (0, ${MinHashAgg.MaxHashes}]")

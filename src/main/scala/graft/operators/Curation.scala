@@ -21,7 +21,7 @@ object Curation {
     * cluster among quality-passing docs, tagged with its split. */
   def curate(docs: DataFrame, minTokens: Long = 10L,
       jaccardThreshold: Double = 0.8, train16: Int = 12,
-      valid16: Int = 2): DataFrame = {
+      valid16: Int = 2, maxIters: Int = 20): DataFrame = {
     // quality feeds shingling (multiple consumers inside the pair join)
     // AND the survivor join — cache so the corpus scan runs once.
     // Tokenize ONCE per row: token count and language ID both derive
@@ -35,8 +35,11 @@ object Curation {
       .cache()
     val pairs = Dedup.ngramJaccardPairsPrefix(quality, "doc_id", "text",
       n = 3, threshold = jaccardThreshold)
+    // maxIters is exposed because connectedComponents THROWS on
+    // non-convergence (partial labels would over-segment) — a corpus
+    // with deep near-dup chains needs a raised bound, not a dead end
     val clusters = Dedup.connectedComponents(
-      quality.select(col("doc_id").as("id")), pairs)
+      quality.select(col("doc_id").as("id")), pairs, maxIters)
     val survivors = quality
       .join(clusters, quality("doc_id") === clusters("doc_id"))
       .filter(clusters("doc_id") === col("cluster_rep"))

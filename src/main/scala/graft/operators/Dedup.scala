@@ -171,6 +171,9 @@ object Dedup {
     * incremental run costs |batch shingles| ⋈ |corpus shingles| on the
     * bucket key — not a full re-dedup of the corpus. At scale the
     * corpus side's shingle table is the thing to persist between runs.
+    * If an id appears on BOTH sides (a re-ingested batch overlapping
+    * the corpus), its degenerate self-pair is filtered out — identity
+    * is not near-duplication.
     */
   def crossJaccardPairs(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
@@ -180,6 +183,7 @@ object Dedup {
     val rc = rsh.groupBy("id").agg(count(lit(1)).as("n_r"))
     lsh.select(col("id").as("left_id"), col("shingle"))
       .join(rsh.select(col("id").as("right_id"), col("shingle")), Seq("shingle"))
+      .filter(col("left_id") =!= col("right_id"))
       .groupBy("left_id", "right_id").agg(count(lit(1)).as("inter"))
       .join(lc.select(col("id").as("left_id"), col("n_l")), Seq("left_id"))
       .join(rc.select(col("id").as("right_id"), col("n_r")), Seq("right_id"))
@@ -368,7 +372,10 @@ object Dedup {
     *
     * For a pair at true Jaccard j, P[missed] = (1 - j^r)^bands — with
     * the defaults (128/32 → r=4), a j=0.9 pair is missed with
-    * probability ~2e-6. Deterministic given the fixed xxhash64 seeds.
+    * probability ~2e-6. Deterministic given the fixed signature scheme:
+    * one xxhash64 (seed 42) per shingle, k minima derived with
+    * [[graft.functions.MinHashAgg]]'s fixed multiply-add coefficients —
+    * identical across JVMs, partitionings, and reruns.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {

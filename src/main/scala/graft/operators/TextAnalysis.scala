@@ -132,10 +132,12 @@ object TextAnalysis {
     * (`1 - distinct/total`, 0 for docs shorter than n tokens). High
     * values flag boilerplate/spam — a standard pre-training quality
     * gate. Single codegen'd pass: tokens materialized once, n-grams
-    * derived per row, no shuffle at all. */
+    * derived per row, no shuffle at all. NULL text scores as an empty
+    * doc (0, 0, 0.0) — without the coalesce, size(null) would emit a
+    * plausible-looking (-1, -1, 0.0) row. */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .withColumn("__ngrams", ngramsFromTokens(col("__toks"), n))
       .select(col(idCol),
         size(col("__ngrams")).cast("long").as("n_ngrams"),

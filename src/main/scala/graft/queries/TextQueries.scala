@@ -153,7 +153,8 @@ object TextQueries {
     "q_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                x -> x <> '') AS toks
         |  FROM documents),
         |t AS (
         |  SELECT doc_id,

@@ -137,6 +137,11 @@ class DedupSpec extends SparkSpec {
     // near-identical pair WITHIN right (none here) must never appear:
     // verified structurally — every returned left_id came from `left`
     got.keys.foreach { case (l, _) => assert(Set(1L, 2L).contains(l)) }
+    // overlapping corpora: the shared doc must not self-pair
+    val overlap = Dedup.crossJaccardPairs(left, left, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(overlap.forall { case (a, b) => a != b },
+      s"degenerate self-pairs: ${overlap.toSeq}")
   }
 
   test("decontaminate: counts shared distinct 8-grams, ignores clean docs") {

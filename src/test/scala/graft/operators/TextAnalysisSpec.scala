@@ -63,6 +63,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === ((6L, 2L, 0.666667)))
     assert(got(2L) === ((4L, 4L, 0.0)))
     assert(got(3L) === ((0L, 0L, 0.0)))
+    // NULL text scores as empty, not as size(null) = -1
+    val withNull = TextAnalysis.repetitionFeatures(
+      Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().head
+    assert((withNull.getLong(1), withNull.getLong(2), withNull.getDouble(3))
+      === ((0L, 0L, 0.0)))
   }
 
   test("unigramLogProb: hand-computed LM scores") {

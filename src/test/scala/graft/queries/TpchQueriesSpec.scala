@@ -23,13 +23,27 @@ class TpchQueriesSpec extends SparkSpec {
   }
 
   test("nation/region dimension joins broadcast; facts never broadcast") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     for (q <- Seq("q_volume_shipping", "q_market_share", "q_returned_items")) {
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$p")
+      // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
+      // inner plan from collect(); exchanges aren't inserted yet at
+      // this stage, so inspect the broadcast joins' BUILD SIDES
+      val exec = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.sparkPlan
+      val bhj = exec.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$q: no broadcast join\n$exec")
       // lineitem must not end up on a broadcast build side at any SF:
-      // broadcasting the fact table would OOM a real cluster
-      assert(!p.linesIterator.exists(l =>
-        l.contains("BroadcastExchange") && l.contains("lineitem")), q)
+      // broadcasting the fact table would OOM a real cluster — check
+      // the SUBTREE under each build side, not single plan lines
+      bhj.foreach { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        assert(!build.toString.contains("lineitem"),
+          s"$q broadcasts the fact table:\n$build")
+      }
     }
   }
 

@@ -13,14 +13,10 @@ class BucketingSpec extends SparkSpec {
     val db = "graft_bucket_test"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     try {
-      Sources.table(spark, sf0001, "orders")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"$db.orders_b")
-      Sources.table(spark, sf0001, "lineitem")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"$db.lineitem_b")
+      Sinks.writeBucketed(Sources.table(spark, sf0001, "orders"),
+        s"$db.orders_b", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      Sinks.writeBucketed(Sources.table(spark, sf0001, "lineitem"),
+        s"$db.lineitem_b", Seq("l_orderkey"), 8, Seq("l_orderkey"))
       val joined = spark.table(s"$db.lineitem_b")
         .join(spark.table(s"$db.orders_b"),
           col("l_orderkey") === col("o_orderkey"))

@@ -133,4 +133,61 @@ object Events {
         col("matched_id"),
         (unix_micros(col("ts")) - col("matched_ts_us")).as("lag_us"))
   }
+
+  /** Strict-order funnel: per user, stage k counts only if an event of
+    * stage k's type occurred STRICTLY AFTER the user's earliest
+    * qualifying stage-(k-1) time — the standard conversion-funnel
+    * definition (a purchase before the first view does not convert).
+    * One row per stage with the user count that reached it.
+    *
+    * Each stage is a per-user min aggregation joined to the previous
+    * stage's (user, time) table — k shuffles on user_id, each stage's
+    * table no bigger than the user set, so the plan is a narrowing
+    * chain, not an event-table self-join. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val reachedPerStage = stages.foldLeft(List.empty[DataFrame]) { (acc, stage) =>
+      val evs = events.filter(col(typeCol) === stage)
+        .select(col(userCol).as("user_id"), col(tsCol).as("t"))
+      val reached = acc match {
+        case Nil =>
+          evs.groupBy("user_id").agg(min(col("t")).as("t_reached"))
+        case prev :: _ =>
+          evs.join(prev.select(col("user_id"), col("t_reached").as("t_prev")),
+              Seq("user_id"))
+            .filter(col("t") > col("t_prev"))
+            .groupBy("user_id").agg(min(col("t")).as("t_reached"))
+      }
+      reached :: acc
+    }
+    reachedPerStage.reverse.zip(stages.zipWithIndex).map {
+      case (df, (stage, i)) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_ union _)
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week, counted
+    * once per (cohort, active-week-offset) — the classic retention
+    * triangle. Two shuffles (first-seen per user, then the cohort
+    * grid); the distinct() collapses each user's events to at most one
+    * row per active week BEFORE the final count, so the grid
+    * aggregation is user×weeks-sized, not event-sized. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val first = events.groupBy(col(userCol).as("user_id"))
+      .agg(min(col(tsCol)).as("first_ts"))
+    events.select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+      .join(first, Seq("user_id"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).as("cw"),
+        date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

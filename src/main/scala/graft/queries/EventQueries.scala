@@ -38,6 +38,12 @@ object EventQueries {
     "q_events_sliding" -> { (s, dir) =>
       Events.slidingAgg(Sources.events(s, dir), "1 hour", "15 minutes")
     },
+    "q_funnel" -> { (s, dir) =>
+      Events.funnel(Sources.events(s, dir), Seq("view", "click", "purchase"))
+    },
+    "q_cohort_retention" -> { (s, dir) =>
+      Events.cohortRetention(Sources.events(s, dir))
+    },
     "q_range_join" -> { (s, dir) =>
       import s.implicits._
       val tiers = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0),
@@ -62,6 +68,35 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage, count(1) AS n_users FROM s0
+        |UNION ALL
+        |SELECT 1, 'click', count(1) FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', count(1) FROM s2""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) AS first_ts FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id,
+        |    date_trunc('week', f.first_ts) AS cw,
+        |    date_trunc('week', e.ts) AS aw
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  (date_diff('day', cw, aw) // 7)::INTEGER AS week_offset,
+        |  count(1) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_events_hourly" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS window_start_us,
         |  event_type, count(1) AS n, round(sum(value), 4) AS sum_value

@@ -51,4 +51,35 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(got === Map(("a", "b") -> 1L, ("b", "a") -> 2L))
   }
+
+  test("funnel: strict order required, stages narrow monotonically") {
+    val M = 60L * 1000000L
+    val df = mkEvents(
+      // user 1: full ordered funnel
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 1 * M), (3L, 1L, "purchase", 2 * M),
+      // user 2: click BEFORE first view -> stops at view stage
+      (4L, 2L, "click", 0L), (5L, 2L, "view", 1 * M),
+      // user 3: view then click, no purchase
+      (6L, 3L, "view", 0L), (7L, 3L, "click", 5 * M),
+      // user 4: purchase only -> reaches nothing (no view)
+      (8L, 4L, "purchase", 0L))
+    val got = Events.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("cohortRetention: offsets computed from week starts, one count per user-week") {
+    val W = 7L * 24 * 3600 * 1000000L
+    // user 1 first seen week 0, active weeks 0 and 2 (twice — counted once)
+    // user 2 first seen week 1, active week 1 only
+    val df = mkEvents(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 2 * W), (3L, 1L, "click", 2 * W + 1000L),
+      (4L, 2L, "view", 1 * W))
+    val got = Events.cohortRetention(df)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // epoch 0 is Thu 1970-01-01; its week start is Mon 1969-12-29
+    assert(got === Map(
+      ("1969-12-29", 0) -> 1L, ("1969-12-29", 2) -> 1L,
+      ("1970-01-05", 0) -> 1L))
+  }
 }

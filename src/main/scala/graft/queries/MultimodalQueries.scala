@@ -22,6 +22,22 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("n_bytes"), col("mean_byte"),
           size(col("embedding")).as("embedding_dim"))
     },
+    // frame sampling + resize, verified arithmetically: frame sizes and
+    // the resized byte count are functions of payload length alone
+    "q_multimodal_frames" -> { (s, dir) =>
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      val frames = Multimodal.sampleFrames(media, frameSize = 64, maxFrames = 5)
+        .toDF()
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("sum_frame_bytes"))
+      val resized = Multimodal.resize(media, factor = 4).toDF()
+        .select(col("id").as("doc_id"),
+          length(col("payload")).cast("long").as("n_resized_bytes"))
+      frames.join(resized, Seq("doc_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -32,5 +48,15 @@ object MultimodalQueries {
         |  round(list_avg(list_transform(string_split(text, ''), x -> unicode(x))), 4) AS mean_byte,
         |  8 AS embedding_dim
         |FROM documents""".stripMargin,
+    // frame count = min(maxFrames, ceil(len/frameSize)); the sampled
+    // frames cover the first min(len, maxFrames*frameSize) bytes;
+    // resize(4) keeps every 4th byte -> ceil(len/4)
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(least(5, ceil(octet_length(encode(text)) / 64.0)) AS BIGINT) AS n_frames,
+        |  CAST(least(octet_length(encode(text)), 320) AS BIGINT) AS sum_frame_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_resized_bytes
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0""".stripMargin,
   )
 }

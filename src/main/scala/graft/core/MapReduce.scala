@@ -108,6 +108,26 @@ object MapReduce {
   def topK[K, V](ds: Dataset[(K, V)], k: Int)(
       implicit ord: Ordering[V]): Array[(K, V)] =
     ds.rdd.top(k)(Ordering.by[(K, V), V](_._2)(ord))
+
+  /** Distributed top-k PER KEY with a bounded buffer: each map-side
+    * partial keeps at most k values, so the shuffle moves k values per
+    * key per partition — not the whole group. This is the scale
+    * alternative to the `row_number() <= k` window (which must sort
+    * every group in full); identical results when `ord` is a total
+    * order (put a tiebreaker in `ord` — ties at rank k are broken by
+    * it, deterministically). Values arrive sorted best-first. */
+  def topKPerKey[K, V](ds: Dataset[(K, V)], k: Int)(
+      implicit ord: Ordering[V],
+      ekv: Encoder[(K, V)], ek: Encoder[K], eb: Encoder[Seq[V]],
+      eo: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+    require(k > 0, "k must be positive")
+    runAggregated[K, V, K, V, Seq[V], Seq[V]](
+      ds, (kk, v) => Seq((kk, v)),
+      Seq.empty[V],
+      (b, v) => (b :+ v).sorted(ord).take(k),
+      (a, b) => (a ++ b).sorted(ord).take(k),
+      identity)
+  }
 }
 
 /** Aggregator backing [[MapReduce.runAggregated]]: a keyed monoid fold

@@ -223,6 +223,31 @@ object Relational2 {
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     },
 
+    // same rows as q_topk_per_group, via the bounded-buffer Aggregator
+    // instead of a window: map-side partials keep only k values, so at
+    // scale the shuffle moves k·partitions rows per key, not the group
+    "q_topk_per_group_agg" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = table(s, dir, "orders")
+        .join(broadcast(table(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .map(r => (r._1, (r._2, r._3)))
+      implicit val bestFirst: Ordering[(Double, Long)] =
+        new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1) // price desc
+            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          }
+        }
+      graft.core.MapReduce.topKPerKey(pairs, 3)
+        .flatMap { case (seg, items) =>
+          items.zipWithIndex.map { case ((price, id), i) => (seg, id, price, i + 1) }
+        }
+        .toDF("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    },
+
     // gaps-and-islands: consecutive same-type runs per user via the
     // row_number-difference trick (two windows, one shuffle on user_id).
     "q_gaps_islands" -> { (s, dir) =>
@@ -362,6 +387,15 @@ object Relational2 {
         |  regr_count(l_extendedprice, l_quantity) AS n_pairs
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin,
+    // identical rows to q_topk_per_group — the Aggregator path must
+    // reproduce the window path exactly
+    "q_topk_per_group_agg" ->
       """WITH r AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY c_mktsegment

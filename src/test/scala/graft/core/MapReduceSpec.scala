@@ -82,6 +82,24 @@ class MapReduceSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("topKPerKey: bounded per-key top-k, sorted best-first, partition-invariant") {
+    import spark.implicits._
+    implicit val desc: Ordering[Int] = Ordering.Int.reverse
+    val rows = (1 to 100).map(i => ("a", i)) ++ (1 to 5).map(i => ("b", i))
+    for (p <- Seq(1, 7)) {
+      val got = graft.core.MapReduce
+        .topKPerKey(rows.toDS().repartition(p), 3)
+        .collect().toMap
+      assert(got("a") === Seq(100, 99, 98), s"partitions=$p")
+      assert(got("b") === Seq(5, 4, 3), s"partitions=$p")
+    }
+    // k larger than the group: whole group, still sorted
+    val small = graft.core.MapReduce
+      .topKPerKey(Seq(("x", 2), ("x", 9)).toDS(), 5)
+      .collect().toMap
+    assert(small("x") === Seq(9, 2))
+  }
+
   test("sources: textWithIndex yields stable 0-based line indices") {
     val ds = graft.sources.Sources.textWithIndex(spark, "/root/reference/mobydick.txt")
     assert(ds.count() === 22108L)

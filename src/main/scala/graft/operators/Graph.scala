@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the second consumer
+  * (after [[Dedup.connectedComponents]]) of the checkpoint-per-round
+  * iteration pattern: `localCheckpoint(eager=true)` between rounds so
+  * the logical plan stays flat instead of re-analyzing an ever-deeper
+  * tree (see SCALE.md, "Iterative loops").
+  *
+  * In a training-data pipeline this is the importance-propagation step:
+  * rank pages over a hyperlink graph to weight a web corpus, or score
+  * documents over a citation/near-dup graph.
+  */
+object Graph {
+
+  /** Weighted PageRank over a directed multigraph given as (src, dst)
+    * edge rows (parallel edges add weight). Fixed `iters` rounds of
+    *   rank(v) = (1 - d) + d * Σ_{u→v} rank(u) / outdeg(u)
+    * — the uniform-reset formulation (ranks sum to |V| when every node
+    * has out-edges; dangling nodes leak mass, which is the standard
+    * simplification and fine for relative ordering).
+    *
+    * Each round is one join + one aggregation, both keyed — no
+    * driver-side state beyond the bounded |V| count. At 100 TB the
+    * edge table is the big side: it is cached once and every round
+    * shuffles only the |V|-sized rank table against it.
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+      iters: Int = 15): DataFrame = {
+    require(iters > 0 && damping > 0.0 && damping < 1.0)
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("out_deg"))
+    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.join(outDeg, Seq("id"))
+          .select(col("id").as("src"), (col("rank") / col("out_deg")).as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks
+  }
+}

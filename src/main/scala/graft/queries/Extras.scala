@@ -24,6 +24,27 @@ object Extras {
           round(col("sum_v"), 4).as("sum_qty"), col("n"))
     },
 
+    // PageRank over the nation trade graph (supplier nation -> customer
+    // nation per lineitem). Iterative — not single-SQL-expressible, so
+    // rows-only for the driver; GraphSpec checks exact values against a
+    // driver-side reference implementation.
+    "q_pagerank_nations" -> { (s, dir) =>
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
+      val edges = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.pageRank(edges, damping = 0.85, iters = 10)
+        .select(col("id").as("nation"), round(col("rank"), 6).as("rank"))
+    },
+
     // salted fact-dim join == plain equi-join (oracle proves it)
     "q_salted_join" -> { (s, dir) =>
       Partitioning.saltedJoin(

@@ -203,6 +203,19 @@ object Extras {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
     },
+
+    // sketch percentiles next to exact ones — rows-only (sketch
+    // internals aren't DuckDB-portable); the exact columns let the
+    // driver eyeball the approximation error
+    "q_approx_percentile" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
+            .as("approx_p50_p95"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"))
+    },
   )
 
   val oracles: Map[String, String] = Map(

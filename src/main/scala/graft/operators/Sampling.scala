@@ -30,4 +30,39 @@ object Sampling {
       when(hashBucket16(key) < train16, "train")
         .when(hashBucket16(key) < train16 + valid16, "valid")
         .otherwise("test"))
+
+  /** Stratified deterministic sampling: a per-stratum keep rate (in
+    * sixteenths), defaulting for unlisted strata — the "oversample
+    * rare languages, downsample the crawl" mix knob. Same content-hash
+    * determinism as [[sampleByHash]], so the mix is reproducible across
+    * engines and reruns. */
+  def sampleByHashStratified(df: DataFrame, key: Column, strataCol: Column,
+      keep16ByStratum: Map[String, Int], default16: Int): DataFrame = {
+    val rate = keep16ByStratum.foldLeft(lit(default16)) {
+      case (acc, (stratum, k)) => when(strataCol === stratum, k).otherwise(acc)
+    }
+    df.filter(hashBucket16(key) < rate)
+  }
+
+  /** Token-budget mix rebalancing: sample every stratum down (by
+    * content hash, in sixteenths) so no stratum contributes more than
+    * ~the smallest stratum's token total — the equal-share data-mix
+    * primitive. Rates are derived FROM the data in the same plan (two
+    * bounded aggregations + a broadcast join; `16·min/total` in exact
+    * integer arithmetic, so the oracle reproduces it bit-for-bit); the
+    * smallest stratum keeps all 16 buckets by construction. */
+  def rebalanceByTokens(df: DataFrame, key: Column, strataCol: Column,
+      nTokensCol: Column): DataFrame = {
+    val rows = df.withColumn("__stratum", strataCol)
+      .withColumn("__n_tokens", nTokensCol.cast("long"))
+    val totals = rows.groupBy(col("__stratum"))
+      .agg(sum(col("__n_tokens")).as("__t"))
+    val target = totals.agg(min(col("__t")).as("__tmin"))
+    val rates = totals.crossJoin(broadcast(target))
+      .select(col("__stratum"),
+        expr("(16 * __tmin) div __t").cast("int").as("__keep16"))
+    rows.join(broadcast(rates), Seq("__stratum"))
+      .filter(hashBucket16(key) < col("__keep16"))
+      .drop("__stratum", "__n_tokens", "__keep16")
+  }
 }

@@ -57,6 +57,25 @@ object Extras {
           count(lit(1)).as("n_items"))
     },
 
+    // per-stratum keep rates: downsample the dominant language,
+    // keep the rare ones
+    "q_stratified_sample" -> { (s, dir) =>
+      Sampling.sampleByHashStratified(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        keep16ByStratum = Map("en" -> 4, "zh" -> 16), default16 = 8)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    },
+
+    // data-derived equal-token-share rebalance across languages
+    "q_mix_rebalance" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.rebalanceByTokens(docs, col("doc_id"), col("lang"), col("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    },
+
     "q_hash_split" -> { (s, dir) =>
       Sampling.split(table(s, dir, "documents"), col("doc_id"),
         train16 = 12, valid16 = 2)
@@ -228,6 +247,31 @@ object Extras {
         |  count(1) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(1) AS n_docs
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
+        |      < CASE WHEN lang = 'en' THEN 4
+        |             WHEN lang = 'zh' THEN 16
+        |             ELSE 8 END
+        |GROUP BY lang""".stripMargin,
+    "q_mix_rebalance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot FROM d GROUP BY 1),
+        |m AS (SELECT min(tot) AS tmin FROM t),
+        |r AS (SELECT lang, CAST((16 * tmin) // tot AS INTEGER) AS keep16
+        |      FROM t CROSS JOIN m),
+        |s AS (
+        |  SELECT d.* FROM d JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
+        |        < keep16)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY lang""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket

@@ -65,6 +65,48 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: per-stratum rates, default applies to unlisted strata") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "big" else "other"))
+      .toDF("id", "stratum")
+    val kept = Sampling.sampleByHashStratified(df, col("id"), col("stratum"),
+        Map("big" -> 4), default16 = 16)
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("other") === 200L, "default 16/16 keeps everything")
+    // rate 4/16 on a hash is ~a quarter; exact membership is what the
+    // oracle checks — here pin it's a strict, deterministic subset
+    assert(kept("big") > 0L && kept("big") < 200L)
+    val again = Sampling.sampleByHashStratified(df.repartition(7), col("id"),
+        col("stratum"), Map("big" -> 4), default16 = 16)
+      .agg(org.apache.spark.sql.functions.sum(col("id"))).collect()(0).getLong(0)
+    val first = Sampling.sampleByHashStratified(df, col("id"), col("stratum"),
+        Map("big" -> 4), default16 = 16)
+      .agg(org.apache.spark.sql.functions.sum(col("id"))).collect()(0).getLong(0)
+    assert(again === first, "membership must not depend on partitioning")
+  }
+
+  test("rebalanceByTokens: smallest stratum keeps all; dominant is cut toward it") {
+    // stratum A: 32 docs x 100 tokens = 3200; B: 2 docs x 100 = 200
+    val df = ((1L to 32L).map(i => (i, "A", 100L)) ++
+      Seq((100L, "B", 100L), (101L, "B", 100L)))
+      .toDF("id", "stratum", "n_tokens")
+    val kept = Sampling.rebalanceByTokens(df, col("id"), col("stratum"),
+        col("n_tokens"))
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("B") === 2L, "min stratum computes keep16 = 16 -> all kept")
+    // A's rate: floor(16*200/3200) = 1 of 16 buckets
+    assert(kept.getOrElse("A", 0L) < 32L)
+    val aIds = Sampling.rebalanceByTokens(df, col("id"), col("stratum"),
+        col("n_tokens"))
+      .filter(col("stratum") === "A").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = df.filter(col("stratum") === "A")
+      .filter(Sampling.hashBucket16(col("id")) < 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(aIds === expected, "A keeps exactly bucket-0 ids")
+  }
+
   test("hash split: deterministic membership, partition-invariant, covers all") {
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
     def splits(parts: Int) = Sampling.split(docs.repartition(parts),

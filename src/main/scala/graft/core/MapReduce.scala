@@ -121,11 +121,38 @@ object MapReduce {
       ekv: Encoder[(K, V)], ek: Encoder[K], eb: Encoder[Seq[V]],
       eo: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
     require(k > 0, "k must be positive")
+    // buffers are kept sorted best-first; the common case (a row worse
+    // than the current kth) is rejected in O(1) — no re-sort per row
+    def insert(b: Seq[V], v: V): Seq[V] =
+      if (b.size >= k && ord.gteq(v, b.last)) b
+      else {
+        val i = {
+          val j = b.indexWhere(x => ord.lt(v, x))
+          if (j < 0) b.size else j
+        }
+        val grown = (b.take(i) :+ v) ++ b.drop(i)
+        if (grown.size > k) grown.take(k) else grown
+      }
+    def mergeSorted(a: Seq[V], b: Seq[V]): Seq[V] = {
+      val av = a.toIndexedSeq
+      val bv = b.toIndexedSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[V]
+      var i = 0
+      var j = 0
+      while (out.size < k && (i < av.size || j < bv.size)) {
+        if (j >= bv.size || (i < av.size && ord.lteq(av(i), bv(j)))) {
+          out += av(i); i += 1
+        } else {
+          out += bv(j); j += 1
+        }
+      }
+      out.toSeq
+    }
     runAggregated[K, V, K, V, Seq[V], Seq[V]](
       ds, (kk, v) => Seq((kk, v)),
       Seq.empty[V],
-      (b, v) => (b :+ v).sorted(ord).take(k),
-      (a, b) => (a ++ b).sorted(ord).take(k),
+      insert,
+      mergeSorted,
       identity)
   }
 }

@@ -143,7 +143,12 @@ object Events {
     * Each stage is a per-user min aggregation joined to the previous
     * stage's (user, time) table — k shuffles on user_id, each stage's
     * table no bigger than the user set, so the plan is a narrowing
-    * chain, not an event-table self-join. */
+    * chain, not an event-table self-join. Each stage table is
+    * localCheckpoint'd: it has two consumers (its own count and the
+    * next stage's join), and without the checkpoint stage i's plan
+    * would nest all i-1 predecessors — O(k²) re-analysis, the
+    * iterative-loop trap documented on
+    * [[Dedup.connectedComponents]]. */
   def funnel(events: DataFrame, stages: Seq[String],
       typeCol: String = "event_type", userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
@@ -160,7 +165,7 @@ object Events {
             .filter(col("t") > col("t_prev"))
             .groupBy("user_id").agg(min(col("t")).as("t_reached"))
       }
-      reached :: acc
+      reached.localCheckpoint(true) :: acc
     }
     reachedPerStage.reverse.zip(stages.zipWithIndex).map {
       case (df, (stage, i)) =>

@@ -19,6 +19,12 @@ object Sampling {
     conv(substring(md5(key.cast("string").cast("binary")), 1, 1), 16, 10)
       .cast("int")
 
+  /** 256-way bucket id from the first hex byte of md5(key) — for rates
+    * finer than 1/16 (a crawl-vs-rare-language ratio is often 100x+). */
+  def hashBucket256(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+
   /** Keep rows whose bucket < keep16 (keep16/16 sampling fraction). */
   def sampleByHash(df: DataFrame, key: Column, keep16: Int): DataFrame =
     df.filter(hashBucket16(key) < keep16)
@@ -45,24 +51,32 @@ object Sampling {
   }
 
   /** Token-budget mix rebalancing: sample every stratum down (by
-    * content hash, in sixteenths) so no stratum contributes more than
+    * content hash, in 256ths) so no stratum contributes more than
     * ~the smallest stratum's token total — the equal-share data-mix
     * primitive. Rates are derived FROM the data in the same plan (two
-    * bounded aggregations + a broadcast join; `16·min/total` in exact
+    * bounded aggregations + a broadcast join; `256·min/total` in exact
     * integer arithmetic, so the oracle reproduces it bit-for-bit); the
-    * smallest stratum keeps all 16 buckets by construction. */
+    * smallest stratum keeps all 256 buckets by construction, and every
+    * stratum keeps AT LEAST one bucket — a >256x dominant stratum is
+    * clamped to a 1/256 sample rather than silently dropped (the
+    * sixteenths granularity of [[hashBucket16]] would floor a >16x
+    * stratum to zero). Rows with a NULL stratum are EXCLUDED from both
+    * the rate computation and the output (a null group would otherwise
+    * poison the min() while its own rows vanish in the join). */
   def rebalanceByTokens(df: DataFrame, key: Column, strataCol: Column,
       nTokensCol: Column): DataFrame = {
     val rows = df.withColumn("__stratum", strataCol)
       .withColumn("__n_tokens", nTokensCol.cast("long"))
+      .filter(col("__stratum").isNotNull)
     val totals = rows.groupBy(col("__stratum"))
       .agg(sum(col("__n_tokens")).as("__t"))
     val target = totals.agg(min(col("__t")).as("__tmin"))
     val rates = totals.crossJoin(broadcast(target))
       .select(col("__stratum"),
-        expr("(16 * __tmin) div __t").cast("int").as("__keep16"))
+        greatest(expr("(256 * __tmin) div __t"), lit(1L))
+          .cast("int").as("__keep256"))
     rows.join(broadcast(rates), Seq("__stratum"))
-      .filter(hashBucket16(key) < col("__keep16"))
-      .drop("__stratum", "__n_tokens", "__keep16")
+      .filter(hashBucket256(key) < col("__keep256"))
+      .drop("__stratum", "__n_tokens", "__keep256")
   }
 }

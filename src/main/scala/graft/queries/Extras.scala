@@ -260,15 +260,16 @@ object Extras {
         |  SELECT doc_id, lang,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
         |      AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE lang IS NOT NULL),
         |t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot FROM d GROUP BY 1),
         |m AS (SELECT min(tot) AS tmin FROM t),
-        |r AS (SELECT lang, CAST((16 * tmin) // tot AS INTEGER) AS keep16
+        |r AS (SELECT lang,
+        |        CAST(greatest((256 * tmin) // tot, 1) AS INTEGER) AS keep256
         |      FROM t CROSS JOIN m),
         |s AS (
         |  SELECT d.* FROM d JOIN r USING (lang)
-        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
-        |        < keep16)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+        |        < keep256)
         |SELECT lang, count(1) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM s GROUP BY lang""".stripMargin,

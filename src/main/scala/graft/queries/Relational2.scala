@@ -265,6 +265,14 @@ object Relational2 {
     },
   )
 
+  private val topkPerGroupOracle: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_exists_subquery" ->
       """SELECT o_orderpriority, count(*) AS n_orders
@@ -386,22 +394,10 @@ object Relational2 {
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  regr_count(l_extendedprice, l_quantity) AS n_pairs
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_topk_per_group" ->
-      """WITH r AS (
-        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-        |SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin,
-    // identical rows to q_topk_per_group — the Aggregator path must
-    // reproduce the window path exactly
-    "q_topk_per_group_agg" ->
-      """WITH r AS (
-        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-        |SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q_topk_per_group" -> topkPerGroupOracle,
+    // SAME oracle object: the Aggregator path must reproduce the
+    // window path exactly, so they share one spec by construction
+    "q_topk_per_group_agg" -> topkPerGroupOracle,
     "q_gaps_islands" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events),

@@ -85,26 +85,41 @@ class PartitioningSpec extends SparkSpec {
     assert(again === first, "membership must not depend on partitioning")
   }
 
-  test("rebalanceByTokens: smallest stratum keeps all; dominant is cut toward it") {
-    // stratum A: 32 docs x 100 tokens = 3200; B: 2 docs x 100 = 200
+  test("rebalanceByTokens: smallest keeps all; dominant cut; >256x clamps to 1/256") {
+    // A: 32 docs x 100 tokens = 3200; B: 2 x 100 = 200 (the min);
+    // C: 600 docs x 100 = 60000, a 300x stratum — would floor to 0
     val df = ((1L to 32L).map(i => (i, "A", 100L)) ++
-      Seq((100L, "B", 100L), (101L, "B", 100L)))
+      Seq((100L, "B", 100L), (101L, "B", 100L)) ++
+      (1000L to 1599L).map(i => (i, "C", 100L)))
       .toDF("id", "stratum", "n_tokens")
-    val kept = Sampling.rebalanceByTokens(df, col("id"), col("stratum"),
-        col("n_tokens"))
-      .groupBy("stratum").count()
+    val out = Sampling.rebalanceByTokens(df, col("id"), col("stratum"),
+      col("n_tokens"))
+    val kept = out.groupBy("stratum").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(kept("B") === 2L, "min stratum computes keep16 = 16 -> all kept")
-    // A's rate: floor(16*200/3200) = 1 of 16 buckets
-    assert(kept.getOrElse("A", 0L) < 32L)
-    val aIds = Sampling.rebalanceByTokens(df, col("id"), col("stratum"),
-        col("n_tokens"))
-      .filter(col("stratum") === "A").select("id")
-      .collect().map(_.getLong(0)).toSet
-    val expected = df.filter(col("stratum") === "A")
-      .filter(Sampling.hashBucket16(col("id")) < 1)
+    assert(kept("B") === 2L, "min stratum computes keep256 = 256 -> all kept")
+    // A's rate: floor(256*200/3200) = 16 of 256 buckets
+    val aExpected = df.filter(col("stratum") === "A")
+      .filter(Sampling.hashBucket256(col("id")) < 16)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(aIds === expected, "A keeps exactly bucket-0 ids")
+    val aIds = out.filter(col("stratum") === "A").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(aIds === aExpected, "A keeps exactly buckets 0..15")
+    // C floors to 0 but is clamped to 1 bucket — sampled, never dropped
+    val cExpected = df.filter(col("stratum") === "C")
+      .filter(Sampling.hashBucket256(col("id")) < 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val cIds = out.filter(col("stratum") === "C").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cIds === cExpected && cIds.nonEmpty,
+      "300x stratum keeps exactly bucket 0, not nothing")
+    // null strata are excluded from rates AND output
+    val withNull = df.union(Seq((9999L, null: String, 1L))
+      .toDF("id", "stratum", "n_tokens"))
+    val nullOut = Sampling.rebalanceByTokens(withNull, col("id"),
+      col("stratum"), col("n_tokens"))
+    assert(nullOut.filter(col("stratum").isNull).count() === 0L)
+    assert(nullOut.filter(col("stratum") === "B").count() === 2L,
+      "a null group's tiny total must not poison the min")
   }
 
   test("hash split: deterministic membership, partition-invariant, covers all") {

@@ -197,4 +197,30 @@ object StreamingOps {
           UserTotals(user, n, math.round(s * 10000.0) / 10000.0)
       }
   }
+
+  /** Streaming incremental near-dup: every micro-batch of newly
+    * ingested documents is Jaccard-checked against a STATIC corpus via
+    * `foreachBatch` + [[graft.operators.Dedup.crossJaccardPairs]].
+    *
+    * Because cross pairs only relate a batch doc to a corpus doc, the
+    * union of per-batch results over ANY micro-batching of the stream
+    * equals the one-shot batch result (StreamingSpec proves this with
+    * maxFilesPerTrigger=1) — the correctness property that lets a
+    * 100 TB corpus be deduped incrementally as it ingests instead of
+    * re-paired per run. The shingle-explode join isn't expressible as
+    * a native streaming join (no event-time bound), which is exactly
+    * what `foreachBatch` is for: full batch DataFrame semantics per
+    * trigger, with the corpus side's shingles recomputed (or, in
+    * production, read from a persisted shingle table). */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.crossJaccardPairs(
+          batch.toDF(), corpus, idCol, textCol, n, threshold), batchId)
+      }
+      .outputMode("append")
+      .start()
 }

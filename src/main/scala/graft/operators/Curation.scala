@@ -47,6 +47,19 @@ object Curation {
     Sampling.split(survivors, col("doc_id"), train16, valid16)
   }
 
+  /** The full pipeline as a materialized corpus: [[curate]] written as
+    * split/lang-partitioned parquet via [[graft.sources.Sinks]], so a
+    * downstream trainer's `split='train' AND lang='en'` scan prunes to
+    * one directory subtree without touching the rest. This is the
+    * artifact the engine exists to produce — everything upstream
+    * (quality gate, near-dup clustering, deterministic split) feeds it. */
+  def curateToParquet(docs: DataFrame, path: String,
+      minTokens: Long = 10L, jaccardThreshold: Double = 0.8,
+      train16: Int = 12, valid16: Int = 2, maxIters: Int = 20): Unit =
+    graft.sources.Sinks.writePartitioned(
+      curate(docs, minTokens, jaccardThreshold, train16, valid16, maxIters),
+      path, Seq("split", "lang"))
+
   /** Benchmark decontamination: for each candidate (eval/test) doc, the
     * number of distinct word n-grams it shares with ANY reference
     * (training) doc — docs with n_shared_ngrams > 0 are contaminated

@@ -190,6 +190,25 @@ class DedupSpec extends SparkSpec {
     assert(con.head._2 === 1.0, "short doc fully contained")
   }
 
+  test("curateToParquet: partitioned corpus lands; split scan prunes to a subtree") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curated").toFile
+    tmp.deleteOnExit()
+    Curation.curateToParquet(docs, tmp.getAbsolutePath)
+    val back = spark.read.parquet(tmp.getAbsolutePath)
+    val inMem = Curation.curate(docs)
+      .select("doc_id", "split", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val onDisk = back.select("doc_id", "split", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(onDisk === inMem && onDisk.nonEmpty)
+    // partition PRUNING: a split= filter must reach the scan as a
+    // partition filter, not a post-scan predicate
+    val plan = back
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"), plan)
+  }
+
   test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
     val sigs = Dedup.simHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3))

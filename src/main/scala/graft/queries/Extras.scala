@@ -223,6 +223,38 @@ object Extras {
           countDistinct(col("l_partkey")).as("exact_parts"))
     },
 
+    // global equi-depth deciles via ntile — a total sort by design
+    // (tie-broken to a total order for cross-engine determinism); at
+    // scale the approx-percentile bucketing is the shuffle-free route
+    "q_decile_stats" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 4).as("min_price"),
+          round(max(col("o_totalprice")), 4).as("max_price"),
+          round(avg(col("o_totalprice")), 6).as("avg_price"))
+    },
+
+    // association mining: event-type co-occurrence lift per user
+    "q_cooccurrence_lift" -> { (s, dir) =>
+      val ut = graft.sources.Sources.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      val nUsers = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).cast("double").as("nu"))
+      ut.select(col("user_id"), col("event_type").as("ta"))
+        .join(ut.select(col("user_id"), col("event_type").as("tb")), Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("co"))
+        .join(broadcast(totals.select(col("event_type").as("ta"), col("c").as("ca"))), Seq("ta"))
+        .join(broadcast(totals.select(col("event_type").as("tb"), col("c").as("cb"))), Seq("tb"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("ta"), col("tb"), col("co"),
+          round(col("co") * col("nu") / (col("ca") * col("cb")), 6).as("lift"))
+    },
+
     // sketch percentiles next to exact ones — rows-only (sketch
     // internals aren't DuckDB-portable); the exact columns let the
     // driver eyeball the approximation error
@@ -247,6 +279,29 @@ object Extras {
         |  count(1) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "q_decile_stats" ->
+      """WITH d AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT decile, count(1) AS n,
+        |  round(min(o_totalprice), 4) AS min_price,
+        |  round(max(o_totalprice), 4) AS max_price,
+        |  round(avg(o_totalprice), 6) AS avg_price
+        |FROM d GROUP BY decile""".stripMargin,
+    "q_cooccurrence_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(1) AS c FROM ut GROUP BY 1),
+        |n AS (SELECT count(DISTINCT user_id)::DOUBLE AS nu FROM ut),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(1) AS co
+        |      FROM ut a JOIN ut b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, co, round(co * nu / (ca.c * cb.c), 6) AS lift
+        |FROM p
+        |JOIN tot ca ON ta = ca.event_type
+        |JOIN tot cb ON tb = cb.event_type
+        |CROSS JOIN n""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(1) AS n_docs
         |FROM documents

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{RollingHash, VectorDot}
+import graft.functions.{MinHashAgg, RollingHash, VectorDot}
 
 /** SparkSessionExtensions hook: injects graft's native expressions into
   * the session's function registry at build time, so
@@ -31,5 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashAgg].getName, "minhash_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"minhash_agg(value, numHashes) takes 2 arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_agg numHashes must be an integer literal, got $other")
+        }
+        require(k > 0 && k <= MinHashAgg.MaxHashes,
+          s"numHashes must be in (0, ${MinHashAgg.MaxHashes}]")
+        MinHashAgg(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

@@ -25,6 +25,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
     assert(d === 11.0)
+    val sig = spark.sql(
+      "SELECT minhash_agg(v, 4) AS sig FROM VALUES ('a'), ('b') t(v)")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === 4)
+    assert(sig.forall(_ != Long.MaxValue), "both values hashed into the minima")
     // deliberately NOT stopping: the SparkContext is shared with the
     // other suites in this JVM
   }

@@ -43,6 +43,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Curation.curate(emptyDocs).count() === 0)
   }
 
+  test("round-2 operators on empty input") {
+    assert(Dedup.containmentPairs(emptyDocs, "doc_id", "text", 3, 0.9).count() === 0)
+    assert(Dedup.containmentPairsPrefix(emptyDocs, "doc_id", "text", 3, 0.9).count() === 0)
+    assert(Dedup.crossJaccardPairs(emptyDocs, emptyDocs, "doc_id", "text", 3, 0.8)
+      .count() === 0)
+    assert(Curation.decontaminate(emptyDocs, emptyDocs, "doc_id", "text", 8)
+      .count() === 0)
+    assert(TextAnalysis.repetitionFeatures(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(TextAnalysis.unigramLogProb(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.packSequences(emptyDocs, "doc_id", "text", "source", 512L)
+      .count() === 0)
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRank(emptyEdges, 0.85, 3).count() === 0)
+    val emptyTok = emptyDocs.withColumn("n_tokens", lit(1L))
+    // min() over zero strata yields a null target; rates join empty ->
+    // empty output, no crash, no null-poisoned rows
+    assert(Sampling.rebalanceByTokens(emptyTok, col("doc_id"), col("lang"),
+      col("n_tokens")).count() === 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+    val funnelCounts = Events.funnel(emptyEv, Seq("view", "click"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(funnelCounts === Map("view" -> 0L, "click" -> 0L))
+    assert(Events.cohortRetention(emptyEv).count() === 0)
+  }
+
   test("single-row inputs produce no pairs but survive") {
     val one = Seq((1L, "only one document here", "en", "s")).toDF("doc_id", "text", "lang", "source")
     assert(Dedup.ngramJaccardPairsPrefix(one, "doc_id", "text", 3, 0.8).count() === 0)

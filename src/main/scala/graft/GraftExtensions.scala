@@ -35,18 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashAgg].getName, "minhash_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2,
-          s"minhash_agg(value, numHashes) takes 2 arguments, got ${exprs.length}")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_agg numHashes must be an integer literal, got $other")
-        }
-        require(k > 0 && k <= MinHashAgg.MaxHashes,
-          s"numHashes must be in (0, ${MinHashAgg.MaxHashes}]")
-        MinHashAgg(exprs.head, k).toAggregateExpression()
-      }))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.buildMinHashAgg(exprs)))
   }
 }

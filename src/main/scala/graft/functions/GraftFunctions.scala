@@ -17,20 +17,25 @@ object GraftFunctions {
       exprs => VectorDot(exprs(0), exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => {
-        require(exprs.length == 2,
-          s"minhash_agg(value, numHashes) takes 2 arguments, got ${exprs.length}")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_agg numHashes must be an integer literal, got $other")
-        }
-        require(k > 0 && k <= MinHashAgg.MaxHashes,
-          s"numHashes must be in (0, ${MinHashAgg.MaxHashes}]")
-        MinHashAgg(exprs.head, k).toAggregateExpression()
-      },
-      "scala_udf")
+      "minhash_agg", buildMinHashAgg, "scala_udf")
+  }
+
+  /** Shared minhash_agg builder — used by both the per-session registry
+    * path above and [[graft.GraftExtensions]], so argument validation
+    * cannot drift between the two registration routes. */
+  def buildMinHashAgg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      s"minhash_agg(value, numHashes) takes 2 arguments, got ${exprs.length}")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"minhash_agg numHashes must be an integer literal, got $other")
+    }
+    require(k > 0 && k <= MinHashAgg.MaxHashes,
+      s"numHashes must be in (0, ${MinHashAgg.MaxHashes}]")
+    MinHashAgg(exprs.head, k).toAggregateExpression()
   }
 }

@@ -181,9 +181,21 @@ object Dedup {
     * is not near-duplication.
     */
   def crossJaccardPairs(left: DataFrame, right: DataFrame,
-      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
-    val lsh = shingles(left, idCol, textCol, n).cache()
-    val rsh = shingles(right, idCol, textCol, n).cache()
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame =
+    crossJaccardPairsFromShingles(
+      shingles(left, idCol, textCol, n).cache(),
+      shingles(right, idCol, textCol, n).cache(),
+      threshold)
+
+  /** [[crossJaccardPairs]] over PRE-SHINGLED (id, shingle) sides — the
+    * caller owns caching and lifecycle: the streaming path unpersists
+    * its batch side after every trigger (an internal cache would leak
+    * one pinned entry per micro-batch forever), and a production
+    * pipeline passes the corpus's PERSISTED shingle table here instead
+    * of re-shingling per run. Each side feeds two consumers (its count
+    * and its join side), so uncached inputs are computed twice. */
+  def crossJaccardPairsFromShingles(lsh: DataFrame, rsh: DataFrame,
+      threshold: Double): DataFrame = {
     val lc = lsh.groupBy("id").agg(count(lit(1)).as("n_l"))
     val rc = rsh.groupBy("id").agg(count(lit(1)).as("n_r"))
     lsh.select(col("id").as("left_id"), col("shingle"))

@@ -211,15 +211,27 @@ object StreamingOps {
     * a native streaming join (no event-time bound), which is exactly
     * what `foreachBatch` is for: full batch DataFrame semantics per
     * trigger, with the corpus side's shingles recomputed (or, in
-    * production, read from a persisted shingle table). */
+    * production, read from a persisted shingle table).
+    *
+    * Cache lifecycle: the batch side's shingle cache is UNPERSISTED
+    * after every trigger — each micro-batch is a distinct plan, so an
+    * internal cache would pin one new entry per trigger for the
+    * stream's lifetime. The corpus side's cache is plan-canonical
+    * (same plan every trigger), so CacheManager keeps exactly one
+    * entry for it. */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(graft.operators.Dedup.crossJaccardPairs(
-          batch.toDF(), corpus, idCol, textCol, n, threshold), batchId)
+        val batchShingles = graft.operators.Dedup
+          .shingles(batch.toDF(), idCol, textCol, n).cache()
+        val corpusShingles = graft.operators.Dedup
+          .shingles(corpus, idCol, textCol, n).cache()
+        try sink(graft.operators.Dedup.crossJaccardPairsFromShingles(
+          batchShingles, corpusShingles, threshold), batchId)
+        finally batchShingles.unpersist()
       }
       .outputMode("append")
       .start()

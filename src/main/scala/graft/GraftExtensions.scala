@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{MinHashAgg, RollingHash, VectorDot}
+import graft.functions.{CharEntropy, MinHashAgg, RollingHash, VectorDot}
 
 /** SparkSessionExtensions hook: injects graft's native expressions into
   * the session's function registry at build time, so
@@ -37,5 +37,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[MinHashAgg].getName, "minhash_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.buildMinHashAgg(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("char_entropy"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CharEntropy].getName, "char_entropy"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CharEntropy(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.buildBloomAgg(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.buildBloomContains(exprs)))
   }
 }

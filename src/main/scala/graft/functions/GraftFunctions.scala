@@ -18,6 +18,40 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg", buildMinHashAgg, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", buildBloomAgg, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", buildBloomContains, "scala_udf")
+  }
+
+  /** Spark's internal runtime-filter bloom aggregate
+    * (`BloomFilterAggregate`), exposed as a callable function:
+    * `bloom_agg(xxhash64(key), estimatedItems, numBits)` → binary
+    * sketch. Spark only wires this expression up inside
+    * `InjectRuntimeFilter`; registering it makes the same
+    * partial+final distributed sketch build available to explicit
+    * bloom-pruned joins ([[graft.operators.BloomPrune]]). */
+  def buildBloomAgg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 3,
+      s"bloom_agg(value, estimatedItems, numBits) takes 3 arguments, got ${exprs.length}")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+  }
+
+  /** `bloom_contains(bloomBinary, xxhash64(key))` — Spark's internal
+    * `BloomFilterMightContain` predicate (codegen'd; the binary operand
+    * must be a literal or scalar subquery, per its own type check). */
+  def buildBloomContains(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      s"bloom_contains(bloom, value) takes 2 arguments, got ${exprs.length}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs(0), exprs(1))
   }
 
   /** Shared minhash_agg builder — used by both the per-session registry

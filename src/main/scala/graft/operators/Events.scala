@@ -42,6 +42,43 @@ object Events {
         unix_micros(col("end_ts")).as("session_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Cumulative distinct users per day — growth-curve analytics.
+    * `count(DISTINCT) OVER (ORDER BY day)` is unsupported (and would be
+    * quadratic anyway); the scalable form is the first-seen trick: each
+    * user contributes once, on their first active day, and a running
+    * sum over the per-day first-seen counts gives the cumulative
+    * distinct count. Two shuffles total (user, then day) regardless of
+    * data size; the window runs over one row per day. */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Gaps-and-islands: per-user consecutive-day activity streaks. The
+    * classic `day - row_number()` grouping constant: within one
+    * gap-free run of distinct days, date minus rank is constant, so
+    * grouping on it splits each user's days into islands. One shuffle
+    * on user_id; the window and both aggregations reuse that
+    * partitioning. Returns one row per user with streak stats. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+  }
+
   /** Markov-style transition counts: (event_type -> next event_type) per
     * user in event-time order (event_id tiebreak). */
   def transitions(events: DataFrame): DataFrame = {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution / robust statistics over a (grouped) numeric column —
+  * the data-quality profiling pass a training pipeline runs before and
+  * after every curation step.
+  *
+  * The reference has no statistics operators (SURVEY.md §2: word count
+  * is its only workload); this is extension surface per the north star.
+  *
+  * Scale design: every op here is one or two hash-aggregations plus a
+  * broadcast join of tiny per-group bounds back onto the fact table —
+  * no windows over the full data, no driver-side math. The per-group
+  * side is `groups × O(1)` rows, always broadcastable; the fact side
+  * is scanned at most twice (once for bounds, once for the final agg)
+  * and never shuffled on anything but the group key.
+  */
+object Stats {
+
+  /** Equi-width histogram of `valueCol`, `nBuckets` buckets spanning
+    * [min, max]. Bucket = `floor((x - mn) / (mx - mn) * n)` clamped to
+    * n-1 (so max lands in the last bucket, not one past it) — computed
+    * with a broadcast cross-join of the single-row global bounds, the
+    * distributed idiom for "two-pass" bounds (no collect, no window
+    * over the whole table). */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
+    df.select(v.as("__v"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("__v") - col("mn")) / (col("mx") - col("mn")) * nBuckets),
+          lit(nBuckets - 1L)).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Winsorized per-group mean/stddev: values clamped to the group's
+    * [lo, hi] exact percentiles before aggregating — the standard
+    * outlier-robust summary. Percentile bounds are one grouped agg
+    * (exact `percentile`, linear interpolation — matches DuckDB
+    * `quantile_cont`) broadcast back onto the facts; the clamp itself
+    * is codegen'd `greatest(least(..))`. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $lo)").as("p_lo"),
+        expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol),
+        greatest(least(v, col("p_hi")), col("p_lo")).as("__w"))
+      .groupBy(col(groupCol))
+      .agg(round(avg(col("__w")), 6).as("wins_avg"),
+        round(stddev_samp(col("__w")), 6).as("wins_std"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Robust (median/MAD) outliers: rows where
+    * `|x - median| > k * MAD`, MAD = median of absolute deviations from
+    * the group median. Two grouped percentile aggs with a broadcast
+    * join between them — the robust twin of the z-score outlier query
+    * (q_zscore_outliers), immune to the outliers inflating their own
+    * threshold. Returns one row per outlier with its deviation scale.
+    * Groups where MAD = 0 (over half the values identical) are skipped:
+    * every deviation would be infinitely many MADs out. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("mad") > 0 && abs(v - col("med")) > lit(k) * col("mad"))
+      .select(col(groupCol), v.as("value"),
+        round((v - col("med")) / col("mad"), 6).as("n_mads"))
+  }
+}

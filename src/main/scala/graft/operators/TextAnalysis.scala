@@ -86,6 +86,16 @@ object TextAnalysis {
       .otherwise("es")
   }
 
+  /** Per-document character Shannon entropy (bits/char) — the standard
+    * gibberish/boilerplate signal (low entropy = repeated chars or
+    * padding, high = random noise). Native Catalyst expression
+    * ([[graft.functions.CharEntropy]]): one linear codegen'd pass per
+    * row, no explode, no shuffle. Returns 0.0 for empty text. Callers
+    * get registration for free via every entry point's
+    * `GraftFunctions.register`. */
+  def charEntropy(c: Column): Column =
+    call_function("char_entropy", c)
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — exact-dedup grade. */
   def md5Fingerprint(c: Column): Column =

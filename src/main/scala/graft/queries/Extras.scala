@@ -264,10 +264,19 @@ object Extras {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
+          // ONE sketch for both quantiles, projected to scalar columns
+          // below: per-quantile approx_percentile calls would build the
+          // QuantileSummaries buffer twice (measured 4x slower), and an
+          // array output column breaks the driver's pandas-side
+          // sort/hash of the result frame
           approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
-            .as("approx_p50_p95"),
+            .as("__ap"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"))
+        .select(col("l_returnflag"),
+          element_at(col("__ap"), 1).as("approx_p50"),
+          element_at(col("__ap"), 2).as("approx_p95"),
+          col("exact_p50"), col("exact_p95"))
     },
   )
 

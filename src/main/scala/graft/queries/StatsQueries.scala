@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomPrune, Events, Stats, TextAnalysis}
+import graft.sources.Sources
+import graft.sources.Sources.table
+
+/** Round-3 coverage: distribution/robust statistics, bloom-pruned
+  * semi-join, growth-curve and streak analytics, character-entropy
+  * quality scoring. All oracle-checked against DuckDB. */
+object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // equi-width histogram of order totals (portable floor-bucket form;
+    // DuckDB lacks width_bucket)
+    "q_histogram" -> { (s, dir) =>
+      Stats.histogram(table(s, dir, "orders"), "o_totalprice", 20)
+    },
+
+    // outlier-robust per-group summary: clamp to [p05, p95] then agg
+    "q_winsorized_stats" -> { (s, dir) =>
+      Stats.winsorizedStats(table(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", 0.05, 0.95)
+    },
+
+    // median/MAD outliers — the robust twin of q_zscore_outliers
+    "q_mad_outliers" -> { (s, dir) =>
+      Stats.madOutliers(table(s, dir, "orders"), "o_orderpriority",
+        "o_totalprice", 2.0)
+        .select(col("o_orderpriority"), round(col("value"), 4).as("value"),
+          col("n_mads"))
+    },
+
+    // bloom-pruned semi-join: revenue of lineitems belonging to urgent
+    // high-value orders; results identical to the plain semi-join (the
+    // bloom pass only pre-prunes the fact side's shuffle)
+    "q_bloom_semi_join" -> { (s, dir) =>
+      val urgent = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      BloomPrune.semiJoin(table(s, dir, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey",
+          expectedItems = 100000L, numBits = 1L * 1024 * 1024)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // cumulative distinct users per day via the first-seen trick
+    "q_cumulative_users" -> { (s, dir) =>
+      Events.cumulativeUsers(Sources.events(s, dir))
+    },
+
+    // per-user consecutive-day activity streaks (gaps-and-islands)
+    "q_activity_streaks" -> { (s, dir) =>
+      Events.activityStreaks(Sources.events(s, dir))
+    },
+
+    // character-entropy quality signal over documents
+    "q_char_entropy" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders)
+        |SELECT least(floor((o_totalprice - mn) / (mx - mn) * 20), 19)::INT
+        |         AS bucket,
+        |       count(1) AS n
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1""".stripMargin,
+    "q_winsorized_stats" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p_lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS p_hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(avg(greatest(least(l_extendedprice, p_hi), p_lo)), 6) AS wins_avg,
+        |  round(stddev_samp(greatest(least(l_extendedprice, p_hi), p_lo)), 6)
+        |    AS wins_std,
+        |  count(1) AS n
+        |FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+        |GROUP BY 1""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, median(o_totalprice) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT o.o_orderpriority,
+        |    median(abs(o_totalprice - med)) AS mad
+        |  FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+        |  GROUP BY 1)
+        |SELECT o.o_orderpriority, round(o_totalprice, 4) AS value,
+        |  round((o_totalprice - med) / mad, 6) AS n_mads
+        |FROM orders o
+        |JOIN med ON o.o_orderpriority = med.o_orderpriority
+        |JOIN mad ON o.o_orderpriority = mad.o_orderpriority
+        |WHERE mad > 0 AND abs(o_totalprice - med) > 2.0 * mad""".stripMargin,
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice), 4) AS revenue,
+        |  count(1) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+        |GROUP BY 1""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(ts::TIMESTAMP::DATE) AS day
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(1) AS new_users FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  (sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum_users
+        |FROM daily""".stripMargin,
+    "q_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INT
+        |      AS grp,
+        |    count(1) OVER (PARTITION BY user_id) AS nd
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, count(1) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(1) AS n_streaks,
+        |  sum(len)::BIGINT AS active_days
+        |FROM streaks GROUP BY 1""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, c, count(1) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n)::DOUBLE AS t FROM cnt GROUP BY 1)
+        |SELECT cnt.doc_id,
+        |  round(-sum((n / t) * log2(n / t)), 6) AS char_entropy
+        |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |GROUP BY 1""".stripMargin,
+  )
+}

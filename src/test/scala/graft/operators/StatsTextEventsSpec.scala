@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions to TextAnalysis (charEntropy) and Events
+  * (cumulativeUsers, activityStreaks). */
+class StatsTextEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charEntropy: uniform chars -> log2(alphabet); constant -> 0; empty -> 0") {
+    val got = Seq("abcd", "aaaa", "", "ab").toDF("text")
+      .select(col("text"), round(TextAnalysis.charEntropy(col("text")), 9).as("h"))
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("abcd" -> 2.0, "aaaa" -> 0.0, "" -> 0.0, "ab" -> 1.0))
+  }
+
+  test("charEntropy: skewed distribution matches hand-computed value") {
+    // "aab": p(a)=2/3, p(b)=1/3 -> H = 2/3*log2(3/2) + 1/3*log2(3)
+    val expected = 2.0 / 3 * (math.log(1.5) / math.log(2)) +
+      1.0 / 3 * (math.log(3.0) / math.log(2))
+    val got = Seq("aab").toDF("text")
+      .select(TextAnalysis.charEntropy(col("text"))).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  private def ev(rows: (Long, Long, String)*) = // user, day-offset, type
+    rows.zipWithIndex.map { case ((u, d, t), i) => (i.toLong, u, t, d) }
+      .toDF("event_id", "user_id", "event_type", "d")
+      .withColumn("ts", timestamp_seconds(col("d") * 86400L + 3600L))
+      .withColumn("value", lit(1.0)).drop("d")
+
+  test("cumulativeUsers: users count once, on their first day") {
+    val df = ev((1L, 0L, "a"), (1L, 0L, "b"), (1L, 2L, "a"), // user 1: day 0
+      (2L, 1L, "a"), (2L, 2L, "a"),                          // user 2: day 1
+      (3L, 2L, "a"))                                         // user 3: day 2
+    val got = Events.cumulativeUsers(df)
+      .orderBy("day")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L), (1L, 2L), (1L, 3L)))
+  }
+
+  test("activityStreaks: islands split on gaps, duplicate days collapse") {
+    val df = ev(
+      (1L, 0L, "a"), (1L, 1L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), // 0-2: streak 3
+      (1L, 5L, "a"),                                              // 5: streak 1
+      (2L, 4L, "a"))
+    val got = Events.activityStreaks(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, 3L, 2L, 4L), (2L, 1L, 1L, 1L)))
+  }
+}

@@ -45,18 +45,27 @@ object Graph {
       .localCheckpoint(true)
     var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    // Checkpoint every few rounds, not every round: a checkpoint is a
+    // full materialization barrier (job + storage pass), while the
+    // un-checkpointed rounds in between just stack 3 joins of plan
+    // depth on top of the last materialized blocks — total compute is
+    // identical, barriers drop 3x (measured ~2x wall on the nation
+    // graph). Depth stays bounded (<= 3 rounds), so per-round
+    // re-analysis cost never grows with iteration count.
+    val checkpointEvery = 3
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.join(outDeg, Seq("id"))
           .select(col("id").as("src"), (col("rank") / col("out_deg")).as("r")),
           Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("w") * col("r")).as("in_sum"))
-      ranks = nodes.join(contribs, Seq("id"), "left_outer")
+      val next = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      ranks = if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint(true)
+              else next
     }
     ranks
   }

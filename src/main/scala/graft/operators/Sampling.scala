@@ -50,6 +50,25 @@ object Sampling {
     df.filter(hashBucket16(key) < rate)
   }
 
+  /** 32-bit uniform in [0, 1) from the first 8 hex chars of md5(key) —
+    * the finer-grained sibling of [[hashBucket256]] for per-row keep
+    * probabilities. */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Weighted Bernoulli sampling, deterministic: keep a row iff
+    * `hashUniform(key) < min(1, weight * scale)` — P(keep) proportional
+    * to the row's weight (e.g. token count), capped at 1. The
+    * content-hash uniform makes the sample reproducible across engines,
+    * reruns, partitionings, and incremental appends: a row's fate
+    * depends only on its key. One codegen'd filter, no shuffle, no
+    * state — the 100 TB-friendly way to downsample by importance
+    * (length-weighted, quality-weighted) without a global pass. */
+  def weightedSampleByHash(df: DataFrame, key: Column, weight: Column,
+      scale: Double): DataFrame =
+    df.filter(hashUniform(key) < least(lit(1.0), weight.cast("double") * scale))
+
   /** Token-budget mix rebalancing: sample every stratum down (by
     * content hash, in 256ths) so no stratum contributes more than
     * ~the smallest stratum's token total — the equal-share data-mix

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BloomPrune, Events, Stats, TextAnalysis}
+import graft.operators.{BandJoin, BloomPrune, Events, Sampling, Stats, TextAnalysis}
 import graft.sources.Sources
 import graft.sources.Sources.table
 
@@ -63,6 +63,43 @@ object StatsQueries {
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))
+    },
+
+    // banded theta-join: same-brand part pairs priced within 1.0 of each
+    // other — equi-join on floor(price/width) buckets, never the O(n²)
+    // broadcast-nested-loop a naive non-equi join plans to
+    "q_band_join" -> { (s, dir) =>
+      BandJoin.selfBandJoin(table(s, dir, "part"), "p_partkey",
+          "p_retailprice", 1.0, "p_brand")
+        .withColumnRenamed("k", "p_brand")
+    },
+
+    // deterministic length-weighted document sampling: P(keep) ∝ n_chars
+    "q_weighted_sample" -> { (s, dir) =>
+      // 0.00125 (not 1.0/800.0): the oracle multiplies by the same
+      // decimal literal, so both engines parse the identical double and
+      // the boundary u < p decision can't diverge by an ulp
+      Sampling.weightedSampleByHash(table(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), 0.00125)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+    },
+
+    // Zipf fit over the corpus: slope of log(freq) vs log(rank) — the
+    // corpus-health check (natural language ~ -1)
+    "q_zipf_slope" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+        .agg(
+          round(expr("regr_slope(ln(cnt), ln(rank))"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(ln(cnt), ln(rank))"), 6).as("zipf_intercept"),
+          count(lit(1)).as("n_words"))
     },
   )
 
@@ -135,6 +172,32 @@ object StatsQueries {
         |SELECT user_id, max(len) AS longest_streak, count(1) AS n_streaks,
         |  sum(len)::BIGINT AS active_days
         |FROM streaks GROUP BY 1""".stripMargin,
+    "q_band_join" ->
+      """SELECT a.p_brand, a.p_partkey AS a, b.p_partkey AS b,
+        |  round(abs(a.p_retailprice - b.p_retailprice), 6) AS diff
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        | AND abs(a.p_retailprice - b.p_retailprice) <= 1.0""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT source, count(1) AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+        |FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < least(1.0, n_chars * 0.00125)
+        |GROUP BY 1""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(1) AS cnt FROM w WHERE word <> ''
+        |      GROUP BY 1),
+        |r AS (SELECT cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        |      FROM c)
+        |SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+        |  count(1) AS n_words
+        |FROM r""".stripMargin,
     "q_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -40,6 +40,20 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (1L, 2L), (1L, 3L)))
   }
 
+  test("weightedSampleByHash: weight 0 never kept, huge weight always kept, deterministic") {
+    val df = (1L to 200L).map(i => (i, if (i <= 50) 0L else if (i <= 100) 100000L else 400L))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSampleByHash(df, col("id"), col("w"), 0.00125)
+      .select("id").as[Long].collect().toSet
+    assert(kept.forall(_ > 50))                      // zero-weight rows never kept
+    assert((51L to 100L).forall(kept.contains))      // p capped at 1 -> always kept
+    val mid = kept.count(_ > 100)                    // p = 0.5 for the rest
+    assert(mid > 25 && mid < 75)
+    val again = Sampling.weightedSampleByHash(df, col("id"), col("w"), 0.00125)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept)                           // content-hash determinism
+  }
+
   test("activityStreaks: islands split on gaps, duplicate days collapse") {
     val df = ev(
       (1L, 0L, "a"), (1L, 1L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), // 0-2: streak 3

@@ -96,6 +96,38 @@ object TextAnalysis {
   def charEntropy(c: Column): Column =
     call_function("char_entropy", c)
 
+  /** Per-document deflate compression ratio (compressed/raw bytes) —
+    * the classic repetition/boilerplate quality signal (cf. Gopher's
+    * repetition filters): boilerplate and templated text compress far
+    * below natural prose. JDK zlib at a fixed level is deterministic,
+    * so the score is reproducible across reruns and partitionings.
+    *
+    * `mapPartitions` is the deliberate escape hatch here (same as the
+    * multimodal codecs): the Deflater is native, stateful, and reused
+    * across the partition's rows — a per-row UDF would allocate one per
+    * document. Map-only, no shuffle; scales embarrassingly. Empty text
+    * scores 1.0 (defined incompressible). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var total = 0L
+          if (bytes.nonEmpty) {
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            while (!deflater.finished()) total += deflater.deflate(buf)
+          }
+          (id, if (bytes.isEmpty) 1.0 else total.toDouble / bytes.length)
+        }
+      }.toDF("doc_id", "comp_ratio")
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — exact-dedup grade. */
   def md5Fingerprint(c: Column): Column =

@@ -271,12 +271,12 @@ object Extras {
           // sort/hash of the result frame
           approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
             .as("__ap"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"))
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__ep"))
         .select(col("l_returnflag"),
           element_at(col("__ap"), 1).as("approx_p50"),
           element_at(col("__ap"), 2).as("approx_p95"),
-          col("exact_p50"), col("exact_p95"))
+          round(element_at(col("__ep"), 1), 4).as("exact_p50"),
+          round(element_at(col("__ep"), 2), 4).as("exact_p95"))
     },
   )
 

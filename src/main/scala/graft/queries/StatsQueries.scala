@@ -86,6 +86,28 @@ object StatsQueries {
           sum(col("n_chars")).as("kept_chars"))
     },
 
+    // datasketches heavy-hitters (Spark 4's approx_top_k): frequent
+    // items in one pass + bounded memory. The test vocabulary is far
+    // below the sketch's maxItemsTracked, so counts are EXACT here and
+    // the exact-SQL oracle is valid; at 100 TB the same query keeps the
+    // one-pass/bounded-state shape where an exact groupBy must shuffle
+    // the full vocabulary
+    "q_approx_top_words" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .agg(expr("approx_top_k(word, 50, 10000)").as("tk"))
+        .select(explode(col("tk")))
+        .select(col("col.*")).toDF("word", "cnt")
+        .orderBy(desc("cnt"), asc("word")).limit(10)
+    },
+
+    // deflate compression-ratio quality signal (rows-only: zlib isn't
+    // DuckDB-expressible; exactness pinned by unit test instead)
+    "q_compression_ratio" -> { (s, dir) =>
+      TextAnalysis.compressionRatio(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("comp_ratio"), 6).as("comp_ratio"))
+    },
+
     // Zipf fit over the corpus: slope of log(freq) vs log(rank) — the
     // corpus-health check (natural language ~ -1)
     "q_zipf_slope" -> { (s, dir) =>
@@ -185,6 +207,12 @@ object StatsQueries {
         |        / 4294967296.0
         |      < least(1.0, n_chars * 0.00125)
         |GROUP BY 1""".stripMargin,
+    "q_approx_top_words" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
     "q_zipf_slope" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word

@@ -24,6 +24,22 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("compressionRatio: boilerplate compresses far below prose; empty = 1.0") {
+    val docs = Seq(
+      (1L, "the " * 500),                                   // pure repetition
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")), // high-entropy
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.05)
+    assert(got(2L) > 0.3)
+    assert(got(3L) === 1.0)
+    // deterministic: a second run scores identically
+    val again = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(again === got)
+  }
+
   private def ev(rows: (Long, Long, String)*) = // user, day-offset, type
     rows.zipWithIndex.map { case ((u, d, t), i) => (i.toLong, u, t, d) }
       .toDF("event_id", "user_id", "event_type", "d")

@@ -46,7 +46,17 @@ object BloomPrune {
     * bloom sketch so the shuffle only carries probable matches. */
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024): DataFrame = {
-    val bf = keyFilter(dim, dimKey, expectedItems, numBits)
+    // xxhash64 is TYPE-sensitive: hashing an INT dim key and a BIGINT
+    // fact key yields disjoint hash spaces and the bloom filter would
+    // silently reject EVERY true match (a false negative, which the
+    // exact post-join cannot recover). Cast the dim key to the fact
+    // key's type first — any dim value equal to some fact value is by
+    // definition representable in it, so the cast is exact for all
+    // matchable keys; non-representable values could only add false
+    // positives, which the exact semi-join removes.
+    val factType = fact.schema(factKey).dataType
+    val dimKeys = dim.select(col(dimKey).cast(factType).as(factKey))
+    val bf = keyFilter(dimKeys, factKey, expectedItems, numBits)
     graft.functions.GraftFunctions.register(fact.sparkSession)
     // null sketch = empty dim side (the aggregate saw no rows): nothing
     // can match, so prune everything rather than passing a null literal
@@ -55,7 +65,6 @@ object BloomPrune {
       if (bf == null) fact.filter(lit(false))
       else fact.filter(
         call_function("bloom_contains", lit(bf), xxhash64(col(factKey))))
-    pruned.join(dim.select(col(dimKey).as(factKey)).distinct(),
-      Seq(factKey), "left_semi")
+    pruned.join(dimKeys.distinct(), Seq(factKey), "left_semi")
   }
 }

@@ -30,6 +30,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(sig.length === 4)
     assert(sig.forall(_ != Long.MaxValue), "both values hashed into the minima")
+    val ent = spark.sql("SELECT char_entropy('ab') AS e")
+      .collect().head.getDouble(0)
+    assert(ent === 1.0)
+    // bloom pair round-trips through SQL: a sketch of {1, 2} must pass
+    // both members (no false negatives, ever)
+    import org.apache.spark.sql.functions._
+    // CAST to BIGINT: xxhash64 is type-sensitive and the probe side
+    // below hashes longs
+    val bf = spark.sql(
+      "SELECT bloom_agg(xxhash64(CAST(v AS BIGINT)), 10L, 1024L) AS bf " +
+      "FROM VALUES (1), (2) t(v)")
+      .collect().head.getAs[Array[Byte]](0)
+    val got = spark.range(1, 3).toDF("id")
+      .filter(call_function("bloom_contains", lit(bf), xxhash64(col("id"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
     // deliberately NOT stopping: the SparkContext is shared with the
     // other suites in this JVM
   }

@@ -25,6 +25,14 @@ class BloomPruneSpec extends SparkSpec {
     assert(passed === 500L)
   }
 
+  test("mixed key types: INT dim against BIGINT fact still matches (xxhash64 is type-sensitive)") {
+    val fact = (1L to 100L).toDF("k") // bigint
+    val dim = Seq(5, 10).toDF("dk")   // int
+    val got = BloomPrune.semiJoin(fact, "k", dim, "dk")
+      .as[Long].collect().toSet
+    assert(got === Set(5L, 10L))
+  }
+
   test("empty dim side yields empty result") {
     val fact = (1L to 10L).toDF("k")
     val dim = Seq.empty[Long].toDF("dk")

@@ -57,5 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_contains"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.buildBloomContains(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_probe"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BloomProbe].getName, "bloom_probe"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.buildBloomProbe(exprs)))
   }
 }

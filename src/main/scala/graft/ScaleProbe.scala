@@ -36,6 +36,7 @@ object ScaleProbe {
     val ev = sources.Sources.events(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
     val cust = spark.read.parquet(s"$dir/customer.parquet")
     val sup = spark.read.parquet(s"$dir/supplier.parquet")
 
@@ -91,6 +92,32 @@ object ScaleProbe {
         core.Partitioning.saltedJoin(liN, sup, "l_suppkey", "s_suppkey",
           Seq(col("l_orderkey"), col("l_linenumber")), 8)
           .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // prices offset per copy as well as keys: identical price copies
+      // would pair across copies and the result itself would grow n² —
+      // the probe must scale the DATA, not the answer's density
+      val partN = (0 until n).map { i =>
+        part.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 100000000L))
+          .withColumn("p_retailprice", col("p_retailprice") + lit(i * 1000.0))
+      }.reduce(_ union _)
+      time(s"band_join_${n}x") {
+        operators.BandJoin.selfBandJoin(partN, "p_partkey", "p_retailprice",
+          1.0, "p_brand")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"bloom_semi_join_${n}x") {
+        operators.BloomPrune.semiJoin(liN, "l_orderkey",
+          ordN.filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 150000), "o_orderkey",
+          expectedItems = 100000L * n, numBits = 8L * 1024 * 1024 * n)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"char_entropy_${n}x") {
+        functions.GraftFunctions.register(spark)
+        docsN.select(col("doc_id"),
+          operators.TextAnalysis.charEntropy(col("text")).as("h"))
           .write.format("noop").mode("overwrite").save()
       }
     }

@@ -24,6 +24,8 @@ object GraftFunctions {
       "bloom_agg", buildBloomAgg, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_contains", buildBloomContains, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_probe", buildBloomProbe, "scala_udf")
   }
 
   /** Spark's internal runtime-filter bloom aggregate
@@ -40,6 +42,26 @@ object GraftFunctions {
       s"bloom_agg(value, estimatedItems, numBits) takes 3 arguments, got ${exprs.length}")
     new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+  }
+
+  /** `bloom_probe(xxhash64(key), bloomBytesLiteral)` — graft's
+    * [[BloomProbe]]: the sketch bytes are extracted from the literal AT
+    * RESOLUTION TIME and carried as a deserialized object outside the
+    * plan tree (a multi-MB binary literal inside the plan is
+    * catastrophically non-linear to process; see BloomProbe scaladoc).
+    */
+  def buildBloomProbe(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      s"bloom_probe(hash, bloomBytes) takes 2 arguments, got ${exprs.length}")
+    val bytes = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+      case other => throw new IllegalArgumentException(
+        s"bloom_probe's second argument must be a binary literal, got $other")
+    }
+    BloomProbe(exprs.head, BloomProbe.fromBytes(bytes))
   }
 
   /** `bloom_contains(bloomBinary, xxhash64(key))` — Spark's internal

@@ -59,12 +59,16 @@ object BloomPrune {
     val bf = keyFilter(dimKeys, factKey, expectedItems, numBits)
     graft.functions.GraftFunctions.register(fact.sparkSession)
     // null sketch = empty dim side (the aggregate saw no rows): nothing
-    // can match, so prune everything rather than passing a null literal
-    // into might_contain
+    // can match, so prune everything rather than probing a null sketch.
+    // bloom_probe (not might_contain): the sketch bytes are extracted
+    // from the literal at resolution time and carried OUTSIDE the plan
+    // tree — a multi-MB binary literal in the plan is catastrophically
+    // non-linear to process (see functions.BloomProbe), and at 100 TB
+    // the filter should be sized in the hundreds of MB.
     val pruned =
       if (bf == null) fact.filter(lit(false))
       else fact.filter(
-        call_function("bloom_contains", lit(bf), xxhash64(col(factKey))))
+        call_function("bloom_probe", xxhash64(col(factKey)), lit(bf)))
     pruned.join(dimKeys.distinct(), Seq(factKey), "left_semi")
   }
 }

@@ -18,9 +18,9 @@ class Round3PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("bloom semi-join filters the fact side at the scan (might_contain before the join)") {
+  test("bloom semi-join filters the fact side at the scan (bloom_probe before the join)") {
     val p = plan("q_bloom_semi_join")
-    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_probe"), p)
     // the exact verify is still a real semi join
     assert(p.contains("LeftSemi"), p)
   }

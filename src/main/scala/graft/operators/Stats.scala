@@ -58,6 +58,24 @@ object Stats {
         count(lit(1)).as("n"))
   }
 
+  /** Join/aggregation key-skew diagnostic: the per-key frequency
+    * distribution collapsed to one row — key count, min/median/p99/max
+    * frequency, and the max/avg skew ratio that decides whether a key
+    * needs salting (`Partitioning.salted*`) or AQE skew-join handling.
+    * Two hash aggregations (per-key count, then the summary); nothing
+    * key-cardinality-sized ever reaches the driver. Run this BEFORE
+    * picking a partitioning strategy at 100 TB. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      min(col("c")).as("min_freq"),
+      expr("percentile(c, 0.5)").as("p50_freq"),
+      expr("percentile(c, 0.99)").as("p99_freq"),
+      max(col("c")).as("max_freq"),
+      round(max(col("c")) / avg(col("c")), 6).as("skew_ratio"))
+  }
+
   /** Robust (median/MAD) outliers: rows where
     * `|x - median| > k * MAD`, MAD = median of absolute deviations from
     * the group median. Two grouped percentile aggs with a broadcast

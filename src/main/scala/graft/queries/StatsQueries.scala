@@ -46,6 +46,11 @@ object StatsQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // key-skew diagnostic: the pre-salting frequency profile of a join key
+    "q_skew_diagnostic" -> { (s, dir) =>
+      Stats.keySkew(table(s, dir, "lineitem"), "l_suppkey")
+    },
+
     // cumulative distinct users per day via the first-seen trick
     "q_cumulative_users" -> { (s, dir) =>
       Events.cumulativeUsers(Sources.events(s, dir))
@@ -170,6 +175,14 @@ object StatsQueries {
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
         |GROUP BY 1""".stripMargin,
+    "q_skew_diagnostic" ->
+      """WITH c AS (SELECT l_suppkey, count(1) AS c FROM lineitem GROUP BY 1)
+        |SELECT count(1) AS n_keys, min(c) AS min_freq,
+        |  quantile_cont(c, 0.5) AS p50_freq,
+        |  quantile_cont(c, 0.99) AS p99_freq,
+        |  max(c) AS max_freq,
+        |  round(max(c) / avg(c), 6) AS skew_ratio
+        |FROM c""".stripMargin,
     "q_cumulative_users" ->
       """WITH fd AS (
         |  SELECT user_id, min(ts::TIMESTAMP::DATE) AS day

@@ -351,15 +351,21 @@ object Dedup {
     var converged = false
     var lastChanged = 0L
     while (iter < maxIters && !converged) {
-      // single-step propagation: near-dup components are shallow
-      // (diameter 1-2), so one join per convergence check minimizes
-      // total jobs; deep graphs would amortize better with multi-step
-      val next = propagate(labels).localCheckpoint(true)
+      // two propagation steps per checkpoint + convergence check: the
+      // check is valid on the LAST step alone (a step with zero label
+      // changes is a fixed point, whatever the intermediate step did),
+      // so checking every other step halves the count actions and
+      // materialization barriers. One step may run redundantly on an
+      // odd-diameter graph — one cheap join against halving the barrier
+      // count on every graph.
+      val stepped =
+        if (iter + 1 < maxIters) { iter += 2; propagate(propagate(labels)) }
+        else { iter += 1; propagate(labels) }
+      val next = stepped.localCheckpoint(true)
       val changed = next.filter(col("__changed")).count()
       labels = next
       lastChanged = changed
       converged = changed == 0L
-      iter += 1
     }
     edges.unpersist()
     if (!converged) {

@@ -38,7 +38,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional dev filter: `runMain graft.Bench q_a q_b` times only
+    // those queries (the driver invokes with no args — unaffected)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     names.foreach(exec) // warm-up pass, untimed
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

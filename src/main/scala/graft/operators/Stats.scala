@@ -58,6 +58,24 @@ object Stats {
         count(lit(1)).as("n"))
   }
 
+  /** Order-independent content checksum of selected columns: XOR of a
+    * 60-bit md5-derived hash per row, plus the row count. Equal
+    * multisets of rows → equal checksum, regardless of partitioning,
+    * ordering, or engine (md5 is portable; 15 hex chars keep the value
+    * inside a signed 64-bit int everywhere). XOR is commutative/
+    * associative, so the aggregation is partial+final with an 8-byte
+    * state — the cheapest possible way to compare a 100 TB table
+    * against its replica/migration copy without moving either.
+    * (XOR caveat: rows appearing an EVEN number of times cancel out;
+    * pair it with the count, and for multiset-exactness compare
+    * per-partition checksums.) */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(
+        conv(substring(md5(concat_ws("|", cols.map(col): _*).cast("binary")), 1, 15),
+          16, 10).cast("long").as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("checksum"))
+
   /** Join/aggregation key-skew diagnostic: the per-key frequency
     * distribution collapsed to one row — key count, min/median/p99/max
     * frequency, and the max/avg skew ratio that decides whether a key

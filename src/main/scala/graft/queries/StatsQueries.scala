@@ -46,6 +46,22 @@ object StatsQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // order-independent table fingerprint: XOR of per-row md5-derived
+    // hashes — compare a table to its replica without moving either
+    "q_table_checksum" -> { (s, dir) =>
+      Stats.tableChecksum(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+    },
+
+    // correlation/covariance battery over lineitem numerics
+    "q_corr_matrix" -> { (s, dir) =>
+      table(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+        round(corr(col("l_quantity"), col("l_tax")), 6).as("corr_qty_tax"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"))
+    },
+
     // key-skew diagnostic: the pre-salting frequency profile of a join key
     "q_skew_diagnostic" -> { (s, dir) =>
       Stats.keySkew(table(s, dir, "lineitem"), "l_suppkey")
@@ -175,6 +191,18 @@ object StatsQueries {
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
         |GROUP BY 1""".stripMargin,
+    "q_table_checksum" ->
+      """SELECT count(1) AS n_rows,
+        |  bit_xor(('0x' || substring(md5(
+        |      concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
+        |                l_linestatus)), 1, 15))::BIGINT) AS checksum
+        |FROM lineitem""".stripMargin,
+    "q_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+        |  round(corr(l_quantity, l_tax), 6) AS corr_qty_tax,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem""".stripMargin,
     "q_skew_diagnostic" ->
       """WITH c AS (SELECT l_suppkey, count(1) AS c FROM lineitem GROUP BY 1)
         |SELECT count(1) AS n_keys, min(c) AS min_freq,

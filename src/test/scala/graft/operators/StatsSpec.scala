@@ -39,6 +39,19 @@ class StatsSpec extends SparkSpec {
     assert(got.head.getDouble(2) > 3.0) // n_mads well past the threshold
   }
 
+  test("tableChecksum: invariant to partitioning/order, sensitive to content") {
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    def sum(d: org.apache.spark.sql.DataFrame) =
+      Stats.tableChecksum(d, Seq("k", "v")).collect().head
+    val base = sum(df)
+    assert(base.getLong(0) === 1000L)
+    assert(sum(df.repartition(17)) === base)
+    assert(sum(df.orderBy(desc("v"))) === base)
+    val tweaked = sum(df.withColumn("v",
+      when(col("k") === 500L, "changed").otherwise(col("v"))))
+    assert(tweaked.getLong(1) !== base.getLong(1))
+  }
+
   test("madOutliers: zero-MAD groups are skipped entirely") {
     // >half identical values -> MAD = 0; nothing can be flagged
     val df = (Seq.fill(10)(("g", 7.0)) :+ ("g", 99.0)).toDF("g", "v")

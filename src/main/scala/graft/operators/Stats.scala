@@ -45,13 +45,16 @@ object Stats {
     * is codegen'd `greatest(least(..))`. */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, $lo)").as("p_lo"),
-        expr(s"percentile($valueCol, $hi)").as("p_hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // two consumers of the projected columns (bounds pass + clamp pass):
+    // cache the 2-column projection so the source scans once
+    val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .cache()
+    val bounds = proj.groupBy(col(groupCol))
+      .agg(expr(s"percentile(__v, $lo)").as("p_lo"),
+        expr(s"percentile(__v, $hi)").as("p_hi"))
+    proj.join(broadcast(bounds), Seq(groupCol))
       .select(col(groupCol),
-        greatest(least(v, col("p_hi")), col("p_lo")).as("__w"))
+        greatest(least(col("__v"), col("p_hi")), col("p_lo")).as("__w"))
       .groupBy(col(groupCol))
       .agg(round(avg(col("__w")), 6).as("wins_avg"),
         round(stddev_samp(col("__w")), 6).as("wins_std"),
@@ -104,16 +107,19 @@ object Stats {
     * every deviation would be infinitely many MADs out. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
+    // three consumers of the projected columns (median pass, MAD pass,
+    // final filter): cache so the source scans once
+    val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .cache()
+    val med = proj.groupBy(col(groupCol))
+      .agg(expr("percentile(__v, 0.5)").as("med"))
+    val withMed = proj.join(broadcast(med), Seq(groupCol))
     val mad = withMed
       .groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+      .agg(expr("percentile(abs(__v - med), 0.5)").as("mad"))
     withMed.join(broadcast(mad), Seq(groupCol))
-      .filter(col("mad") > 0 && abs(v - col("med")) > lit(k) * col("mad"))
-      .select(col(groupCol), v.as("value"),
-        round((v - col("med")) / col("mad"), 6).as("n_mads"))
+      .filter(col("mad") > 0 && abs(col("__v") - col("med")) > lit(k) * col("mad"))
+      .select(col(groupCol), col("__v").as("value"),
+        round((col("__v") - col("med")) / col("mad"), 6).as("n_mads"))
   }
 }

@@ -36,6 +36,37 @@ class Round3PlanSpec extends SparkSpec {
     assert(p.contains("*("), p) // WholeStageCodegen span covers the projection
   }
 
+  test("no query plans a CartesianProduct; nested-loop joins only where intended") {
+    // intentional BroadcastNestedLoopJoin users: non-equi conditions
+    // against a broadcast SINGLE-ROW (or dimension-sized) side — the
+    // documented pattern for global bounds and interval tables
+    val bnljAllowed = Set(
+      "q_range_join",        // broadcast interval table, non-equi
+      "q_asof_join",         // as-of over broadcast quotes side
+      "q_asof_join_2table",  // as-of two-table form
+      "q_histogram",         // broadcast 1-row global bounds
+      "q_cooccurrence_lift", // broadcast 1-row user count
+      "q_mix_rebalance",     // broadcast 1-row token target
+      "q_market_share",      // broadcast 1-row denominator
+      "q_promo_revenue",     // broadcast 1-row denominator
+      "q_curation_summary",  // stratum target inside mix rebalance
+      "q_above_nation_avg",  // broadcast 1-row global average
+      "q_correlated_subquery",
+      "q_unigram_logprob",   // broadcast 1-row corpus token total
+      // exact all-pairs ORACLE BASELINES — documented as such; the
+      // scale paths are the LSH/IVF variants (SCALE.md "Known tradeoffs")
+      "q_ann_bruteforce_topk",
+      "q_embedding_neardup_exact")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+        Seq(s"$name: BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, s"unintended join strategies:\n${offenders.mkString("\n")}")
+  }
+
   test("cumulative users: the window runs over per-day rows, after two keyed aggs") {
     // both aggregations are partial+final (map-side combine) — the
     // full-row shuffle count stays at two regardless of event volume

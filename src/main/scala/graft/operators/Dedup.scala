@@ -210,6 +210,34 @@ object Dedup {
       .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[crossJaccardPairsFromShingles]] with the RIGHT (corpus) side
+    * bloom-pruned by the LEFT (batch) side's shingles first — the
+    * incremental-dedup shape at 100 TB: the batch is small, the corpus
+    * is not, and most corpus docs share no shingle with the batch.
+    *
+    * Pruning is at DOC granularity so results are identical: the bloom
+    * pass keeps every corpus doc sharing ≥1 shingle with the batch (no
+    * false negatives by construction), then the survivors' FULL shingle
+    * sets flow into the exact join — Jaccard denominators are computed
+    * on unpruned sets, and docs wrongly admitted by bloom false
+    * positives simply produce no qualifying pairs. The corpus scan is
+    * filtered by a codegen'd bitset probe instead of shuffling into the
+    * join; only |candidate docs| × |their shingles| rows shuffle.
+    * Requires threshold > 0 (at 0 every cross pair qualifies and
+    * pruning would be wrong — enforced). */
+  def crossJaccardPairsBloomPruned(lsh: DataFrame, rsh: DataFrame,
+      threshold: Double, expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    require(threshold > 0.0, "bloom pruning requires threshold > 0")
+    val bf = BloomPrune.keyFilter(lsh, "shingle", expectedItems, numBits)
+    if (bf == null) return crossJaccardPairsFromShingles(lsh, rsh.limit(0), threshold)
+    graft.functions.GraftFunctions.register(rsh.sparkSession)
+    val candidateIds = rsh
+      .filter(call_function("bloom_probe", xxhash64(col("shingle")), lit(bf)))
+      .select("id").distinct()
+    crossJaccardPairsFromShingles(lsh, rsh.join(candidateIds, "id"), threshold)
+  }
+
   /** Containment near-dup join: pairs (a < b) where
     * `|A∩B| / min(|A|,|B|)` >= threshold over distinct word n-gram
     * shingles — i.e. the SMALLER set is mostly inside the larger one.

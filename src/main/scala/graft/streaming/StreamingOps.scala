@@ -235,4 +235,33 @@ object StreamingOps {
       }
       .outputMode("append")
       .start()
+
+  /** [[incrementalDedup]] with the corpus side bloom-pruned by each
+    * micro-batch's shingles
+    * ([[graft.operators.Dedup.crossJaccardPairsBloomPruned]]): the
+    * batch is small, the corpus is not, and most corpus docs share no
+    * shingle with any given batch — the sketch build runs over the
+    * small side and the corpus scan is cut by a codegen'd probe before
+    * anything shuffles. Per-batch results are identical to
+    * [[incrementalDedup]] (doc-granular pruning; proven in
+    * StreamingSpec), so the micro-batching-invariance property carries
+    * over unchanged. */
+  def incrementalDedupBloomPruned(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batchShingles = graft.operators.Dedup
+          .shingles(batch.toDF(), idCol, textCol, n).cache()
+        val corpusShingles = graft.operators.Dedup
+          .shingles(corpus, idCol, textCol, n).cache()
+        try sink(graft.operators.Dedup.crossJaccardPairsBloomPruned(
+          batchShingles, corpusShingles, threshold, expectedItems, numBits),
+          batchId)
+        finally batchShingles.unpersist()
+      }
+      .outputMode("append")
+      .start()
 }

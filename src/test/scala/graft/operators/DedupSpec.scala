@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
       s"cap lost pairs: ${uncapped -- capped}")
   }
 
+  test("crossJaccardPairsBloomPruned == unpruned (doc-granular pruning is lossless)") {
+    val corpus = spark.range(0, 40).selectExpr("id AS doc_id",
+      "CASE WHEN id % 4 < 2 THEN concat('alpha beta gamma delta epsilon zeta ', id % 2) " +
+      "ELSE concat('totally different words here number ', id) END AS text")
+    val left = corpus.filter("doc_id % 2 = 1")
+    val right = corpus.filter("doc_id % 2 = 0")
+    val lsh = Dedup.shingles(left, "doc_id", "text", 3).cache()
+    val rsh = Dedup.shingles(right, "doc_id", "text", 3).cache()
+    val exact = Dedup.crossJaccardPairsFromShingles(lsh, rsh, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted near-dups must cross the split")
+    // undersized sketch -> false positives, which must not change results
+    val pruned = Dedup.crossJaccardPairsBloomPruned(lsh, rsh, 0.5,
+      expectedItems = 10L, numBits = 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned === exact)
+  }
+
   test("connectedComponents: chains merge, singletons self-label") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -212,6 +212,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-pruned incremental dedup stream == unpruned, even with a tiny lossy sketch") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_dedup_bloom_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(2).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // deliberately undersized sketch (high false-positive rate): FPs may
+    // admit extra candidate docs but can never change the pair results
+    val q = StreamingOps.incrementalDedupBloomPruned(stream, corpus,
+      "doc_id", "text", n = 3, threshold = 0.5,
+      expectedItems = 100L, numBits = 2048L) { (pairs, _) =>
+      collected.synchronized {
+        collected ++= pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Dedup
+        .crossJaccardPairs(newDocs, corpus, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

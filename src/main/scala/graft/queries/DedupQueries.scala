@@ -66,10 +66,15 @@ object DedupQueries {
     "q_dedup_incremental" -> { (s, dir) =>
       val docs = graft.operators.Sampling
         .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
-      Dedup.crossJaccardPairs(
-        docs.filter(col("split") === "test"),
-        docs.filter(col("split") =!= "test"),
-        "doc_id", "text", n = 3, threshold = 0.8)
+      // bloom-pruned path — identical results to crossJaccardPairs
+      // (doc-granular pruning is lossless), so the exact-join oracle
+      // below verifies the pruned operator end-to-end
+      Dedup.crossJaccardPairsBloomPruned(
+        Dedup.shingles(docs.filter(col("split") === "test"),
+          "doc_id", "text", 3).cache(),
+        Dedup.shingles(docs.filter(col("split") =!= "test"),
+          "doc_id", "text", 3).cache(),
+        threshold = 0.8)
     },
     // benchmark decontamination: eval docs (test split) sharing any
     // 8-gram with any training doc are contaminated

@@ -72,6 +72,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Events.cohortRetention(emptyEv).count() === 0)
   }
 
+  test("round-3 operators on empty input") {
+    assert(Stats.histogram(emptyDocs.withColumn("v", lit(1.0)), "v", 10).count() === 0)
+    assert(Stats.winsorizedStats(emptyDocs.withColumn("v", lit(1.0)), "lang", "v")
+      .count() === 0)
+    assert(Stats.madOutliers(emptyDocs.withColumn("v", lit(1.0)), "lang", "v")
+      .count() === 0)
+    assert(Stats.keySkew(emptyDocs, "lang").collect().head.getLong(0) === 0L)
+    // checksum of nothing: 0 rows, null (not garbage) checksum
+    val ck = Stats.tableChecksum(emptyDocs, Seq("doc_id", "text")).collect().head
+    assert(ck.getLong(0) === 0L && ck.isNullAt(1))
+    assert(BandJoin.selfBandJoin(emptyDocs.withColumn("v", lit(1.0)),
+      "doc_id", "v", 1.0, "lang").count() === 0)
+    // empty FACT side (empty dim is covered in BloomPruneSpec)
+    assert(BloomPrune.semiJoin(emptyDocs, "doc_id",
+      Seq(1L).toDF("doc_id"), "doc_id").count() === 0)
+    assert(TextAnalysis.compressionRatio(emptyDocs, "doc_id", "text").count() === 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+    assert(Events.cumulativeUsers(emptyEv).count() === 0)
+    assert(Events.activityStreaks(emptyEv).count() === 0)
+  }
+
   test("single-row inputs produce no pairs but survive") {
     val one = Seq((1L, "only one document here", "en", "s")).toDF("doc_id", "text", "lang", "source")
     assert(Dedup.ngramJaccardPairsPrefix(one, "doc_id", "text", 3, 0.8).count() === 0)

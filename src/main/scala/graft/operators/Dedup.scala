@@ -379,21 +379,20 @@ object Dedup {
     var converged = false
     var lastChanged = 0L
     while (iter < maxIters && !converged) {
-      // two propagation steps per checkpoint + convergence check: the
-      // check is valid on the LAST step alone (a step with zero label
-      // changes is a fixed point, whatever the intermediate step did),
-      // so checking every other step halves the count actions and
-      // materialization barriers. One step may run redundantly on an
-      // odd-diameter graph — one cheap join against halving the barrier
-      // count on every graph.
-      val stepped =
-        if (iter + 1 < maxIters) { iter += 2; propagate(propagate(labels)) }
-        else { iter += 1; propagate(labels) }
-      val next = stepped.localCheckpoint(true)
+      // single-step propagation per checkpoint + convergence check.
+      // (A two-step variant — propagate twice, check once — was tried
+      // and REVERTED: the un-checkpointed intermediate is consumed by
+      // two operators in the outer step, and under AQE the duplicated
+      // subtree does not reliably hit exchange reuse, producing
+      // heavy-tailed reruns of the whole pair plan. Near-dup graphs
+      // converge in 2-3 rounds; the saved count action isn't worth the
+      // tail.)
+      val next = propagate(labels).localCheckpoint(true)
       val changed = next.filter(col("__changed")).count()
       labels = next
       lastChanged = changed
       converged = changed == 0L
+      iter += 1
     }
     edges.unpersist()
     if (!converged) {

@@ -45,27 +45,25 @@ object Graph {
       .localCheckpoint(true)
     var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
       .localCheckpoint(true)
-    // Checkpoint every few rounds, not every round: a checkpoint is a
-    // full materialization barrier (job + storage pass), while the
-    // un-checkpointed rounds in between just stack 3 joins of plan
-    // depth on top of the last materialized blocks — total compute is
-    // identical, barriers drop 3x (measured ~2x wall on the nation
-    // graph). Depth stays bounded (<= 3 rounds), so per-round
-    // re-analysis cost never grows with iteration count.
-    val checkpointEvery = 3
-    for (i <- 1 to iters) {
+    // Checkpoint EVERY round: `ranks` is consumed by two operators in
+    // the next round (the contribs join and the nodes join), so an
+    // un-checkpointed round embeds its plan twice in the next one —
+    // exponential plan growth within any multi-round checkpoint window,
+    // and under AQE the duplicated subtrees don't reliably hit exchange
+    // reuse (measured heavy-tailed reruns on the connected-components
+    // loop with the same shape; see Dedup.connectedComponents).
+    for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.join(outDeg, Seq("id"))
           .select(col("id").as("src"), (col("rank") / col("out_deg")).as("r")),
           Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("w") * col("r")).as("in_sum"))
-      val next = nodes.join(contribs, Seq("id"), "left_outer")
+      ranks = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      ranks = if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint(true)
-              else next
+        .localCheckpoint(true)
     }
     ranks
   }

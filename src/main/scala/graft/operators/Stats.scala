@@ -38,20 +38,33 @@ object Stats {
   }
 
   /** Winsorized per-group mean/stddev: values clamped to the group's
-    * [lo, hi] exact percentiles before aggregating — the standard
+    * [lo, hi] percentiles before aggregating — the standard
     * outlier-robust summary. Percentile bounds are one grouped agg
-    * (exact `percentile`, linear interpolation — matches DuckDB
-    * `quantile_cont`) broadcast back onto the facts; the clamp itself
-    * is codegen'd `greatest(least(..))`. */
+    * broadcast back onto the facts; the clamp itself is codegen'd
+    * `greatest(least(..))`.
+    *
+    * `sketchAccuracy = None` (default) uses exact `percentile` (linear
+    * interpolation — matches DuckDB `quantile_cont`; what the oracle
+    * gate checks). Exact percentile buffers every group value in the
+    * aggregation state — fine up to ~10⁷ rows/group, an OOM at 100 TB.
+    * `Some(acc)` switches the bounds to `approx_percentile` (KLL-style
+    * QuantileSummaries, bounded state, rank error ≤ 1/acc): the
+    * production setting; clamp bounds shift by at most the rank error,
+    * which a winsorized mean is insensitive to by construction
+    * (StatsSpec pins exact-vs-approx agreement). */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
-      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95,
+      sketchAccuracy: Option[Int] = None): DataFrame = {
     // two consumers of the projected columns (bounds pass + clamp pass):
     // cache the 2-column projection so the source scans once
     val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .cache()
+    val pctl = sketchAccuracy match {
+      case Some(acc) => (p: Double) => expr(s"approx_percentile(__v, $p, $acc)")
+      case None => (p: Double) => expr(s"percentile(__v, $p)")
+    }
     val bounds = proj.groupBy(col(groupCol))
-      .agg(expr(s"percentile(__v, $lo)").as("p_lo"),
-        expr(s"percentile(__v, $hi)").as("p_hi"))
+      .agg(pctl(lo).as("p_lo"), pctl(hi).as("p_hi"))
     proj.join(broadcast(bounds), Seq(groupCol))
       .select(col(groupCol),
         greatest(least(col("__v"), col("p_hi")), col("p_lo")).as("__w"))
@@ -85,14 +98,24 @@ object Stats {
     * needs salting (`Partitioning.salted*`) or AQE skew-join handling.
     * Two hash aggregations (per-key count, then the summary); nothing
     * key-cardinality-sized ever reaches the driver. Run this BEFORE
-    * picking a partitioning strategy at 100 TB. */
-  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    * picking a partitioning strategy at 100 TB.
+    *
+    * `sketchAccuracy`: as in [[winsorizedStats]] — the summary's
+    * percentiles aggregate ALL per-key counts into one group, so the
+    * exact form's buffer is |keys|-sized; pass `Some(acc)` when the key
+    * cardinality itself is huge. */
+  def keySkew(df: DataFrame, keyCol: String,
+      sketchAccuracy: Option[Int] = None): DataFrame = {
+    val pctl = sketchAccuracy match {
+      case Some(acc) => (p: Double) => expr(s"approx_percentile(c, $p, $acc)")
+      case None => (p: Double) => expr(s"percentile(c, $p)")
+    }
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
     counts.agg(
       count(lit(1)).as("n_keys"),
       min(col("c")).as("min_freq"),
-      expr("percentile(c, 0.5)").as("p50_freq"),
-      expr("percentile(c, 0.99)").as("p99_freq"),
+      pctl(0.5).as("p50_freq"),
+      pctl(0.99).as("p99_freq"),
       max(col("c")).as("max_freq"),
       round(max(col("c")) / avg(col("c")), 6).as("skew_ratio"))
   }
@@ -104,19 +127,30 @@ object Stats {
     * (q_zscore_outliers), immune to the outliers inflating their own
     * threshold. Returns one row per outlier with its deviation scale.
     * Groups where MAD = 0 (over half the values identical) are skipped:
-    * every deviation would be infinitely many MADs out. */
+    * every deviation would be infinitely many MADs out.
+    *
+    * `sketchAccuracy`: as in [[winsorizedStats]] — `None` is the exact
+    * oracle-parity form (per-group value buffers; not for 100 TB),
+    * `Some(acc)` bounds both median aggregations' state via
+    * `approx_percentile`. An approximate median shifts which borderline
+    * rows clear the k·MAD threshold, so the approx form is for
+    * profiling, not for hash-stable outputs. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Double = 3.0): DataFrame = {
+      k: Double = 3.0, sketchAccuracy: Option[Int] = None): DataFrame = {
     // three consumers of the projected columns (median pass, MAD pass,
     // final filter): cache so the source scans once
     val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .cache()
+    val median = sketchAccuracy match {
+      case Some(acc) => (c: String) => expr(s"approx_percentile($c, 0.5, $acc)")
+      case None => (c: String) => expr(s"percentile($c, 0.5)")
+    }
     val med = proj.groupBy(col(groupCol))
-      .agg(expr("percentile(__v, 0.5)").as("med"))
+      .agg(median("__v").as("med"))
     val withMed = proj.join(broadcast(med), Seq(groupCol))
     val mad = withMed
       .groupBy(col(groupCol))
-      .agg(expr("percentile(abs(__v - med), 0.5)").as("mad"))
+      .agg(median("abs(__v - med)").as("mad"))
     withMed.join(broadcast(mad), Seq(groupCol))
       .filter(col("mad") > 0 && abs(col("__v") - col("med")) > lit(k) * col("mad"))
       .select(col(groupCol), col("__v").as("value"),

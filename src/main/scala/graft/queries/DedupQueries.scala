@@ -92,6 +92,20 @@ object DedupQueries {
       Dedup.containmentPairsPrefix(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.9)
     },
+    // snapshot+delta compaction: every 7th doc arrives re-crawled
+    // (version 2); latest version wins per doc_id
+    "q_upsert_latest" -> { (s, dir) =>
+      val snap = table(s, dir, "documents").withColumn("version", lit(1))
+      val upd = table(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("text", upper(col("text")))
+        .withColumn("source", lit("refresh"))
+        .withColumn("version", lit(2))
+      graft.operators.Upsert
+        .latestByKey(snap, upd, "doc_id", "version", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("version"), substring(col("text"), 1, 40).as("text_head"))
+    },
   )
 
   private val anyStopword: String =
@@ -102,6 +116,21 @@ object DedupQueries {
       .distinct.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_upsert_latest" ->
+      """WITH snap AS (
+        |  SELECT doc_id, text, lang, source, n_chars, 1 AS version
+        |  FROM documents),
+        |upd AS (
+        |  SELECT doc_id, upper(text) AS text, lang, 'refresh' AS source,
+        |    n_chars, 2 AS version
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |      FROM u)
+        |SELECT doc_id, lang, source, n_chars, version,
+        |  substring(text, 1, 40) AS text_head
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_containment_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,

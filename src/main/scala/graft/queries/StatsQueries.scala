@@ -144,6 +144,30 @@ object StatsQueries {
           round(expr("regr_intercept(ln(cnt), ln(rank))"), 6).as("zipf_intercept"),
           count(lit(1)).as("n_words"))
     },
+
+    // mergeable distinct-count sketches (Apache DataSketches HLL via
+    // Spark's hll_sketch_agg): per-DAY sketches roll up to week by
+    // sketch UNION — the pre-aggregation pattern that makes distinct
+    // counts affordable at 100 TB (store |days|·|dims| fixed-size
+    // sketches, never re-touch raw events; exact countDistinct must
+    // re-shuffle all raw user_ids for every rollup grain). The exact
+    // column alongside shows the estimate error; rows-only check
+    // (sketch bytes aren't DuckDB-portable), bounds pinned by
+    // SketchQueriesSpec.
+    "q_hll_reaggregate" -> { (s, dir) =>
+      val ev = Sources.events(s, dir)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("week"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val weekly = daily.groupBy(col("week"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      val exact = ev.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, Seq("week"))
+        .select(col("week"), col("est_users").cast("long").as("est_users"),
+          col("exact_users"))
+    },
   )
 
   val oracles: Map[String, String] = Map(

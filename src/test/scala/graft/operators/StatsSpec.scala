@@ -57,4 +57,21 @@ class StatsSpec extends SparkSpec {
     val df = (Seq.fill(10)(("g", 7.0)) :+ ("g", 99.0)).toDF("g", "v")
     assert(Stats.madOutliers(df, "g", "v", 3.0).count() === 0L)
   }
+
+  test("winsorizedStats: sketch mode tracks the exact form") {
+    // the production (bounded-state) percentile path must agree with
+    // the exact oracle-parity path to well under the clamp's own width
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    def collect(acc: Option[Int]) =
+      Stats.winsorizedStats(li, "l_returnflag", "l_extendedprice",
+          0.05, 0.95, sketchAccuracy = acc)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = collect(None)
+    val approx = collect(Some(10000))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (g, e) =>
+      assert(math.abs(approx(g) - e) / math.abs(e) < 0.01,
+        s"group $g: exact=$e approx=${approx(g)}")
+    }
+  }
 }

@@ -28,6 +28,9 @@ object ScaleProbe {
       }.reduce(_ union _)
 
     def time(name: String)(f: => Unit): Double = {
+      // several operators cache intermediates internally; clear so no
+      // probe measures another's warmed cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $name%-28s $s%8.2f s"); s
     }
@@ -118,6 +121,27 @@ object ScaleProbe {
         functions.GraftFunctions.register(spark)
         docsN.select(col("doc_id"),
           operators.TextAnalysis.charEntropy(col("text")).as("h"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"upsert_latest_${n}x") {
+        val snap = docsN.withColumn("version", lit(1))
+        val upd = docsN.filter(col("doc_id") % 7 === 0)
+          .withColumn("version", lit(2))
+        operators.Upsert.latestByKey(snap, upd, "doc_id", "version", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"hll_rollup_${n}x") {
+        evN.select(date_trunc("week", col("ts")).cast("date").as("week"),
+            to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy(col("week"), col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+          .groupBy(col("week"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"winsorize_sketch_${n}x") {
+        operators.Stats.winsorizedStats(liN, "l_returnflag",
+            "l_extendedprice", 0.05, 0.95, sketchAccuracy = Some(10000))
           .write.format("noop").mode("overwrite").save()
       }
     }

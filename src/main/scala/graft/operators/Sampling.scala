@@ -69,6 +69,24 @@ object Sampling {
       scale: Double): DataFrame =
     df.filter(hashUniform(key) < least(lit(1.0), weight.cast("double") * scale))
 
+  /** Exactly-k-per-group deterministic sample: the k rows whose
+    * `md5(key)` sorts lowest within each group — a uniform
+    * without-replacement sample whose membership is a pure function of
+    * the keys, so it's stable across engines, reruns, partitionings,
+    * and (unlike a rate-based sample) has a FIXED size per group.
+    * One shuffle on the group key; Spark rewrites the rank-filter into
+    * a per-partition group-limit (WindowGroupLimit) so only ~k rows per
+    * group per partition reach the exchange. The eyeball-a-fixed-
+    * sample-per-stratum primitive for corpus QA at any scale. */
+  def bottomKPerGroup(df: DataFrame, groupCol: Column, key: Column,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(md5(key.cast("string").cast("binary")).asc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumnRenamed("__rk", "sample_rank")
+  }
+
   /** Token-budget mix rebalancing: sample every stratum down (by
     * content hash, in 256ths) so no stratum contributes more than
     * ~the smallest stratum's token total — the equal-share data-mix

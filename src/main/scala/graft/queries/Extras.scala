@@ -85,6 +85,13 @@ object Extras {
       Sampling.sampleByHash(table(s, dir, "documents"), col("doc_id"), keep16 = 4)
         .select("doc_id", "lang", "source")
     },
+    // fixed-size per-stratum QA sample: exactly 5 docs per language,
+    // membership a pure function of doc_id
+    "q_group_sample" -> { (s, dir) =>
+      Sampling.bottomKPerGroup(table(s, dir, "documents"),
+          col("lang"), col("doc_id"), 5)
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
+    },
 
     // pivot: event counts per user across the 5 known event types
     "q_pivot" -> { (s, dir) =>
@@ -350,6 +357,14 @@ object Extras {
     "q_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 4""".stripMargin,
+    "q_group_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id, source
+        |FROM r WHERE sample_rank <= 5""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -70,6 +70,21 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(again === kept)                           // content-hash determinism
   }
 
+  test("bottomKPerGroup: exactly k per group, deterministic, group-limit plan") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.bottomKPerGroup(df, col("g"), col("id"), 7)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L))
+    val a = out.select("g", "id").as[(String, Long)].collect().toSet
+    val b = Sampling.bottomKPerGroup(df.repartition(13), col("g"), col("id"), 7)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(a === b) // membership is a pure function of the keys
+    // the rank filter is pushed into a WindowGroupLimit, so only ~k rows
+    // per group per partition reach the shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("activityStreaks: islands split on gaps, duplicate days collapse") {
     val df = ev(
       (1L, 0L, "a"), (1L, 1L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), // 0-2: streak 3

@@ -73,4 +73,20 @@ class Round3PlanSpec extends SparkSpec {
     val p = plan("q_cumulative_users")
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
   }
+
+  test("upsert compaction: one exchange on the key, no join") {
+    // union + window, NOT a join: exactly one hashpartitioning exchange
+    // of the unioned rows on the merge key
+    val p = plan("q_upsert_latest")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 key exchange, got $exchanges:\n$p")
+  }
+
+  test("hll rollup: day-grain sketches are a partial+final aggregation") {
+    // the sketch build must combine map-side; the week rollup then
+    // aggregates |days| sketch rows, never raw events
+    val p = plan("q_hll_reaggregate")
+    assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"), p)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer
+  * behind IVF cell assignment ([[Similarity.ivfTopK]]) and the standard
+  * corpus-clustering step of a training-data pipeline (topic balancing,
+  * cluster-based dedup/curation à la SemDeDup).
+  *
+  * Scale shape: centroids are the ONLY driver-resident state — O(k·dim)
+  * doubles per iteration, independent of corpus size (the same contract
+  * as Spark MLlib's KMeans). Each iteration is one scan: assignment is a
+  * per-row argmin over k broadcast centroid literals (no row explosion,
+  * no shuffle), and the centroid update is a posexplode + two-level
+  * aggregation whose map-side combine reduces the shuffle to
+  * k·dim rows per partition. Nothing else crosses the network.
+  *
+  * Determinism: init = the k lowest-id vectors; every centroid element
+  * is rounded to 6 decimals between iterations (half-away-from-zero,
+  * matching DuckDB `round`) so the oracle can replay the exact same
+  * trajectory; argmin ties break toward the lower cluster id via struct
+  * ordering. Reference for the operator's role (not implementation):
+  * kaylee has no clustering — this is north-star extension work
+  * (`/root/reference/README.md:4-8` scopes the reference to MapReduce).
+  */
+object Clustering {
+
+  /** Half-away-from-zero rounding to 6 decimals — same boundary rule as
+    * DuckDB's `round(x, 6)` (`std::round(x*1e6)/1e6`), used for the
+    * inter-iteration centroid anchor in BOTH engines so tiny sum-order
+    * differences can't compound across iterations. */
+  private def round6(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+
+  /** Squared L2 distance to a constant centroid, as a sequential fold in
+    * double precision (same order as the oracle's per-element sum). */
+  private def sqDist(e: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(e, typedlit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Assign every vector to its nearest of `k` centroids after `iters`
+    * Lloyd rounds (iters assignment passes, iters-1 update passes).
+    * Returns (vec_id, cluster, dist) with dist = euclidean distance to
+    * the final centroid, rounded to 4 decimals.
+    */
+  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val df = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("e"))
+      .cache() // scanned 2·iters-1 times; safe to drop (lineage rebuilds)
+
+    // deterministic seed: the k lowest-id vectors (TakeOrdered — only k
+    // rows reach the driver). kmeans|| is the scale-up init; for a
+    // fixed-trajectory oracle query the deterministic seed is the point.
+    var centroids: Seq[(Int, Seq[Double])] =
+      df.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Double](1).map(round6))
+      }
+
+    def assigned: DataFrame = {
+      val scored = array(centroids.map { case (cid, c) =>
+        struct(sqrt(sqDist(col("e"), c)).as("d"), lit(cid).as("cid"))
+      }: _*)
+      // argmin inline via struct array_min — k distances per row, no
+      // row multiplication, no shuffle; ties -> lower cid
+      df.withColumn("best", array_min(scored))
+    }
+
+    for (_ <- 1 until iters) {
+      // per-dimension mean per cluster: k·dim rows after map-side
+      // combine; collected to the driver as the next centroid set.
+      // A cluster that loses all members simply disappears (both
+      // engines drop it identically).
+      val upd = assigned
+        .select(col("best.cid").as("cid"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      centroids = upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1))
+          .map(r => round6(r.getDouble(2) / r.getLong(3))).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+
+    assigned.select(col("vec_id"), col("best.cid").as("cluster"),
+      round(col("best.d"), 4).as("dist"))
+  }
+}

@@ -232,4 +232,27 @@ object Events {
         (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Calendar gap-fill: aggregate to a daily grain, then left-join a
+    * dense date spine (min..max day via `sequence`) so missing days
+    * appear as explicit zero rows with `is_gap = 1` — the resample step
+    * every time-series rollup needs before moving averages or
+    * forecasting (a gap silently skipped is a wrong moving average).
+    *
+    * Scale shape: the daily aggregation is the only event-scale work
+    * (one map-side-combined shuffle). The spine is bounded by calendar
+    * days, not data (30 years ≈ 11k rows), so the single-row bounds
+    * aggregate, the exploded spine, and any downstream single-partition
+    * window over the result stay trivially small at any corpus size.
+    */
+  def gapFillDaily(df: DataFrame, tsCol: Column, valCol: Column): DataFrame = {
+    val daily = df.groupBy(to_date(tsCol).as("day"))
+      .agg(sum(valCol).as("__v"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("__v"), lit(0.0)).as("value"),
+        when(col("__v").isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
+  }
 }

@@ -182,4 +182,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Per-vector symmetric int8 quantization — the storage/serving
+    * compression step of an embedding pipeline (4x smaller than float32,
+    * 8x smaller than the double working form). scale = 127/max|x| (1.0
+    * for an all-zero vector), q_i = clamp(round(x_i·scale), ±127);
+    * `recon_err` is the L2 distance between the vector and its
+    * dequantized form — the quality metric a pipeline monitors per
+    * shard/label. Pure per-row projection: no shuffle, fully codegen'd,
+    * scales linearly with the scan. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val out = emb
+      .withColumn("__e", col(vecCol).cast("array<double>"))
+      .withColumn("__amax", array_max(transform(col("__e"), x => abs(x))))
+      .withColumn("scale",
+        when(col("__amax") === 0.0, lit(1.0))
+          .otherwise(lit(127.0) / col("__amax")))
+      .withColumn("qvec", transform(col("__e"), x =>
+        greatest(lit(-127.0), least(lit(127.0), round(x * col("scale"))))
+          .cast("int")))
+      .withColumn("recon_err", sqrt(aggregate(
+        zip_with(col("__e"), col("qvec"),
+          (x, q) => (x - q.cast("double") / col("scale")) *
+            (x - q.cast("double") / col("scale"))),
+        lit(0.0), (acc, v) => acc + v)))
+    out.drop("__e", "__amax")
+  }
 }

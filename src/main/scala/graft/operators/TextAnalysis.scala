@@ -254,4 +254,26 @@ object TextAnalysis {
     * [[ngramsFromTokens]] — ~100× less work per row. */
   def wordNgrams(c: Column, n: Int): Column =
     ngramsFromTokens(tokens(c), n)
+
+  // ---- PII scrubbing ----
+  // Pattern subset chosen to be semantics-identical between Java regex
+  // (Spark) and RE2 (DuckDB oracle): character classes, +/{m,}, \b.
+  /** Email-shaped spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Digit runs (ids, phone fragments, account numbers). */
+  val NumberRe = "[0-9]+"
+
+  /** Redact email-shaped spans then digit runs. Order matters: the email
+    * pattern must see the raw text (its local part may contain digits).
+    * Pure projection — codegen'd regexp_replace, no shuffle; at corpus
+    * scale this is scan-bound, exactly like the quality scorers. */
+  def maskPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+      NumberRe, "<NUM>")
+
+  /** Count of spans [[maskPii]] would redact (emails + digit runs) —
+    * the audit metric reported per source/shard. */
+  def piiSpanCount(c: Column): Column =
+    regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(NumberRe)) +
+      regexp_count(c, lit(EmailRe))
 }

@@ -65,9 +65,37 @@ object EventQueries {
         isLeft = col("event_type") === "purchase",
         isRight = col("event_type") === "view")
     },
+    // calendar gap-fill + 7-day moving average over daily order revenue;
+    // the window runs over the bounded date spine (see gapFillDaily's
+    // scaladoc), so the single partition is fine at any corpus scale
+    "q_ts_gapfill" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      Events.gapFillDaily(Sources.table(s, dir, "orders"),
+          col("o_orderdate"), col("o_totalprice"))
+        .select(col("day"), round(col("value"), 4).as("rev"),
+          round(avg(col("value")).over(w), 4).as("ma7"), col("is_gap"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+        |                                (SELECT max(day) FROM daily),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |j AS (
+        |  SELECT s.day, coalesce(d.v, 0.0) AS v,
+        |         CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |  FROM spine s LEFT JOIN daily d USING (day))
+        |SELECT day, round(v, 4) AS rev,
+        |  round(avg(v) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+        |  is_gap
+        |FROM j""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),

@@ -25,9 +25,9 @@ object Extras {
     },
 
     // PageRank over the nation trade graph (supplier nation -> customer
-    // nation per lineitem). Iterative — not single-SQL-expressible, so
-    // rows-only for the driver; GraphSpec checks exact values against a
-    // driver-side reference implementation.
+    // nation per lineitem). Oracled by an unrolled 10-round CTE replay
+    // (pageRankNationsOracle); GraphSpec additionally checks exact
+    // values against a driver-side reference implementation.
     "q_pagerank_nations" -> { (s, dir) =>
       val n1 = table(s, dir, "nation")
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
@@ -287,7 +287,40 @@ object Extras {
     },
   )
 
+  /** DuckDB replay of [[graft.operators.Graph.pageRank]]'s fixed-round
+    * power iteration, unrolled (one CTE per round — single SQL, no
+    * recursive-CTE single-reference contortions). Same trajectory:
+    * weighted distinct edges, ranks start at 1.0, dangling mass leaks
+    * via the inner join to out-degrees. */
+  private def pageRankNationsOracle(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT n1.n_name AS src, n2.n_name AS dst, count(1)::DOUBLE AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name <> n2.n_name
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src AS id, sum(w) AS odeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0::DOUBLE AS pr FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.id, 0.15 + 0.85 * coalesce(c.in_sum, 0.0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(e.w * p.pr / od.odeg) AS in_sum
+         |    FROM r${i - 1} p JOIN od ON p.id = od.id JOIN e ON e.src = p.id
+         |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
+    }.mkString
+    base + steps + s"\nSELECT id AS nation, round(pr, 6) AS rank FROM r$iters"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank_nations" -> pageRankNationsOracle(10),
     "q_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
         |  count(1) AS n

@@ -33,6 +33,21 @@ object SimilarityQueries {
     "q_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5)
     },
+    // 2-round Lloyd's k-means (k=8, deterministic lowest-id init,
+    // 6-decimal centroid anchor each round) — DuckDB replays the exact
+    // trajectory with unrolled CTEs
+    "q_kmeans_assign" -> { (s, dir) =>
+      graft.operators.Clustering.kMeansAssign(
+        table(s, dir, "embeddings"), k = 8, iters = 2)
+    },
+    // int8 quantization reconstruction-error profile per label
+    "q_quantize_embeddings" -> { (s, dir) =>
+      Similarity.quantizeInt8(table(s, dir, "embeddings"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("recon_err")), 6).as("avg_err"),
+          round(max(col("recon_err")), 6).as("max_err"))
+    },
     // per-label centroids as (label, dim, value) rows — the vector
     // aggregate an IVF/k-means trainer needs, exploded so the oracle
     // compares scalars
@@ -82,5 +97,61 @@ object SimilarityQueries {
         |  round(avg(embedding[r.i]::DOUBLE), 6) AS centroid_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
         |GROUP BY 1, 2""".stripMargin,
+    // unrolled 2-round Lloyd trajectory: c0 = k lowest-id vectors,
+    // a1 = assign, c1 = per-dim means, a2 = assign; centroids rounded
+    // to 6 decimals at every step exactly like Clustering.kMeansAssign
+    "q_kmeans_assign" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         list_transform(e, x -> round(x, 6)) AS c
+        |  FROM emb ORDER BY vec_id LIMIT 8),
+        |s1 AS (
+        |  SELECT m.vec_id, m.e, c.cid,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
+        |  FROM emb m CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(r ORDER BY i) AS c
+        |  FROM (
+        |    SELECT cid, i, round(avg(v), 6) AS r
+        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
+        |          FROM a1) u
+        |    GROUP BY cid, i) g
+        |  GROUP BY cid),
+        |s2 AS (
+        |  SELECT m.vec_id, c.cid,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
+        |  FROM emb m CROSS JOIN c1 c)
+        |SELECT vec_id, cid AS cluster, round(d, 4) AS dist FROM (
+        |  SELECT vec_id, cid, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM s2) WHERE rn = 1""".stripMargin,
+    "q_quantize_embeddings" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, CASE WHEN max(abs(x)) = 0 THEN 1.0
+        |                      ELSE 127.0 / max(abs(x)) END AS sc
+        |  FROM u GROUP BY vec_id),
+        |d AS (
+        |  SELECT u.vec_id, u.label,
+        |    u.x - LEAST(127.0, GREATEST(-127.0, round(u.x * m.sc))) / m.sc
+        |      AS diff
+        |  FROM u JOIN m USING (vec_id)),
+        |r AS (
+        |  SELECT vec_id, label, sqrt(sum(diff * diff)) AS err
+        |  FROM d GROUP BY vec_id, label)
+        |SELECT label, count(1) AS n, round(avg(err), 6) AS avg_err,
+        |       round(max(err), 6) AS max_err
+        |FROM r GROUP BY label""".stripMargin,
   )
 }

@@ -69,6 +69,19 @@ object TextQueries {
       TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
         "source", capacity = 512L)
     },
+    // PII scrub audit over the one table with digit-bearing payloads
+    // (events.props JSON) — per-type redaction counts + masked shape
+    "q_pii_mask" -> { (s, dir) =>
+      graft.sources.Sources.events(s, dir)
+        .select(col("event_type"),
+          TextAnalysis.maskPii(col("props")).as("masked"),
+          TextAnalysis.piiSpanCount(col("props")).as("spans"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("spans")).as("n_spans"),
+          sum(length(col("masked"))).as("masked_len"),
+          countDistinct(col("masked")).as("n_distinct_masked"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +202,21 @@ object TextQueries {
         |  floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
         |         - n_tokens) / 512.0)::INTEGER AS chunk_id
         |FROM t""".stripMargin,
+    "q_pii_mask" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    regexp_replace(regexp_replace(props,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS masked,
+        |    len(regexp_extract_all(regexp_replace(props,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]+'))
+        |      + len(regexp_extract_all(props,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS spans
+        |  FROM events)
+        |SELECT event_type, count(1) AS n, sum(spans)::BIGINT AS n_spans,
+        |  sum(length(masked))::BIGINT AS masked_len,
+        |  count(DISTINCT masked) AS n_distinct_masked
+        |FROM t GROUP BY event_type""".stripMargin,
   )
 }

@@ -82,4 +82,19 @@ class EventsSpec extends SparkSpec {
       ("1969-12-29", 0) -> 1L, ("1969-12-29", 2) -> 1L,
       ("1970-01-05", 0) -> 1L))
   }
+
+  test("gapFillDaily: missing days appear as zero rows flagged is_gap") {
+    import org.apache.spark.sql.functions._
+    // days 1, 1, 4 present -> spine 1..4, gaps at 2 and 3
+    val df = Seq(
+      ("2024-03-01 10:00:00", 5.0), ("2024-03-01 12:00:00", 7.0),
+      ("2024-03-04 01:00:00", 2.0))
+      .toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val got = Events.gapFillDaily(df, col("ts"), col("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getInt(2))).toList
+    assert(got === List(
+      ("2024-03-01", 12.0, 0), ("2024-03-02", 0.0, 1),
+      ("2024-03-03", 0.0, 1), ("2024-03-04", 2.0, 0)))
+  }
 }

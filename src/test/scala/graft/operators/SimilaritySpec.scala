@@ -60,4 +60,27 @@ class SimilaritySpec extends SparkSpec {
     val s2 = Similarity.srpNeardupPairs(emb, 64, 0.4).collect().toSet
     assert(s1 === s2)
   }
+
+  test("quantizeInt8: exact codes on a hand vector") {
+    import org.apache.spark.sql.functions._
+    // amax=2 -> scale=63.5; 2->127, -1->-63.5->rounds away from zero->-64,
+    // 0.5->31.75->32, 0->0
+    val df = Seq((1L, Seq(2.0f, -1.0f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df).select(col("qvec"), col("scale"),
+      col("recon_err")).collect().head
+    assert(r.getSeq[Int](0) === Seq(127, -64, 32, 0))
+    assert(r.getDouble(1) === 63.5)
+    val deq = Seq(127, -64, 32, 0).map(_ / 63.5)
+    val expectErr = math.sqrt(Seq(2.0, -1.0, 0.5, 0.0).zip(deq)
+      .map { case (x, d) => (x - d) * (x - d) }.sum)
+    assert(math.abs(r.getDouble(2) - expectErr) < 1e-12)
+  }
+
+  test("quantizeInt8: all-zero vector survives (scale falls back to 1)") {
+    val df = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df)
+      .select("qvec", "scale", "recon_err").collect().head
+    assert(r.getSeq[Int](0) === Seq(0, 0))
+    assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 0.0)
+  }
 }

@@ -104,4 +104,24 @@ class TextAnalysisSpec extends SparkSpec {
     // stopwords: the, and -> 2/4
     assert(r.getAs[Double]("stopword_ratio") === 0.5)
   }
+
+  test("maskPii: emails masked before digit runs, count matches") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "call 555-1234 or mail a1@ex.co now"))
+      .toDF("id", "text")
+      .select(TextAnalysis.maskPii(col("text")).as("m"),
+        TextAnalysis.piiSpanCount(col("text")).as("n"))
+    val r = df.collect().head
+    assert(r.getString(0) === "call <NUM>-<NUM> or mail <EMAIL> now")
+    assert(r.getInt(1) === 3) // 2 digit runs + 1 email
+  }
+
+  test("maskPii: text without PII passes through untouched") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "no secrets here")).toDF("id", "text")
+      .select(TextAnalysis.maskPii(col("text")).as("m"),
+        TextAnalysis.piiSpanCount(col("text")).as("n"))
+    val r = df.collect().head
+    assert(r.getString(0) === "no secrets here" && r.getInt(1) === 0)
+  }
 }

@@ -144,6 +144,30 @@ object ScaleProbe {
             "l_extendedprice", 0.05, 0.95, sketchAccuracy = Some(10000))
           .write.format("noop").mode("overwrite").save()
       }
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embN = amplify(emb, Seq("vec_id"), n * 16) // table is tiny (500)
+      time(s"kmeans_assign_${n}x") {
+        operators.Clustering.kMeansAssign(embN, k = 8, iters = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"quantize_int8_${n}x") {
+        operators.Similarity.quantizeInt8(embN)
+          .select("vec_id", "qvec", "recon_err")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"pii_mask_${n}x") {
+        evN.select(col("event_id"),
+            operators.TextAnalysis.maskPii(col("props")).as("m"),
+            operators.TextAnalysis.piiSpanCount(col("props")).as("ns"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"gapfill_${n}x") {
+        // amplified orders keep the same date span: the spine must stay
+        // calendar-sized while the daily agg sees n× the rows
+        operators.Events.gapFillDaily(ordN, col("o_orderdate"),
+            col("o_totalprice"))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -59,12 +59,19 @@ object Stats {
     // cache the 2-column projection so the source scans once
     val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .cache()
+    // ONE percentile aggregation for both bounds: per-quantile calls
+    // would each buffer every group value in their own aggregation
+    // state (the exact form's state is the whole group — duplicating
+    // it measured ~2x on the sf0.1 bench, same lesson as
+    // q_approx_percentile's fused sketch)
     val pctl = sketchAccuracy match {
-      case Some(acc) => (p: Double) => expr(s"approx_percentile(__v, $p, $acc)")
-      case None => (p: Double) => expr(s"percentile(__v, $p)")
+      case Some(acc) => expr(s"approx_percentile(__v, array($lo, $hi), $acc)")
+      case None => expr(s"percentile(__v, array($lo, $hi))")
     }
     val bounds = proj.groupBy(col(groupCol))
-      .agg(pctl(lo).as("p_lo"), pctl(hi).as("p_hi"))
+      .agg(pctl.as("__p"))
+      .select(col(groupCol), element_at(col("__p"), 1).as("p_lo"),
+        element_at(col("__p"), 2).as("p_hi"))
     proj.join(broadcast(bounds), Seq(groupCol))
       .select(col(groupCol),
         greatest(least(col("__v"), col("p_hi")), col("p_lo")).as("__w"))
@@ -106,18 +113,23 @@ object Stats {
     * cardinality itself is huge. */
   def keySkew(df: DataFrame, keyCol: String,
       sketchAccuracy: Option[Int] = None): DataFrame = {
+    // one fused percentile agg for p50+p99 (see winsorizedStats: the
+    // exact form's state is the whole input — don't buffer it twice)
     val pctl = sketchAccuracy match {
-      case Some(acc) => (p: Double) => expr(s"approx_percentile(c, $p, $acc)")
-      case None => (p: Double) => expr(s"percentile(c, $p)")
+      case Some(acc) => expr(s"approx_percentile(c, array(0.5, 0.99), $acc)")
+      case None => expr("percentile(c, array(0.5, 0.99))")
     }
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
     counts.agg(
       count(lit(1)).as("n_keys"),
       min(col("c")).as("min_freq"),
-      pctl(0.5).as("p50_freq"),
-      pctl(0.99).as("p99_freq"),
+      pctl.as("__p"),
       max(col("c")).as("max_freq"),
       round(max(col("c")) / avg(col("c")), 6).as("skew_ratio"))
+      .select(col("n_keys"), col("min_freq"),
+        element_at(col("__p"), 1).as("p50_freq"),
+        element_at(col("__p"), 2).as("p99_freq"),
+        col("max_freq"), col("skew_ratio"))
   }
 
   /** Robust (median/MAD) outliers: rows where

@@ -58,6 +58,8 @@ object Clustering {
       df.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {
         case (r, i) => (i, r.getSeq[Double](1).map(round6))
       }
+    if (centroids.isEmpty) // empty corpus: empty result, correct schema
+      return df.select(col("vec_id"), lit(0).as("cluster"), lit(0.0).as("dist"))
 
     def assigned: DataFrame = {
       val scored = array(centroids.map { case (cid, c) =>

@@ -97,6 +97,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Events.activityStreaks(emptyEv).count() === 0)
   }
 
+  test("round-3 batch-2 operators on empty input") {
+    assert(Clustering.kMeansAssign(emptyEmb, k = 4, iters = 2).count() === 0)
+    assert(Similarity.quantizeInt8(emptyEmb).count() === 0)
+    assert(emptyDocs.select(TextAnalysis.maskPii(col("text")),
+      TextAnalysis.piiSpanCount(col("text"))).count() === 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+    // empty input -> null min/max -> null sequence -> empty spine
+    assert(Events.gapFillDaily(emptyEv, col("ts"), col("value")).count() === 0)
+  }
+
   test("single-row inputs produce no pairs but survive") {
     val one = Seq((1L, "only one document here", "en", "s")).toDF("doc_id", "text", "lang", "source")
     assert(Dedup.ngramJaccardPairsPrefix(one, "doc_id", "text", 3, 0.8).count() === 0)

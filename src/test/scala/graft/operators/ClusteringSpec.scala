@@ -42,6 +42,14 @@ class ClusteringSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("kMeansAssign: assignment plan is shuffle-free (argmin over broadcast literals)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plan = Clustering.kMeansAssign(emb, k = 4, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle:\n$plan")
+  }
+
   test("kMeansAssign: argmin tie breaks toward the lower cluster id") {
     // point 2 exactly equidistant from both seeds
     val df = emb(0L -> Seq(0.0, 0.0), 1L -> Seq(2.0, 0.0), 2L -> Seq(1.0, 0.0))

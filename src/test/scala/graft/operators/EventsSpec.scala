@@ -83,6 +83,15 @@ class EventsSpec extends SparkSpec {
       ("1970-01-05", 0) -> 1L))
   }
 
+  test("gapFillDaily: daily agg is partial+final, spine join broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val plan = Events.gapFillDaily(ord, col("o_orderdate"), col("o_totalprice"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"daily agg must map-side combine:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"spine join must broadcast:\n$plan")
+  }
+
   test("gapFillDaily: missing days appear as zero rows flagged is_gap") {
     import org.apache.spark.sql.functions._
     // days 1, 1, 4 present -> spine 1..4, gaps at 2 and 3

@@ -76,6 +76,12 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - expectErr) < 1e-12)
   }
 
+  test("quantizeInt8: plan is a shuffle-free projection") {
+    val plan = Similarity.quantizeInt8(emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantize must not shuffle:\n$plan")
+  }
+
   test("quantizeInt8: all-zero vector survives (scale falls back to 1)") {
     val df = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
     val r = Similarity.quantizeInt8(df)

@@ -60,7 +60,89 @@ object SimilarityQueries {
     },
   )
 
+  /** DuckDB replay of [[Similarity.srpNeardupPairs]]: the seeded
+    * hyperplanes are regenerated here (java.util.Random's sequence is
+    * spec-fixed) and embedded as literals; signatures via nested
+    * lambdas; candidates = pairs sharing ALL bits of some band
+    * (expressed as slice equality — the semantic form of the engine's
+    * murmur3 band-key equi-join); exact-cosine verify as in the exact
+    * oracle. Converts the LSH scale path from rows-only to a full
+    * hash-compare. */
+  private def srpLshOracle(nBits: Int, bands: Int, dim: Int,
+      threshold: Double, seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planesSql = planes.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",\n", "]")
+    val r = nBits / bands
+    val bandCond = (0 until bands).map { bi =>
+      val lo = bi * r + 1
+      s"a.s[$lo:${lo + r - 1}] = b.s[$lo:${lo + r - 1}]"
+    }.mkString("(", "\n    OR ", ")")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |pl AS (SELECT $planesSql AS planes),
+       |sig AS (
+       |  SELECT vec_id, list_transform(range(1, ${nBits + 1}), p ->
+       |    CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |                 i -> e[i] * planes[p][i])) >= 0
+       |         THEN 1 ELSE 0 END) AS s
+       |  FROM emb CROSS JOIN pl),
+       |cand AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND $bandCond),
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |    list_sum(list_transform(range(1, ${dim + 1}), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM cand c JOIN emb ea ON c.a = ea.vec_id
+       |              JOIN emb eb ON c.b = eb.vec_id)
+       |SELECT a, b, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_embedding_neardup_lsh" ->
+      srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
+    // DuckDB replay of Similarity.ivfTopK: centroids are the 16
+    // lowest-id vectors (deterministic), assignment/probing = argmax
+    // raw dot with ties toward the HIGHER cell (matching the engine's
+    // reverse(array_sort(struct(d, cell))) ordering), then exact-cosine
+    // ranking inside the probed cells only.
+    "q_ann_ivf_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+        |  FROM emb ORDER BY vec_id LIMIT 16),
+        |dots AS (
+        |  SELECT m.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65), i -> m.e[i] * c.c[i])) AS d
+        |  FROM emb m CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb eq ON eq.vec_id = p.query_id
+        |  JOIN emb en ON en.vec_id = a.vec_id)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     "q_vector_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,

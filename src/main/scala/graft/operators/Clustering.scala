@@ -39,17 +39,34 @@ object Clustering {
     aggregate(zip_with(e, typedlit(c), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Assign every vector to its nearest of `k` centroids after `iters`
-    * Lloyd rounds (iters assignment passes, iters-1 update passes).
-    * Returns (vec_id, cluster, dist) with dist = euclidean distance to
-    * the final centroid, rounded to 4 decimals.
-    */
-  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
+  /** The per-row argmin projection over a fixed centroid set — k
+    * distances per row as broadcast literals, no row multiplication, no
+    * shuffle; ties break toward the lower cid via struct ordering.
+    * Stateless, so it applies unchanged to a STREAMING DataFrame
+    * (see graft.streaming.StreamingOps.assignToCentroids). */
+  def assign(df: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "assign needs at least one centroid")
+    val scored = array(centroids.map { case (cid, c) =>
+      struct(sqrt(sqDist(col(vecCol).cast("array<double>"), c)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    df.select(col(idCol).as("vec_id"), array_min(scored).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        round(col("best.d"), 4).as("dist"))
+  }
+
+  /** Run the Lloyd loop and return the final centroid set — the model a
+    * pipeline trains once in batch and then applies to batches or
+    * streams via [[assign]]. `iters` rounds = iters-1 update passes
+    * (the iters-th assignment is whatever the caller does with the
+    * result). Returns an empty seq on an empty corpus. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val df = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("e"))
-      .cache() // scanned 2·iters-1 times; safe to drop (lineage rebuilds)
+      .cache() // scanned iters times; safe to drop (lineage rebuilds)
 
     // deterministic seed: the k lowest-id vectors (TakeOrdered — only k
     // rows reach the driver). kmeans|| is the scale-up init; for a
@@ -58,24 +75,16 @@ object Clustering {
       df.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {
         case (r, i) => (i, r.getSeq[Double](1).map(round6))
       }
-    if (centroids.isEmpty) // empty corpus: empty result, correct schema
-      return df.select(col("vec_id"), lit(0).as("cluster"), lit(0.0).as("dist"))
 
-    def assigned: DataFrame = {
-      val scored = array(centroids.map { case (cid, c) =>
-        struct(sqrt(sqDist(col("e"), c)).as("d"), lit(cid).as("cid"))
-      }: _*)
-      // argmin inline via struct array_min — k distances per row, no
-      // row multiplication, no shuffle; ties -> lower cid
-      df.withColumn("best", array_min(scored))
-    }
-
-    for (_ <- 1 until iters) {
+    for (_ <- 1 until iters if centroids.nonEmpty) {
       // per-dimension mean per cluster: k·dim rows after map-side
       // combine; collected to the driver as the next centroid set.
       // A cluster that loses all members simply disappears (both
       // engines drop it identically).
-      val upd = assigned
+      val scored = array(centroids.map { case (cid, c) =>
+        struct(sqrt(sqDist(col("e"), c)).as("d"), lit(cid).as("cid"))
+      }: _*)
+      val upd = df.withColumn("best", array_min(scored))
         .select(col("best.cid").as("cid"), posexplode(col("e")).as(Seq("i", "v")))
         .groupBy(col("cid"), col("i"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -85,8 +94,20 @@ object Clustering {
           .map(r => round6(r.getDouble(2) / r.getLong(3))).toSeq)
       }.toSeq.sortBy(_._1)
     }
+    centroids
+  }
 
-    assigned.select(col("vec_id"), col("best.cid").as("cluster"),
-      round(col("best.d"), 4).as("dist"))
+  /** Assign every vector to its nearest of `k` centroids after `iters`
+    * Lloyd rounds ([[trainCentroids]] + one [[assign]] pass). Returns
+    * (vec_id, cluster, dist) with dist = euclidean distance to the
+    * final centroid, rounded to 4 decimals.
+    */
+  def kMeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(emb, k, iters, idCol, vecCol)
+    if (centroids.isEmpty) // empty corpus: empty result, correct schema
+      return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster"),
+        lit(0.0).as("dist"))
+    assign(emb, centroids, idCol, vecCol)
   }
 }

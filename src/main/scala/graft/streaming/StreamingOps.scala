@@ -70,6 +70,19 @@ object StreamingOps {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Streaming k-means assignment: route each arriving embedding to its
+    * nearest centroid from a batch-trained model
+    * (graft.operators.Clustering.trainCentroids). The argmin projection
+    * is STATELESS (centroids ride along as broadcast literals), so it
+    * needs no watermark and adds no state store — the standard
+    * train-offline / score-online split, and the same expression the
+    * batch path uses, so stream and batch assignments agree exactly
+    * (StreamingSpec pins this). */
+  def assignToCentroids(stream: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.operators.Clustering.assign(stream, centroids, idCol, vecCol)
+
   /** Streaming exact dedup: drop repeated event_ids, keeping state only
     * within the watermark horizon — the unbounded-stream form of
     * graft.operators.Dedup.exact (state is bounded; an id recurring

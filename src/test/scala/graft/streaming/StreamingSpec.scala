@@ -264,4 +264,28 @@ class StreamingSpec extends SparkSpec {
         s"append-mode sessions $emitted != batch sessions $batchSessions")
     } finally q.stop()
   }
+
+  test("streaming k-means assignment == batch assignment (stateless scoring)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = graft.operators.Clustering
+      .trainCentroids(emb, k = 8, iters = 2)
+    // stage the embeddings as a file stream
+    val tmp = Files.createTempDirectory("graft_emb_stream").toFile
+    tmp.deleteOnExit()
+    emb.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.assignToCentroids(stream, centroids)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("km_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("km_out").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val batch = graft.operators.Clustering.kMeansAssign(emb, k = 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(streamed === batch)
+      assert(streamed.size === 500)
+    } finally q.stop()
+  }
 }

@@ -255,6 +255,53 @@ object TextAnalysis {
   def wordNgrams(c: Column, n: Int): Column =
     ngramsFromTokens(tokens(c), n)
 
+  /** Sliding-window token chunks with overlap — the pretraining/RAG
+    * chunker: chunk i covers tokens [i·stride, i·stride + chunkSize).
+    * The last chunk is partial; docs whose token count <= chunkSize
+    * yield exactly one chunk; empty docs yield none. One explode over a
+    * per-row computed chunk count — no shuffle, no self-join; output
+    * volume is ~n_tokens/stride rows per doc, the minimum possible. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val nChunksMinus1 =
+      when(col("__n") <= chunkSize, lit(0))
+        .otherwise(ceil((col("__n") - chunkSize) / lit(stride.toDouble)))
+        .cast("int")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunksMinus1)))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("chunk_id") * stride)
+          .cast("bigint").as("n_tokens"))
+  }
+
+  /** Vocabulary coverage: build the top-`topN` corpus vocabulary
+    * (count desc, word asc — deterministic at ties) and report each
+    * doc's out-of-vocabulary token count/rate — the tokenizer-coverage
+    * audit run before committing to a vocab size. The vocab is
+    * bounded (topN rows) and broadcast; the corpus side is one explode
+    * + one map-side-combined aggregation per pass. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(topN)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   // ---- PII scrubbing ----
   // Pattern subset chosen to be semantics-identical between Java regex
   // (Spark) and RE2 (DuckDB oracle): character classes, +/{m,}, \b.

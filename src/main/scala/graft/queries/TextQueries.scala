@@ -69,6 +69,16 @@ object TextQueries {
       TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
         "source", capacity = 512L)
     },
+    // sliding-window chunker: 64-token chunks, stride 32 (50% overlap)
+    "q_chunk_documents" -> { (s, dir) =>
+      TextAnalysis.chunkDocuments(table(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 32)
+    },
+    // vocabulary-coverage audit: top-20 corpus vocab, per-doc OOV rate
+    "q_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(table(s, dir, "documents"),
+        "doc_id", "text", topN = 20)
+    },
     // PII scrub audit over the one table with digit-bearing payloads
     // (events.props JSON) — per-type redaction counts + masked shape
     "q_pii_mask" -> { (s, dir) =>
@@ -202,6 +212,37 @@ object TextQueries {
         |  floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
         |         - n_tokens) / 512.0)::INTEGER AS chunk_id
         |FROM t""".stripMargin,
+    "q_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, nt,
+        |    unnest(range(0, (CASE WHEN nt <= 64 THEN 0
+        |                          ELSE CAST(ceil((nt - 64) / 32.0) AS INT)
+        |                     END) + 1)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+        |  array_to_string(toks[chunk_id*32+1 : chunk_id*32+64], ' ') AS chunk_text,
+        |  LEAST(64, nt - chunk_id*32)::BIGINT AS n_tokens
+        |FROM c""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |v AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(1) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, w LIMIT 20)),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, count(1)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+        |  round(sum(oov) / count(1)::DOUBLE, 6) AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q_pii_mask" ->
       """WITH t AS (
         |  SELECT event_type,

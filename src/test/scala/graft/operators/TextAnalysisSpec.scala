@@ -105,6 +105,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") === 0.5)
   }
 
+  test("chunkDocuments: overlap, partial tail, and short-doc cases") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b c d e"), // 5 tokens, size 3 stride 2 -> [a b c], [c d e]
+      (2L, "x y"),       // <= size -> one chunk
+      (3L, "p q r s"))   // 4 tokens -> [p q r], [r s] (partial tail)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0, "a b c", 3L), (1L, 1, "c d e", 3L),
+      (2L, 0, "x y", 2L),
+      (3L, 0, "p q r", 3L), (3L, 1, "r s", 2L)))
+  }
+
+  test("vocabCoverage: OOV rate against a hand-computed vocab") {
+    // corpus counts: a=3, b=2, c=1 -> top-2 vocab {a, b}; c is OOV
+    val df = Seq((1L, "a a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(1L -> (4L, 1L, 0.25), 2L -> (2L, 0L, 0.0)))
+  }
+
   test("maskPii: emails masked before digit runs, count matches") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "call 555-1234 or mail a1@ex.co now"))

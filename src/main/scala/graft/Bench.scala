@@ -64,7 +64,8 @@ object Bench {
       "q_market_share", "q_topk_per_group_agg", "q_window_running",
       "q_sessionize", "q_asof_join", "q_dedup_clusters",
       "q_neardup_minhash_lsh", "q_ann_bruteforce_topk", "q_tfidf",
-      "q_pagerank_nations", "mr_wordcount",
+      "q_pagerank_nations", "mr_wordcount", "q_kmeans_assign",
+      "q_chunk_documents",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
     try java.nio.file.Files.writeString(

@@ -108,6 +108,10 @@ class EdgeCasesSpec extends SparkSpec {
         StructField("value", DoubleType))))
     // empty input -> null min/max -> null sequence -> empty spine
     assert(Events.gapFillDaily(emptyEv, col("ts"), col("value")).count() === 0)
+    assert(TextAnalysis.chunkDocuments(emptyDocs, "doc_id", "text", 8, 4)
+      .count() === 0)
+    assert(TextAnalysis.vocabCoverage(emptyDocs, "doc_id", "text", 10)
+      .count() === 0)
   }
 
   test("single-row inputs produce no pairs but survive") {

@@ -121,6 +121,31 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0, "p q r", 3L), (3L, 1, "r s", 2L)))
   }
 
+  test("chunkDocuments: stride == chunkSize reassembles the doc losslessly") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val re = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 16, 16)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text")).as("rejoined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", TextAnalysis.tokens(col("text"))).as("norm"))
+    val diff = re.join(orig, "doc_id")
+      .filter(col("rejoined") =!= col("norm")).count()
+    assert(diff === 0)
+  }
+
+  test("chunkDocuments: token counts per doc sum correctly with overlap") {
+    import org.apache.spark.sql.functions._
+    // overlap (stride < size) double-counts interior tokens by design;
+    // per-chunk n_tokens must equal the chunk's own token count
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val bad = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 64, 32)
+      .filter(size(TextAnalysis.tokens(col("chunk_text"))) =!= col("n_tokens"))
+      .count()
+    assert(bad === 0)
+  }
+
   test("vocabCoverage: OOV rate against a hand-computed vocab") {
     // corpus counts: a=3, b=2, c=1 -> top-2 vocab {a, b}; c is OOV
     val df = Seq((1L, "a a b c"), (2L, "a b")).toDF("doc_id", "text")

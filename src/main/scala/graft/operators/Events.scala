@@ -233,6 +233,26 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Recency-weighted (exponential-decay) aggregation: per key,
+    * `sum(value · 2^(-(t_max - ts)/halfLife))` — the standard
+    * freshness-weighted engagement/feature score. The anchor `t_max` is
+    * a one-row aggregate broadcast back, so the whole operator is one
+    * bounded broadcast + one map-side-combined keyed aggregation; the
+    * weight is computed per row in codegen, never via a window or
+    * self-join. */
+  def decayedSum(events: DataFrame, keyCol: Column, tsCol: Column,
+      valCol: Column, halfLifeHours: Double): DataFrame = {
+    require(halfLifeHours > 0, "halfLifeHours must be positive")
+    val anchor = events.agg(max(tsCol).as("__tmax"))
+    events.select(keyCol.as("k"), tsCol.as("__ts"), valCol.as("__v"))
+      .crossJoin(broadcast(anchor))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v") * pow(lit(2.0),
+          -(unix_micros(col("__tmax")) - unix_micros(col("__ts"))).cast("double")
+            / lit(halfLifeHours * 3600.0 * 1e6))).as("decayed_sum"))
+  }
+
   /** Calendar gap-fill: aggregate to a daily grain, then left-join a
     * dense date spine (min..max day via `sequence`) so missing days
     * appear as explicit zero rows with `is_gap = 1` — the resample step

@@ -87,6 +87,25 @@ object Sampling {
       .withColumnRenamed("__rk", "sample_rank")
   }
 
+  /** Class-parity downsampling: every label keeps exactly as many rows
+    * as the RAREST label, chosen as the lowest-md5 members (the
+    * [[bottomKPerGroup]] order) — the classifier-training balance step.
+    * The per-label quota is derived from the data in the same plan (a
+    * label-cardinality aggregate broadcast back), so the operator is a
+    * single label-keyed shuffle plus a bounded broadcast — no driver
+    * round-trip, no second scan. Deterministic: membership is a pure
+    * function of the keys, stable across engines and partitionings. */
+  def balanceLabels(df: DataFrame, labelCol: Column, key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCol).orderBy(md5(key.cast("string").cast("binary")).asc, key.asc)
+    val minN = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__mn"))
+    df.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("__rk") <= col("__mn"))
+      .drop("__rk", "__mn")
+  }
+
   /** Token-budget mix rebalancing: sample every stratum down (by
     * content hash, in 256ths) so no stratum contributes more than
     * ~the smallest stratum's token total — the equal-share data-mix

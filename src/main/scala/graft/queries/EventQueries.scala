@@ -65,6 +65,13 @@ object EventQueries {
         isLeft = col("event_type") === "purchase",
         isRight = col("event_type") === "view")
     },
+    // recency-weighted engagement score per user (7-day half-life)
+    "q_decayed_engagement" -> { (s, dir) =>
+      Events.decayedSum(Sources.events(s, dir), col("user_id"),
+          col("ts"), col("value"), halfLifeHours = 168.0)
+        .select(col("k").as("user_id"), col("n"),
+          round(col("decayed_sum"), 6).as("decayed_sum"))
+    },
     // calendar gap-fill + 7-day moving average over daily order revenue;
     // the window runs over the bounded date spine (see gapFillDaily's
     // scaladoc), so the single partition is fine at any corpus scale
@@ -79,6 +86,14 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |m AS (SELECT max(ts) AS tmax FROM e)
+        |SELECT user_id, count(1)::BIGINT AS n,
+        |  round(sum(value * pow(2.0,
+        |    -(epoch_us(tmax) - epoch_us(ts)) / (168.0 * 3600.0 * 1e6))), 6)
+        |    AS decayed_sum
+        |FROM e CROSS JOIN m GROUP BY user_id""".stripMargin,
     "q_ts_gapfill" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS v

@@ -93,6 +93,16 @@ object Extras {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
     },
 
+    // class-parity downsample: every label kept at the rarest label's
+    // cardinality; summarized as per-label count + id-sum (membership
+    // is deterministic, so the sum pins WHICH rows survived)
+    "q_label_balance" -> { (s, dir) =>
+      Sampling.balanceLabels(table(s, dir, "embeddings"),
+          col("label"), col("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_ids"))
+    },
+
     // pivot: event counts per user across the 5 known event types
     "q_pivot" -> { (s, dir) =>
       graft.sources.Sources.events(s, dir)
@@ -398,6 +408,16 @@ object Extras {
         |  FROM documents)
         |SELECT lang, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id, source
         |FROM r WHERE sample_rank <= 5""".stripMargin,
+    "q_label_balance" ->
+      """WITH c AS (SELECT label, count(1) AS n FROM embeddings GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (
+        |  SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT label, count(1)::BIGINT AS n, sum(vec_id)::BIGINT AS sum_ids
+        |FROM r CROSS JOIN m WHERE rn <= mn GROUP BY label""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

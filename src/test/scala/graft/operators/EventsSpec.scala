@@ -83,6 +83,21 @@ class EventsSpec extends SparkSpec {
       ("1970-01-05", 0) -> 1L))
   }
 
+  test("decayedSum: weights halve per half-life from the newest event") {
+    import org.apache.spark.sql.functions._
+    // user 1: value 8 at t_max, value 8 one half-life earlier -> 8 + 4
+    // user 2: value 2 two half-lives before t_max -> 0.5
+    val hlUs = 3600L * 1000000L // 1 hour in micros
+    val df = Seq(
+      (1L, 2L * hlUs, 8.0), (1L, 1L * hlUs, 8.0), (2L, 0L, 2.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Events.decayedSum(df, col("user_id"), col("ts"), col("value"),
+        halfLifeHours = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(1L -> (2L, 12.0), 2L -> (1L, 0.5)))
+  }
+
   test("gapFillDaily: daily agg is partial+final, spine join broadcasts") {
     import org.apache.spark.sql.functions.col
     val ord = spark.read.parquet(s"$sf0001/orders.parquet")

@@ -85,6 +85,20 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("balanceLabels: every label downsamples to the rarest's count") {
+    // labels: a x5, b x2, c x9 -> all keep exactly 2
+    val df = ((1L to 5L).map((_, "a")) ++ (6L to 7L).map((_, "b")) ++
+      (8L to 16L).map((_, "c"))).toDF("id", "lbl")
+    val out = Sampling.balanceLabels(df, col("lbl"), col("id"))
+    val sizes = out.groupBy("lbl").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // membership is a pure function of the keys
+    val a = out.select("lbl", "id").as[(String, Long)].collect().toSet
+    val b = Sampling.balanceLabels(df.repartition(7), col("lbl"), col("id"))
+      .select("lbl", "id").as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("activityStreaks: islands split on gaps, duplicate days collapse") {
     val df = ev(
       (1L, 0L, "a"), (1L, 1L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), // 0-2: streak 3

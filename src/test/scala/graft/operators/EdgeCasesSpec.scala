@@ -112,6 +112,14 @@ class EdgeCasesSpec extends SparkSpec {
       .count() === 0)
     assert(TextAnalysis.vocabCoverage(emptyDocs, "doc_id", "text", 10)
       .count() === 0)
+    assert(Sampling.balanceLabels(emptyDocs, col("lang"), col("doc_id"))
+      .count() === 0)
+    val emptyTsv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType))))
+    assert(Events.decayedSum(emptyTsv, col("user_id"), col("ts"),
+      col("value"), 1.0).count() === 0)
   }
 
   test("single-row inputs produce no pairs but survive") {

@@ -53,6 +53,8 @@ class Round3PlanSpec extends SparkSpec {
       "q_above_nation_avg",  // broadcast 1-row global average
       "q_correlated_subquery",
       "q_unigram_logprob",   // broadcast 1-row corpus token total
+      "q_label_balance",     // broadcast 1-row minority-class count
+      "q_decayed_engagement",// broadcast 1-row reference timestamp
       // exact all-pairs ORACLE BASELINES — documented as such; the
       // scale paths are the LSH/IVF variants (SCALE.md "Known tradeoffs")
       "q_ann_bruteforce_topk",

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *    key (shingle, LSH band, simhash block) — never an O(n²) cross
   *    product;
   *  - shingling/hashing is one codegen'd pass (higher-order array
-  *    functions + xxhash64), no UDFs;
+  *    functions + md5-derived portable hashes), no UDFs;
   *  - candidate verification is bounded by bucket size; ultra-frequent
   *    shingles can be capped (`maxShingleFreq`) to stop the classic
   *    stopword-shingle join blowup — the frequency cap is itself a
@@ -411,8 +411,8 @@ object Dedup {
     * universal-hash family over its shingle set — one shuffle
     * (groupBy id), all k minima in a single buffer pass via the native
     * [[graft.functions.MinHashAgg]] TypedImperativeAggregate (the
-    * composed k-column min() form evaluates k full xxhash64 per row
-    * and falls out of whole-stage codegen at k=128). */
+    * composed k-column min() form evaluates k full hash expressions per
+    * row and falls out of whole-stage codegen at k=128). */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(sh.sparkSession)
     sh.groupBy("id")
@@ -420,15 +420,22 @@ object Dedup {
   }
 
   /** MinHash + LSH banding near-dup: candidate pairs share at least one
-    * of `bands` band-hashes (r = numHashes/bands rows per band), then
+    * of `bands` band keys (r = numHashes/bands rows per band), then
     * are verified by estimated Jaccard (signature agreement fraction).
     *
     * For a pair at true Jaccard j, P[missed] = (1 - j^r)^bands — with
     * the defaults (128/32 → r=4), a j=0.9 pair is missed with
     * probability ~2e-6. Deterministic given the fixed signature scheme:
-    * one xxhash64 (seed 42) per shingle, k minima derived with
-    * [[graft.functions.MinHashAgg]]'s fixed multiply-add coefficients —
-    * identical across JVMs, partitionings, and reruns.
+    * one md5-derived base hash per shingle, k minima derived with
+    * [[graft.functions.MinHashAgg]]'s fixed mod-P multiply-add family —
+    * identical across JVMs, partitionings, and reruns, and replayable
+    * in ANY engine with md5 + 64-bit integer arithmetic (the DuckDB
+    * oracle regenerates the signatures exactly).
+    *
+    * Band keys are the concatenated slice VALUES (not a murmur3 hash of
+    * them): collision-free by construction, so the candidate set equals
+    * slice equality exactly — what the oracle expresses — and at k=128
+    * the string key is still ~40 bytes, irrelevant next to the shuffle.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
@@ -437,7 +444,8 @@ object Dedup {
     val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes).cache()
     val banded = sigs.select(col("id"), posexplode(
       array((0 until bands).map(bi =>
-        hash(lit(bi) +: (0 until r).map(j => element_at(col("sig"), bi * r + j + 1)): _*)): _*))
+        concat_ws(":", (0 until r).map(j =>
+          element_at(col("sig"), bi * r + j + 1).cast("string")): _*)): _*))
       .as(Seq("band", "band_key")))
     val cands = banded.select(col("id").as("a"), col("band"), col("band_key"))
       .join(banded.select(col("id").as("b"), col("band"), col("band_key")),
@@ -455,34 +463,47 @@ object Dedup {
       .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over shingle hashes: bit j of the signature is the
-    * majority vote of bit j across all shingle xxhash64 values. One
-    * groupBy(id) with 64 conditional-sum aggregates — a single pass. */
+  /** Number of SimHash signature bits: 60, not 64, because the
+    * engine-portable base hash is the first 15 hex chars of md5
+    * (`('0x' || substring(md5(s), 1, 15))::BIGINT` in SQL — 16 chars
+    * would overflow a signed BIGINT cast on high values). */
+  val SimHashBits = 60
+
+  /** 60-bit md5-derived shingle hash — portable: any engine with md5
+    * computes the identical value (same trick as
+    * [[Sampling.hashUniform]]), which is what makes the SimHash oracle
+    * a full hash-compare instead of rows-only. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over shingle hashes: bit j of the signature is the
+    * majority vote of bit j across all shingle md5-derived hashes. One
+    * groupBy(id) with 60 conditional-sum aggregates — a single pass. */
   def simHashSignatures(sh: DataFrame): DataFrame = {
-    val h = xxhash64(col("shingle"))
-    val aggs = (0 until 64).map { j =>
+    val h = md5Hash60(col("shingle"))
+    val aggs = (0 until SimHashBits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        (0 until 64).map(j =>
+        (0 until SimHashBits).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** SimHash near-dup: pairs with hamming distance <= maxHamming.
-    * Pigeonhole banding: split 64 bits into (maxHamming+1) blocks — any
-    * pair within distance d shares at least one exact block, so the
+    * Pigeonhole banding: split the 60 bits into (maxHamming+1) blocks —
+    * any pair within distance d shares at least one exact block, so the
     * candidate join is an equi-join on (block index, block value). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
-    val width = 64 / blocks
+    val width = SimHashBits / blocks
     val sigs = simHashSignatures(shingles(df, idCol, textCol, n)).cache()
     val banded = sigs.select(col("id"), col("simhash"), posexplode(
       array((0 until blocks).map { bi =>
         val lo = bi * width
-        val w = if (bi == blocks - 1) 64 - lo else width
+        val w = if (bi == blocks - 1) SimHashBits - lo else width
         // unsigned shift: extract bits [lo, lo+w)
         shiftrightunsigned(col("simhash"), lo)
           .bitwiseAND(if (w >= 64) -1L else (1L << w) - 1)

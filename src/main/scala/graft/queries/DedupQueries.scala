@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.sources.Sources.table
 
-/** Dedup queries over `documents`. Exact dedup and the exact n-gram
-  * Jaccard similarity join are DuckDB-oracled; MinHash-LSH and SimHash
-  * use non-SQL-portable hash functions (xxhash64/murmur3) so they get
-  * rows-only driver checks + ScalaTest verification against the exact
-  * Jaccard result (DedupSpec).
+/** Dedup queries over `documents`. ALL paths are DuckDB-oracled,
+  * including MinHash-LSH and SimHash: their hash families are derived
+  * from md5 (the engine-portable primitive — see
+  * [[graft.functions.MinHashAgg]] / [[graft.operators.Dedup.md5Hash60]]),
+  * so the oracle regenerates the exact signatures and the driver gets a
+  * full rows/schema/hash compare, not a rows-only check.
   */
 object DedupQueries {
 
@@ -108,6 +109,80 @@ object DedupQueries {
     },
   )
 
+  /** The word-3-gram shingle CTEs shared by every dedup oracle:
+    * `t(doc_id, sh)` = distinct shingle list, `e(doc_id, s)` exploded. */
+  private val shingleCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |        FROM documents)),
+      |e AS (SELECT doc_id, unnest(sh) AS s FROM t)""".stripMargin
+
+  /** DuckDB replay of [[Dedup.minHashLshPairs]]: identical signatures
+    * (same md5 base hash, same mod-P coefficients embedded as literals),
+    * banding as OR'd aligned slice equality (the semantic form of the
+    * engine's concatenated-band-key equi-join), then the same
+    * signature-agreement verify. */
+  private def minHashLshOracle(k: Int, bands: Int, threshold: Double): String = {
+    import graft.functions.MinHashAgg
+    val p = MinHashAgg.P
+    val r = k / bands
+    val bandCond = (0 until bands).map { bi =>
+      val lo = bi * r + 1
+      s"sa.sig[$lo:${lo + r - 1}] = sb.sig[$lo:${lo + r - 1}]"
+    }.mkString("(", "\n      OR ", ")")
+    s"""WITH $shingleCtes,
+       |hb AS (SELECT doc_id,
+       |         ('0x' || substring(md5(s), 1, 15))::BIGINT % $p AS hm
+       |       FROM e),
+       |co AS (SELECT ${MinHashAgg.coeffsSqlA(k)} AS ca,
+       |              ${MinHashAgg.coeffsSqlB(k)} AS cb),
+       |sr AS (
+       |  SELECT doc_id, r.i, min((co.ca[r.i + 1] * hm + co.cb[r.i + 1]) % $p) AS v
+       |  FROM hb CROSS JOIN co
+       |       CROSS JOIN (SELECT unnest(range(0, $k)) AS i) r
+       |  GROUP BY doc_id, r.i),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sr GROUP BY doc_id),
+       |cand AS (
+       |  SELECT sa.doc_id AS a, sb.doc_id AS b
+       |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND $bandCond),
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(range(1, ${k + 1}),
+       |      i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $k AS est
+       |  FROM cand c
+       |  JOIN sig sa ON c.a = sa.doc_id
+       |  JOIN sig sb ON c.b = sb.doc_id)
+       |SELECT a, b, round(est, 6) AS est_jaccard FROM scored
+       |WHERE est >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of [[Dedup.simHashPairs]]: same 60-bit md5 base
+    * hash, same majority-vote signature; pairs brute-forced (the
+    * engine's pigeonhole banding is lossless, so brute force over the
+    * signatures IS its semantic). */
+  private def simHashOracle(maxHamming: Int): String = {
+    val bits = graft.operators.Dedup.SimHashBits
+    s"""WITH $shingleCtes,
+       |h AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS hb
+       |      FROM e),
+       |bits AS (
+       |  SELECT doc_id, r.j,
+       |    CASE WHEN sum(CASE WHEN (hb >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) r
+       |  GROUP BY doc_id, r.j),
+       |sig AS (SELECT doc_id, sum(bit << j)::BIGINT AS simhash
+       |        FROM bits GROUP BY doc_id)
+       |SELECT sa.doc_id AS a, sb.doc_id AS b,
+       |  bit_count(xor(sa.simhash, sb.simhash))::INTEGER AS hamming
+       |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming""".stripMargin
+  }
+
   private val anyStopword: String =
     (graft.operators.TextAnalysis.StopwordsEn ++
       graft.operators.TextAnalysis.StopwordsDe ++
@@ -116,6 +191,9 @@ object DedupQueries {
       .distinct.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_neardup_minhash_lsh" ->
+      minHashLshOracle(k = 128, bands = 32, threshold = 0.8),
+    "q_neardup_simhash" -> simHashOracle(maxHamming = 8),
     "q_upsert_latest" ->
       """WITH snap AS (
         |  SELECT doc_id, text, lang, source, n_chars, 1 AS version

@@ -19,7 +19,7 @@ object AggregateProps extends Properties("AggregateBuffers") {
     hashes.foreach { h =>
       var i = 0
       while (i < 16) {
-        val x = MinHashAgg.A(i) * h + MinHashAgg.B(i)
+        val x = MinHashAgg.derive(h, i)
         if (x < b(i)) b(i) = x
         i += 1
       }

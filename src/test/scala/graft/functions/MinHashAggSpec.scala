@@ -1,25 +1,40 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import graft.SparkSpec
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 class MinHashAggSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Independent md5 base-hash reference: first 15 hex chars of the
+    * digest, parsed from the hex STRING (the aggregate derives the same
+    * value arithmetically from the digest bytes). */
+  private def base(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % MinHashAgg.P
+  }
+
   private def reference(values: Seq[String], k: Int): Seq[Long] = {
     val buf = Array.fill(k)(Long.MaxValue)
     values.foreach { s =>
-      val h = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+      val h = base(s)
       var i = 0
       while (i < k) {
-        val x = MinHashAgg.A(i) * h + MinHashAgg.B(i)
+        val x = MinHashAgg.derive(h, i)
         if (x < buf(i)) buf(i) = x
         i += 1
       }
     }
     buf.toSeq
+  }
+
+  test("baseMod matches the hex-string parse of md5 (the SQL-oracle form)") {
+    for (s <- Seq("", "a", "shingle 1", "x y z", "ünïcode £"))
+      assert(MinHashAgg.baseMod(UTF8String.fromString(s)) === base(s), s)
   }
 
   test("signatures match the driver-side reference, any partitioning") {

@@ -37,6 +37,78 @@ object Stats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Exact global `ntile(nTiles)` without a global sort — the
+    * distributed-ranking shape that replaces the classic
+    * single-partition `Window.orderBy` (which funnels EVERY row through
+    * one task: the canonical 100 TB scale-killer).
+    *
+    * Three keyed passes:
+    *  1. global [min, max] (one-row agg, broadcast back — the
+    *     [[histogram]] idiom);
+    *  2. range-bucket each row (`nRangeBuckets` equi-width buckets) and
+    *     count per bucket: the per-bucket counts (a `nRangeBuckets`-row
+    *     table) are the ONLY globally-ordered object, so their
+    *     cumulative offsets are windowed with an explicit bounded
+    *     single-group partition;
+    *  3. rank WITHIN each bucket (a keyed window, distributed), add the
+    *     bucket's offset → exact global rank → exact ntile via the
+    *     standard first-`n mod k`-tiles-get-one-extra formula.
+    *
+    * Output rows/values are IDENTICAL to
+    * `ntile(nTiles) over (order by valueCol, tieCol)` — same oracle,
+    * no single-partition WindowExec. Equi-width range buckets can be
+    * skewed by value distribution; each bucket is still processed by a
+    * distributed window, and raising `nRangeBuckets` (or pre-ranging on
+    * `approx_percentile` boundaries) caps the largest bucket. Ties
+    * across bucket boundaries are impossible: the tie-break column
+    * only orders rows of equal value, which land in the same bucket.
+    * `valueCol` must be non-null. */
+  def distributedNtile(df: DataFrame, valueCol: String, tieCol: String,
+      nTiles: Int, nRangeBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTiles > 0 && nRangeBuckets > 0)
+    // three consumers (bounds, bucket counts, ranking): cache so the
+    // source scans once
+    val base = df.withColumn("__v", col(valueCol).cast("double")).cache()
+    val bounds = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((col("__v") - col("__mn")) /
+              (col("__mx") - col("__mn")) * nRangeBuckets),
+            lit(nRangeBuckets - 1L)))
+        .cast("int"))
+      .drop("__mn", "__mx")
+    // cumulative offsets over the nRangeBuckets-row counts WITHOUT a
+    // window: the count table is bounded, so it collapses into one
+    // sorted array (a bounded aggregation buffer) and prefix sums are
+    // higher-order array folds — no WindowExec anywhere in the plan
+    // (an empty-partition window here would be harmless at nRangeBuckets
+    // rows but indistinguishable in logs from the real scale hazard)
+    val meta = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("__bc"))
+      .agg(sort_array(collect_list(struct(col("__bkt"), col("__bc")))).as("__arr"))
+      .select(explode(expr(
+        "transform(__arr, (x, i) -> named_struct(" +
+          "'__bkt', x.__bkt, " +
+          "'__off', aggregate(slice(__arr, 1, i), 0L, (a, y) -> a + y.__bc), " +
+          "'__n', aggregate(__arr, 0L, (a, y) -> a + y.__bc)))")).as("__m"))
+      .select(col("__m.__bkt").as("__bkt"), col("__m.__off").as("__off"),
+        col("__m.__n").as("__n"))
+    val wB = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__v").asc, col(tieCol).asc)
+    val ranked = bucketed.join(broadcast(meta), Seq("__bkt"))
+      .withColumn("__r", row_number().over(wB).cast("long") + col("__off"))
+    // ntile formula: first (n mod k) tiles hold q+1 rows, the rest q
+    val q = floor(col("__n") / nTiles).cast("long")
+    val rem = col("__n") % nTiles
+    val big = rem * (q + 1) // rows living in the larger tiles
+    val tile = when(col("__r") <= big,
+        floor((col("__r") - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(rem + floor((col("__r") - big - 1) / q).cast("long") + 1)
+    ranked.withColumn("tile", tile.cast("int"))
+      .drop("__v", "__bkt", "__off", "__n", "__r")
+  }
+
   /** Winsorized per-group mean/stddev: values clamped to the group's
     * [lo, hi] percentiles before aggregating — the standard
     * outlier-robust summary. Percentile bounds are one grouped agg

@@ -240,14 +240,15 @@ object Extras {
           countDistinct(col("l_partkey")).as("exact_parts"))
     },
 
-    // global equi-depth deciles via ntile — a total sort by design
-    // (tie-broken to a total order for cross-engine determinism); at
-    // scale the approx-percentile bucketing is the shuffle-free route
+    // global equi-depth deciles (tie-broken to a total order for
+    // cross-engine determinism) — via the DISTRIBUTED exact-ntile
+    // operator: range-bucket + per-bucket rank + offset, never a
+    // single-partition global sort (same rows as the oracle's ntile)
     "q_decile_stats" -> { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      table(s, dir, "orders")
-        .withColumn("decile", ntile(10).over(w))
-        .groupBy(col("decile"))
+      graft.operators.Stats.distributedNtile(
+          table(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_totalprice", "o_orderkey", nTiles = 10)
+        .groupBy(col("tile").as("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 4).as("min_price"),
           round(max(col("o_totalprice")), 4).as("max_price"),

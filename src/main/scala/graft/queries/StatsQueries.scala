@@ -130,15 +130,23 @@ object StatsQueries {
     },
 
     // Zipf fit over the corpus: slope of log(freq) vs log(rank) — the
-    // corpus-health check (natural language ~ -1)
+    // corpus-health check (natural language ~ -1). Fit on the TOP-10k
+    // vocabulary via TakeOrderedAndProject: a Zipf fit doesn't need the
+    // long tail, and ranking the FULL vocabulary would be a
+    // single-partition sort over 10⁸+ words at 100 TB. Rank = position
+    // in the sorted bounded array (one collect_list buffer of ≤10k
+    // entries) — no WindowExec in the plan at all.
     "q_zipf_slope" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val counts = table(s, dir, "documents")
+      table(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      counts
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+        .orderBy(col("cnt").desc, col("word").asc).limit(10000)
+        // sort by (-cnt, word) = (cnt desc, word asc); rank = index + 1
+        .agg(sort_array(collect_list(struct((-col("cnt")).as("negcnt"),
+          col("word")))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("i", "x")))
+        .select((col("i") + 1).cast("long").as("rank"),
+          (-col("x.negcnt")).as("cnt"))
         .agg(
           round(expr("regr_slope(ln(cnt), ln(rank))"), 6).as("zipf_slope"),
           round(expr("regr_intercept(ln(cnt), ln(rank))"), 6).as("zipf_intercept"),
@@ -284,9 +292,11 @@ object StatsQueries {
         |  FROM documents),
         |c AS (SELECT word, count(1) AS cnt FROM w WHERE word <> ''
         |      GROUP BY 1),
+        |top AS (SELECT word, cnt FROM c
+        |        ORDER BY cnt DESC, word ASC LIMIT 10000),
         |r AS (SELECT cnt,
         |        row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
-        |      FROM c)
+        |      FROM top)
         |SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
         |  round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
         |  count(1) AS n_words

@@ -55,6 +55,7 @@ class Round3PlanSpec extends SparkSpec {
       "q_unigram_logprob",   // broadcast 1-row corpus token total
       "q_label_balance",     // broadcast 1-row minority-class count
       "q_decayed_engagement",// broadcast 1-row reference timestamp
+      "q_decile_stats",      // broadcast 1-row global bounds (distributedNtile)
       // exact all-pairs ORACLE BASELINES — documented as such; the
       // scale paths are the LSH/IVF variants (SCALE.md "Known tradeoffs")
       "q_ann_bruteforce_topk",

@@ -66,35 +66,42 @@ object Clustering {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val df = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("e"))
-      .cache() // scanned iters times; safe to drop (lineage rebuilds)
+      .cache() // scanned iters times; unpersisted below
 
-    // deterministic seed: the k lowest-id vectors (TakeOrdered — only k
-    // rows reach the driver). kmeans|| is the scale-up init; for a
-    // fixed-trajectory oracle query the deterministic seed is the point.
-    var centroids: Seq[(Int, Seq[Double])] =
-      df.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {
-        case (r, i) => (i, r.getSeq[Double](1).map(round6))
+    try {
+      // deterministic seed: the k lowest-id vectors (TakeOrdered — only k
+      // rows reach the driver). kmeans|| is the scale-up init; for a
+      // fixed-trajectory oracle query the deterministic seed is the point.
+      var centroids: Seq[(Int, Seq[Double])] =
+        df.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {
+          case (r, i) => (i, r.getSeq[Double](1).map(round6))
+        }
+
+      for (_ <- 1 until iters if centroids.nonEmpty) {
+        // per-dimension mean per cluster: k·dim rows after map-side
+        // combine; collected to the driver as the next centroid set.
+        // A cluster that loses all members simply disappears (both
+        // engines drop it identically).
+        val scored = array(centroids.map { case (cid, c) =>
+          struct(sqrt(sqDist(col("e"), c)).as("d"), lit(cid).as("cid"))
+        }: _*)
+        val upd = df.withColumn("best", array_min(scored))
+          .select(col("best.cid").as("cid"), posexplode(col("e")).as(Seq("i", "v")))
+          .groupBy(col("cid"), col("i"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        centroids = upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1))
+            .map(r => round6(r.getDouble(2) / r.getLong(3))).toSeq)
+        }.toSeq.sortBy(_._1)
       }
-
-    for (_ <- 1 until iters if centroids.nonEmpty) {
-      // per-dimension mean per cluster: k·dim rows after map-side
-      // combine; collected to the driver as the next centroid set.
-      // A cluster that loses all members simply disappears (both
-      // engines drop it identically).
-      val scored = array(centroids.map { case (cid, c) =>
-        struct(sqrt(sqDist(col("e"), c)).as("d"), lit(cid).as("cid"))
-      }: _*)
-      val upd = df.withColumn("best", array_min(scored))
-        .select(col("best.cid").as("cid"), posexplode(col("e")).as(Seq("i", "v")))
-        .groupBy(col("cid"), col("i"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      centroids = upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        (cid, rows.sortBy(_.getInt(1))
-          .map(r => round6(r.getDouble(2) / r.getLong(3))).toSeq)
-      }.toSeq.sortBy(_._1)
+      centroids
+    } finally {
+      // every training pass ends inside this call, so the cache has no
+      // consumers left; leaving it pinned would accumulate one cached
+      // corpus per invocation (probe loops, repeated queries) until LRU
+      df.unpersist()
     }
-    centroids
   }
 
   /** Assign every vector to its nearest of `k` centroids after `iters`

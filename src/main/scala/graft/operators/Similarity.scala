@@ -131,46 +131,55 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF-style top-k: coarse centroids are a deterministic sample of the
-    * corpus (lowest `nCells` vec_ids — a stand-in for trained k-means
-    * centers, which a production pipeline would fit offline). Every
-    * vector is assigned to its nearest centroid; each query probes the
-    * `nprobe` nearest cells and ranks only vectors in them —
-    * scoring ~nprobe/nCells of the corpus instead of all of it. */
+  /** IVF-style top-k with TRAINED coarse centroids: the quantizer is
+    * `trainIters` rounds of [[Clustering.trainCentroids]] (deterministic
+    * lowest-id init + 6-decimal anchors, so an oracle can replay the
+    * trajectory), then [[ivfTopKWithCentroids]] probes it. Trained cells
+    * follow the data distribution, so probing `nprobe` of `nCells`
+    * recovers more true neighbors than the same probe budget over a
+    * sampled quantizer (SimilaritySpec pins the recall ordering). */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
+      every: Long = 50L, trainIters: Int = 2): DataFrame = {
+    val centroids = Clustering.trainCentroids(emb, nCells, trainIters)
+    ivfTopKWithCentroids(emb, k, centroids, nprobe, every)
+  }
+
+  /** IVF-style top-k over a GIVEN coarse-centroid set (trained offline
+    * in production — the centroid list is the model artifact). Every
+    * vector is assigned to its nearest centroid by L2 distance (the
+    * k-means criterion, ties toward the lower cell id); each query
+    * probes the `nprobe` nearest cells and ranks only vectors in them —
+    * scoring ~nprobe/nCells of the corpus instead of all of it. */
+  def ivfTopKWithCentroids(emb: DataFrame, k: Int,
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int = 4,
       every: Long = 50L): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    // bounded, deterministic collect: nCells rows of dim floats
-    val centroids: Seq[(Int, Seq[Double])] = emb
-      .orderBy(asc("vec_id")).limit(nCells)
-      .select(col("embedding").cast("array<double>"))
-      .collect().toSeq.zipWithIndex
-      .map { case (row, i) =>
-        (i, row.getAs[scala.collection.Seq[Double]](0).toSeq)
-      }
     if (centroids.isEmpty) {
       // empty corpus: no cells — return an empty, correctly-typed result
       import spark.implicits._
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "neighbor_id", "rank", "cos")
     }
-    def cellDots(v: Column): Column = array(centroids.map { case (i, c) =>
-      struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
+    // squared L2 to each centroid — same sequential fold order as the
+    // trainer and the oracle (monotone with the trainer's sqrt form, so
+    // cell argmins agree without paying k sqrts per row)
+    def cellDists(v: Column): Column = array(centroids.map { case (i, c) =>
+      struct(aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d).as("d"), lit(i).as("cell"))
     }: _*)
-    // assignment: cell with max dot (struct sort is lexicographic -> sort
-    // descending by dot, take head)
-    def topCells(v: Column, m: Int): Column =
-      slice(reverse(array_sort(cellDots(v))), 1, m)
+    // nearest cells first: ascending (distance, cell id) struct sort
+    def nearestCells(v: Column, m: Int): Column =
+      slice(array_sort(cellDists(v)), 1, m)
     val prepped = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb_d"))
       .withColumn("nrm", sqrt(dot(col("emb_d"), col("emb_d"))))
     val assigned = prepped.select(col("vec_id"), col("emb_d"), col("nrm"),
-      element_at(topCells(col("emb_d"), 1), 1).getField("cell").as("cell"))
+      element_at(nearestCells(col("emb_d"), 1), 1).getField("cell").as("cell"))
     val queries = prepped.filter(col("vec_id") % every === 0L)
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(transform(topCells(col("emb_d"), nprobe), s => s.getField("cell")))
+        explode(transform(nearestCells(col("emb_d"), nprobe), s => s.getField("cell")))
           .as("cell"))
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -104,29 +104,51 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup_lsh" ->
       srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
-    // DuckDB replay of Similarity.ivfTopK: centroids are the 16
-    // lowest-id vectors (deterministic), assignment/probing = argmax
-    // raw dot with ties toward the HIGHER cell (matching the engine's
-    // reverse(array_sort(struct(d, cell))) ordering), then exact-cosine
-    // ranking inside the probed cells only.
+    // DuckDB replay of Similarity.ivfTopK with the TRAINED quantizer:
+    // the 2-round Lloyd trajectory is unrolled exactly as in
+    // q_kmeans_assign (lowest-id init, 6-decimal anchors), then
+    // assignment/probing = argmin SQUARED L2 to the trained centroids
+    // with ties toward the LOWER cell (the engine's ascending
+    // (dist, cell) struct sort), then exact-cosine ranking inside the
+    // probed cells only.
     "q_ann_ivf_topk" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |cent AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         list_transform(e, x -> round(x, 6)) AS c
         |  FROM emb ORDER BY vec_id LIMIT 16),
+        |s1 AS (
+        |  SELECT m.vec_id, m.e, c.cid,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
+        |  FROM emb m CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(r ORDER BY i) AS c
+        |  FROM (
+        |    SELECT cid, i, round(avg(v), 6) AS r
+        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
+        |          FROM a1) u
+        |    GROUP BY cid, i) g
+        |  GROUP BY cid),
         |dots AS (
         |  SELECT m.vec_id, c.cid,
-        |    list_sum(list_transform(range(1, 65), i -> m.e[i] * c.c[i])) AS d
-        |  FROM emb m CROSS JOIN cent c),
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i]))) AS d
+        |  FROM emb m CROSS JOIN c1 c),
         |assigned AS (
         |  SELECT vec_id, cid AS cell FROM (
         |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |    FROM dots) WHERE rn = 1),
         |probes AS (
         |  SELECT vec_id AS query_id, cid AS cell FROM (
         |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
         |scored AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -44,15 +44,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
   }
 
-  test("ivf topK: well-formed output and nontrivial recall vs brute force") {
+  test("ivf topK: trained quantizer keeps >= the sampled quantizer's recall") {
     val brute = Similarity.bruteForceTopK(emb, k = 5, every = 50L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(ivf.nonEmpty)
-    info(s"IVF recall@5 = $recall")
-    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty)
+      (brute & got).size.toDouble / brute.size
+    }
+    // the pre-training quantizer: cells = the 16 lowest-id vectors
+    val sampleCentroids = emb.orderBy(asc("vec_id")).limit(16)
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
+    val trained = recall(Similarity.ivfTopK(emb, k = 5))
+    val sampled = recall(Similarity.ivfTopKWithCentroids(emb, k = 5, sampleCentroids))
+    info(s"IVF recall@5 trained=$trained sampled=$sampled")
+    assert(trained >= sampled, s"trained quantizer lost recall: $trained < $sampled")
+    assert(trained >= 0.2, s"IVF recall collapsed: $trained")
   }
 
   test("determinism: srp signatures identical across runs") {

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * payloads plus a typed metadata struct, with decode / feature-extract /
   * frame-sample stages.
   *
-  * The actual codecs (JPEG/PNG/opus/h264) are NOT in this container, so
-  * the byte-level decode below is a clearly-marked deterministic STUB —
-  * what is real, and what this module exists to pin down, is the
-  * Spark-side shape a production pipeline needs:
+  * IMAGES are decoded for real: the JDK ships PNG/JPEG/GIF/BMP codecs
+  * (`javax.imageio.ImageIO`), so [[encodeGrayPng]] / [[decodeImageFeatures]]
+  * run an actual encode→decode round trip over real compressed bytes.
+  * Audio/video codecs (opus/h264) are NOT in this container, so their
+  * byte-level decode below remains a clearly-marked deterministic STUB —
+  * what is real throughout, and what this module exists to pin down, is
+  * the Spark-side shape a production pipeline needs:
   *  - payloads travel as `BinaryType` columns (Tungsten keeps them
   *    off-heap; parquet stores them as BYTE_ARRAY pages) with metadata
   *    in a sibling struct so pruning works — a scan that only needs
@@ -28,6 +31,8 @@ object Multimodal {
   case class MediaRecord(id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(id: Long, media_type: String, n_bytes: Long,
       mean_byte: Double, embedding: Array[Float])
+  case class ImageFeatures(id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, mean_pixel: Double, embedding: Array[Float])
   case class Frame(id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
 
   /** Wrap any table with a binary payload column into the canonical
@@ -43,12 +48,15 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Decode + feature-extract, batched per partition.
+  /** Decode + feature-extract for NON-image media, batched per
+    * partition.
     *
-    * STUB: `decodeBytes` stands in for a real codec. It is deterministic
-    * (byte statistics + a seeded byte-hash embedding) so results are
-    * reproducible and oracle-checkable; swap its body for e.g. TwelveMonkeys
-    * ImageIO or JavaCV without touching the Spark plumbing around it.
+    * STUB: `decodeBytes` stands in for an audio/video codec (absent in
+    * this container). It is deterministic (byte statistics + a seeded
+    * byte-hash embedding) so results are reproducible and
+    * oracle-checkable; swap its body for e.g. JavaCV without touching
+    * the Spark plumbing around it. Images don't need this — use the
+    * real [[decodeImageFeatures]].
     */
   def decodeFeatures(media: Dataset[MediaRecord], embeddingDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -78,6 +86,86 @@ object Multimodal {
     val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
     val emb = acc.map(v => (v % 1000L).toFloat / 1000.0f)
     (math.round(mean * 10000.0) / 10000.0, emb)
+  }
+
+  /** REAL image encode: pack each payload's bytes row-major into a
+    * `width`-pixel-wide 8-bit grayscale image (zero-padded to the last
+    * row) and compress it to PNG with the JDK's `javax.imageio` codec.
+    * The output payloads are genuine PNG files; pixel values survive the
+    * round trip exactly (8-bit gray PNG is lossless), which is what
+    * makes the decoded features oracle-checkable: every pixel is a
+    * deterministic function of the input bytes even though the PNG
+    * byte stream itself is codec-version-dependent. */
+  def encodeGrayPng(media: Dataset[MediaRecord], width: Int = 16): Dataset[MediaRecord] = {
+    require(width >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val h = math.max(1, (r.payload.length + width - 1) / width)
+        val img = new java.awt.image.BufferedImage(width, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        val n = width * h
+        while (i < n) {
+          raster.setSample(i % width, i / width, 0,
+            if (i < r.payload.length) r.payload(i) & 0xff else 0)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(r.id, "image/png", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image decode + feature extraction, batched per partition:
+    * `ImageIO.read` decompresses the actual PNG/JPEG/GIF/BMP bytes,
+    * then features come from the decoded raster — dimensions, mean
+    * luminance (band 0), and an `embeddingDim`-band embedding (mean
+    * luminance of `embeddingDim` horizontal stripes: a real, if tiny,
+    * pooled-pixel feature). Undecodable payloads fail loudly rather
+    * than degrade to byte statistics. */
+  def decodeImageFeatures(media: Dataset[MediaRecord],
+      embeddingDim: Int = 8): Dataset[ImageFeatures] = {
+    require(embeddingDim >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // ImageIO scans for codec plugins on first use; per-partition reuse
+      // after that — the mapPartitions boundary is where a heavier codec
+      // (JavaCV etc.) would be instantiated once
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"payload of id=${r.id} is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        val bandSum = new Array[Long](embeddingDim)
+        val bandN = new Array[Long](embeddingDim)
+        var y = 0
+        while (y < h) {
+          val band = math.min(embeddingDim - 1, y * embeddingDim / h)
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            bandSum(band) += v
+            bandN(band) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val nPix = w.toLong * h
+        val mean = if (nPix == 0) 0.0 else sum.toDouble / nPix
+        val emb = Array.tabulate(embeddingDim)(j =>
+          if (bandN(j) == 0) 0.0f else (bandSum(j).toDouble / bandN(j) / 255.0).toFloat)
+        ImageFeatures(r.id, r.media_type, r.payload.length.toLong, w, h,
+          math.round(mean * 10000.0) / 10000.0, emb)
+      }
+    }
   }
 
   /** Resize, batched per partition. STUB: deterministic byte

@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.sources.Sources.table
 
-/** Multimodal pipeline query: documents' text bytes stand in for media
-  * payloads (no real media in the test tables). The byte-statistics
-  * columns are oracle-checked; the stub embedding is exercised via its
-  * dimension (full vector checks live in MultimodalSpec).
+/** Multimodal pipeline queries: documents' text bytes become media
+  * payloads (no media tables in the test data). q_multimodal_features
+  * runs a REAL codec round trip — text bytes packed into an 8-bit gray
+  * image, compressed to PNG by `javax.imageio`, decoded back, features
+  * from the decoded raster. Pixels are a deterministic function of the
+  * text, so dimensions and mean luminance are oracle-checked even
+  * though the intermediate PNG byte stream is codec-internal; the
+  * pooled-band embedding is exercised via its dimension here and
+  * value-checked in MultimodalSpec.
   */
 object MultimodalQueries {
 
@@ -17,10 +22,10 @@ object MultimodalQueries {
       val media = Multimodal.asMedia(
         table(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
         "doc_id", "payload", "text/plain")
-      Multimodal.decodeFeatures(media)
+      Multimodal.decodeImageFeatures(Multimodal.encodeGrayPng(media, width = 16))
         .toDF()
-        .select(col("id").as("doc_id"), col("n_bytes"), col("mean_byte"),
-          size(col("embedding")).as("embedding_dim"))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_pixel"), size(col("embedding")).as("embedding_dim"))
     },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
@@ -41,11 +46,17 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // text is ASCII, so utf-8 byte stats == codepoint stats
+    // text is ASCII, so utf-8 byte values == codepoints; the image is
+    // 16 pixels wide, zero-padded to full rows, so mean luminance =
+    // byte sum / (16 * rows)
     "q_multimodal_features" ->
       """SELECT doc_id,
-        |  octet_length(encode(text))::BIGINT AS n_bytes,
-        |  round(list_avg(list_transform(string_split(text, ''), x -> unicode(x))), 4) AS mean_byte,
+        |  16 AS width,
+        |  greatest(ceil(octet_length(encode(text)) / 16.0), 1)::INTEGER AS height,
+        |  round(coalesce(list_sum(list_transform(string_split(text, ''),
+        |          x -> unicode(x))), 0)
+        |        / (16 * greatest(ceil(octet_length(encode(text)) / 16.0), 1)),
+        |        4) AS mean_pixel,
         |  8 AS embedding_dim
         |FROM documents""".stripMargin,
     // frame count = min(maxFrames, ceil(len/frameSize)); the sampled

@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default row ceiling for the O(n²) oracle baselines: ~10⁵ vectors
+    * ≈ 5·10⁹ scored pairs — hours of compute, the outer edge of
+    * "deliberate baseline run" and far below any corpus-scale table. */
+  val DefaultBruteForceMaxRows = 100000L
+
+  /** Refuse to build an all-pairs plan over a table larger than
+    * `maxRows` — the brute-force entry points are ORACLE BASELINES for
+    * recall measurement, and an accidental run against a corpus-scale
+    * table would be an unbounded cross product. The count is one
+    * metadata-cheap action at plan-build time; callers who truly intend
+    * a bigger baseline raise `maxRows` explicitly. */
+  private def guardSize(df: DataFrame, maxRows: Long, op: String,
+      scalePath: String): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$op is an O(n²) oracle baseline, refused at $n rows " +
+      s"(max $maxRows): use $scalePath at scale, or raise maxRows " +
+      "for a deliberate oversized baseline run")
+  }
+
   /** Sequential-fold dot product in double precision — same summation
     * order as the DuckDB oracle's list_sum, so values match bit-for-bit
     * after rounding. Runs as the fused native
@@ -40,8 +60,14 @@ object Similarity {
   /** Exact top-k cosine neighbors for a query subset (`vec_id % every
     * == 0`), self excluded. The query side is broadcast; ranking is a
     * window partitioned by query id (shuffles only the scored pairs that
-    * survive, k per query after the filter). */
-  def bruteForceTopK(emb: DataFrame, k: Int, every: Long = 50L): DataFrame = {
+    * survive, k per query after the filter).
+    *
+    * ORACLE BASELINE — scores |corpus|·|queries| pairs. [[guardSize]]
+    * refuses corpora above `maxRows` so the O(n²) path can't ship to a
+    * 100 TB table by accident; the scale path is [[ivfTopK]]. */
+  def bruteForceTopK(emb: DataFrame, k: Int, every: Long = 50L,
+      maxRows: Long = DefaultBruteForceMaxRows): DataFrame = {
+    guardSize(emb, maxRows, "bruteForceTopK", "ivfTopK")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // norms and double-casts precomputed per VECTOR (n of them), not per
     // scored pair (n·q of them) — same arithmetic, 3x fewer array folds
@@ -65,8 +91,11 @@ object Similarity {
   }
 
   /** Exact all-pairs above a cosine threshold (a < b). O(n²) scoring —
-    * the oracle baseline; use the LSH variant at scale. */
-  def exactNeardupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    * the oracle baseline; [[guardSize]] refuses corpora above `maxRows`
+    * (use [[srpNeardupPairs]] at scale). */
+  def exactNeardupPairs(emb: DataFrame, threshold: Double,
+      maxRows: Long = DefaultBruteForceMaxRows): DataFrame = {
+    guardSize(emb, maxRows, "exactNeardupPairs", "srpNeardupPairs")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val prepped = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb_d"))

@@ -64,6 +64,20 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.2, s"IVF recall collapsed: $trained")
   }
 
+  test("brute-force baselines refuse corpora above their size guard") {
+    val eN = intercept[IllegalArgumentException] {
+      Similarity.exactNeardupPairs(emb, 0.4, maxRows = 10L)
+    }
+    assert(eN.getMessage.contains("O(n²)"), eN.getMessage)
+    val eT = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, k = 5, maxRows = 10L)
+    }
+    assert(eT.getMessage.contains("O(n²)"), eT.getMessage)
+    // at-or-under the ceiling still builds
+    assert(Similarity.exactNeardupPairs(emb, 0.4, maxRows = 500L).columns
+      .sameElements(Array("a", "b", "cos")))
+  }
+
   test("determinism: srp signatures identical across runs") {
     val s1 = Similarity.srpNeardupPairs(emb, 64, 0.4).collect().toSet
     val s2 = Similarity.srpNeardupPairs(emb, 64, 0.4).collect().toSet

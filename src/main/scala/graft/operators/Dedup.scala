@@ -469,6 +469,44 @@ object Dedup {
     * would overflow a signed BIGINT cast on high values). */
   val SimHashBits = 60
 
+  /** SemDeDup-style SEMANTIC near-dup over an embedding column
+    * (cf. Abbas et al., "SemDeDup", arXiv:2303.09540): k-means-cluster
+    * the corpus ([[Clustering.trainCentroids]] — deterministic
+    * trajectory, so the oracle replays it), then find cosine pairs
+    * WITHIN each cluster only. Cluster-then-pair is the shape that
+    * scales where global pair-finding can't: candidate generation is an
+    * equi-join on the cluster id, so the pair space is Σ|cell|² over
+    * balanced cells instead of n² — and unlike token-level LSH it
+    * catches paraphrase-level duplicates that share no shingles.
+    * Cross-cluster near-dups are missed by construction (that is the
+    * recall trade; DedupSpec measures it against the exact join). */
+  def semanticPairs(emb: DataFrame, threshold: Double, nClusters: Int = 8,
+      trainIters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = Clustering.trainCentroids(emb, nClusters, trainIters)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("a", "b", "cos")
+    }
+    val assigned = Clustering.assign(emb, centroids)
+      .select(col("vec_id"), col("cluster"))
+    val prepped = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb_d"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("emb_d"), col("emb_d"))))
+      .join(assigned, Seq("vec_id"))
+    val a = prepped.select(col("cluster"), col("vec_id").as("a"),
+      col("emb_d").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = prepped.select(col("cluster"), col("vec_id").as("b"),
+      col("emb_d").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        Similarity.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** 60-bit md5-derived shingle hash — portable: any engine with md5
     * computes the identical value (same trick as
     * [[Sampling.hashUniform]]), which is what makes the SimHash oracle

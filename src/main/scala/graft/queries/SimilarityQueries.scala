@@ -40,6 +40,13 @@ object SimilarityQueries {
       graft.operators.Clustering.kMeansAssign(
         table(s, dir, "embeddings"), k = 8, iters = 2)
     },
+    // SemDeDup-style semantic dedup: cluster (trained k-means), then
+    // cosine pairs within clusters only — the scale shape for
+    // paraphrase-level duplicates
+    "q_semantic_neardup" -> { (s, dir) =>
+      graft.operators.Dedup.semanticPairs(table(s, dir, "embeddings"),
+        threshold = 0.4, nClusters = 8, trainIters = 2)
+    },
     // int8 quantization reconstruction-error profile per label
     "q_quantize_embeddings" -> { (s, dir) =>
       Similarity.quantizeInt8(table(s, dir, "embeddings"))
@@ -165,6 +172,55 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // DuckDB replay of Dedup.semanticPairs: the q_kmeans_assign Lloyd
+    // trajectory (k=8, 2 rounds, 6-decimal anchors) up to the final
+    // assignment, then exact cosine within each cluster only
+    "q_semantic_neardup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         list_transform(e, x -> round(x, 6)) AS c
+        |  FROM emb ORDER BY vec_id LIMIT 8),
+        |s1 AS (
+        |  SELECT m.vec_id, m.e, c.cid,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
+        |  FROM emb m CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(r ORDER BY i) AS c
+        |  FROM (
+        |    SELECT cid, i, round(avg(v), 6) AS r
+        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
+        |          FROM a1) u
+        |    GROUP BY cid, i) g
+        |  GROUP BY cid),
+        |s2 AS (
+        |  SELECT m.vec_id, c.cid,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
+        |  FROM emb m CROSS JOIN c1 c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |scored AS (
+        |  SELECT aa.vec_id AS a, ab.vec_id AS b,
+        |    list_sum(list_transform(range(1, 65), i -> ea.e[i] * eb.e[i]))
+        |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+        |  FROM assigned aa
+        |  JOIN assigned ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+        |  JOIN emb ea ON aa.vec_id = ea.vec_id
+        |  JOIN emb eb ON ab.vec_id = eb.vec_id)
+        |SELECT a, b, round(cos, 6) AS cos FROM scored
+        |WHERE cos >= 0.4""".stripMargin,
     "q_vector_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,

@@ -64,6 +64,22 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.2, s"IVF recall collapsed: $trained")
   }
 
+  test("semanticPairs: within-cluster pairs are a subset of the exact join, usable recall") {
+    val exact = Similarity.exactNeardupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(sem.subsetOf(exact),
+      "semantic pairs produced a pair the exact join lacks")
+    val recall = sem.size.toDouble / exact.size
+    info(s"SemDeDup recall vs exact = $recall (${sem.size}/${exact.size})")
+    // ~0.30 measured on the near-uniform test embeddings (a worst case
+    // for cluster-local recall — real corpora cluster much tighter);
+    // floor set below the measurement to catch collapse, not noise
+    assert(recall >= 0.25, s"semantic recall collapsed: $recall")
+  }
+
   test("brute-force baselines refuse corpora above their size guard") {
     val eN = intercept[IllegalArgumentException] {
       Similarity.exactNeardupPairs(emb, 0.4, maxRows = 10L)

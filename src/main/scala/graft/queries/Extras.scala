@@ -232,12 +232,19 @@ object Extras {
           size(regexp_extract_all(col("s_name"), lit("[0-9]"), lit(0))).as("n_digits"))
     },
 
-    // HLL sketch distinct — deterministic but sketch-specific, rows-only
+    // HLL sketch distinct, contract form: the sketch value itself is
+    // engine-internal, but its ERROR BOUND is checkable — the query
+    // emits |approx - exact| <= 10%·exact as a column, the oracle emits
+    // literal TRUE, and the driver's hash compare fails iff the sketch
+    // ever violates the contract (HLL++ rsd=0.05 default → 10% is 2σ)
     "q_approx_distinct" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")) <=
+            lit(0.1) * col("exact_parts")).as("approx_within_10pct"))
     },
 
     // global equi-depth deciles (tie-broken to a total order for
@@ -275,9 +282,12 @@ object Extras {
           round(col("co") * col("nu") / (col("ca") * col("cb")), 6).as("lift"))
     },
 
-    // sketch percentiles next to exact ones — rows-only (sketch
-    // internals aren't DuckDB-portable); the exact columns let the
-    // driver eyeball the approximation error
+    // sketch percentiles, contract form: approx_percentile guarantees
+    // rank error <= 1/accuracy (1e-4 here); the query asserts the
+    // sketch value lands between the exact quantiles at q ± 0.01 (100x
+    // the sketch's epsilon — slack for interpolation at the rank edge),
+    // the oracle emits literal TRUE, so the driver's hash compare
+    // checks the CONTRACT even though the sketch isn't portable
     "q_approx_percentile" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -289,12 +299,17 @@ object Extras {
           // sort/hash of the result frame
           approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
             .as("__ap"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__ep"))
+          expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))")
+            .as("__ep"))
         .select(col("l_returnflag"),
-          element_at(col("__ap"), 1).as("approx_p50"),
-          element_at(col("__ap"), 2).as("approx_p95"),
-          round(element_at(col("__ep"), 1), 4).as("exact_p50"),
-          round(element_at(col("__ep"), 2), 4).as("exact_p95"))
+          round(element_at(col("__ep"), 2), 4).as("exact_p50"),
+          round(element_at(col("__ep"), 5), 4).as("exact_p95"),
+          element_at(col("__ap"), 1)
+            .between(element_at(col("__ep"), 1), element_at(col("__ep"), 3))
+            .as("p50_within_rank_eps"),
+          element_at(col("__ap"), 2)
+            .between(element_at(col("__ep"), 4), element_at(col("__ep"), 6))
+            .as("p95_within_rank_eps"))
     },
   )
 
@@ -331,6 +346,21 @@ object Extras {
   }
 
   val oracles: Map[String, String] = Map(
+    // contract-form sketch oracles: the exact columns are recomputed,
+    // the bound columns are literal TRUE — the Spark side computes the
+    // actual |approx - exact| check, so a contract violation hashes
+    // differently and fails the gate
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_10pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+        |  TRUE AS p50_within_rank_eps,
+        |  TRUE AS p95_within_rank_eps
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pagerank_nations" -> pageRankNationsOracle(10),
     "q_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,

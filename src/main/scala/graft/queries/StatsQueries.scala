@@ -158,9 +158,10 @@ object StatsQueries {
     // sketch UNION — the pre-aggregation pattern that makes distinct
     // counts affordable at 100 TB (store |days|·|dims| fixed-size
     // sketches, never re-touch raw events; exact countDistinct must
-    // re-shuffle all raw user_ids for every rollup grain). The exact
-    // column alongside shows the estimate error; rows-only check
-    // (sketch bytes aren't DuckDB-portable), bounds pinned by
+    // re-shuffle all raw user_ids for every rollup grain). Contract
+    // form: sketch bytes aren't DuckDB-portable, so the query emits the
+    // 10%-relative-error check as a boolean (lgK=14 → RSE ≈ 0.8%; the
+    // oracle emits TRUE) — a tighter 5% bound is pinned in
     // SketchQueriesSpec.
     "q_hll_reaggregate" -> { (s, dir) =>
       val ev = Sources.events(s, dir)
@@ -173,12 +174,20 @@ object StatsQueries {
       val exact = ev.groupBy(col("week"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
       weekly.join(exact, Seq("week"))
-        .select(col("week"), col("est_users").cast("long").as("est_users"),
-          col("exact_users"))
+        .select(col("week"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            lit(0.1) * col("exact_users")).as("est_within_10pct"))
     },
   )
 
   val oracles: Map[String, String] = Map(
+    // contract form (see q_approx_distinct): exact recomputed, bound
+    // column literal TRUE, Spark computes the actual check
+    "q_hll_reaggregate" ->
+      """SELECT date_trunc('week', ts::TIMESTAMP)::DATE AS week,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_within_10pct
+        |FROM events GROUP BY 1""".stripMargin,
     "q_histogram" ->
       """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |           FROM orders)

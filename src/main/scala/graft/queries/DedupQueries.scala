@@ -77,6 +77,25 @@ object DedupQueries {
           "doc_id", "text", 3).cache(),
         threshold = 0.8)
     },
+    // the PERSISTED-corpus form of q_dedup_incremental — executes the
+    // contract crossJaccardPairsFromShingles documents: the corpus's
+    // shingle table is written once (bucketed on the join key, so
+    // incremental runs only shuffle the batch side) and read back from
+    // storage; results must equal the in-memory path bit-for-bit (same
+    // oracle SQL)
+    "q_dedup_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val corpus = Dedup.shingles(
+        docs.filter(col("split") =!= "test"), "doc_id", "text", 3)
+      graft.sources.Sinks.writeBucketed(corpus, "graft_corpus_shingles",
+        bucketCols = Seq("shingle"), numBuckets = 8)
+      Dedup.crossJaccardPairsBloomPruned(
+        Dedup.shingles(docs.filter(col("split") === "test"),
+          "doc_id", "text", 3).cache(),
+        s.table("graft_corpus_shingles"),
+        threshold = 0.8)
+    },
     // benchmark decontamination: eval docs (test split) sharing any
     // 8-gram with any training doc are contaminated
     "q_decontaminate" -> { (s, dir) =>
@@ -228,7 +247,13 @@ object DedupQueries {
         |JOIN c ca ON p.a = ca.doc_id
         |JOIN c cb ON p.b = cb.doc_id
         |WHERE inter::DOUBLE / least(ca.n_sh, cb.n_sh) >= 0.9""".stripMargin,
-    "q_dedup_incremental" ->
+    // persistence must not change results: identical oracle to
+    // q_dedup_incremental
+    "q_dedup_incremental_persisted" -> incrementalOracle,
+    "q_dedup_incremental" -> incrementalOracle,
+  ) ++ oraclesTail
+
+  private lazy val incrementalOracle: String =
       """WITH b AS (
         |  SELECT doc_id, text,
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
@@ -252,7 +277,9 @@ object DedupQueries {
         |FROM p
         |JOIN c ca ON p.left_id = ca.doc_id
         |JOIN c cb ON p.right_id = cb.doc_id
-        |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin,
+        |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q_decontaminate" ->
       """WITH b AS (
         |  SELECT doc_id, text,

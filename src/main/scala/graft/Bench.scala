@@ -65,7 +65,7 @@ object Bench {
       "q_sessionize", "q_asof_join", "q_dedup_clusters",
       "q_neardup_minhash_lsh", "q_ann_bruteforce_topk", "q_tfidf",
       "q_pagerank_nations", "mr_wordcount", "q_kmeans_assign",
-      "q_chunk_documents",
+      "q_chunk_documents", "q_semantic_neardup", "q_decile_stats",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
     try java.nio.file.Files.writeString(

@@ -239,7 +239,17 @@ object Events {
     * a one-row aggregate broadcast back, so the whole operator is one
     * bounded broadcast + one map-side-combined keyed aggregation; the
     * weight is computed per row in codegen, never via a window or
-    * self-join. */
+    * self-join.
+    *
+    * Oracle tolerance: the query layer rounds `decayed_sum` to 6
+    * decimals for the hash compare. That relies on cross-engine
+    * SUMMATION-ORDER agreement only up to ~1 ulp per term — exact at
+    * test scale, but inherently fuzzy as group sizes grow (a
+    * near-boundary 7th decimal can flip). A hash-stable production
+    * check should compare with an epsilon (or sort the weighted terms
+    * before summing, which buys bit-exactness at the cost of a
+    * per-group sort) — same trade as the centroid-anchor rounding
+    * documented in [[Clustering]]. */
   def decayedSum(events: DataFrame, keyCol: Column, tsCol: Column,
       valCol: Column, halfLifeHours: Double): DataFrame = {
     require(halfLifeHours > 0, "halfLifeHours must be positive")

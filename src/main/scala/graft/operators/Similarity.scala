@@ -129,7 +129,12 @@ object Similarity {
     * P[bit match] = 1 - acos(s)/π; with band width r and b bands,
     * P[candidate] = 1 - (1 - p^r)^b. Defaults (32 bits, 8 bands of 4)
     * give ~0.8 recall at s = 0.45 on unit-random 64-d data — tune r up
-    * for high-similarity regimes. */
+    * for high-similarity regimes.
+    *
+    * Band keys are the concatenated slice BITS (not a murmur3 of them):
+    * collision-free, so the candidate set is exactly slice equality —
+    * what the DuckDB oracle expresses — and a hash collision can never
+    * admit a pair on one side only. */
   def srpNeardupPairs(emb: DataFrame, dim: Int, threshold: Double,
       nBits: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
@@ -142,7 +147,8 @@ object Similarity {
       srpSignature(col("emb_d"), nBits, dim, seed).as("sig"))
     val banded = sigged.select(col("vec_id"), posexplode(
       array((0 until bands).map(bi =>
-        hash(lit(bi) +: (0 until r).map(j => element_at(col("sig"), bi * r + j + 1)): _*)): _*))
+        concat((0 until r).map(j =>
+          element_at(col("sig"), bi * r + j + 1).cast("string")): _*)): _*))
       .as(Seq("band", "band_key")))
     // candidates dedup on bare id pairs (cheap), embeddings re-joined after
     val cands = banded.select(col("vec_id").as("a"), col("band"), col("band_key"))

@@ -74,7 +74,9 @@ object SimilarityQueries {
     * (expressed as slice equality — the semantic form of the engine's
     * murmur3 band-key equi-join); exact-cosine verify as in the exact
     * oracle. Converts the LSH scale path from rows-only to a full
-    * hash-compare. */
+    * hash-compare. The engine joins on concatenated slice VALUES (not a
+    * murmur3 of them — see srpNeardupPairs), so both sides share the
+    * exact same candidate set: no hash-collision divergence. */
   private def srpLshOracle(nBits: Int, bands: Int, dim: Int,
       threshold: Double, seed: Long): String = {
     val rnd = new scala.util.Random(seed)

@@ -39,6 +39,16 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
+    val spark = df.sparkSession
+    // true replace semantics: overwrite mode alone fails with
+    // LOCATION_ALREADY_EXISTS when a previous SESSION left the table
+    // directory behind but this session's catalog has never seen the
+    // table — drop the catalog entry, then clear any orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -518,11 +518,15 @@ object Dedup {
     * majority vote of bit j across all shingle md5-derived hashes. One
     * groupBy(id) with 60 conditional-sum aggregates — a single pass. */
   def simHashSignatures(sh: DataFrame): DataFrame = {
-    val h = md5Hash60(col("shingle"))
+    // project the base hash ONCE per row before the 60 bit-vote
+    // aggregates reference it — relying on subexpression elimination
+    // across 60 aggregate expressions would be fragile
+    val h = col("__h60")
     val aggs = (0 until SimHashBits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    sh.select(col("id"), md5Hash60(col("shingle")).as("__h60"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         (0 until SimHashBits).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))

@@ -159,6 +159,52 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine similarity join: pairs (a < b) with
+    * `cos(w_a, w_b) >= threshold` over the documents' TF-IDF weight
+    * vectors — the lexical-overlap near-dup signal that, unlike
+    * n-gram Jaccard, weighs RARE shared terms heavily and ignores
+    * boilerplate. Candidate generation is the inverted-index equi-join
+    * on the term (only pairs sharing >= 1 term materialize — the
+    * standard sparse similarity-join shape, cf. V-SMART-Join); the dot
+    * product accumulates per-term weight PRODUCTS in the same join.
+    *
+    * Engine-portability: weights are the 6-decimal TF-IDF scaled to
+    * integers (`round(tfidf·10⁶)`), and dot products/norms aggregate
+    * those integers EXACTLY (decimal accumulator — no float
+    * summation-order noise), so the oracle reproduces cosines
+    * bit-for-bit from the same integers.
+    *
+    * `maxTermDf` (0 = off) drops terms with document frequency above
+    * the cap from candidate generation AND scoring — the stopword-term
+    * join-fanout bound at corpus scale. Unlike the Jaccard cap this
+    * changes scores (capped terms leave the vector), which is the
+    * standard production trade: ubiquitous terms carry ~zero idf
+    * weight anyway. The oracle-checked query runs uncapped. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTermDf: Long = 0L): DataFrame = {
+    // weight table feeds norms + both join sides: cache the projection
+    val w0 = tfIdf(df, idCol, textCol)
+      .select(col("id"), col("term"), col("df"),
+        round(col("tfidf") * 1e6).cast("long").as("w"))
+    val w = (if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf))
+      .cache()
+    val norms = w.groupBy("id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val prods = w.select(col("term"), col("id").as("a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("id").as("b"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("dot"))
+    prods
+      .join(norms.select(col("id").as("a"), col("n2").as("na2")), Seq("a"))
+      .join(norms.select(col("id").as("b"), col("n2").as("nb2")), Seq("b"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Inverted-index statistics: per term, document frequency, total
     * term count, and the smallest posting id (the full posting-list
     * build is the same shuffle with collect_list instead of min). */

@@ -49,6 +49,12 @@ object TextQueries {
     "q_inverted_index" -> { (s, dir) =>
       TextAnalysis.invertedIndexStats(table(s, dir, "documents"), "doc_id", "text")
     },
+    // sparse TF-IDF cosine join: lexical near-dup weighting rare shared
+    // terms (integer-scaled weights -> bit-exact cross-engine cosines)
+    "q_tfidf_cosine_pairs" -> { (s, dir) =>
+      TextAnalysis.tfidfCosinePairs(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9)
+    },
     "q_top_ngrams" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(TextAnalysis.tokens(col("text")).as("toks"))
@@ -153,6 +159,31 @@ object TextQueries {
         |SELECT tf.doc_id, tf.term, tf.tf, df.df,
         |  round(tf.tf * ln(n.n / df.df), 6) AS tfidf
         |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin,
+    // same integer weights as the engine: round(round(tfidf,6)*1e6) —
+    // dot/norm sums are exact integer arithmetic on both sides, so the
+    // cosines are identical doubles (no summation-order tolerance)
+    "q_tfidf_cosine_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(1) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |          x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(1)::DOUBLE AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        round(round(tf.tf * ln(n.n / dfx.df), 6) * 1e6)::BIGINT AS w
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+        |prods AS (SELECT wa.doc_id AS a, wb.doc_id AS b, sum(wa.w * wb.w) AS dot
+        |          FROM w wa JOIN w wb ON wa.term = wb.term AND wa.doc_id < wb.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  round(p.dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6) AS cos
+        |FROM prods p
+        |JOIN norms na ON p.a = na.doc_id
+        |JOIN norms nb ON p.b = nb.doc_id
+        |WHERE p.dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.9""".stripMargin,
     "q_inverted_index" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(1) AS tf

@@ -155,6 +155,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> (4L, 1L, 0.25), 2L -> (2L, 0L, 0.0)))
   }
 
+  test("tfidfCosinePairs: hand-checked cosine, identical docs score 1") {
+    // docs 1 and 2 identical -> cos = 1; doc 3 shares only the
+    // ubiquitous term "x" (df = 3 -> idf = ln(1) = 0, weight 0) -> no
+    // qualifying pair with 3 at any positive threshold
+    val df = Seq((1L, "x rare1 rare2"), (2L, "x rare1 rare2"), (3L, "x solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === 1.0)
+  }
+
+  test("tfidfCosinePairs: maxTermDf drops high-df terms from scoring") {
+    // "mid" is in 2 of 3 docs (idf > 0); capping df at 1 removes it, so
+    // docs 1/2 — which share ONLY "mid" — no longer pair at all
+    val df = Seq((1L, "mid aa"), (2L, "mid bb"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val uncapped = TextAnalysis.tfidfCosinePairs(df, "doc_id", "text", 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = TextAnalysis.tfidfCosinePairs(df, "doc_id", "text", 0.01,
+      maxTermDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L)))
+    assert(capped === Set.empty)
+  }
+
   test("maskPii: emails masked before digit runs, count matches") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "call 555-1234 or mail a1@ex.co now"))

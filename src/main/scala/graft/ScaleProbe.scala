@@ -168,6 +168,45 @@ object ScaleProbe {
             col("o_totalprice"))
           .write.format("noop").mode("overwrite").save()
       }
+      // round-4 operators. NOTE on the pair-finders (tfidf cosine,
+      // semantic pairs): amplified copies are near-identical twins, so
+      // TRUE pair density grows ~C(n,2) per original — same caveat as
+      // the minhash_lsh probe; the slope measures data+answer growth.
+      time(s"decile_ntile_${n}x") {
+        operators.Stats.distributedNtile(
+            ordN.select("o_orderkey", "o_totalprice"),
+            "o_totalprice", "o_orderkey", nTiles = 10)
+          .groupBy(col("tile")).agg(count(lit(1)).as("cnt"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"tfidf_cosine_incr_${n}x") {
+        // incremental + df-capped: the production configuration. The
+        // synthetic corpus is DENSE (31-word vocab, every term in ~77%
+        // of docs), so the uncapped term join is Σdf² ~ n² by
+        // construction — the cap drops the ubiquitous (near-zero-idf)
+        // terms and the probe then measures the scalable path.
+        val sp = operators.Sampling.split(docsN, col("doc_id"), 12, 2)
+        operators.TextAnalysis.tfidfCosineCrossPairs(
+          sp.filter(col("split") === "test"),
+          sp.filter(col("split") =!= "test"),
+          "doc_id", "text", 0.9, maxTermDf = 500L * n)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"simhash_pairs_${n}x") {
+        operators.Dedup.simHashPairs(docsN, "doc_id", "text", 3, maxHamming = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"semantic_pairs_${n}x") {
+        // nClusters scales with the corpus so cell sizes stay bounded —
+        // the SemDeDup production rule (within-cell pair cost is
+        // Σ|cell|²; fixed k at growing n would re-derive the n² join)
+        operators.Dedup.semanticPairs(embN, threshold = 0.4, nClusters = 8 * n)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"ivf_topk_trained_${n}x") {
+        operators.Similarity.ivfTopK(embN, k = 5, every = 50L)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

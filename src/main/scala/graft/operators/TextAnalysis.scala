@@ -205,6 +205,49 @@ object TextAnalysis {
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Incremental (batch-vs-corpus) TF-IDF cosine join: score a NEW
+    * ingest batch against an existing corpus — the production shape of
+    * [[tfidfCosinePairs]] at 100 TB, where the self-join's Σ df² term
+    * fanout is replaced by Σ df_batch·df_corpus (linear in the batch).
+    * IDF and document frequencies come from the CORPUS only (the
+    * corpus is the model; batch terms unseen in the corpus carry no
+    * weight — standard OOV handling, so a batch doc of pure novel
+    * vocabulary scores 0 against everything). Same integer-exact
+    * arithmetic as the self-join form. */
+  def tfidfCosineCrossPairs(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxTermDf: Long = 0L): DataFrame = {
+    val n = corpus.count()
+    val ctf = termFrequencies(corpus, idCol, textCol)
+    val dfreq0 = ctf.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val dfreq = if (maxTermDf <= 0) dfreq0 else dfreq0.filter(col("df") <= maxTermDf)
+    def weigh(tf: DataFrame): DataFrame =
+      tf.join(broadcast(dfreq), "term")
+        .select(col("id"), col("term"),
+          round(round(col("tf") * log(lit(n.toDouble) / col("df")), 6) * 1e6)
+            .cast("long").as("w"))
+    val wc = weigh(ctf).cache()
+    val wb = weigh(termFrequencies(batch, idCol, textCol)).cache()
+    def norms(w: DataFrame): DataFrame = w.groupBy("id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val prods = wb.select(col("term"), col("id").as("batch_id"), col("w").as("wa"))
+      .join(wc.select(col("term"), col("id").as("corpus_id"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("dot"))
+    prods
+      .join(norms(wb).select(col("id").as("batch_id"), col("n2").as("na2")),
+        Seq("batch_id"))
+      .join(norms(wc).select(col("id").as("corpus_id"), col("n2").as("nb2")),
+        Seq("corpus_id"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Inverted-index statistics: per term, document frequency, total
     * term count, and the smallest posting id (the full posting-list
     * build is the same shuffle with collect_list instead of min). */

@@ -181,6 +181,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped === Set.empty)
   }
 
+  test("tfidfCosineCrossPairs: corpus-stats weighting, OOV batch terms ignored") {
+    val corpus = Seq((10L, "alpha beta"), (11L, "alpha gamma"), (12L, "delta"))
+      .toDF("doc_id", "text")
+    // batch doc 1 duplicates corpus doc 10; "novel" is OOV (absent from
+    // the corpus) and must not contribute weight
+    val batch = Seq((1L, "alpha beta novel"), (2L, "zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosineCrossPairs(batch, corpus,
+        "doc_id", "text", threshold = 0.99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // batch 1 vs corpus 10: identical corpus-known vectors -> cos 1;
+    // batch 2 is pure OOV -> no pairs at all
+    assert(got.keySet === Set((1L, 10L)))
+    assert(got((1L, 10L)) === 1.0)
+  }
+
   test("maskPii: emails masked before digit runs, count matches") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "call 555-1234 or mail a1@ex.co now"))

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * cardinality scales too). A near-linear slope backs SCALE.md's claims;
   * a superlinear one exposes a pair-explosion or a driver bottleneck.
   *
-  * Usage: runMain graft.ScaleProbe [multiplier]
+  * Usage: runMain graft.ScaleProbe [multiplier] [probe-name-substring...]
+  * (with substrings, only matching probes run — re-measure one operator
+  * without paying for the whole battery)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(8)
+    val only = args.drop(1).toSet
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -28,6 +31,7 @@ object ScaleProbe {
       }.reduce(_ union _)
 
     def time(name: String)(f: => Unit): Double = {
+      if (only.nonEmpty && !only.exists(name.contains)) return 0.0
       // several operators cache intermediates internally; clear so no
       // probe measures another's warmed cache
       spark.catalog.clearCache()
@@ -145,7 +149,18 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      val embN = amplify(emb, Seq("vec_id"), n * 16) // table is tiny (500)
+      // the embeddings table is tiny (500 rows), so it amplifies n*16x —
+      // MATERIALIZED to parquet rather than left as a 128-branch union:
+      // whole-stage codegen fuses every union branch into one method,
+      // which at 128 branches exceeds Janino's limits and drops the
+      // whole stage to interpreted eval. A real corpus is a scan, so
+      // the probe should be scan-shaped too.
+      val embN = {
+        val p = s"/tmp/graft_probe_emb_$n"
+        amplify(emb, Seq("vec_id"), n * 16)
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
       time(s"kmeans_assign_${n}x") {
         operators.Clustering.kMeansAssign(embN, k = 8, iters = 2)
           .write.format("noop").mode("overwrite").save()
@@ -204,7 +219,12 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       time(s"ivf_topk_trained_${n}x") {
-        operators.Similarity.ivfTopK(embN, k = 5, every = 50L)
+        // nCells scales with the corpus (fixed nprobe): the scored
+        // fraction per query is nprobe/nCells, so constant cells at a
+        // growing corpus re-derive linear scan cost per query — the
+        // same bounded-cell rule as semantic_pairs
+        operators.Similarity.ivfTopK(embN, k = 5, nCells = 16 * n,
+          nprobe = 4, every = 50L)
           .write.format("noop").mode("overwrite").save()
       }
     }

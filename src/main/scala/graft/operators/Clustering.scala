@@ -33,27 +33,85 @@ object Clustering {
   private def round6(x: Double): Double =
     (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
 
-  /** Squared L2 distance to a constant centroid, as a sequential fold in
-    * double precision (same order as the oracle's per-element sum). */
-  private def sqDist(e: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(e, typedlit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Squared L2 to a constant centroid via the algebraic identity
+    * `‖x−c‖² = x·x − 2·x·c + ‖c‖²`, clamped at 0 (float cancellation
+    * can dip a hair negative for x ≈ c): `x·x` is computed ONCE per row
+    * and each centroid costs one fused native
+    * [[graft.functions.VectorDot]] — fully codegen'd, so the per-row
+    * cost is k dot products instead of k interpreted
+    * `aggregate(zip_with(...))` folds (ScaleProbe's k=64 assignment was
+    * fold-bound; higher-order functions don't enter whole-stage
+    * codegen). `‖c‖²` folds at PLAN time in the same left-to-right
+    * order the oracle's `list_sum` uses, so both engines evaluate the
+    * identical expression. */
+  private def sqDistAlg(xx: Column, e: Column, c: Seq[Double]): Column = {
+    val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+    greatest(xx - lit(2.0) * graft.functions.VectorDot(e, typedlit(c)) + lit(cc),
+      lit(0.0))
+  }
+
+  /** Max centroids evaluated as ONE literal argmin expression. Beyond
+    * this, the generated Java for the struct-array min exceeds Janino's
+    * method limits (CollapseProject re-inlines any attempt to split it
+    * across projections), codegen fails, and the whole stage silently
+    * drops to interpreted eval — measured as minutes instead of seconds
+    * at k=64/128 in ScaleProbe. Above the cap, [[bestCentroid]] switches
+    * to the broadcast-join formulation: one (row × centroid) pair per
+    * evaluation of a SMALL codegen'd expression, then a `min(struct)`
+    * aggregation — one map-side-combined shuffle of |rows| compact
+    * rows, which is the shape that scales to thousands of IVF cells. */
+  private[operators] val LiteralArgminMax = 32
+
+  /** Per-row argmin over the centroid set: `(vec_id, __e, best{d2,cid})`.
+    * Shared by [[assign]] and the training update pass; picks the
+    * literal or join path by centroid count (see [[LiteralArgminMax]]).
+    * Both paths compute the identical `sqDistAlg` quantity, so results
+    * (and oracles) are independent of the path taken. */
+  private def bestCentroid(df: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String, vecCol: Column): DataFrame = {
+    val prepped = df.select(col(idCol).as("vec_id"),
+        vecCol.cast("array<double>").as("__e"))
+      .withColumn("__xx", graft.functions.VectorDot(col("__e"), col("__e")))
+    if (centroids.size <= LiteralArgminMax) {
+      val scored = array(centroids.map { case (cid, c) =>
+        struct(sqDistAlg(col("__xx"), col("__e"), c).as("d2"), lit(cid).as("cid"))
+      }: _*)
+      prepped.select(col("vec_id"), col("__e"), array_min(scored).as("best"))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cent = centroids.map { case (cid, c) =>
+        (cid, c, c.foldLeft(0.0)((acc, x) => acc + x * x))
+      }.toDF("__cid", "__c", "__cc")
+      val d2 = greatest(col("__xx") -
+        lit(2.0) * graft.functions.VectorDot(col("__e"), col("__c")) +
+        col("__cc"), lit(0.0))
+      // ties on (d2, cid) are impossible (cid unique), so the trailing
+      // __e field is never compared — it just rides along, avoiding a
+      // second join to recover the vector
+      prepped.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          struct(d2.as("d2"), col("__cid").as("cid"), col("__e").as("e")).as("__s"))
+        .groupBy("vec_id")
+        .agg(min(col("__s")).as("__m"))
+        .select(col("vec_id"), col("__m.e").as("__e"),
+          struct(col("__m.d2").as("d2"), col("__m.cid").as("cid")).as("best"))
+    }
+  }
 
   /** The per-row argmin projection over a fixed centroid set — k
     * distances per row as broadcast literals, no row multiplication, no
-    * shuffle; ties break toward the lower cid via struct ordering.
+    * shuffle; ties break toward the lower cid via struct ordering over
+    * SQUARED distances (the oracle orders by the same quantity).
     * Stateless, so it applies unchanged to a STREAMING DataFrame
     * (see graft.streaming.StreamingOps.assignToCentroids). */
   def assign(df: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "assign needs at least one centroid")
-    val scored = array(centroids.map { case (cid, c) =>
-      struct(sqrt(sqDist(col(vecCol).cast("array<double>"), c)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    df.select(col(idCol).as("vec_id"), array_min(scored).as("best"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    bestCentroid(df, centroids, idCol, col(vecCol))
       .select(col("vec_id"), col("best.cid").as("cluster"),
-        round(col("best.d"), 4).as("dist"))
+        round(sqrt(col("best.d2")), 4).as("dist"))
   }
 
   /** Run the Lloyd loop and return the final centroid set — the model a
@@ -64,6 +122,7 @@ object Clustering {
   def trainCentroids(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters > 0, "k and iters must be positive")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val df = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("e"))
       .cache() // scanned iters times; unpersisted below
@@ -82,11 +141,8 @@ object Clustering {
         // combine; collected to the driver as the next centroid set.
         // A cluster that loses all members simply disappears (both
         // engines drop it identically).
-        val scored = array(centroids.map { case (cid, c) =>
-          struct(sqrt(sqDist(col("e"), c)).as("d"), lit(cid).as("cid"))
-        }: _*)
-        val upd = df.withColumn("best", array_min(scored))
-          .select(col("best.cid").as("cid"), posexplode(col("e")).as(Seq("i", "v")))
+        val upd = bestCentroid(df, centroids, "vec_id", col("e"))
+          .select(col("best.cid").as("cid"), posexplode(col("__e")).as(Seq("i", "v")))
           .groupBy(col("cid"), col("i"))
           .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
           .collect()

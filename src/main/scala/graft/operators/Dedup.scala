@@ -507,6 +507,42 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Cross-corpus (batch-vs-corpus) semantic near-dup against a GIVEN
+    * quantizer — the incremental-ingest form of [[semanticPairs]]: the
+    * centroid model is trained ONCE on the corpus
+    * ([[Clustering.trainCentroids]]) and each new batch is assigned and
+    * compared only within its cells. Candidate cost is
+    * Σ|batch cell|·|corpus cell| — linear in the batch — and the model
+    * artifact (k·dim doubles) rides along as broadcast literals, which
+    * is what makes the STREAMING twin
+    * (graft.streaming.StreamingOps.incrementalSemanticDedup) stateless.
+    * Ids present in both sides are excluded (identity is not
+    * near-duplication, mirroring [[crossJaccardPairs]]). */
+  def semanticCrossPairs(batch: DataFrame, corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("batch_id", "corpus_id", "cos")
+    }
+    def prep(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__emb"))
+        .withColumn("__nrm", sqrt(Similarity.dot(col("__emb"), col("__emb"))))
+        .join(Clustering.assign(df, centroids).select(col("vec_id"), col("cluster")),
+          Seq("vec_id"))
+        .select(col("cluster"), col("vec_id").as(idAs),
+          col("__emb").as(s"__emb_$idAs"), col("__nrm").as(s"__nrm_$idAs"))
+    prep(batch, "batch_id").join(prep(corpus, "corpus_id"), Seq("cluster"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .withColumn("cos",
+        Similarity.dot(col("__emb_batch_id"), col("__emb_corpus_id")) /
+          (col("__nrm_batch_id") * col("__nrm_corpus_id")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** 60-bit md5-derived shingle hash — portable: any engine with md5
     * computes the identical value (same trick as
     * [[Sampling.hashUniform]]), which is what makes the SimHash oracle

@@ -196,26 +196,59 @@ object Similarity {
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "neighbor_id", "rank", "cos")
     }
-    // squared L2 to each centroid — same sequential fold order as the
-    // trainer and the oracle (monotone with the trainer's sqrt form, so
-    // cell argmins agree without paying k sqrts per row)
-    def cellDists(v: Column): Column = array(centroids.map { case (i, c) =>
-      struct(aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d).as("d"), lit(i).as("cell"))
-    }: _*)
-    // nearest cells first: ascending (distance, cell id) struct sort
-    def nearestCells(v: Column, m: Int): Column =
-      slice(array_sort(cellDists(v)), 1, m)
+    // squared L2 to each cell via the algebraic identity
+    // x·x − 2·x·c + ‖c‖² (clamped at 0): x·x computed once per row,
+    // each cell one fused native VectorDot — fully codegen'd (the
+    // interpreted zip_with fold was the probe's bottleneck at high k),
+    // and exactly the quantity the oracle orders by. Above
+    // Clustering.LiteralArgminMax cells the literal sort expression
+    // exceeds codegen limits (see that constant's scaladoc), so cell
+    // selection switches to the broadcast-join form: a tiny codegen'd
+    // expression per (row, cell) pair, then per-row top-m via a
+    // map-side-combined aggregation — the shape that scales to
+    // thousands of IVF cells. Both paths rank the identical quantity.
+    def withCells(df: DataFrame, m: Int): DataFrame =
+      if (centroids.size <= Clustering.LiteralArgminMax) {
+        val all = array(centroids.map { case (i, c) =>
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          struct(greatest(col("__xx") - lit(2.0) *
+              graft.functions.VectorDot(col("emb_d"), typedLit(c)) + lit(cc),
+            lit(0.0)).as("d"), lit(i).as("cell"))
+        }: _*)
+        df.withColumn("__cells", slice(array_sort(all), 1, m))
+      } else {
+        import spark.implicits._
+        val cent = centroids.map { case (i, c) =>
+          (i, c, c.foldLeft(0.0)((acc, x) => acc + x * x))
+        }.toDF("__cid", "__c", "__cc")
+        val d2 = greatest(col("__xx") -
+          lit(2.0) * graft.functions.VectorDot(col("emb_d"), col("__c")) +
+          col("__cc"), lit(0.0))
+        // ties on (d, cell) are impossible (cell ids unique), so the
+        // trailing vector/norm fields are never compared — they ride
+        // along to avoid a second join
+        df.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            struct(d2.as("d"), col("__cid").as("cell")).as("__s"),
+            struct(d2.as("d"), col("__cid").as("cell"),
+              col("emb_d").as("emb_d"), col("nrm").as("nrm")).as("__se"))
+          .groupBy(col("vec_id"))
+          .agg(slice(sort_array(collect_list(col("__s"))), 1, m).as("__cells"),
+            min(col("__se")).as("__m"))
+          .select(col("vec_id"), col("__m.emb_d").as("emb_d"),
+            col("__m.nrm").as("nrm"), col("__cells"))
+      }
     val prepped = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb_d"))
+      .withColumn("__xx", graft.functions.VectorDot(col("emb_d"), col("emb_d")))
       .withColumn("nrm", sqrt(dot(col("emb_d"), col("emb_d"))))
-    val assigned = prepped.select(col("vec_id"), col("emb_d"), col("nrm"),
-      element_at(nearestCells(col("emb_d"), 1), 1).getField("cell").as("cell"))
-    val queries = prepped.filter(col("vec_id") % every === 0L)
+    val assigned = withCells(prepped, 1)
+      .select(col("vec_id"), col("emb_d"), col("nrm"),
+        element_at(col("__cells"), 1).getField("cell").as("cell"))
+    val queries = withCells(prepped.filter(col("vec_id") % every === 0L), nprobe)
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(transform(nearestCells(col("emb_d"), nprobe), s => s.getField("cell")))
-          .as("cell"))
+        explode(transform(col("__cells"), s => s.getField("cell"))).as("cell"))
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q_emb"), col("emb_d")) / (col("q_nrm") * col("nrm")))

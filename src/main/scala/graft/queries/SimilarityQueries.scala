@@ -5,11 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.sources.Sources.table
 
-/** Similarity-search queries over `embeddings`. Brute-force top-k,
-  * exact near-dup pairs, and vector norms are DuckDB-oracled (explicit
-  * list arithmetic, double precision, same fold order). The LSH and IVF
-  * scale paths use seeded projections DuckDB can't replicate — rows-only
-  * checks + recall tests in SimilaritySpec.
+/** Similarity-search queries over `embeddings`. ALL paths are
+  * DuckDB-oracled — explicit list arithmetic in double precision with
+  * the engine's exact fold orders, seeded projections regenerated into
+  * the SQL, and the k-means trajectories unrolled as CTE chains.
   */
 object SimilarityQueries {
 
@@ -47,6 +46,19 @@ object SimilarityQueries {
       graft.operators.Dedup.semanticPairs(table(s, dir, "embeddings"),
         threshold = 0.4, nClusters = 8, trainIters = 2)
     },
+    // incremental-ingest semantic dedup: quantizer trained on the
+    // CORPUS split only; the batch (test split) is scored within its
+    // cells — batch-linear, and the shape the streaming twin reuses
+    "q_semantic_neardup_incremental" -> { (s, dir) =>
+      val emb = graft.operators.Sampling
+        .split(table(s, dir, "embeddings"), col("vec_id"), 12, 2)
+      val corpus = emb.filter(col("split") =!= "test").drop("split")
+      val batch = emb.filter(col("split") === "test").drop("split")
+      val centroids = graft.operators.Clustering
+        .trainCentroids(corpus, k = 8, iters = 2)
+      graft.operators.Dedup.semanticCrossPairs(batch, corpus, centroids,
+        threshold = 0.4)
+    },
     // int8 quantization reconstruction-error profile per label
     "q_quantize_embeddings" -> { (s, dir) =>
       Similarity.quantizeInt8(table(s, dir, "embeddings"))
@@ -71,10 +83,8 @@ object SimilarityQueries {
     * hyperplanes are regenerated here (java.util.Random's sequence is
     * spec-fixed) and embedded as literals; signatures via nested
     * lambdas; candidates = pairs sharing ALL bits of some band
-    * (expressed as slice equality — the semantic form of the engine's
-    * murmur3 band-key equi-join); exact-cosine verify as in the exact
-    * oracle. Converts the LSH scale path from rows-only to a full
-    * hash-compare. The engine joins on concatenated slice VALUES (not a
+    * (expressed as slice equality); exact-cosine verify as in the exact
+    * oracle. The engine joins on concatenated slice VALUES (not a
     * murmur3 of them — see srpNeardupPairs), so both sides share the
     * exact same candidate set: no hash-collision divergence. */
   private def srpLshOracle(nBits: Int, bands: Int, dim: Int,
@@ -110,45 +120,63 @@ object SimilarityQueries {
        |WHERE cos >= $threshold""".stripMargin
   }
 
+  /** The engine's squared-distance expression, as SQL text: mirrors
+    * `Clustering.sqDistAlg` exactly — `greatest(xx − 2·(x·c) + cc, 0)`
+    * with the same left-to-right fold orders. `m` must expose (e, xx),
+    * `c` must expose (c, cc). */
+  private def d2Sql(m: String, c: String): String =
+    s"greatest($m.xx - 2 * list_sum(list_transform(range(1, 65), " +
+      s"i -> $m.e[i] * $c.c[i])) + $c.cc, 0)"
+
+  /** Unrolled 2-round Lloyd CTE chain over source CTE `src`, which must
+    * provide (vec_id, e, xx): produces c0cc (rounded seed centroids
+    * with ‖c‖²), s1/a1 (first assignment by the engine's algebraic
+    * squared distance, ties toward the lower cid), and c1cc (updated
+    * 6-decimal-anchored centroids with ‖c‖²) — the exact trajectory of
+    * `Clustering.trainCentroids(…, k, iters = 2)`. */
+  private def lloyd2Ctes(src: String, k: Int): String =
+    s"""c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |         list_transform(e, x -> round(x, 6)) AS c
+       |  FROM $src ORDER BY vec_id LIMIT $k),
+       |c0cc AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
+       |         FROM c0),
+       |s1 AS (
+       |  SELECT m.vec_id, m.e, c.cid, ${d2Sql("m", "c")} AS d
+       |  FROM $src m CROSS JOIN c0cc c),
+       |a1 AS (
+       |  SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(r ORDER BY i) AS c
+       |  FROM (
+       |    SELECT cid, i, round(avg(v), 6) AS r
+       |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
+       |          FROM a1) u
+       |    GROUP BY cid, i) g
+       |  GROUP BY cid),
+       |c1cc AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
+       |         FROM c1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup_lsh" ->
       srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
     // DuckDB replay of Similarity.ivfTopK with the TRAINED quantizer:
-    // the 2-round Lloyd trajectory is unrolled exactly as in
-    // q_kmeans_assign (lowest-id init, 6-decimal anchors), then
-    // assignment/probing = argmin SQUARED L2 to the trained centroids
-    // with ties toward the LOWER cell (the engine's ascending
-    // (dist, cell) struct sort), then exact-cosine ranking inside the
-    // probed cells only.
+    // the 2-round Lloyd trajectory unrolled (lowest-id init, 6-decimal
+    // anchors, algebraic squared distance), then assignment/probing =
+    // argmin d² with ties toward the LOWER cell, then exact-cosine
+    // ranking inside the probed cells only.
     "q_ann_ivf_topk" ->
-      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-        |         list_transform(e, x -> round(x, 6)) AS c
-        |  FROM emb ORDER BY vec_id LIMIT 16),
-        |s1 AS (
-        |  SELECT m.vec_id, m.e, c.cid,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
-        |  FROM emb m CROSS JOIN c0 c),
-        |a1 AS (
-        |  SELECT vec_id, e, cid FROM (
-        |    SELECT vec_id, e, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM s1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cid, list(r ORDER BY i) AS c
-        |  FROM (
-        |    SELECT cid, i, round(avg(v), 6) AS r
-        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
-        |          FROM a1) u
-        |    GROUP BY cid, i) g
-        |  GROUP BY cid),
+      s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 16)},
         |dots AS (
-        |  SELECT m.vec_id, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i]))) AS d
-        |  FROM emb m CROSS JOIN c1 c),
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
         |assigned AS (
         |  SELECT vec_id, cid AS cell FROM (
         |    SELECT vec_id, cid,
@@ -166,47 +194,66 @@ object SimilarityQueries {
         |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
         |  FROM probes p
         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
-        |  JOIN emb eq ON eq.vec_id = p.query_id
-        |  JOIN emb en ON en.vec_id = a.vec_id)
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id)
         |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos
         |FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // DuckDB replay of the incremental form: same Lloyd CTEs but
+    // trained on the CORPUS split only (md5 16-bucket split on vec_id,
+    // test = bkt >= 14), both sides assigned to the trained centroids,
+    // cross cosine within cells
+    "q_semantic_neardup_incremental" ->
+      s"""WITH emb0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM embeddings),
+        |corp AS (SELECT vec_id, e,
+        |           list_sum(list_transform(e, x -> x * x)) AS xx
+        |         FROM emb0 WHERE bkt < 14),
+        |batch AS (SELECT vec_id, e,
+        |            list_sum(list_transform(e, x -> x * x)) AS xx
+        |          FROM emb0 WHERE bkt >= 14),
+        |${lloyd2Ctes("corp", 8)},
+        |ac AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT m.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY m.vec_id
+        |        ORDER BY ${d2Sql("m", "c")}, c.cid) AS rn
+        |    FROM corp m CROSS JOIN c1cc c) WHERE rn = 1),
+        |ab AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT m.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY m.vec_id
+        |        ORDER BY ${d2Sql("m", "c")}, c.cid) AS rn
+        |    FROM batch m CROSS JOIN c1cc c) WHERE rn = 1),
+        |scored AS (
+        |  SELECT b.vec_id AS batch_id, a.vec_id AS corpus_id,
+        |    list_sum(list_transform(range(1, 65), i -> eb.e[i] * ea.e[i]))
+        |      / (sqrt(list_sum(list_transform(eb.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(ea.e, x -> x * x)))) AS cos
+        |  FROM ab b
+        |  JOIN ac a ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+        |  JOIN batch eb ON b.vec_id = eb.vec_id
+        |  JOIN corp ea ON a.vec_id = ea.vec_id)
+        |SELECT batch_id, corpus_id, round(cos, 6) AS cos FROM scored
+        |WHERE cos >= 0.4""".stripMargin,
     // DuckDB replay of Dedup.semanticPairs: the q_kmeans_assign Lloyd
     // trajectory (k=8, 2 rounds, 6-decimal anchors) up to the final
     // assignment, then exact cosine within each cluster only
     "q_semantic_neardup" ->
-      """WITH emb AS (
+      s"""WITH emb0 AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-        |         list_transform(e, x -> round(x, 6)) AS c
-        |  FROM emb ORDER BY vec_id LIMIT 8),
-        |s1 AS (
-        |  SELECT m.vec_id, m.e, c.cid,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
-        |  FROM emb m CROSS JOIN c0 c),
-        |a1 AS (
-        |  SELECT vec_id, e, cid FROM (
-        |    SELECT vec_id, e, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM s1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cid, list(r ORDER BY i) AS c
-        |  FROM (
-        |    SELECT cid, i, round(avg(v), 6) AS r
-        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
-        |          FROM a1) u
-        |    GROUP BY cid, i) g
-        |  GROUP BY cid),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 8)},
         |s2 AS (
-        |  SELECT m.vec_id, c.cid,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
-        |  FROM emb m CROSS JOIN c1 c),
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
         |assigned AS (
         |  SELECT vec_id, cid AS cluster FROM (
         |    SELECT vec_id, cid,
@@ -219,8 +266,8 @@ object SimilarityQueries {
         |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
         |  FROM assigned aa
         |  JOIN assigned ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
-        |  JOIN emb ea ON aa.vec_id = ea.vec_id
-        |  JOIN emb eb ON ab.vec_id = eb.vec_id)
+        |  JOIN emb0 ea ON aa.vec_id = ea.vec_id
+        |  JOIN emb0 eb ON ab.vec_id = eb.vec_id)
         |SELECT a, b, round(cos, 6) AS cos FROM scored
         |WHERE cos >= 0.4""".stripMargin,
     "q_vector_norms" ->
@@ -261,38 +308,19 @@ object SimilarityQueries {
         |GROUP BY 1, 2""".stripMargin,
     // unrolled 2-round Lloyd trajectory: c0 = k lowest-id vectors,
     // a1 = assign, c1 = per-dim means, a2 = assign; centroids rounded
-    // to 6 decimals at every step exactly like Clustering.kMeansAssign
+    // to 6 decimals at every step and distances via the same algebraic
+    // d² the engine computes (Clustering.sqDistAlg)
     "q_kmeans_assign" ->
-      """WITH emb AS (
+      s"""WITH emb0 AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-        |         list_transform(e, x -> round(x, 6)) AS c
-        |  FROM emb ORDER BY vec_id LIMIT 8),
-        |s1 AS (
-        |  SELECT m.vec_id, m.e, c.cid,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
-        |  FROM emb m CROSS JOIN c0 c),
-        |a1 AS (
-        |  SELECT vec_id, e, cid FROM (
-        |    SELECT vec_id, e, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM s1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cid, list(r ORDER BY i) AS c
-        |  FROM (
-        |    SELECT cid, i, round(avg(v), 6) AS r
-        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
-        |          FROM a1) u
-        |    GROUP BY cid, i) g
-        |  GROUP BY cid),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 8)},
         |s2 AS (
-        |  SELECT m.vec_id, c.cid,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])))) AS d
-        |  FROM emb m CROSS JOIN c1 c)
-        |SELECT vec_id, cid AS cluster, round(d, 4) AS dist FROM (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c)
+        |SELECT vec_id, cid AS cluster, round(sqrt(d), 4) AS dist FROM (
         |  SELECT vec_id, cid, d,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM s2) WHERE rn = 1""".stripMargin,

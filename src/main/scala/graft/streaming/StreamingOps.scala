@@ -249,6 +249,28 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming SEMANTIC incremental dedup: each micro-batch of new
+    * embeddings is scored against the corpus within the cells of a
+    * batch-trained quantizer
+    * ([[graft.operators.Dedup.semanticCrossPairs]]). The centroid model
+    * is broadcast literals (stateless — no watermark, no state store,
+    * the train-offline / score-online split of [[assignToCentroids]]);
+    * the corpus side's assignment is plan-canonical across triggers so
+    * CacheManager holds exactly one cached copy if the caller persists
+    * it. Per-batch results union to the one-shot batch result
+    * (micro-batching invariance, pinned in StreamingSpec). */
+  def incrementalSemanticDedup(newVecs: DataFrame, corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.semanticCrossPairs(
+          batch.toDF(), corpus, centroids, threshold), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** [[incrementalDedup]] with the corpus side bloom-pruned by each
     * micro-batch's shingles
     * ([[graft.operators.Dedup.crossJaccardPairsBloomPruned]]): the

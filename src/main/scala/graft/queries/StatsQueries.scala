@@ -122,11 +122,21 @@ object StatsQueries {
         .orderBy(desc("cnt"), asc("word")).limit(10)
     },
 
-    // deflate compression-ratio quality signal (rows-only: zlib isn't
-    // DuckDB-expressible; exactness pinned by unit test instead)
+    // deflate compression-ratio quality signal, contract form: the
+    // zlib byte stream isn't DuckDB-expressible (exact golden values
+    // are pinned by unit test), but its CONTRACT is — compressed size
+    // must be positive and within the deflate worst case (raw + small
+    // overhead). The query computes the bound check, the oracle emits
+    // TRUE, so the gate catches a broken codec path.
     "q_compression_ratio" -> { (s, dir) =>
-      TextAnalysis.compressionRatio(table(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), round(col("comp_ratio"), 6).as("comp_ratio"))
+      val docs = table(s, dir, "documents")
+      TextAnalysis.compressionRatio(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          expr("octet_length(text)").cast("long").as("n_raw_bytes")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_raw_bytes"),
+          (col("comp_ratio") > 0.0 &&
+            col("comp_ratio") * col("n_raw_bytes") <=
+              col("n_raw_bytes") + lit(64.0)).as("deflate_within_bounds"))
     },
 
     // Zipf fit over the corpus: slope of log(freq) vs log(rank) — the
@@ -183,6 +193,10 @@ object StatsQueries {
   val oracles: Map[String, String] = Map(
     // contract form (see q_approx_distinct): exact recomputed, bound
     // column literal TRUE, Spark computes the actual check
+    "q_compression_ratio" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_raw_bytes,
+        |  TRUE AS deflate_within_bounds
+        |FROM documents""".stripMargin,
     "q_hll_reaggregate" ->
       """SELECT date_trunc('week', ts::TIMESTAMP)::DATE AS week,
         |  count(DISTINCT user_id) AS exact_users,

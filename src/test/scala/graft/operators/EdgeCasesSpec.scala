@@ -122,6 +122,26 @@ class EdgeCasesSpec extends SparkSpec {
       col("value"), 1.0).count() === 0)
   }
 
+  test("round-4 operators on empty input") {
+    assert(Dedup.semanticPairs(emptyEmb, 0.4).count() === 0)
+    // empty corpus -> no trained centroids -> empty cross pairs
+    assert(Dedup.semanticCrossPairs(emptyEmb, emptyEmb,
+      graft.operators.Clustering.trainCentroids(emptyEmb, 4, 2), 0.4)
+      .count() === 0)
+    assert(TextAnalysis.tfidfCosinePairs(emptyDocs, "doc_id", "text", 0.5)
+      .count() === 0)
+    assert(TextAnalysis.tfidfCosineCrossPairs(emptyDocs, emptyDocs,
+      "doc_id", "text", 0.5).count() === 0)
+    assert(Stats.distributedNtile(
+      emptyDocs.select(col("doc_id"), col("doc_id").cast("double").as("v")),
+      "v", "doc_id", 10).count() === 0)
+    val media = graft.multimodal.Multimodal.asMedia(
+      emptyDocs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "text/plain")
+    assert(graft.multimodal.Multimodal.decodeImageFeatures(
+      graft.multimodal.Multimodal.encodeGrayPng(media)).count() === 0)
+  }
+
   test("single-row inputs produce no pairs but survive") {
     val one = Seq((1L, "only one document here", "en", "s")).toDF("doc_id", "text", "lang", "source")
     assert(Dedup.ngramJaccardPairsPrefix(one, "doc_id", "text", 3, 0.8).count() === 0)

@@ -437,16 +437,34 @@ object Dedup {
     * slice equality exactly — what the oracle expresses — and at k=128
     * the string key is still ~40 bytes, irrelevant next to the shuffle.
     */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+  /** Explode a signature table (id, sig) into its LSH band index
+    * (id, band, band_key): band keys are the concatenated slice values
+    * (collision-free — see [[minHashLshPairs]]). This IS the persisted
+    * artifact of a production LSH deployment: write it once for the
+    * corpus (bucketed on band_key, so each ingest batch band-joins
+    * without shuffling the index — [[Sinks.writeBucketed]]), and append
+    * each batch's bands after deduplicating it. */
+  def bandedSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes).cache()
-    val banded = sigs.select(col("id"), posexplode(
+    sigs.select(col("id"), posexplode(
       array((0 until bands).map(bi =>
         concat_ws(":", (0 until r).map(j =>
           element_at(col("sig"), bi * r + j + 1).cast("string")): _*)): _*))
       .as(Seq("band", "band_key")))
+  }
+
+  /** Estimated Jaccard between two signature columns: the fraction of
+    * agreeing positions. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+      (acc, v) => acc + v).cast("double") / numHashes
+
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes).cache()
+    val banded = bandedSignatures(sigs, numHashes, bands)
     val cands = banded.select(col("id").as("a"), col("band"), col("band_key"))
       .join(banded.select(col("id").as("b"), col("band"), col("band_key")),
         Seq("band", "band_key"))
@@ -455,12 +473,39 @@ object Dedup {
     cands
       .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v).cast("double") / numHashes)
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Incremental MinHash-LSH against a PERSISTED index: candidate pairs
+    * come from band-joining the ingest batch's banded signatures
+    * against the corpus's stored band index ([[bandedSignatures]],
+    * persisted bucketed on band_key so the index side never
+    * re-shuffles), then are verified by signature agreement against the
+    * corpus's stored signature table. The 100 TB MinHash shape: corpus
+    * shingling + hashing are paid ONCE at ingest; each batch costs its
+    * own signatures plus a bucket-keyed join linear in the batch.
+    * Ids on both sides are excluded (identity is not near-duplication,
+    * as in [[crossJaccardPairs]]). */
+  def minHashLshCrossPairs(batchSigs: DataFrame, corpusBanded: DataFrame,
+      corpusSigs: DataFrame, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val bb = bandedSignatures(batchSigs, numHashes, bands)
+    val cands = bb.select(col("id").as("batch_id"), col("band"), col("band_key"))
+      .join(corpusBanded.select(col("id").as("corpus_id"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id").distinct()
+    cands
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")),
+        Seq("batch_id"))
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")),
+        Seq("corpus_id"))
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
   /** Number of SimHash signature bits: 60, not 64, because the

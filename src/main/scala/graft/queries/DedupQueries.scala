@@ -96,6 +96,33 @@ object DedupQueries {
         s.table("graft_corpus_shingles"),
         threshold = 0.8)
     },
+    // incremental MinHash-LSH against a PERSISTED signature + band
+    // index: the corpus pays shingling/hashing once (two bucketed
+    // tables: signatures on id, band index on band_key), each ingest
+    // batch band-joins the stored index — the dedup-at-scale shape
+    // where only the batch side ever re-shuffles
+    "q_minhash_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val corpusSigs = Dedup.minHashSignatures(
+        Dedup.shingles(docs.filter(col("split") =!= "test"),
+          "doc_id", "text", 3), numHashes = 128)
+      graft.sources.Sinks.writeBucketed(corpusSigs,
+        "graft_corpus_minhash_sigs", bucketCols = Seq("id"), numBuckets = 8)
+      val storedSigs = s.table("graft_corpus_minhash_sigs")
+      graft.sources.Sinks.writeBucketed(
+        Dedup.bandedSignatures(storedSigs, numHashes = 128, bands = 32),
+        "graft_corpus_minhash_bands", bucketCols = Seq("band_key"),
+        numBuckets = 8)
+      // cached: the batch signatures feed both band generation and the
+      // verification join (the operator leaves cache lifecycle to the
+      // caller, as the streaming path must unpersist per trigger)
+      val batchSigs = Dedup.minHashSignatures(
+        Dedup.shingles(docs.filter(col("split") === "test"),
+          "doc_id", "text", 3), numHashes = 128).cache()
+      Dedup.minHashLshCrossPairs(batchSigs,
+        s.table("graft_corpus_minhash_bands"), storedSigs, threshold = 0.8)
+    },
     // benchmark decontamination: eval docs (test split) sharing any
     // 8-gram with any training doc are contaminated
     "q_decontaminate" -> { (s, dir) =>
@@ -202,6 +229,60 @@ object DedupQueries {
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming""".stripMargin
   }
 
+  /** Cross-corpus twin of [[minHashLshOracle]]: same md5-derived
+    * signatures, split by the md5 16-bucket hash (test = bkt >= 14),
+    * banding as slice equality between batch and corpus sides only.
+    * Persistence must not change results, so this oracles the
+    * persisted-index query. */
+  private def minHashLshCrossOracle(k: Int, bands: Int, threshold: Double): String = {
+    import graft.functions.MinHashAgg
+    val p = MinHashAgg.P
+    val r = k / bands
+    val bandCond = (0 until bands).map { bi =>
+      val lo = bi * r + 1
+      s"sa.sig[$lo:${lo + r - 1}] = sb.sig[$lo:${lo + r - 1}]"
+    }.mkString("(", "\n      OR ", ")")
+    s"""WITH src AS (
+       |  SELECT doc_id, text,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, bkt,
+       |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+       |  FROM (SELECT doc_id, bkt,
+       |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |        FROM src)),
+       |e AS (SELECT doc_id, bkt, unnest(sh) AS s FROM t),
+       |hb AS (SELECT doc_id, bkt,
+       |         ('0x' || substring(md5(s), 1, 15))::BIGINT % $p AS hm
+       |       FROM e),
+       |co AS (SELECT ${MinHashAgg.coeffsSqlA(k)} AS ca,
+       |              ${MinHashAgg.coeffsSqlB(k)} AS cb),
+       |sr AS (
+       |  SELECT doc_id, bkt, r.i,
+       |    min((co.ca[r.i + 1] * hm + co.cb[r.i + 1]) % $p) AS v
+       |  FROM hb CROSS JOIN co
+       |       CROSS JOIN (SELECT unnest(range(0, $k)) AS i) r
+       |  GROUP BY doc_id, bkt, r.i),
+       |sig AS (SELECT doc_id, bkt, list(v ORDER BY i) AS sig
+       |        FROM sr GROUP BY doc_id, bkt),
+       |cand AS (
+       |  SELECT sa.doc_id AS batch_id, sb.doc_id AS corpus_id
+       |  FROM sig sa JOIN sig sb
+       |    ON sa.bkt >= 14 AND sb.bkt < 14 AND sa.doc_id <> sb.doc_id
+       |   AND $bandCond),
+       |scored AS (
+       |  SELECT c.batch_id, c.corpus_id,
+       |    len(list_filter(range(1, ${k + 1}),
+       |      i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $k AS est
+       |  FROM cand c
+       |  JOIN sig sa ON c.batch_id = sa.doc_id
+       |  JOIN sig sb ON c.corpus_id = sb.doc_id)
+       |SELECT batch_id, corpus_id, round(est, 6) AS est_jaccard FROM scored
+       |WHERE est >= $threshold""".stripMargin
+  }
+
   private val anyStopword: String =
     (graft.operators.TextAnalysis.StopwordsEn ++
       graft.operators.TextAnalysis.StopwordsDe ++
@@ -213,6 +294,8 @@ object DedupQueries {
     "q_neardup_minhash_lsh" ->
       minHashLshOracle(k = 128, bands = 32, threshold = 0.8),
     "q_neardup_simhash" -> simHashOracle(maxHamming = 8),
+    "q_minhash_incremental_persisted" ->
+      minHashLshCrossOracle(k = 128, bands = 32, threshold = 0.8),
     "q_upsert_latest" ->
       """WITH snap AS (
         |  SELECT doc_id, text, lang, source, n_chars, 1 AS version

@@ -46,4 +46,16 @@ class Round4PlanSpec extends SparkSpec {
     // the bloom probe prunes the corpus scan before any join
     assert(p.contains("bloom_probe"), p)
   }
+
+  test("persisted minhash index: candidates join the stored band index and sig table") {
+    val p = plan("q_minhash_incremental_persisted")
+    assert(p.contains("graft_corpus_minhash_bands"), p)
+    assert(p.contains("graft_corpus_minhash_sigs"), p)
+    // corpus signatures come from storage, never recomputed: documents
+    // scans belong to the batch side only (2 consumers of the cached
+    // signatures; a corpus-side recompute would double the count)
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(docScans <= 2, s"expected only batch-side documents scans:\n$p")
+  }
 }

@@ -271,6 +271,33 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming MinHash-LSH incremental dedup against a PERSISTED
+    * index: each micro-batch of new documents is shingled, signed
+    * ([[graft.operators.Dedup.minHashSignatures]] — the md5-portable
+    * family), and band-joined against the corpus's stored band index +
+    * signature table ([[graft.operators.Dedup.minHashLshCrossPairs]]).
+    * The index tables are plan-canonical across triggers (one
+    * CacheManager entry if the caller persists them); the batch's
+    * signature cache is unpersisted per trigger (same lifecycle rule as
+    * [[incrementalDedup]]). */
+  def incrementalMinHashDedup(newDocs: DataFrame, corpusBanded: DataFrame,
+      corpusSigs: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batchSigs = graft.operators.Dedup.minHashSignatures(
+          graft.operators.Dedup.shingles(batch.toDF(), idCol, textCol, n),
+          numHashes).cache()
+        try sink(graft.operators.Dedup.minHashLshCrossPairs(
+          batchSigs, corpusBanded, corpusSigs, threshold, numHashes, bands),
+          batchId)
+        finally batchSigs.unpersist()
+      }
+      .outputMode("append")
+      .start()
+
   /** [[incrementalDedup]] with the corpus side bloom-pruned by each
     * micro-batch's shingles
     * ([[graft.operators.Dedup.crossJaccardPairsBloomPruned]]): the

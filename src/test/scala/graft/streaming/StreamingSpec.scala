@@ -278,6 +278,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhash incremental dedup stream vs persisted index == one-shot batch") {
+    import graft.operators.Dedup
+    val docs = Sources.table(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val corpusSigs = Dedup.minHashSignatures(
+      Dedup.shingles(corpus, "doc_id", "text", 3), 128)
+    graft.sources.Sinks.writeBucketed(corpusSigs, "graft_test_mh_sigs",
+      Seq("id"), 4)
+    val storedSigs = spark.table("graft_test_mh_sigs")
+    graft.sources.Sinks.writeBucketed(
+      Dedup.bandedSignatures(storedSigs, 128, 32), "graft_test_mh_bands",
+      Seq("band_key"), 4)
+    val storedBands = spark.table("graft_test_mh_bands")
+    val tmp = Files.createTempDirectory("graft_mh_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.incrementalMinHashDedup(stream, storedBands, storedSigs,
+      "doc_id", "text", n = 3, threshold = 0.5) { (pairs, id) =>
+      collected.synchronized {
+        batches += id
+        collected ++= pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val batchSigs = Dedup.minHashSignatures(
+        Dedup.shingles(newDocs, "doc_id", "text", 3), 128).cache()
+      val oneShot = Dedup.minHashLshCrossPairs(batchSigs, storedBands,
+          storedSigs, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty, "planted near-dups should cross the split")
+    } finally q.stop()
+  }
+
   test("watermark: sessions emit in append mode once watermark passes") {
     val dir = stageEventsDir()
     val stream = StreamingOps.eventsStream(spark, dir)

@@ -36,6 +36,22 @@ object Sinks {
     * either side per query is the dominant cost (proven shuffle-free in
     * BucketingSpec). Bucketing metadata lives in the session catalog,
     * hence `saveAsTable` rather than a path write. */
+  /** Append to an EXISTING bucketed table with the same bucketing spec
+    * — the index-maintenance half of the incremental-dedup lifecycle:
+    * after a batch is deduplicated against the stored corpus index, its
+    * own rows join the index here, so the next batch sees the grown
+    * corpus. Spark validates the spec against the catalog entry;
+    * appended files are bucketed identically, so bucket-join
+    * co-location is preserved as the table grows. */
+  def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")

@@ -227,6 +227,42 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(split"), plan)
   }
 
+  test("minhash index lifecycle: append a deduped batch, grown index == recompute") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions.col
+    val a = docs.filter(col("doc_id") % 3 === 0) // initial corpus
+    val b = docs.filter(col("doc_id") % 3 === 1) // first ingest batch
+    val c = docs.filter(col("doc_id") % 3 === 2) // second ingest batch
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashSignatures(Dedup.shingles(df, "doc_id", "text", 3), 128)
+    try {
+      Sinks.writeBucketed(sigsOf(a), "graft_lc_sigs", Seq("id"), 4)
+      Sinks.writeBucketed(
+        Dedup.bandedSignatures(spark.table("graft_lc_sigs"), 128, 32),
+        "graft_lc_bands", Seq("band_key"), 4)
+      // batch b arrives: dedup (result unused here), then JOIN the index
+      val bSigs = sigsOf(b).cache()
+      Sinks.appendBucketed(bSigs, "graft_lc_sigs", Seq("id"), 4)
+      Sinks.appendBucketed(Dedup.bandedSignatures(bSigs, 128, 32),
+        "graft_lc_bands", Seq("band_key"), 4)
+      // batch c against the GROWN index must equal a from-scratch
+      // rebuild over a ∪ b — appends are indistinguishable from rewrites
+      val cSigs = sigsOf(c).cache()
+      val grown = Dedup.minHashLshCrossPairs(cSigs,
+          spark.table("graft_lc_bands"), spark.table("graft_lc_sigs"), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val refSigs = sigsOf(a.union(b)).cache()
+      val ref = Dedup.minHashLshCrossPairs(cSigs,
+          Dedup.bandedSignatures(refSigs, 128, 32), refSigs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(grown === ref)
+      assert(grown.nonEmpty, "planted near-dups should cross the 3-way split")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lc_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_lc_bands")
+    }
+  }
+
   test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
     val sigs = Dedup.simHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3))

@@ -50,6 +50,34 @@ class ClusteringSpec extends SparkSpec {
       s"assignment must not shuffle:\n$plan")
   }
 
+  test("assign: the k>32 join path matches a driver-side reference argmin") {
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // 40 centroids forces the broadcast-join path (LiteralArgminMax=32)
+    val centroids: Seq[(Int, Seq[Double])] = base
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(40)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
+    val got = Clustering.assign(base, centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference: same algebra (xx - 2*x.c + cc, left-to-right folds,
+    // clamp at 0), argmin with ties toward the lower cid
+    val vecs = base.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val ccs = centroids.map { case (cid, c) =>
+      (cid, c, c.foldLeft(0.0)((a, x) => a + x * x))
+    }
+    vecs.foreach { case (id, e) =>
+      val xx = e.foldLeft(0.0)((a, x) => a + x * x)
+      val best = ccs.map { case (cid, c, cc) =>
+        val dot = e.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        (math.max(xx - 2.0 * dot + cc, 0.0), cid)
+      }.min
+      assert(got(id) === best._2, s"vec $id")
+    }
+  }
+
   test("kMeansAssign: argmin tie breaks toward the lower cluster id") {
     // point 2 exactly equidistant from both seeds
     val df = emb(0L -> Seq(0.0, 0.0), 1L -> Seq(2.0, 0.0), 2L -> Seq(1.0, 0.0))

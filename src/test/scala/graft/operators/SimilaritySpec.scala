@@ -80,6 +80,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"semantic recall collapsed: $recall")
   }
 
+  test("ivf join path (nCells>32): probing ALL cells reproduces brute force exactly") {
+    // 40 cells forces the broadcast-join cell selection; with
+    // nprobe = nCells every query scores every vector, so the result
+    // must equal the exact brute-force ranking row for row
+    val sampleCentroids = emb.orderBy(asc("vec_id")).limit(40)
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
+    val ivf = Similarity.ivfTopKWithCentroids(emb, k = 5, sampleCentroids,
+        nprobe = 40, every = 50L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(emb, k = 5, every = 50L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(ivf === brute)
+    assert(ivf.nonEmpty)
+  }
+
   test("brute-force baselines refuse corpora above their size guard") {
     val eN = intercept[IllegalArgumentException] {
       Similarity.exactNeardupPairs(emb, 0.4, maxRows = 10L)

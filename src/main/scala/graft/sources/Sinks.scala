@@ -8,6 +8,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Backquote each part of a possibly db-qualified table name. */
+  private def quoteTable(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
+
   /** Hive-style partitioned parquet: one directory per partition-column
     * value, so downstream readers get partition PRUNING (a `lang='en'`
     * scan touches only that subtree). `maxRecordsPerFile` bounds file
@@ -60,9 +64,16 @@ object Sinks {
     // LOCATION_ALREADY_EXISTS when a previous SESSION left the table
     // directory behind but this session's catalog has never seen the
     // table — drop the catalog entry, then clear any orphaned location
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteTable(table)}")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    // default-database tables live at <warehouse>/<table>; qualified
+    // ones at <warehouse>/<db>.db/<table>
+    val loc = table.split('.') match {
+      case Array(db, t) => new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, db.toLowerCase + ".db"),
+        t.toLowerCase)
+      case _ => new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    }
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -140,6 +140,12 @@ class EdgeCasesSpec extends SparkSpec {
       "doc_id", "payload", "text/plain")
     assert(graft.multimodal.Multimodal.decodeImageFeatures(
       graft.multimodal.Multimodal.encodeGrayPng(media)).count() === 0)
+    val emptySigs = Dedup.minHashSignatures(
+      Dedup.shingles(emptyDocs, "doc_id", "text", 3), 32)
+    assert(Dedup.bandedSignatures(emptySigs, 32, 8).count() === 0)
+    assert(Dedup.minHashLshCrossPairs(emptySigs,
+      Dedup.bandedSignatures(emptySigs, 32, 8), emptySigs, 0.8,
+      numHashes = 32, bands = 8).count() === 0)
   }
 
   test("single-row inputs produce no pairs but survive") {

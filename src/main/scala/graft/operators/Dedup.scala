@@ -419,24 +419,6 @@ object Dedup {
       .agg(call_function("minhash_agg", col("shingle"), lit(numHashes)).as("sig"))
   }
 
-  /** MinHash + LSH banding near-dup: candidate pairs share at least one
-    * of `bands` band keys (r = numHashes/bands rows per band), then
-    * are verified by estimated Jaccard (signature agreement fraction).
-    *
-    * For a pair at true Jaccard j, P[missed] = (1 - j^r)^bands — with
-    * the defaults (128/32 → r=4), a j=0.9 pair is missed with
-    * probability ~2e-6. Deterministic given the fixed signature scheme:
-    * one md5-derived base hash per shingle, k minima derived with
-    * [[graft.functions.MinHashAgg]]'s fixed mod-P multiply-add family —
-    * identical across JVMs, partitionings, and reruns, and replayable
-    * in ANY engine with md5 + 64-bit integer arithmetic (the DuckDB
-    * oracle regenerates the signatures exactly).
-    *
-    * Band keys are the concatenated slice VALUES (not a murmur3 hash of
-    * them): collision-free by construction, so the candidate set equals
-    * slice equality exactly — what the oracle expresses — and at k=128
-    * the string key is still ~40 bytes, irrelevant next to the shuffle.
-    */
   /** Explode a signature table (id, sig) into its LSH band index
     * (id, band, band_key): band keys are the concatenated slice values
     * (collision-free — see [[minHashLshPairs]]). This IS the persisted
@@ -460,6 +442,24 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)), lit(0),
       (acc, v) => acc + v).cast("double") / numHashes
 
+  /** MinHash + LSH banding near-dup: candidate pairs share at least one
+    * of `bands` band keys (r = numHashes/bands rows per band), then
+    * are verified by estimated Jaccard (signature agreement fraction).
+    *
+    * For a pair at true Jaccard j, P[missed] = (1 - j^r)^bands — with
+    * the defaults (128/32 → r=4), a j=0.9 pair is missed with
+    * probability ~2e-6. Deterministic given the fixed signature scheme:
+    * one md5-derived base hash per shingle, k minima derived with
+    * [[graft.functions.MinHashAgg]]'s fixed mod-P multiply-add family —
+    * identical across JVMs, partitionings, and reruns, and replayable
+    * in ANY engine with md5 + 64-bit integer arithmetic (the DuckDB
+    * oracle regenerates the signatures exactly).
+    *
+    * Band keys are the concatenated slice VALUES (not a murmur3 hash of
+    * them): collision-free by construction, so the candidate set equals
+    * slice equality exactly — what the oracle expresses — and at k=128
+    * the string key is still ~40 bytes, irrelevant next to the shuffle.
+    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -524,9 +524,23 @@ object Dedup {
     * balanced cells instead of n² — and unlike token-level LSH it
     * catches paraphrase-level duplicates that share no shingles.
     * Cross-cluster near-dups are missed by construction (that is the
-    * recall trade; DedupSpec measures it against the exact join). */
+    * recall trade; DedupSpec measures it against the exact join).
+    *
+    * Choosing k (`nClusters`): the within-cell pair space is Σ|cell|²,
+    * so k must GROW with the corpus — k ≈ √n keeps Σ|cell|² ≈ n^1.5 on
+    * balanced cells, and SemDeDup itself runs k in the tens of
+    * thousands at web scale. A small fixed k over a large corpus is
+    * quadratic-with-a-constant, not a scale shape; raising k trades
+    * recall (more cross-cell pairs missed) for cost — measure with
+    * DedupSpec's recall harness. Because a silent bad default is worse
+    * than a loud refusal, the pair space is GUARDED: after assignment,
+    * one small aggregation (k rows) checks Σ|cell|·(|cell|−1)/2 against
+    * `maxCellPairs` and throws with the measured sizes and the k policy
+    * rather than building a runaway join (`maxCellPairs <= 0` disables,
+    * for deliberate oversized runs). The guard is one extra assignment
+    * pass at plan-build time — noise next to the training scans. */
   def semanticPairs(emb: DataFrame, threshold: Double, nClusters: Int = 8,
-      trainIters: Int = 2): DataFrame = {
+      trainIters: Int = 2, maxCellPairs: Long = 100000000L): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val centroids = Clustering.trainCentroids(emb, nClusters, trainIters)
@@ -536,6 +550,7 @@ object Dedup {
     }
     val assigned = Clustering.assign(emb, centroids)
       .select(col("vec_id"), col("cluster"))
+    if (maxCellPairs > 0) guardCellPairs(assigned, nClusters, maxCellPairs)
     val prepped = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb_d"))
       .withColumn("nrm", sqrt(Similarity.dot(col("emb_d"), col("emb_d"))))
@@ -550,6 +565,28 @@ object Dedup {
         Similarity.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Refuse a cluster-then-pair plan whose within-cell pair space
+    * Σ|cell|·(|cell|−1)/2 exceeds `maxCellPairs` — the cluster-id twin
+    * of [[Similarity.guardSize]]: one aggregation over the (≤ k)-row
+    * per-cell counts at plan-build time, so a default-k configuration
+    * cannot silently go quadratic against a corpus-scale table. */
+  private def guardCellPairs(assigned: DataFrame, nClusters: Int,
+      maxCellPairs: Long): Unit = {
+    val row = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") * (col("c") - 1)).cast("double") / 2), lit(0.0))
+          .as("pairs"),
+        coalesce(max(col("c")), lit(0L)).as("max_cell"))
+      .head()
+    val pairs = row.getDouble(0)
+    val maxCell = row.getLong(1)
+    require(pairs <= maxCellPairs.toDouble,
+      f"semanticPairs pair space is ${pairs}%.0f within-cell pairs " +
+      f"(largest cell $maxCell%d rows, nClusters=$nClusters%d), over the " +
+      f"$maxCellPairs%d guard: raise nClusters (k should grow ~sqrt(n); " +
+      "SemDeDup uses tens of thousands of cells at web scale) or raise " +
+      "maxCellPairs for a deliberate oversized run")
   }
 
   /** Cross-corpus (batch-vs-corpus) semantic near-dup against a GIVEN

@@ -48,16 +48,31 @@ object Events {
     * user contributes once, on their first active day, and a running
     * sum over the per-day first-seen counts gives the cumulative
     * distinct count. Two shuffles total (user, then day) regardless of
-    * data size; the window runs over one row per day. */
+    * data size.
+    *
+    * The running sum is a bounded array prefix fold (the
+    * [[Stats.distributedNtile]] idiom), NOT an unpartitioned window:
+    * the per-day counts are calendar-bounded (30 years ≈ 11k rows), so
+    * they collapse into one sorted array in a single aggregation
+    * buffer. Semantics are identical, but the plan contains no
+    * WindowExec — keeping `WindowExec: No Partition Defined` out of
+    * the logs entirely, so any FUTURE single-partition window is a
+    * real regression signal instead of noise. */
   def cumulativeUsers(events: DataFrame): DataFrame = {
     val firstDay = events
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("day"))
     firstDay.groupBy(col("day"))
       .agg(count(lit(1)).as("new_users"))
-      .withColumn("cum_users",
-        sum(col("new_users")).over(Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(sort_array(collect_list(struct(col("day"), col("new_users"))))
+        .as("__arr"))
+      .select(explode(expr(
+        "transform(__arr, (x, i) -> named_struct(" +
+          "'day', x.day, 'new_users', x.new_users, " +
+          "'cum_users', aggregate(slice(__arr, 1, i + 1), 0L, " +
+          "(a, y) -> a + y.new_users)))")).as("__m"))
+      .select(col("__m.day").as("day"), col("__m.new_users").as("new_users"),
+        col("__m.cum_users").as("cum_users"))
   }
 
   /** Gaps-and-islands: per-user consecutive-day activity streaks. The

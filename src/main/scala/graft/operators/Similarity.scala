@@ -32,16 +32,21 @@ object Similarity {
   /** Refuse to build an all-pairs plan over a table larger than
     * `maxRows` — the brute-force entry points are ORACLE BASELINES for
     * recall measurement, and an accidental run against a corpus-scale
-    * table would be an unbounded cross product. The count is one
-    * metadata-cheap action at plan-build time; callers who truly intend
-    * a bigger baseline raise `maxRows` explicitly. */
+    * table would be an unbounded cross product. The check is a Spark
+    * job at plan-build time (the input is evaluated once extra, and
+    * again by the returned plan), but `limit(maxRows + 1)` caps it:
+    * Spark's incremental take stops scanning once maxRows + 1 rows
+    * surface, so guarding against a 100 TB table costs a partial scan,
+    * not a full count of it. (Streaming inputs can't be guarded this
+    * way — these baseline entry points are batch-only.) */
   private def guardSize(df: DataFrame, maxRows: Long, op: String,
       scalePath: String): Unit = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"$op is an O(n²) oracle baseline, refused at $n rows " +
-      s"(max $maxRows): use $scalePath at scale, or raise maxRows " +
-      "for a deliberate oversized baseline run")
+    val cap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val over = df.limit(cap).count() > maxRows
+    require(!over,
+      s"$op is an O(n²) oracle baseline, refused at > $maxRows rows: " +
+      s"use $scalePath at scale, or raise maxRows for a deliberate " +
+      "oversized baseline run")
   }
 
   /** Sequential-fold dot product in double precision — same summation

@@ -147,15 +147,19 @@ object TextAnalysis {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
 
   /** TF-IDF with the smooth idf `ln(N / df)`: two aggregations (term
-    * frequencies, document frequencies) joined on term — the df side is
-    * |vocabulary|-sized and broadcastable. N is computed once (a count
-    * action; at scale, pass it in from pipeline metadata instead). */
+    * frequencies, document frequencies) joined on term. N is computed
+    * IN-PLAN (a one-row count aggregate broadcast onto the df table —
+    * the [[graft.operators.Events.decayedSum]] anchor idiom), so
+    * building this plan runs no driver job. The term join carries no
+    * broadcast hint: a web-scale vocabulary is 10⁸+ terms and a forced
+    * broadcast would OOM, while AQE still broadcasts it at runtime
+    * whenever it actually fits. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.count()
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val tf = termFrequencies(df, idCol, textCol)
     val dfreq = tf.groupBy("term").agg(countDistinct(col("id")).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    tf.join(dfreq.crossJoin(broadcast(n)), "term")
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
@@ -182,7 +186,12 @@ object TextAnalysis {
     * weight anyway. The oracle-checked query runs uncapped. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTermDf: Long = 0L): DataFrame = {
-    // weight table feeds norms + both join sides: cache the projection
+    // weight table feeds norms + both join sides: cache the projection.
+    // Lifecycle: the entry stays pinned until session end / LRU (the
+    // result is consumed lazily, so this call can't unpersist it);
+    // repeated callers should clear it via catalog.clearCache() or
+    // compose the FromWeights form and own caching — see
+    // tfidfCosineCrossPairs' lifecycle note
     val w0 = tfIdf(df, idCol, textCol)
       .select(col("id"), col("term"), col("df"),
         round(col("tfidf") * 1e6).cast("long").as("w"))
@@ -216,18 +225,58 @@ object TextAnalysis {
     * arithmetic as the self-join form. */
   def tfidfCosineCrossPairs(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      maxTermDf: Long = 0L): DataFrame = {
-    val n = corpus.count()
-    val ctf = termFrequencies(corpus, idCol, textCol)
-    val dfreq0 = ctf.groupBy("term").agg(countDistinct(col("id")).as("df"))
-    val dfreq = if (maxTermDf <= 0) dfreq0 else dfreq0.filter(col("df") <= maxTermDf)
-    def weigh(tf: DataFrame): DataFrame =
-      tf.join(broadcast(dfreq), "term")
-        .select(col("id"), col("term"),
-          round(round(col("tf") * log(lit(n.toDouble) / col("df")), 6) * 1e6)
-            .cast("long").as("w"))
-    val wc = weigh(ctf).cache()
-    val wb = weigh(termFrequencies(batch, idCol, textCol)).cache()
+      maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0): DataFrame = {
+    val model = tfidfCorpusModel(corpus, idCol, textCol, maxTermDf, maxTermDfFrac)
+    // the weight tables feed norms + the dot-product join: cached so
+    // the tokenize/weigh pass runs once per side. Lifecycle: entries
+    // stay pinned until session end / LRU — fine for one-shot queries;
+    // REPEATED callers (probe loops, streaming triggers, long sessions)
+    // should compose tfidfWeights + tfidfCosineCrossFromWeights and
+    // own the cache/unpersist themselves (the streaming twin
+    // graft.streaming.StreamingOps.incrementalTfidfCosine unpersists
+    // its batch side per trigger; the corpus side's plan is canonical
+    // across triggers, so CacheManager holds exactly one entry for it).
+    val wc = tfidfWeights(termFrequencies(corpus, idCol, textCol), model).cache()
+    val wb = tfidfWeights(termFrequencies(batch, idCol, textCol), model).cache()
+    tfidfCosineCrossFromWeights(wb, wc, threshold)
+  }
+
+  /** Corpus-side TF-IDF model: one row per surviving corpus term with
+    * its document frequency and the corpus document count `__n`
+    * attached (the one-row broadcast-aggregate idiom — N is in-plan, so
+    * building the model runs no driver job). `maxTermDf` (absolute) and
+    * `maxTermDfFrac` (fraction of N, resolved in-plan) drop ubiquitous
+    * terms from candidate generation AND scoring — the stopword-term
+    * join-fanout bound at corpus scale. */
+  def tfidfCorpusModel(corpus: DataFrame, idCol: String, textCol: String,
+      maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0): DataFrame = {
+    val n = corpus.agg(count(lit(1)).cast("double").as("__n"))
+    val dfreq = termFrequencies(corpus, idCol, textCol)
+      .groupBy("term").agg(countDistinct(col("id")).as("df"))
+      .crossJoin(broadcast(n))
+    val capped = if (maxTermDf <= 0) dfreq else dfreq.filter(col("df") <= maxTermDf)
+    if (maxTermDfFrac <= 0) capped
+    else capped.filter(col("df") <= floor(col("__n") * maxTermDfFrac).cast("long"))
+  }
+
+  /** Integer-exact TF-IDF weights for a term-frequency table against a
+    * corpus model: `(id, term, w)` with `w = round(round(tf·idf,6)·10⁶)`.
+    * The term join is deliberately NOT hint-broadcast: the model is
+    * vocabulary-sized (10⁸+ terms at web scale — a forced broadcast is
+    * a driver/executor OOM at 100×); AQE still converts it to a
+    * broadcast join at runtime when the surviving vocabulary fits. */
+  def tfidfWeights(tf: DataFrame, model: DataFrame): DataFrame =
+    tf.join(model, "term")
+      .select(col("id"), col("term"),
+        round(round(col("tf") * log(col("__n") / col("df")), 6) * 1e6)
+          .cast("long").as("w"))
+
+  /** Batch-vs-corpus cosine join over PRE-WEIGHTED `(id, term, w)`
+    * sides — the caller owns caching/lifecycle (see
+    * [[tfidfCosineCrossPairs]]); each side feeds two consumers (its
+    * norm and the dot-product join), so uncached inputs compute twice. */
+  def tfidfCosineCrossFromWeights(wb: DataFrame, wc: DataFrame,
+      threshold: Double): DataFrame = {
     def norms(w: DataFrame): DataFrame = w.groupBy("id")
       .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
     val prods = wb.select(col("term"), col("id").as("batch_id"), col("w").as("wa"))

@@ -63,11 +63,13 @@ object TextQueries {
       // production configuration: terms in over half the corpus carry
       // near-zero idf but quadratic join fanout — drop them from the
       // vectors (the synthetic corpus has 30 of its 31 words in ~77%
-      // of docs, so the cap is what keeps this query join-bounded)
+      // of docs, so the cap is what keeps this query join-bounded).
+      // The cap is a FRACTION resolved in-plan against the corpus
+      // count (floor(N·0.5) == N // 2, the oracle's integer division),
+      // so building this query runs no driver job
       TextAnalysis.tfidfCosineCrossPairs(
         docs.filter(col("split") === "test"), corpus,
-        "doc_id", "text", threshold = 0.9,
-        maxTermDf = corpus.count() / 2)
+        "doc_id", "text", threshold = 0.9, maxTermDfFrac = 0.5)
     },
     "q_top_ngrams" -> { (s, dir) =>
       table(s, dir, "documents")

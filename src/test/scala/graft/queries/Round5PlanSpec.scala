@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape and guard pins for the round-5 scale fixes. */
+class Round5PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("tfidf cross cosine: vocabulary joins are shuffle-capable (no forced broadcast)") {
+    // with the broadcast threshold off, a BroadcastHashJoin can only
+    // come from a hint — so its absence proves the vocabulary join no
+    // longer mandates a broadcast (AQE may still choose one at runtime
+    // when the vocab fits; the point is it isn't FORCED at 10^8 terms)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tfidf_cosine_incremental")
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
+  test("tfidf self-join form: same — the term join carries no broadcast hint") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_tfidf")
+      assert(!p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("building the tfidf cross plan runs no driver job (corpus count + df cap in-plan)") {
+    // the bare parquet read itself may launch a schema-inference job;
+    // the pin is that the QUERY build adds nothing beyond it (the old
+    // corpus.count() / count()/2 cap ran two full extra Spark jobs)
+    val tracker = spark.sparkContext.statusTracker
+    def jobs(build: => Unit): Int = {
+      val before = tracker.getJobIdsForGroup(null).length
+      build
+      Thread.sleep(1500) // listener bus drain before re-reading the tracker
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    val baseline = jobs {
+      graft.sources.Sources.table(spark, sf0001, "documents")
+      ()
+    }
+    val query = jobs {
+      SparkEntry.queries("q_tfidf_cosine_incremental")(spark, sf0001)
+      ()
+    }
+    assert(query <= baseline,
+      s"plan build launched $query job(s) vs $baseline for the bare table read")
+  }
+
+  test("cumulative users: no WindowExec anywhere (bounded prefix fold instead)") {
+    val p = plan("q_cumulative_users")
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("semanticPairs refuses a pair space over maxCellPairs, naming the k policy") {
+    import spark.implicits._
+    val emb = (0L until 40L)
+      .map(i => (i, Array.fill(4)((i % 3).toDouble)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.semanticPairs(emb, threshold = 0.5,
+        nClusters = 2, trainIters = 1, maxCellPairs = 10L)
+    }
+    assert(e.getMessage.contains("nClusters"), e.getMessage)
+    // the default guard leaves small corpora untouched
+    val ok = graft.operators.Dedup.semanticPairs(emb, threshold = 0.99,
+      nClusters = 2, trainIters = 1)
+    assert(ok.columns.toSeq === Seq("a", "b", "cos"))
+  }
+
+  test("brute-force guard short-circuits: limit(maxRows+1) caps the guard scan") {
+    import spark.implicits._
+    val emb = (0L until 50L)
+      .map(i => (i, Array.fill(4)(1.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.exactNeardupPairs(emb, threshold = 0.5,
+        maxRows = 10L)
+    }
+    assert(e.getMessage.contains("> 10 rows"), e.getMessage)
+  }
+}

@@ -32,6 +32,14 @@ object SimilarityQueries {
     "q_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5)
     },
+    // realistic cell count: 64 cells exceeds Clustering.LiteralArgminMax
+    // (32), so BOTH the trainer and the probe run the broadcast-join
+    // assignment path end-to-end — the shape that scales to thousands
+    // of IVF cells — under the full oracle compare, not just assertions
+    "q_ann_ivf_topk_wide" -> { (s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5, nCells = 64,
+        nprobe = 8)
+    },
     // 2-round Lloyd's k-means (k=8, deterministic lowest-id init,
     // 6-decimal centroid anchor each round) — DuckDB replays the exact
     // trajectory with unrolled CTEs
@@ -187,6 +195,42 @@ object SimilarityQueries {
         |    SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // same replay at 64 cells / nprobe 8 — oracles the >LiteralArgminMax
+    // broadcast-join assignment path (train + assign + probe)
+    "q_ann_ivf_topk_wide" ->
+      s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 64)},
+        |dots AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 8),
         |scored AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id,
         |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))

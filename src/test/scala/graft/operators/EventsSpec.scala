@@ -98,6 +98,34 @@ class EventsSpec extends SparkSpec {
     assert(got === Map(1L -> (2L, 12.0), 2L -> (1L, 0.5)))
   }
 
+  test("decayedSum: float-sum tolerance contract — partitioning perturbs the " +
+      "sum far inside the 6-decimal oracle rounding at test scale") {
+    import org.apache.spark.sql.functions.col
+    // The operator's scaladoc documents that the 6-decimal hash compare
+    // relies on cross-engine summation-order agreement only up to ~1 ulp
+    // per term, and that this gets fuzzier as group sizes grow with sf
+    // (a near-boundary 7th decimal can flip). This pins the claim at
+    // test scale: two radically different partitionings (1 partition vs
+    // 7 hashed on an unrelated key => different intra-group add orders)
+    // agree within 1e-9 relative — orders of magnitude inside the
+    // rounding. If this ever fails at a larger sf, the documented fix
+    // is an epsilon compare or a per-group sorted sum, not a tighter
+    // rounding.
+    val ev = graft.sources.Sources.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Events.decayedSum(df, col("user_id"), col("ts"), col("value"),
+          halfLifeHours = 24.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = run(ev.repartition(1))
+    val b = run(ev.repartition(7, col("event_type")))
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, va) =>
+      val vb = b(k)
+      assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(va)),
+        s"user $k: $va vs $vb diverge beyond the documented tolerance")
+    }
+  }
+
   test("gapFillDaily: daily agg is partial+final, spine join broadcasts") {
     import org.apache.spark.sql.functions.col
     val ord = spark.read.parquet(s"$sf0001/orders.parquet")

@@ -651,16 +651,21 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup: pairs with hamming distance <= maxHamming.
-    * Pigeonhole banding: split the 60 bits into (maxHamming+1) blocks —
-    * any pair within distance d shares at least one exact block, so the
-    * candidate join is an equi-join on (block index, block value). */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxHamming: Int = 3): DataFrame = {
+  /** SimHash pigeonhole block index over signature rows: (id, simhash,
+    * block, block_val) with the 60 signature bits split into
+    * (maxHamming+1) blocks — any pair within hamming distance
+    * maxHamming shares at least one exact block. This IS the persisted
+    * artifact of a production SimHash deployment (mirroring
+    * [[bandedSignatures]] for MinHash): write it once for the corpus,
+    * bucketed on block_val ([[graft.sources.Sinks.writeBucketed]]) so
+    * ingest batches block-join without re-shuffling the index, and grow
+    * it with [[graft.sources.Sinks.appendBucketed]]. The signature
+    * rides along in the row, so verification needs no second join
+    * against a signature table. */
+  def simHashBlocks(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     val width = SimHashBits / blocks
-    val sigs = simHashSignatures(shingles(df, idCol, textCol, n)).cache()
-    val banded = sigs.select(col("id"), col("simhash"), posexplode(
+    sigs.select(col("id"), col("simhash"), posexplode(
       array((0 until blocks).map { bi =>
         val lo = bi * width
         val w = if (bi == blocks - 1) SimHashBits - lo else width
@@ -668,6 +673,16 @@ object Dedup {
         shiftrightunsigned(col("simhash"), lo)
           .bitwiseAND(if (w >= 64) -1L else (1L << w) - 1)
       }: _*)).as(Seq("block", "block_val")))
+  }
+
+  /** SimHash near-dup: pairs with hamming distance <= maxHamming.
+    * Pigeonhole banding ([[simHashBlocks]]): the candidate join is an
+    * equi-join on (block index, block value), lossless for the given
+    * maxHamming. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(shingles(df, idCol, textCol, n)).cache()
+    val banded = simHashBlocks(sigs, maxHamming)
     val cands = banded.select(col("id").as("a"), col("simhash").as("sh_a"),
         col("block"), col("block_val"))
       .join(banded.select(col("id").as("b"), col("simhash").as("sh_b"),
@@ -678,5 +693,30 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Incremental SimHash near-dup against a PERSISTED block index: the
+    * ingest batch's signatures are blocked fresh and equi-joined
+    * against the corpus's stored block table on (block, block_val);
+    * both sides carry their signature in the block rows, so the hamming
+    * verify is a projection — no signature-table join at all. The
+    * corpus pays shingling/signing once at ingest; each batch costs its
+    * own signatures plus a bucket-keyed join linear in the batch (the
+    * same lifecycle as [[minHashLshCrossPairs]]). Ids on both sides are
+    * excluded (identity is not near-duplication). */
+  def simHashCrossPairs(batchSigs: DataFrame, corpusBlocks: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bb = simHashBlocks(batchSigs, maxHamming)
+    bb.select(col("id").as("batch_id"), col("simhash").as("sh_a"),
+        col("block"), col("block_val"))
+      .join(corpusBlocks.select(col("id").as("corpus_id"),
+        col("simhash").as("sh_b"), col("block"), col("block_val")),
+        Seq("block", "block_val"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("corpus_id"),
+        col("hamming").cast("int").as("hamming"))
   }
 }

@@ -143,18 +143,10 @@ object Similarity {
   def srpNeardupPairs(emb: DataFrame, dim: Int, threshold: Double,
       nBits: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    require(nBits % bands == 0)
-    val r = nBits / bands
     val prepped = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb_d"))
       .withColumn("nrm", sqrt(dot(col("emb_d"), col("emb_d"))))
-    val sigged = prepped.select(col("vec_id"),
-      srpSignature(col("emb_d"), nBits, dim, seed).as("sig"))
-    val banded = sigged.select(col("vec_id"), posexplode(
-      array((0 until bands).map(bi =>
-        concat((0 until r).map(j =>
-          element_at(col("sig"), bi * r + j + 1).cast("string")): _*)): _*))
-      .as(Seq("band", "band_key")))
+    val banded = srpBandedSignatures(emb, dim, nBits, bands, seed)
     // candidates dedup on bare id pairs (cheap), embeddings re-joined after
     val cands = banded.select(col("vec_id").as("a"), col("band"), col("band_key"))
       .join(banded.select(col("vec_id").as("b"), col("band"), col("band_key")),
@@ -169,6 +161,64 @@ object Similarity {
       .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** SRP banded signature index over an embedding table: (vec_id, band,
+    * band_key) — the PERSISTED artifact of a production SRP-LSH
+    * deployment, mirroring [[Dedup.bandedSignatures]] for MinHash:
+    * write it once for the corpus (bucketed on band_key via
+    * [[graft.sources.Sinks.writeBucketed]], so ingest batches band-join
+    * without re-shuffling the index), grow it with
+    * [[graft.sources.Sinks.appendBucketed]] after each batch clears
+    * dedup. Signatures are seeded-deterministic, so appended rows are
+    * identical to what a rebuild would produce (the append ≡ rebuild
+    * property SimilaritySpec pins). */
+  def srpBandedSignatures(emb: DataFrame, dim: Int, nBits: Int = 32,
+      bands: Int = 8, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    require(nBits % bands == 0)
+    val r = nBits / bands
+    val sigged = emb.select(col("vec_id"),
+      srpSignature(col("embedding").cast("array<double>"), nBits, dim, seed)
+        .as("sig"))
+    sigged.select(col("vec_id"), posexplode(
+      array((0 until bands).map(bi =>
+        concat((0 until r).map(j =>
+          element_at(col("sig"), bi * r + j + 1).cast("string")): _*)): _*))
+      .as(Seq("band", "band_key")))
+  }
+
+  /** Incremental SRP-LSH near-dup against a PERSISTED band index: the
+    * ingest batch is signed and banded fresh, candidates come from the
+    * band-key equi-join against the stored corpus index (bucketed on
+    * band_key, so the index side never re-shuffles), and survivors are
+    * verified by exact cosine against the corpus embedding table. The
+    * corpus pays signing once at ingest; each batch costs its own
+    * signatures plus a bucket-keyed join linear in the batch — the same
+    * lifecycle as [[Dedup.minHashLshCrossPairs]]. Ids on both sides are
+    * excluded (identity is not near-duplication). */
+  def srpNeardupCrossPairs(batch: DataFrame, corpusBanded: DataFrame,
+      corpus: DataFrame, dim: Int, threshold: Double, nBits: Int = 32,
+      bands: Int = 8, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val bb = srpBandedSignatures(batch, dim, nBits, bands, seed)
+    val cands = bb.select(col("vec_id").as("batch_id"), col("band"), col("band_key"))
+      .join(corpusBanded.select(col("vec_id").as("corpus_id"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id").distinct()
+    def prep(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+          col("embedding").cast("array<double>").as(s"__emb_$idAs"))
+        .withColumn(s"__nrm_$idAs",
+          sqrt(dot(col(s"__emb_$idAs"), col(s"__emb_$idAs"))))
+    cands
+      .join(prep(batch, "batch_id"), Seq("batch_id"))
+      .join(prep(corpus, "corpus_id"), Seq("corpus_id"))
+      .withColumn("cos", dot(col("__emb_batch_id"), col("__emb_corpus_id")) /
+        (col("__nrm_batch_id") * col("__nrm_corpus_id")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
   }
 
   /** IVF-style top-k with TRAINED coarse centroids: the quantizer is

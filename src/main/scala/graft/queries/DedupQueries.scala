@@ -123,6 +123,26 @@ object DedupQueries {
       Dedup.minHashLshCrossPairs(batchSigs,
         s.table("graft_corpus_minhash_bands"), storedSigs, threshold = 0.8)
     },
+    // incremental SimHash against a PERSISTED block index: the corpus
+    // pays shingling/signing once (one bucketed block table — the
+    // signature rides in the block rows, so no separate sig table);
+    // each ingest batch block-joins the stored index
+    "q_simhash_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val corpusSigs = Dedup.simHashSignatures(
+        Dedup.shingles(docs.filter(col("split") =!= "test"),
+          "doc_id", "text", 3))
+      graft.sources.Sinks.writeBucketed(
+        Dedup.simHashBlocks(corpusSigs, maxHamming = 8),
+        "graft_corpus_simhash_blocks", bucketCols = Seq("block_val"),
+        numBuckets = 8)
+      Dedup.simHashCrossPairs(
+        Dedup.simHashSignatures(
+          Dedup.shingles(docs.filter(col("split") === "test"),
+            "doc_id", "text", 3)),
+        s.table("graft_corpus_simhash_blocks"), maxHamming = 8)
+    },
     // benchmark decontamination: eval docs (test split) sharing any
     // 8-gram with any training doc are contaminated
     "q_decontaminate" -> { (s, dir) =>
@@ -283,6 +303,44 @@ object DedupQueries {
        |WHERE est >= $threshold""".stripMargin
   }
 
+  /** Cross-corpus twin of [[simHashOracle]]: same 60-bit md5 base hash
+    * and majority-vote signatures, split by the md5 16-bucket hash
+    * (test = bkt >= 14), pairs brute-forced between batch and corpus
+    * sides only (pigeonhole blocking is lossless, so brute force over
+    * the signatures IS its semantic — persistence must not change
+    * results). */
+  private def simHashCrossOracle(maxHamming: Int): String = {
+    val bits = graft.operators.Dedup.SimHashBits
+    s"""WITH src AS (
+       |  SELECT doc_id, text,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, bkt,
+       |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+       |  FROM (SELECT doc_id, bkt,
+       |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |        FROM src)),
+       |e AS (SELECT doc_id, bkt, unnest(sh) AS s FROM t),
+       |h AS (SELECT doc_id, bkt,
+       |        ('0x' || substring(md5(s), 1, 15))::BIGINT AS hb
+       |      FROM e),
+       |bits AS (
+       |  SELECT doc_id, bkt, r.j,
+       |    CASE WHEN sum(CASE WHEN (hb >> r.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) r
+       |  GROUP BY doc_id, bkt, r.j),
+       |sig AS (SELECT doc_id, bkt, sum(bit << j)::BIGINT AS simhash
+       |        FROM bits GROUP BY doc_id, bkt)
+       |SELECT sa.doc_id AS batch_id, sb.doc_id AS corpus_id,
+       |  bit_count(xor(sa.simhash, sb.simhash))::INTEGER AS hamming
+       |FROM sig sa JOIN sig sb
+       |  ON sa.bkt >= 14 AND sb.bkt < 14 AND sa.doc_id <> sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming""".stripMargin
+  }
+
   private val anyStopword: String =
     (graft.operators.TextAnalysis.StopwordsEn ++
       graft.operators.TextAnalysis.StopwordsDe ++
@@ -296,6 +354,7 @@ object DedupQueries {
     "q_neardup_simhash" -> simHashOracle(maxHamming = 8),
     "q_minhash_incremental_persisted" ->
       minHashLshCrossOracle(k = 128, bands = 32, threshold = 0.8),
+    "q_simhash_incremental_persisted" -> simHashCrossOracle(maxHamming = 8),
     "q_upsert_latest" ->
       """WITH snap AS (
         |  SELECT doc_id, text, lang, source, n_chars, 1 AS version

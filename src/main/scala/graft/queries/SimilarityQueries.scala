@@ -67,6 +67,23 @@ object SimilarityQueries {
       graft.operators.Dedup.semanticCrossPairs(batch, corpus, centroids,
         threshold = 0.4)
     },
+    // incremental SRP-LSH against a PERSISTED band index: the corpus
+    // pays signing/banding once (one bucketed band table); each ingest
+    // batch (test split) band-joins the stored index, verified by
+    // exact cosine against the corpus embeddings
+    "q_srp_incremental_persisted" -> { (s, dir) =>
+      val emb = graft.operators.Sampling
+        .split(table(s, dir, "embeddings"), col("vec_id"), 12, 2)
+      val corpus = emb.filter(col("split") =!= "test").drop("split")
+      val batch = emb.filter(col("split") === "test").drop("split")
+      graft.sources.Sinks.writeBucketed(
+        Similarity.srpBandedSignatures(corpus, dim = 64),
+        "graft_corpus_srp_bands", bucketCols = Seq("band_key"),
+        numBuckets = 8)
+      Similarity.srpNeardupCrossPairs(batch,
+        s.table("graft_corpus_srp_bands"), corpus, dim = 64,
+        threshold = 0.4)
+    },
     // int8 quantization reconstruction-error profile per label
     "q_quantize_embeddings" -> { (s, dir) =>
       Similarity.quantizeInt8(table(s, dir, "embeddings"))
@@ -128,6 +145,50 @@ object SimilarityQueries {
        |WHERE cos >= $threshold""".stripMargin
   }
 
+  /** Cross-corpus twin of [[srpLshOracle]]: same seeded hyperplanes and
+    * signatures, split by the md5 16-bucket hash on vec_id
+    * (test = bkt >= 14); candidates = batch-vs-corpus pairs sharing all
+    * bits of some band; exact-cosine verify. Persistence of the band
+    * index must not change results, so this oracles the
+    * persisted-index query. */
+  private def srpLshCrossOracle(nBits: Int, bands: Int, dim: Int,
+      threshold: Double, seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planesSql = planes.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",\n", "]")
+    val r = nBits / bands
+    val bandCond = (0 until bands).map { bi =>
+      val lo = bi * r + 1
+      s"a.s[$lo:${lo + r - 1}] = b.s[$lo:${lo + r - 1}]"
+    }.mkString("(", "\n    OR ", ")")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+       |  FROM embeddings),
+       |pl AS (SELECT $planesSql AS planes),
+       |sig AS (
+       |  SELECT vec_id, bkt, list_transform(range(1, ${nBits + 1}), p ->
+       |    CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |                 i -> e[i] * planes[p][i])) >= 0
+       |         THEN 1 ELSE 0 END) AS s
+       |  FROM emb CROSS JOIN pl),
+       |cand AS (
+       |  SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id
+       |  FROM sig a JOIN sig b
+       |    ON a.bkt >= 14 AND b.bkt < 14 AND a.vec_id <> b.vec_id
+       |   AND $bandCond),
+       |scored AS (
+       |  SELECT c.batch_id, c.corpus_id,
+       |    list_sum(list_transform(range(1, ${dim + 1}), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM cand c JOIN emb ea ON c.batch_id = ea.vec_id
+       |              JOIN emb eb ON c.corpus_id = eb.vec_id)
+       |SELECT batch_id, corpus_id, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
   /** The engine's squared-distance expression, as SQL text: mirrors
     * `Clustering.sqDistAlg` exactly — `greatest(xx − 2·(x·c) + cc, 0)`
     * with the same left-to-right fold orders. `m` must expose (e, xx),
@@ -171,6 +232,9 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup_lsh" ->
       srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
+    "q_srp_incremental_persisted" ->
+      srpLshCrossOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4,
+        seed = 42L),
     // DuckDB replay of Similarity.ivfTopK with the TRAINED quantizer:
     // the 2-round Lloyd trajectory unrolled (lowest-id init, 6-decimal
     // anchors, algebraic squared distance), then assignment/probing =

@@ -263,6 +263,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash block index lifecycle: append a batch, grown index == recompute") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions.col
+    val a = docs.filter(col("doc_id") % 3 === 0) // initial corpus
+    val b = docs.filter(col("doc_id") % 3 === 1) // first ingest batch
+    val c = docs.filter(col("doc_id") % 3 === 2) // second ingest batch
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simHashSignatures(Dedup.shingles(df, "doc_id", "text", 3))
+    try {
+      Sinks.writeBucketed(Dedup.simHashBlocks(sigsOf(a), maxHamming = 8),
+        "graft_lc_sim_blocks", Seq("block_val"), 4)
+      Sinks.appendBucketed(Dedup.simHashBlocks(sigsOf(b), maxHamming = 8),
+        "graft_lc_sim_blocks", Seq("block_val"), 4)
+      // batch c against the GROWN index must equal a from-scratch
+      // rebuild over a ∪ b — appends are indistinguishable from rewrites
+      val grown = Dedup.simHashCrossPairs(sigsOf(c),
+          spark.table("graft_lc_sim_blocks"), maxHamming = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val ref = Dedup.simHashCrossPairs(sigsOf(c),
+          Dedup.simHashBlocks(sigsOf(a.union(b)), maxHamming = 8),
+          maxHamming = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === ref)
+      assert(grown.nonEmpty, "planted near-dups should cross the 3-way split")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lc_sim_blocks")
+    }
+  }
+
   test("simhash: hamming matches brute-force XOR popcount; near-dups surface") {
     val sigs = Dedup.simHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3))

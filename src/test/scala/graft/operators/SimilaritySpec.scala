@@ -145,4 +145,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getSeq[Int](0) === Seq(0, 0))
     assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 0.0)
   }
+
+  test("srp band index lifecycle: append a batch, grown index == recompute") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions.col
+    // sf0.01 for pair density: the sf0.001 slice is too sparse for
+    // cross-split near-dups at this threshold
+    val emb01 = Sources.table(spark, sf001, "embeddings")
+    val a = emb01.filter(col("vec_id") % 3 === 0) // initial corpus
+    val b = emb01.filter(col("vec_id") % 3 === 1) // first ingest batch
+    val c = emb01.filter(col("vec_id") % 3 === 2) // second ingest batch
+    try {
+      Sinks.writeBucketed(Similarity.srpBandedSignatures(a, dim = 64),
+        "graft_lc_srp_bands", Seq("band_key"), 4)
+      Sinks.appendBucketed(Similarity.srpBandedSignatures(b, dim = 64),
+        "graft_lc_srp_bands", Seq("band_key"), 4)
+      // batch c against the GROWN index must equal a from-scratch
+      // rebuild over a ∪ b — appends are indistinguishable from rewrites
+      val corpusAb = a.union(b)
+      def collectPairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val grown = collectPairs(Similarity.srpNeardupCrossPairs(c,
+        spark.table("graft_lc_srp_bands"), corpusAb, dim = 64, threshold = 0.3))
+      val ref = collectPairs(Similarity.srpNeardupCrossPairs(c,
+        Similarity.srpBandedSignatures(corpusAb, dim = 64), corpusAb,
+        dim = 64, threshold = 0.3))
+      assert(grown === ref)
+      assert(grown.nonEmpty, "expected cross-split SRP near-dups at sf0.01")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lc_srp_bands")
+    }
+  }
 }

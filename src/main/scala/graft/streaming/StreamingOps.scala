@@ -298,6 +298,42 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming TF-IDF cosine scoring: each micro-batch of newly
+    * ingested documents is weighted against the CORPUS model and
+    * cosine-joined against the corpus weight table
+    * ([[graft.operators.TextAnalysis.tfidfCosineCrossFromWeights]]).
+    * IDF, document frequencies, and N come from the corpus ONLY (the
+    * corpus is the model — the batch never shifts it), which is exactly
+    * what makes the per-batch results micro-batching-invariant: their
+    * union over ANY trigger decomposition equals the one-shot batch
+    * result (StreamingSpec proves it with maxFilesPerTrigger=1). The
+    * corpus model + weight table are plan-canonical across triggers
+    * (CacheManager holds one entry for the cached corpus weights); the
+    * batch's weight cache is unpersisted per trigger, same lifecycle
+    * rule as [[incrementalDedup]]. */
+  def incrementalTfidfCosine(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.tfidfCorpusModel(corpus, idCol, textCol,
+      maxTermDf, maxTermDfFrac)
+    val corpusWeights = TextAnalysis.tfidfWeights(
+      TextAnalysis.termFrequencies(corpus, idCol, textCol), model).cache()
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batchWeights = TextAnalysis.tfidfWeights(
+          TextAnalysis.termFrequencies(batch.toDF(), idCol, textCol), model)
+          .cache()
+        try sink(TextAnalysis.tfidfCosineCrossFromWeights(
+          batchWeights, corpusWeights, threshold), batchId)
+        finally batchWeights.unpersist()
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** [[incrementalDedup]] with the corpus side bloom-pruned by each
     * micro-batch's shingles
     * ([[graft.operators.Dedup.crossJaccardPairsBloomPruned]]): the

@@ -212,6 +212,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental tfidf cosine stream: union over micro-batches == one-shot batch") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_tfidf_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.incrementalTfidfCosine(stream, corpus,
+      "doc_id", "text", threshold = 0.9, maxTermDfFrac = 0.5) { (pairs, id) =>
+      collected.synchronized {
+        batches += id
+        collected ++= pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.TextAnalysis
+        .tfidfCosineCrossPairs(newDocs, corpus, "doc_id", "text",
+          threshold = 0.9, maxTermDfFrac = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty, "planted near-dups should cross the split")
+    } finally q.stop()
+  }
+
   test("bloom-pruned incremental dedup stream == unpruned, even with a tiny lossy sketch") {
     val docs = Sources.table(spark, sf0001, "documents")
     val corpus = docs.filter(col("doc_id") % 2 === 0)

@@ -27,6 +27,30 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("mean_pixel"), size(col("embedding")).as("embedding_dim"))
     },
+    // END-TO-END image dedup: real codec round trip (text bytes ->
+    // gray PNG -> ImageIO decode) -> pooled-pixel embeddings -> the
+    // SemDeDup cluster-then-pair operator. This is the multimodal and
+    // similarity stacks COMPOSED: decoded raster features flow into
+    // Dedup.semanticPairs unchanged. Pixels are deterministic functions
+    // of the input bytes, so the whole chain is oracle-checkable even
+    // though the intermediate PNG byte stream is codec-internal. The
+    // threshold sits at the far tail of the cosine distribution:
+    // mean-byte band vectors of ASCII text are all-positive and tightly
+    // concentrated (median pair cosine ~0.996 at sf0.01), so only
+    // near-identical byte layouts — i.e. near-dup documents — clear
+    // 0.99995.
+    "q_image_neardup" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      val features = Multimodal.decodeImageFeatures(
+        Multimodal.encodeGrayPng(media, width = 16)).toDF()
+      graft.operators.Dedup.semanticPairs(
+        features.select(col("id").as("vec_id"), col("embedding")),
+        threshold = 0.99995, nClusters = 4, trainIters = 2)
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -45,7 +69,64 @@ object MultimodalQueries {
     },
   )
 
+  /** DuckDB replay of the decoded-pixel embedding: byte i of the text
+    * lands at pixel (i mod 16, i div 16) of a 16-wide gray image
+    * zero-padded to full rows (8-bit gray PNG is lossless, so the
+    * decoded raster IS this byte grid); band j of the 8-dim embedding
+    * is the mean of its horizontal stripe's pixels / 255, rounded
+    * through float32 exactly as the engine's Array[Float]. The
+    * k-means-then-cosine stage reuses the SimilarityQueries Lloyd CTEs
+    * at dim = 8. */
+  private def imageNeardupOracle(threshold: Double): String =
+    s"""WITH nz AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |    CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |px AS (
+       |  SELECT doc_id, text, len, h, unnest(range(0, 16 * h)) AS i
+       |  FROM nz),
+       |pv AS (
+       |  SELECT doc_id,
+       |    least(7, ((i // 16) * 8) // h) AS band,
+       |    CASE WHEN i < len THEN unicode(text[CAST(i + 1 AS INTEGER)])
+       |         ELSE 0 END AS v
+       |  FROM px),
+       |bs AS (SELECT doc_id, band, sum(v) AS s, count(1) AS n
+       |       FROM pv GROUP BY 1, 2),
+       |bj AS (
+       |  SELECT nz.doc_id, r.j,
+       |    coalesce(CAST(CAST(b.s AS DOUBLE) / b.n / 255.0 AS FLOAT)::DOUBLE,
+       |      0.0) AS ev
+       |  FROM nz CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
+       |  LEFT JOIN bs b ON b.doc_id = nz.doc_id AND b.band = r.j),
+       |emb0 AS (SELECT doc_id AS vec_id, list(ev ORDER BY j) AS e
+       |         FROM bj GROUP BY 1),
+       |emb AS (SELECT vec_id, e,
+       |          list_sum(list_transform(e, x -> x * x)) AS xx
+       |        FROM emb0),
+       |${SimilarityQueries.lloyd2Ctes("emb", 4, dim = 8)},
+       |s2 AS (
+       |  SELECT m.vec_id, c.cid, ${SimilarityQueries.d2Sql("m", "c", dim = 8)} AS d
+       |  FROM emb m CROSS JOIN c1cc c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |scored AS (
+       |  SELECT aa.vec_id AS a, ab.vec_id AS b,
+       |    list_sum(list_transform(range(1, 9), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM assigned aa
+       |  JOIN assigned ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+       |  JOIN emb0 ea ON aa.vec_id = ea.vec_id
+       |  JOIN emb0 eb ON ab.vec_id = eb.vec_id)
+       |SELECT a, b, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= $threshold""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     // text is ASCII, so utf-8 byte values == codepoints; the image is
     // 16 pixels wide, zero-padded to full rows, so mean luminance =
     // byte sum / (16 * rows)

@@ -192,9 +192,10 @@ object SimilarityQueries {
   /** The engine's squared-distance expression, as SQL text: mirrors
     * `Clustering.sqDistAlg` exactly — `greatest(xx − 2·(x·c) + cc, 0)`
     * with the same left-to-right fold orders. `m` must expose (e, xx),
-    * `c` must expose (c, cc). */
-  private def d2Sql(m: String, c: String): String =
-    s"greatest($m.xx - 2 * list_sum(list_transform(range(1, 65), " +
+    * `c` must expose (c, cc). `private[queries]` so the multimodal
+    * image-dedup oracle can replay the same trajectory at dim = 8. */
+  private[queries] def d2Sql(m: String, c: String, dim: Int = 64): String =
+    s"greatest($m.xx - 2 * list_sum(list_transform(range(1, ${dim + 1}), " +
       s"i -> $m.e[i] * $c.c[i])) + $c.cc, 0)"
 
   /** Unrolled 2-round Lloyd CTE chain over source CTE `src`, which must
@@ -203,7 +204,7 @@ object SimilarityQueries {
     * squared distance, ties toward the lower cid), and c1cc (updated
     * 6-decimal-anchored centroids with ‖c‖²) — the exact trajectory of
     * `Clustering.trainCentroids(…, k, iters = 2)`. */
-  private def lloyd2Ctes(src: String, k: Int): String =
+  private[queries] def lloyd2Ctes(src: String, k: Int, dim: Int = 64): String =
     s"""c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |         list_transform(e, x -> round(x, 6)) AS c
@@ -211,7 +212,7 @@ object SimilarityQueries {
        |c0cc AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
        |         FROM c0),
        |s1 AS (
-       |  SELECT m.vec_id, m.e, c.cid, ${d2Sql("m", "c")} AS d
+       |  SELECT m.vec_id, m.e, c.cid, ${d2Sql("m", "c", dim)} AS d
        |  FROM $src m CROSS JOIN c0cc c),
        |a1 AS (
        |  SELECT vec_id, e, cid FROM (

@@ -60,22 +60,38 @@ object Sinks {
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     val spark = df.sparkSession
-    // true replace semantics: overwrite mode alone fails with
-    // LOCATION_ALREADY_EXISTS when a previous SESSION left the table
+    // True replace semantics: overwrite mode alone fails with
+    // LOCATION_ALREADY_EXISTS when a previous JVM crash-left the table
     // directory behind but this session's catalog has never seen the
-    // table — drop the catalog entry, then clear any orphaned location
-    spark.sql(s"DROP TABLE IF EXISTS ${quoteTable(table)}")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    // default-database tables live at <warehouse>/<table>; qualified
-    // ones at <warehouse>/<db>.db/<table>
-    val loc = table.split('.') match {
-      case Array(db, t) => new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, db.toLowerCase + ".db"),
-        t.toLowerCase)
-      case _ => new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    // table. Everything resolves through the CATALOG, never a
+    // warehouse-path guess: with a non-default current database an
+    // unqualified name means <currentDb>.<table>, so a path heuristic
+    // would delete the DEFAULT database's same-named table data; and an
+    // EXTERNAL table's custom location must never be touched at all.
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // the default MANAGED location of the fully-resolved identifier
+    // (current database applied) — the only path saveAsTable writes
+    val defaultLoc =
+      new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    val fs = defaultLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedDefault = fs.makeQualified(defaultLoc)
+    // an EXTERNAL table catalogued AT the default path keeps its data
+    // through DROP by definition; deleting it here would destroy
+    // external data, so leave it for saveAsTable to surface loudly
+    val externalAtDefault = catalog.tableExists(ident) && {
+      val meta = catalog.getTableMetadata(ident)
+      meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL &&
+        fs.makeQualified(new org.apache.hadoop.fs.Path(meta.location)) ==
+          qualifiedDefault
     }
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteTable(table)}")
+    // after the drop, anything still at the default managed location is
+    // a confirmed orphan (dropping a MANAGED table deletes its dir; a
+    // crash-killed previous JVM doesn't) — delete only that
+    if (!externalAtDefault && fs.exists(qualifiedDefault))
+      fs.delete(qualifiedDefault, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

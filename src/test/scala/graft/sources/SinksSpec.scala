@@ -40,6 +40,56 @@ class SinksSpec extends SparkSpec {
     assert(backJson.agg(sum("n_chars")).collect().head.getLong(0) === sumRef)
   }
 
+  test("writeBucketed under a non-default current database never touches " +
+      "the default database's same-named table") {
+    val docs = Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "lang").limit(20)
+    try {
+      // a managed table named t_bkt in the DEFAULT database, with data
+      Sinks.writeBucketed(docs, "t_bkt", Seq("doc_id"), 2)
+      val defaultSum = spark.table("default.t_bkt")
+        .agg(sum("doc_id")).collect().head.getLong(0)
+      // switch current database and write an UNQUALIFIED same name:
+      // must resolve to graft_db2.t_bkt, leaving default.t_bkt intact
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db2")
+      spark.catalog.setCurrentDatabase("graft_db2")
+      Sinks.writeBucketed(docs.limit(5), "t_bkt", Seq("doc_id"), 2)
+      assert(spark.table("graft_db2.t_bkt").count() === 5)
+      // the old heuristic deleted <warehouse>/t_bkt — the default db's
+      // data — making this read fail or return nothing
+      assert(spark.table("default.t_bkt")
+        .agg(sum("doc_id")).collect().head.getLong(0) === defaultSum)
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP TABLE IF EXISTS graft_db2.t_bkt")
+      spark.sql("DROP DATABASE IF EXISTS graft_db2")
+      spark.sql("DROP TABLE IF EXISTS default.t_bkt")
+    }
+  }
+
+  test("writeBucketed replaces an EXTERNAL same-named table without deleting " +
+      "its custom-location data") {
+    val tmp = Files.createTempDirectory("graft_ext").toFile
+    tmp.deleteOnExit()
+    val docs = Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "lang").limit(10)
+    docs.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    try {
+      // a datasource table with an explicit LOCATION is EXTERNAL in the
+      // in-memory catalog (no Hive support needed)
+      spark.sql("CREATE TABLE t_ext (doc_id BIGINT, lang STRING) " +
+        s"USING parquet LOCATION '${tmp.getAbsolutePath}'")
+      assert(spark.table("t_ext").count() === 10)
+      // replacing the catalog entry must not delete the external files
+      Sinks.writeBucketed(docs.limit(3), "t_ext", Seq("doc_id"), 2)
+      assert(spark.table("t_ext").count() === 3)
+      assert(spark.read.parquet(tmp.getAbsolutePath).count() === 10,
+        "external data at the custom location must survive the replace")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_ext")
+    }
+  }
+
   test("writeClustered round-trips with stable contents") {
     val tmp = Files.createTempDirectory("graft_sink2").toFile
     tmp.deleteOnExit()

@@ -68,7 +68,12 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     require(nTiles > 0 && nRangeBuckets > 0)
     // three consumers (bounds, bucket counts, ranking): cache so the
-    // source scans once
+    // source scans once. Lifecycle: the result is consumed lazily, so
+    // this call cannot unpersist — the entry stays pinned until session
+    // end / LRU eviction. One-shot queries don't care; probe loops and
+    // long-lived sessions should spark.catalog.clearCache() between
+    // invocations (the same documented trade as
+    // TextAnalysis.tfidfCosinePairs' weight cache).
     val base = df.withColumn("__v", col(valueCol).cast("double")).cache()
     val bounds = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
     val bucketed = base.crossJoin(broadcast(bounds))

@@ -297,6 +297,51 @@ object TextAnalysis {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** BM25 relevance of every document against a fixed query term set —
+    * the retrieval-side ranking a RAG/eval pipeline runs over the
+    * curated corpus (Robertson et al.'s Okapi BM25):
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene form —
+    * non-negative for ubiquitous terms).
+    *
+    * Scale shape: corpus statistics (N, avgdl) are one-row broadcast
+    * aggregates computed IN-PLAN; the explode is filtered to QUERY
+    * terms before anything shuffles, so the term aggregation and the
+    * df table are |query|-bounded regardless of corpus size — one
+    * tokenize pass + two tiny aggregations, no vocabulary-sized
+    * anything. Per-doc term scores are summed through a sorted bounded
+    * array fold (≤ |query| terms per doc), so the float summation
+    * ORDER is data-defined and the 6-decimal rounding is engine-portable
+    * (the [[graft.operators.Events.decayedSum]] caveat engineered away).
+    * Returns (id, bm25, n_matched_terms) for docs matching ≥ 1 term. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val qset = queryTerms.distinct
+    val dls = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("double").as("dl"))
+    val stats = dls.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").isInCollection(qset))
+      .groupBy("id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "w") // |query|-row table: genuinely bounded
+      .join(dls, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("w"), col("__s").as("s"))))
+        .as("__arr"))
+      .select(col("id"),
+        round(aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("s")), 6).as("bm25"),
+        size(col("__arr")).cast("long").as("n_matched_terms"))
+  }
+
   /** Inverted-index statistics: per term, document frequency, total
     * term count, and the smallest posting id (the full posting-list
     * build is the same shuffle with collect_list instead of min). */
@@ -334,16 +379,19 @@ object TextAnalysis {
     * candidates; unusually LOW scores flag boilerplate.
     *
     * Two shuffles at any scale: one vocabulary-sized term count
-    * (map-side combined, then broadcast — a vocabulary is bounded, a
-    * corpus is not) and one per-doc re-aggregation. No OOV smoothing
-    * is needed because the LM is trained on the scored corpus; to
-    * score against a FOREIGN reference LM, pass its freq table in
-    * place of the self-computed one. */
+    * (map-side combined) and one per-doc re-aggregation. The frequency
+    * join carries NO broadcast hint — a web-scale vocabulary is 10⁸+
+    * distinct tokens and a forced broadcast is a driver OOM (the same
+    * reasoning as [[tfidfWeights]]); AQE broadcasts it at runtime
+    * whenever it actually fits. No OOV smoothing is needed because the
+    * LM is trained on the scored corpus; to score against a FOREIGN
+    * reference LM, pass its freq table in place of the self-computed
+    * one. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).cast("double").as("t"))
-    tok.join(broadcast(freq), "w")
+    tok.join(freq, "w")
       .crossJoin(broadcast(tot))
       .groupBy(col("id"))
       .agg(round(avg(-log(col("c") / col("t"))), 6).as("avg_neg_logprob"),

@@ -41,6 +41,31 @@ object DedupQueries {
         n = 3, threshold = 0.8)
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     },
+    // survivorship POLICY composed on near-dup clusters: per cluster,
+    // keep the highest-token-count doc (id tiebreak) — "keep best,
+    // drop rest", the step after clustering in a curation pipeline
+    // (lowest-id survivorship throws away the best copy whenever the
+    // duplicate is the truncated one). One extra bounded max(struct)
+    // aggregation over the cluster labels
+    "q_dedup_best_survivors" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, count, lit, max, struct}
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      val ntok = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("ntok"))
+      clusters.join(ntok, Seq("doc_id"))
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_docs"),
+          // ties on (ntok, -doc_id) impossible (ids unique): max picks
+          // longest doc, then lowest id
+          max(struct(col("ntok").as("t"), (-col("doc_id")).as("ni"))).as("__m"))
+        .select(col("cluster_rep"), col("n_docs"),
+          (-col("__m.ni")).as("kept_id"), col("__m.t").as("kept_tokens"))
+    },
     // edit distance verification layer on the (few) Jaccard candidates —
     // O(len²) DP is affordable only AFTER candidate generation
     "q_neardup_edit_distance" -> { (s, dir) =>
@@ -498,6 +523,46 @@ object DedupQueries {
         |      ORDER BY doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, source FROM r WHERE rn = 1""".stripMargin,
+    // q_dedup_clusters' CTE chain + per-cluster best-doc selection
+    "q_dedup_best_survivors" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM tk),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+        |      FROM e0 ea JOIN e0 eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        |pairs AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN c ca ON p.a = ca.doc_id
+        |  JOIN c cb ON p.b = cb.doc_id
+        |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+        |         FROM reach GROUP BY src),
+        |n AS (SELECT doc_id, len(toks)::BIGINT AS ntok FROM tk),
+        |r AS (SELECT comp.cluster_rep, comp.doc_id, n.ntok,
+        |        row_number() OVER (PARTITION BY comp.cluster_rep
+        |                           ORDER BY n.ntok DESC, comp.doc_id ASC) AS rn
+        |      FROM comp JOIN n USING (doc_id)),
+        |cnt AS (SELECT cluster_rep, count(1) AS n_docs FROM r GROUP BY 1)
+        |SELECT r.cluster_rep, cnt.n_docs, r.doc_id AS kept_id,
+        |  r.ntok AS kept_tokens
+        |FROM r JOIN cnt USING (cluster_rep) WHERE rn = 1""".stripMargin,
     "q_dedup_clusters" ->
       """WITH t AS (
         |  SELECT doc_id,

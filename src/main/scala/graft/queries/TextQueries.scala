@@ -71,6 +71,15 @@ object TextQueries {
         docs.filter(col("split") === "test"), corpus,
         "doc_id", "text", threshold = 0.9, maxTermDfFrac = 0.5)
     },
+    // BM25 retrieval scoring against a fixed query mixing rare ('dup',
+    // df~5% -> high idf) and ubiquitous terms — per-doc scores, fully
+    // value-compared (per-doc term sums fold in sorted term order, so
+    // the floats are engine-portable)
+    "q_bm25_score" -> { (s, dir) =>
+      TextAnalysis.bm25Scores(table(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("vector", "hash", "stream", "dup"))
+        .select(col("id").as("doc_id"), col("bm25"), col("n_matched_terms"))
+    },
     "q_top_ngrams" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(TextAnalysis.tokens(col("text")).as("toks"))
@@ -224,6 +233,33 @@ object TextQueries {
         |SELECT term, count(DISTINCT doc_id) AS df,
         |  CAST(sum(tf) AS BIGINT) AS total_tf, min(doc_id) AS first_id
         |FROM tf GROUP BY term""".stripMargin,
+    // same statistics and float expression order as the engine:
+    // idf = ln((N - df + 0.5)/(df + 0.5) + 1), per-doc sum in sorted
+    // term order (list(s ORDER BY w) -> sequential list_sum)
+    "q_bm25_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tk),
+        |stats AS (SELECT count(1)::DOUBLE AS n, avg(dl) AS avgdl FROM dls),
+        |tf AS (
+        |  SELECT doc_id, w, count(1)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM tk)
+        |  WHERE w IN ('vector', 'hash', 'stream', 'dup')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(1)::DOUBLE AS df FROM tf GROUP BY w),
+        |s AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl)) AS s
+        |  FROM tf
+        |  JOIN dfq USING (w)
+        |  JOIN dls USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, round(list_sum(list(s ORDER BY w)), 6) AS bm25,
+        |  count(1) AS n_matched_terms
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q_top_ngrams" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

@@ -56,6 +56,15 @@ class Round3PlanSpec extends SparkSpec {
       "q_label_balance",     // broadcast 1-row minority-class count
       "q_decayed_engagement",// broadcast 1-row reference timestamp
       "q_decile_stats",      // broadcast 1-row global bounds (distributedNtile)
+      // round-5: corpus count / avgdl / df-cap resolved IN-PLAN as
+      // broadcast 1-row aggregates (replacing driver-side count()
+      // actions at plan build — the 100x-vocabulary fix)
+      "q_tfidf",                    // broadcast 1-row corpus count
+      "q_tfidf_cosine_incremental", // broadcast 1-row corpus count + cap
+      "q_bm25_score",               // broadcast 1-row (N, avgdl)
+      // broadcast k-row centroid table: the >32-cell assignment path
+      // (Clustering.LiteralArgminMax scaladoc) — bounded by nCells
+      "q_ann_ivf_topk_wide",
       // exact all-pairs ORACLE BASELINES — documented as such; the
       // scale paths are the LSH/IVF variants (SCALE.md "Known tradeoffs")
       "q_ann_bruteforce_topk",

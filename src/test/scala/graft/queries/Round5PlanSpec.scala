@@ -10,41 +10,68 @@ class Round5PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Plan with the broadcast threshold OFF, built on an ISOLATED
+    * `newSession()` (own SQLConf, shared context): suites run in
+    * parallel against one shared session, so mutating the shared
+    * conf — even restored in a finally — races other suites' plan
+    * builds (Round3PlanSpec pins BroadcastHashJoin PRESENCE and fails
+    * whenever its build lands inside the -1 window).
+    *
+    * Built at sf001, NOT sf0001: the CacheManager is SHARED across
+    * sessions and matches by canonicalized plan, so when another suite
+    * has already built this query at sf0001 (Round3's all-queries
+    * sweep), the internally-.cache()'d weight subtree — planned there
+    * under the DEFAULT threshold, size-broadcast included — would be
+    * substituted here and its printed subplan would trip the
+    * no-BroadcastHashJoin assertion. A different source dir means no
+    * cached subtree matches and the whole plan is freshly planned
+    * under this session's -1 threshold. */
+  private def planNoAutoBroadcast(name: String): String = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.functions.GraftFunctions.register(s)
+    SparkEntry.queries(name)(s, sf001)
+      .queryExecution.executedPlan.toString
+  }
+
   test("tfidf cross cosine: vocabulary joins are shuffle-capable (no forced broadcast)") {
     // with the broadcast threshold off, a BroadcastHashJoin can only
     // come from a hint — so its absence proves the vocabulary join no
     // longer mandates a broadcast (AQE may still choose one at runtime
     // when the vocab fits; the point is it isn't FORCED at 10^8 terms)
-    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val p = plan("q_tfidf_cosine_incremental")
-      assert(!p.contains("BroadcastHashJoin"), p)
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
-    }
+    val p = planNoAutoBroadcast("q_tfidf_cosine_incremental")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
   test("tfidf self-join form: same — the term join carries no broadcast hint") {
-    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val p = plan("q_tfidf")
-      assert(!p.contains("BroadcastHashJoin"), p)
-    }
+    val p = planNoAutoBroadcast("q_tfidf")
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("unigram LM: frequency join is shuffle-capable (no forced vocab broadcast)") {
+    val p = planNoAutoBroadcast("q_unigram_logprob")
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("building the tfidf cross plan runs no driver job (corpus count + df cap in-plan)") {
     // the bare parquet read itself may launch a schema-inference job;
     // the pin is that the QUERY build adds nothing beyond it (the old
-    // corpus.count() / count()/2 cap ran two full extra Spark jobs)
-    val tracker = spark.sparkContext.statusTracker
-    def jobs(build: => Unit): Int = {
-      val before = tracker.getJobIdsForGroup(null).length
-      build
-      Thread.sleep(1500) // listener bus drain before re-reading the tracker
-      tracker.getJobIdsForGroup(null).length - before
+    // corpus.count() / count()/2 cap ran two full extra Spark jobs).
+    // Job groups are THREAD-local, so counting per-group keeps this
+    // robust against parallel suites launching their own jobs.
+    val sc = spark.sparkContext
+    def jobs(group: String)(build: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try build finally sc.clearJobGroup()
+      Thread.sleep(1500) // listener bus drain before reading the tracker
+      sc.statusTracker.getJobIdsForGroup(group).length
     }
-    val baseline = jobs {
+    val baseline = jobs("r5_probe_bare_read") {
       graft.sources.Sources.table(spark, sf0001, "documents")
       ()
     }
-    val query = jobs {
+    val query = jobs("r5_probe_tfidf_build") {
       SparkEntry.queries("q_tfidf_cosine_incremental")(spark, sf0001)
       ()
     }

@@ -42,28 +42,33 @@ class SinksSpec extends SparkSpec {
 
   test("writeBucketed under a non-default current database never touches " +
       "the default database's same-named table") {
-    val docs = Sources.table(spark, sf0001, "documents")
+    // currentDatabase is SESSION state but suites run in parallel
+    // against one shared session — switch it on an isolated
+    // newSession() so concurrent unqualified table resolution in other
+    // suites can't land in graft_db2
+    val s2 = spark.newSession()
+    val docs = Sources.table(s2, sf0001, "documents")
       .select("doc_id", "lang").limit(20)
     try {
       // a managed table named t_bkt in the DEFAULT database, with data
       Sinks.writeBucketed(docs, "t_bkt", Seq("doc_id"), 2)
-      val defaultSum = spark.table("default.t_bkt")
+      val defaultSum = s2.table("default.t_bkt")
         .agg(sum("doc_id")).collect().head.getLong(0)
       // switch current database and write an UNQUALIFIED same name:
       // must resolve to graft_db2.t_bkt, leaving default.t_bkt intact
-      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db2")
-      spark.catalog.setCurrentDatabase("graft_db2")
+      s2.sql("CREATE DATABASE IF NOT EXISTS graft_db2")
+      s2.catalog.setCurrentDatabase("graft_db2")
       Sinks.writeBucketed(docs.limit(5), "t_bkt", Seq("doc_id"), 2)
-      assert(spark.table("graft_db2.t_bkt").count() === 5)
+      assert(s2.table("graft_db2.t_bkt").count() === 5)
       // the old heuristic deleted <warehouse>/t_bkt — the default db's
       // data — making this read fail or return nothing
-      assert(spark.table("default.t_bkt")
+      assert(s2.table("default.t_bkt")
         .agg(sum("doc_id")).collect().head.getLong(0) === defaultSum)
     } finally {
-      spark.catalog.setCurrentDatabase("default")
-      spark.sql("DROP TABLE IF EXISTS graft_db2.t_bkt")
-      spark.sql("DROP DATABASE IF EXISTS graft_db2")
-      spark.sql("DROP TABLE IF EXISTS default.t_bkt")
+      s2.catalog.setCurrentDatabase("default")
+      s2.sql("DROP TABLE IF EXISTS graft_db2.t_bkt")
+      s2.sql("DROP DATABASE IF EXISTS graft_db2")
+      s2.sql("DROP TABLE IF EXISTS default.t_bkt")
     }
   }
 

@@ -218,6 +218,76 @@ object ScaleProbe {
         operators.Dedup.semanticPairs(embN, threshold = 0.4, nClusters = 8 * n)
           .write.format("noop").mode("overwrite").save()
       }
+      // round-5 operators. Same identical-twin caveat as above for the
+      // pair-finders: amplified copies multiply TRUE pair density.
+      time(s"bm25_${n}x") {
+        operators.TextAnalysis.bm25Scores(docsN, "doc_id", "text",
+            Seq("vector", "hash", "stream", "dup"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"srp_cross_persisted_${n}x") {
+        // the full persisted-index lifecycle: corpus bands written
+        // bucketed, batch band-joins the STORED table. Band width
+        // r = 16 (64 bits / 4 bands), NOT the small-corpus default
+        // r = 4: an uncorrelated pair passes a band with probability
+        // ~2^-r (p = 0.5 on random vectors), so the candidate floor is
+        // ~1-(1-2^-r)^bands of the ENTIRE cross product — r = 4 admits
+        // ~40% (no pruning; 53s at 8k vectors), r = 8 ~1.6% (still
+        // quadratic-with-a-small-constant), r = 16 ~6e-5 — the r-must-
+        // scale-with-the-corpus rule in srpBandedSignatures' scaladoc.
+        // Copies are VALUE-perturbed with per-(vec, dim) hash noise so
+        // the probe scales the data, not the twin-pair answer density.
+        // The noise must be per-DIM random: a single-dim offset that
+        // grows with the copy index saturates every hyperplane's sign
+        // toward sign(plane's weight on that dim), converging all
+        // high-offset copies onto ONE signature — a mega-bucket whose
+        // candidate set is the full cross product (measured: 80 GB of
+        // sort spill at 8x before this fix).
+        val sp = operators.Sampling.split(
+          embN.withColumn("embedding", expr(
+            "transform(embedding, (x, j) -> x + " +
+              "CAST(pmod(xxhash64(vec_id, j), 1000) AS FLOAT) / 250.0F - 2.0F)")),
+          col("vec_id"), 12, 2)
+        val corpus = sp.filter(col("split") =!= "test").drop("split")
+        val batch = sp.filter(col("split") === "test").drop("split")
+        sources.Sinks.writeBucketed(
+          operators.Similarity.srpBandedSignatures(corpus, dim = 64,
+            nBits = 64, bands = 4),
+          "graft_probe_srp_bands", Seq("band_key"), 8)
+        operators.Similarity.srpNeardupCrossPairs(batch,
+            spark.table("graft_probe_srp_bands"), corpus, dim = 64,
+            threshold = 0.9, nBits = 64, bands = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"simhash_cross_persisted_${n}x") {
+        val sp = operators.Sampling.split(docsN, col("doc_id"), 12, 2)
+        val corpusSigs = operators.Dedup.simHashSignatures(
+          operators.Dedup.shingles(sp.filter(col("split") =!= "test"),
+            "doc_id", "text", 3))
+        sources.Sinks.writeBucketed(
+          operators.Dedup.simHashBlocks(corpusSigs, maxHamming = 8),
+          "graft_probe_simhash_blocks", Seq("block_val"), 8)
+        operators.Dedup.simHashCrossPairs(
+            operators.Dedup.simHashSignatures(
+              operators.Dedup.shingles(sp.filter(col("split") === "test"),
+                "doc_id", "text", 3)),
+            spark.table("graft_probe_simhash_blocks"), maxHamming = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"image_neardup_${n}x") {
+        // real PNG round trip per doc + cluster-then-pair; nClusters
+        // scales with the corpus (bounded-cell rule, as semantic_pairs)
+        val media = multimodal.Multimodal.asMedia(
+          docsN.filter(length(col("text")) > 0)
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/plain")
+        val feats = multimodal.Multimodal.decodeImageFeatures(
+          multimodal.Multimodal.encodeGrayPng(media, width = 16)).toDF()
+        operators.Dedup.semanticPairs(
+            feats.select(col("id").as("vec_id"), col("embedding")),
+            threshold = 0.99995, nClusters = 4 * n)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"ivf_topk_trained_${n}x") {
         // nCells scales with the corpus (fixed nprobe): the scored
         // fraction per query is nprobe/nCells, so constant cells at a

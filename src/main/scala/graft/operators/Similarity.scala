@@ -172,7 +172,18 @@ object Similarity {
     * [[graft.sources.Sinks.appendBucketed]] after each batch clears
     * dedup. Signatures are seeded-deterministic, so appended rows are
     * identical to what a rebuild would produce (the append ≡ rebuild
-    * property SimilaritySpec pins). */
+    * property SimilaritySpec pins).
+    *
+    * SIZE THE BANDS FOR THE CORPUS: an uncorrelated pair matches a
+    * band with probability ~2^-r (r = nBits/bands; p ≈ 0.5 on random
+    * vectors), so the candidate-rate FLOOR is ~1−(1−2^-r)^bands
+    * regardless of threshold — r = 4 admits ~40% of all cross pairs
+    * (no pruning; ScaleProbe measured 53s→3s at 8k vectors from
+    * widening alone), r = 8 ~1.6%, r = 16 ~10⁻⁴. The small-corpus
+    * default (32/8 → r = 4) favors recall at moderate similarity;
+    * at corpus scale raise nBits and r together, adding bands to buy
+    * recall back (P[candidate at sim s] = 1−(1−p^r)^bands with
+    * p = 1 − acos(s)/π). */
   def srpBandedSignatures(emb: DataFrame, dim: Int, nBits: Int = 32,
       bands: Int = 8, seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)

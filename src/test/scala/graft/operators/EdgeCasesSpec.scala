@@ -148,6 +148,38 @@ class EdgeCasesSpec extends SparkSpec {
       numHashes = 32, bands = 8).count() === 0)
   }
 
+  test("round-5 operators on empty input") {
+    assert(TextAnalysis.bm25Scores(emptyDocs, "doc_id", "text",
+      Seq("vector", "dup")).count() === 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(emptyDocs, "doc_id", "text", Seq.empty)
+    }
+    val emptySimSigs = Dedup.simHashSignatures(
+      Dedup.shingles(emptyDocs, "doc_id", "text", 3))
+    assert(Dedup.simHashBlocks(emptySimSigs, maxHamming = 8).count() === 0)
+    assert(Dedup.simHashCrossPairs(emptySimSigs,
+      Dedup.simHashBlocks(emptySimSigs, 8), 8).count() === 0)
+    assert(Similarity.srpBandedSignatures(emptyEmb, dim = 64).count() === 0)
+    assert(Similarity.srpNeardupCrossPairs(emptyEmb,
+      Similarity.srpBandedSignatures(emptyEmb, dim = 64), emptyEmb,
+      dim = 64, threshold = 0.4).count() === 0)
+  }
+
+  test("bm25: rare terms outscore ubiquitous ones; non-matching docs absent") {
+    // 3 docs: 'dup' appears in one (rare, high idf), 'the' in all
+    // (idf floor ~ln(1 + 0.5/3.5) but never negative in the Lucene form)
+    val docs = Seq(
+      (1L, "the dup the", "en", "s"),
+      (2L, "the word other", "en", "s"),
+      (3L, "unrelated text entirely", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("the", "dup"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(1L, 2L)) // doc 3 matches nothing -> absent
+    assert(got(1L)._2 === 2L && got(2L)._2 === 1L)
+    assert(got(1L)._1 > got(2L)._1, s"doc with the rare term must outrank: $got")
+  }
+
   test("single-row inputs produce no pairs but survive") {
     val one = Seq((1L, "only one document here", "en", "s")).toDF("doc_id", "text", "lang", "source")
     assert(Dedup.ngramJaccardPairsPrefix(one, "doc_id", "text", 3, 0.8).count() === 0)

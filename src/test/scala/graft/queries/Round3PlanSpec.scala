@@ -79,9 +79,10 @@ class Round3PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintended join strategies:\n${offenders.mkString("\n")}")
   }
 
-  test("cumulative users: the window runs over per-day rows, after two keyed aggs") {
-    // both aggregations are partial+final (map-side combine) — the
-    // full-row shuffle count stays at two regardless of event volume
+  test("cumulative users: keyed aggregations are partial+final (map-side combine)") {
+    // the full-row shuffle count stays at two regardless of event
+    // volume (round 5 replaced the day-level window with a bounded
+    // array fold — Round5PlanSpec pins the no-WindowExec shape)
     val p = plan("q_cumulative_users")
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
   }

@@ -79,6 +79,20 @@ class Round5PlanSpec extends SparkSpec {
       s"plan build launched $query job(s) vs $baseline for the bare table read")
   }
 
+  test("bm25: the query-term filter prunes the explode BEFORE any shuffle") {
+    // the term aggregation must be |query|-bounded at any corpus size:
+    // the IN-filter has to sit directly on the Generate, not above an
+    // Exchange — otherwise the full exploded corpus crosses the network
+    val lines = plan("q_bm25_score").linesIterator.toSeq
+    val idxs = lines.zipWithIndex
+      .filter(_._1.contains("IN (vector,hash,stream,dup)")).map(_._2)
+    assert(idxs.nonEmpty, lines.mkString("\n"))
+    idxs.foreach { i =>
+      assert(lines(i + 1).contains("Generate explode"),
+        s"term filter must sit directly on the explode:\n${lines.slice(i, i + 2).mkString("\n")}")
+    }
+  }
+
   test("cumulative users: no WindowExec anywhere (bounded prefix fold instead)") {
     val p = plan("q_cumulative_users")
     assert(!p.contains("Window ["), p)

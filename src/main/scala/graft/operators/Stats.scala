@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * Scale design: every op here is one or two hash-aggregations plus a
   * broadcast join of tiny per-group bounds back onto the fact table —
   * no windows over the full data, no driver-side math. The per-group
-  * side is `groups × O(1)` rows, always broadcastable; the fact side
-  * is scanned at most twice (once for bounds, once for the final agg)
-  * and never shuffled on anything but the group key.
+  * side is `groups × O(1)` rows — broadcastable for the BOUNDED group
+  * columns these operators are built for (flags, languages, sources,
+  * labels). For a HIGH-cardinality group key (per-user bounds at 10⁹
+  * users) the hinted broadcast is the same OOM hazard as a forced
+  * vocabulary broadcast: drop the hint at the call site (AQE still
+  * broadcasts when it fits) and expect a shuffle join on the group
+  * key instead. The fact side is scanned at most twice (once for
+  * bounds, once for the final agg) and never shuffled on anything but
+  * the group key.
   */
 object Stats {
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composed form of the pipeline this
@@ -78,5 +78,56 @@ object Curation {
     cand.join(ref, Seq("shingle"))
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the mean log-likelihood ratio of its
+    * tokens' HASHED feature buckets under a target distribution vs the
+    * raw corpus — `avg_b ln(p_target(b) / p_raw(b))`, add-one smoothed.
+    * High scores read like the target domain; resampling by these
+    * weights tilts a raw crawl toward it. Hashing (md5 mod `buckets`)
+    * is what makes this scale-free: the feature space is FIXED at
+    * `buckets` regardless of vocabulary size.
+    *
+    * `targetCol` is a boolean expression over `docs` rows marking the
+    * target subset (e.g. `col("source") === "curated"`); the raw
+    * distribution is the whole input, so target ⊆ raw by construction
+    * and every token bucket is present in the raw counts (no zero-raw
+    * division).
+    *
+    * Scale shape: one tokenize/explode pass feeds a `buckets`-keyed
+    * count (both classes in ONE aggregation — tiny shuffle, map-side
+    * combined to ≤`buckets` rows per task) and the scoring join. The
+    * bucket weight table is ≤`buckets` rows BY CONSTRUCTION, so its
+    * broadcast hint is legitimate at any corpus size — the bounded-
+    * dimension case, not the vocabulary-broadcast hazard
+    * ([[TextAnalysis.tfidfWeights]] scaladoc): cardinality is fixed by
+    * a constructor parameter, not by the data. Totals ride the one-row
+    * broadcast-aggregate pattern ([[Events.decayedSum]]), never a
+    * driver action. Docs are scanned twice (counts + scoring), the
+    * same trade as [[Dedup.dupNgramStats]]. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // 6 md5 hex chars = 24 bits, non-negative — plain % is a safe mod
+    val tok = docs.select(col(idCol).as("id"), targetCol.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .select(col("id"), col("__t"),
+        (conv(substring(md5(col("__w").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % buckets).as("__bk"))
+    val counts = tok.groupBy(col("__bk"))
+      .agg(sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val totals = counts.agg(sum(col("__ct")).cast("double").as("__tt"),
+      sum(col("__cr")).cast("double").as("__tr"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("__bk"),
+        log(((col("__ct") + lit(1L)) / (col("__tt") + lit(buckets))) /
+          ((col("__cr") + lit(1L)) / (col("__tr") + lit(buckets)))).as("__lw"))
+    tok.join(broadcast(weights), "__bk")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lw")), 6).as("avg_logratio"))
   }
 }

@@ -57,6 +57,48 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Cross-document duplicated-n-gram fraction per document — the
+    * "how much of this doc also appears elsewhere" diagnostic behind
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", which removes duplicated
+    * 50-token spans; here n is a parameter and the output is a ranking
+    * signal, not a rewrite). A doc whose distinct n-grams mostly occur
+    * in `minDocs`+ documents is boilerplate/template material — this
+    * flags it WITHOUT materializing the quadratic pair join.
+    *
+    * Scale shape: one shingle explode feeding a frequency aggregation
+    * keyed on the shingle and a join back on the same key — shuffles on
+    * the shingle key (map-side combined) and one on the doc id. The
+    * frequency join carries NO broadcast hint: the n-gram vocabulary is
+    * corpus-sized (the same driver-OOM reasoning as
+    * [[TextAnalysis.tfidfWeights]]); AQE broadcasts it only when it
+    * actually fits. The input is scanned twice (count side + join side)
+    * rather than cached — at 100 TB re-running one codegen'd
+    * tokenize/explode pass beats pinning the exploded shingle table in
+    * memory. Docs shorter than n tokens surface with zero counts via
+    * the final left join, not silently dropped. */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2L,
+      "minDocs must be >= 2: every shingle occurs in its own document")
+    val sh = shingles(df, idCol, textCol, n)
+    // distinct per doc (shingles() distincts), so count(1) == doc frequency
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val perDoc = sh.join(dfreq, "shingle")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__df") >= minDocs, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_ngrams"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
+        round(when(coalesce(col("n_ngrams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_dup_ngrams").cast("double") / col("n_ngrams")), 6)
+          .as("dup_fraction"))
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * `|A∩B| / |A∪B| >= threshold` over distinct word n-gram shingles.
     *

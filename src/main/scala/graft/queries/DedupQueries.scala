@@ -178,6 +178,21 @@ object DedupQueries {
         docs.filter(col("split") === "train"),
         "doc_id", "text", n = 8)
     },
+    // duplicated-3-gram fraction per doc (Lee et al. substring-dedup
+    // ranking signal) — no pair join, just shingle frequencies
+    "q_dup_ngram_stats" -> { (s, dir) =>
+      Dedup.dupNgramStats(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minDocs = 2L)
+        .select(col("id").as("doc_id"), col("n_ngrams"),
+          col("n_dup_ngrams"), col("dup_fraction"))
+    },
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // the src0 target distribution vs the whole corpus
+    "q_dsir_weights" -> { (s, dir) =>
+      graft.operators.Curation.dsirWeights(table(s, dir, "documents"),
+          "doc_id", "text", col("source") === "src0", buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logratio"))
+    },
     // containment (asymmetric overlap) catches subset duplicates that
     // symmetric Jaccard misses; prefix variant == naive (DedupSpec)
     "q_containment_pairs" -> { (s, dir) =>
@@ -447,6 +462,43 @@ object DedupQueries {
         |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_dup_ngram_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |f AS (SELECT s, count(1) AS df FROM e GROUP BY s),
+        |d AS (SELECT e.doc_id, count(1) AS n_ngrams,
+        |        sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |      FROM e JOIN f USING (s) GROUP BY e.doc_id)
+        |SELECT doc_id,
+        |  coalesce(d.n_ngrams, 0)::BIGINT AS n_ngrams,
+        |  coalesce(d.n_dup, 0)::BIGINT AS n_dup_ngrams,
+        |  round(CASE WHEN d.n_ngrams IS NULL THEN 0.0
+        |             ELSE d.n_dup / d.n_ngrams::DOUBLE END, 6) AS dup_fraction
+        |FROM t LEFT JOIN d USING (doc_id)""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |        (('0x' || substring(md5(w), 1, 6))::BIGINT % 1024) AS bk,
+        |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t
+        |      FROM tok),
+        |c AS (SELECT bk, sum(t)::DOUBLE AS ct, count(1)::DOUBLE AS cr
+        |      FROM b GROUP BY bk),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+        |w AS (SELECT bk,
+        |        ln(((ct + 1) / (tt + 1024)) / ((cr + 1) / (tr + 1024))) AS lw
+        |      FROM c CROSS JOIN tot)
+        |SELECT b.doc_id, count(1) AS n_tokens, round(avg(lw), 6) AS avg_logratio
+        |FROM b JOIN w USING (bk)
+        |GROUP BY b.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH b AS (
         |  SELECT doc_id, text,

@@ -178,6 +178,47 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(100L -> 5L))
   }
 
+  test("dupNgramStats: hand-computed fractions; short docs surface with zeros") {
+    val df = Seq(
+      (1L, "a b c d"), // trigrams: "a b c" (shared), "b c d"
+      (2L, "a b c x"), // trigrams: "a b c" (shared), "b c x"
+      (3L, "p q r s"), // both trigrams unique to this doc
+      (4L, "a b")      // too short for a trigram
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(df, "doc_id", "text", n = 3, minDocs = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_dup_ngrams"),
+          r.getAs[Double]("dup_fraction"))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0)), 4L -> ((0L, 0L, 0.0))))
+  }
+
+  test("dsirWeights: target-typical docs outrank raw-typical ones") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "aaa aaa aaa ccc", "tgt"), // pure target vocabulary
+      (2L, "bbb bbb bbb ccc", "raw"), // pure raw-only vocabulary
+      (3L, "aaa bbb ccc ccc", "raw"), // mixed
+      (4L, "aaa aaa bbb bbb", "raw")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.dsirWeights(df, "doc_id", "text",
+        col("source") === "tgt", buckets = 64)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logratio"))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_._1 === 4L))
+    val score = got.view.mapValues(_._2).toMap
+    // hand-derived ordering (ct/cr per word: aaa 3/6, bbb 0/6, ccc 1/4):
+    // the all-target-vocab doc is max, the target-free doc is min
+    assert(score(1L) > score(3L) && score(3L) > score(4L) &&
+      score(4L) > score(2L), score.toString)
+  }
+
   test("prefix-filtered containment == naive containment (lossless)") {
     for (t <- Seq(0.5, 0.8, 0.95)) {
       val naive = Dedup.containmentPairs(docs, "doc_id", "text", 3, t)

@@ -50,6 +50,9 @@ class EdgeCasesSpec extends SparkSpec {
       .count() === 0)
     assert(Curation.decontaminate(emptyDocs, emptyDocs, "doc_id", "text", 8)
       .count() === 0)
+    assert(Dedup.dupNgramStats(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Curation.dsirWeights(emptyDocs, "doc_id", "text",
+      lit(true), buckets = 16).count() === 0)
     assert(TextAnalysis.repetitionFeatures(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(TextAnalysis.unigramLogProb(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextAnalysis.packSequences(emptyDocs, "doc_id", "text", "source", 512L)

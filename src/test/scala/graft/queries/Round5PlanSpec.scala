@@ -126,4 +126,42 @@ class Round5PlanSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("> 10 rows"), e.getMessage)
   }
+
+  test("dupNgramStats: shingle-frequency join is shuffle-capable (no forced broadcast)") {
+    // the n-gram vocabulary is corpus-sized — a hinted broadcast here
+    // would be the same 10^8-term OOM the tfidf fix removed
+    val p = planNoAutoBroadcast("q_dup_ngram_stats")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("dsirWeights: bucket-weight join stays broadcast at any corpus size") {
+    // the weight table is <= `buckets` rows BY CONSTRUCTION (a fixed
+    // constructor parameter), so its broadcast hint must survive even
+    // with the size-based threshold off — the bounded-dimension case,
+    // deliberately opposite to the vocabulary pins above
+    val p = planNoAutoBroadcast("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("building the dsir plan runs no driver job (totals in-plan, not .count())") {
+    val sc = spark.sparkContext
+    def jobs(group: String)(build: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try build finally sc.clearJobGroup()
+      Thread.sleep(1500)
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val baseline = jobs("r5_probe_bare_read_dsir") {
+      graft.sources.Sources.table(spark, sf0001, "documents")
+      ()
+    }
+    val query = jobs("r5_probe_dsir_build") {
+      SparkEntry.queries("q_dsir_weights")(spark, sf0001)
+      ()
+    }
+    assert(query <= baseline,
+      s"plan build launched $query job(s) vs $baseline for the bare table read")
+  }
 }

@@ -297,6 +297,17 @@ object ScaleProbe {
           nprobe = 4, every = 50L)
           .write.format("noop").mode("overwrite").save()
       }
+      // no pair join in either of these: slope should track the
+      // shingle/token explode (linear), not answer density
+      time(s"dup_ngram_stats_${n}x") {
+        operators.Dedup.dupNgramStats(docsN, "doc_id", "text", n = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"dsir_weights_${n}x") {
+        operators.Curation.dsirWeights(docsN, "doc_id", "text",
+            col("source") === "src0", buckets = 1024)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

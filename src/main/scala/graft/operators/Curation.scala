@@ -130,4 +130,37 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__lw")), 6).as("avg_logratio"))
   }
+
+  /** The selection step of DSIR: Gumbel top-k resampling by the
+    * [[dsirWeights]] scores. Adding independent Gumbel noise to each
+    * log-weight and taking the top k draws an exact weighted sample
+    * WITHOUT replacement (the Gumbel-max trick), in one pass with no
+    * sequential state — the distributed-friendly form of importance
+    * resampling. `temperature` interpolates between greedy top-k by
+    * score (→0) and uniform sampling (→∞).
+    *
+    * The noise is `-ln(-ln(u))` with `u` the md5-derived uniform of the
+    * doc id ([[Sampling.hashUniform]], +½ulp₃₂ shift to keep u in the
+    * OPEN interval), so the sample is a pure function of doc ids —
+    * reproducible across engines, reruns, and partitionings, same as
+    * every other sampler here. Top-k is orderBy+limit
+    * (TakeOrderedAndProject: per-partition heaps, no global sort).
+    * The selection key is sorted UNROUNDED (the score itself is already
+    * rounded inside [[dsirWeights]], so cross-engine key drift is the
+    * sub-ulp `ln` noise only); the emitted key is rounded for the
+    * hash-compare. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, k: Int, buckets: Int = 1024,
+      temperature: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val gumbel = -log(-log(
+      Sampling.hashUniform(col("id")) + lit(0.5 / 4294967296.0)))
+    dsirWeights(docs, idCol, textCol, targetCol, buckets)
+      .withColumn("__gk", col("avg_logratio") / temperature + gumbel)
+      .orderBy(col("__gk").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("n_tokens"), col("avg_logratio"),
+        round(col("__gk"), 6).as("gumbel_key"))
+  }
 }

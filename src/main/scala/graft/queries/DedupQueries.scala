@@ -193,6 +193,13 @@ object DedupQueries {
           "doc_id", "text", col("source") === "src0", buckets = 1024)
         .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logratio"))
     },
+    // the selection step: Gumbel top-100 weighted sample by those scores
+    "q_dsir_resample" -> { (s, dir) =>
+      graft.operators.Curation.dsirResample(table(s, dir, "documents"),
+          "doc_id", "text", col("source") === "src0", k = 100, buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logratio"),
+          col("gumbel_key"))
+    },
     // containment (asymmetric overlap) catches subset duplicates that
     // symmetric Jaccard misses; prefix variant == naive (DedupSpec)
     "q_containment_pairs" -> { (s, dir) =>
@@ -499,6 +506,31 @@ object DedupQueries {
         |SELECT b.doc_id, count(1) AS n_tokens, round(avg(lw), 6) AS avg_logratio
         |FROM b JOIN w USING (bk)
         |GROUP BY b.doc_id""".stripMargin,
+    "q_dsir_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |        (('0x' || substring(md5(w), 1, 6))::BIGINT % 1024) AS bk,
+        |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t
+        |      FROM tok),
+        |c AS (SELECT bk, sum(t)::DOUBLE AS ct, count(1)::DOUBLE AS cr
+        |      FROM b GROUP BY bk),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+        |w AS (SELECT bk,
+        |        ln(((ct + 1) / (tt + 1024)) / ((cr + 1) / (tr + 1024))) AS lw
+        |      FROM c CROSS JOIN tot),
+        |s AS (SELECT b.doc_id, count(1) AS n_tokens,
+        |        round(avg(lw), 6) AS avg_logratio
+        |      FROM b JOIN w USING (bk) GROUP BY b.doc_id),
+        |g AS (SELECT doc_id, n_tokens, avg_logratio,
+        |        avg_logratio + -ln(-ln(
+        |          ((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+        |           / 4294967296.0))) AS gk
+        |      FROM s)
+        |SELECT doc_id, n_tokens, avg_logratio, round(gk, 6) AS gumbel_key
+        |FROM g ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin,
     "q_decontaminate" ->
       """WITH b AS (
         |  SELECT doc_id, text,

@@ -219,6 +219,28 @@ class DedupSpec extends SparkSpec {
       score(4L) > score(2L), score.toString)
   }
 
+  test("dsirResample: partition-invariant; tiny temperature degenerates to greedy top-k") {
+    import org.apache.spark.sql.functions.col
+    val d = Sources.table(spark, sf0001, "documents")
+    val tgt = col("source") === "src0"
+    val a = Curation.dsirResample(d, "doc_id", "text", tgt, k = 20)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val b = Curation.dsirResample(d.repartition(7), "doc_id", "text", tgt, k = 20)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(a === b, "selection must be a pure function of doc ids")
+    assert(a.length === 20 && a.distinct.length === 20)
+    // temperature -> 0: score/T dwarfs the O(1) Gumbel noise, so the
+    // sample collapses to the k best scores (up to rounded-score ties,
+    // which the noise then breaks deterministically)
+    val greedy = Curation.dsirResample(d, "doc_id", "text", tgt,
+        k = 20, temperature = 1e-9)
+      .collect().map(_.getAs[Double]("avg_logratio")).min
+    val kthScore = Curation.dsirWeights(d, "doc_id", "text", tgt)
+      .orderBy(col("avg_logratio").desc).limit(20)
+      .collect().map(_.getAs[Double]("avg_logratio")).min
+    assert(greedy === kthScore)
+  }
+
   test("prefix-filtered containment == naive containment (lossless)") {
     for (t <- Seq(0.5, 0.8, 0.95)) {
       val naive = Dedup.containmentPairs(docs, "doc_id", "text", 3, t)

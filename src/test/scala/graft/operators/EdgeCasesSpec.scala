@@ -53,6 +53,8 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.dupNgramStats(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(Curation.dsirWeights(emptyDocs, "doc_id", "text",
       lit(true), buckets = 16).count() === 0)
+    assert(Curation.dsirResample(emptyDocs, "doc_id", "text",
+      lit(true), k = 5, buckets = 16).count() === 0)
     assert(TextAnalysis.repetitionFeatures(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(TextAnalysis.unigramLogProb(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextAnalysis.packSequences(emptyDocs, "doc_id", "text", "source", 512L)

@@ -145,6 +145,12 @@ class Round5PlanSpec extends SparkSpec {
     assert(!p.contains("Window ["), p)
   }
 
+  test("dsirResample: top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("building the dsir plan runs no driver job (totals in-plan, not .count())") {
     val sc = spark.sparkContext
     def jobs(group: String)(build: => Unit): Int = {

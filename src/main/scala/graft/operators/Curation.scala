@@ -108,12 +108,33 @@ object Curation {
     * driver action. Docs are scanned twice (counts + scoring), the
     * same trade as [[Dedup.dupNgramStats]]. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 1024): DataFrame =
+    dsirScoreFromWeights(docs, idCol, textCol,
+      dsirBucketWeights(docs, idCol, textCol, targetCol, buckets), buckets)
+
+  /** (id, __bk) token-bucket pairs: one codegen'd tokenize/explode/hash
+    * pass. 6 md5 hex chars = 24 bits, non-negative — plain % is a safe
+    * mod. */
+  private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .select(col("id"),
+        (conv(substring(md5(col("__w").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % buckets).as("__bk"))
+
+  /** The trained half of [[dsirWeights]]: the ≤`buckets`-row table of
+    * per-bucket log-likelihood ratios `(bucket, log_weight)`. Persist
+    * it (or hold it across micro-batches) to score new data against a
+    * FIXED reference model — the model does not drift as batches
+    * arrive, which is what makes incremental scoring micro-batching-
+    * invariant ([[graft.streaming.StreamingOps.incrementalDsirScores]]). */
+  def dsirBucketWeights(corpus: DataFrame, idCol: String, textCol: String,
       targetCol: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // 6 md5 hex chars = 24 bits, non-negative — plain % is a safe mod
-    val tok = docs.select(col(idCol).as("id"), targetCol.as("__t"),
+    val tok = corpus.select(targetCol.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__w"))
-      .select(col("id"), col("__t"),
+      .select(col("__t"),
         (conv(substring(md5(col("__w").cast("binary")), 1, 6), 16, 10)
           .cast("long") % buckets).as("__bk"))
     val counts = tok.groupBy(col("__bk"))
@@ -121,14 +142,30 @@ object Curation {
         count(lit(1)).as("__cr"))
     val totals = counts.agg(sum(col("__ct")).cast("double").as("__tt"),
       sum(col("__cr")).cast("double").as("__tr"))
-    val weights = counts.crossJoin(broadcast(totals))
-      .select(col("__bk"),
+    counts.crossJoin(broadcast(totals))
+      .select(col("__bk").as("bucket"),
         log(((col("__ct") + lit(1L)) / (col("__tt") + lit(buckets))) /
-          ((col("__cr") + lit(1L)) / (col("__tr") + lit(buckets)))).as("__lw"))
-    tok.join(broadcast(weights), "__bk")
+          ((col("__cr") + lit(1L)) / (col("__tr") + lit(buckets))))
+          .as("log_weight"))
+  }
+
+  /** The scoring half of [[dsirWeights]]: mean per-token-bucket
+    * `log_weight` per doc against a PRE-TRAINED weight table. Tokens
+    * hashing to a bucket ABSENT from the table (possible only when the
+    * model corpus put zero tokens in that bucket — rare once the corpus
+    * dwarfs `buckets`) are dropped from the score and from `n_tokens`
+    * (inner join); self-trained scoring ([[dsirWeights]]) never hits
+    * this because every scored bucket is in the training data.
+    * `buckets` must match the value the table was trained with — the
+    * hash mod IS the feature space. */
+  def dsirScoreFromWeights(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    tokenBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(weights), col("__bk") === col("bucket"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__lw")), 6).as("avg_logratio"))
+        round(avg(col("log_weight")), 6).as("avg_logratio"))
   }
 
   /** The selection step of DSIR: Gumbel top-k resampling by the

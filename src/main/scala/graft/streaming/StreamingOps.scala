@@ -362,4 +362,31 @@ object StreamingOps {
       }
       .outputMode("append")
       .start()
+
+  /** Streaming DSIR scoring: the bucket-weight model is trained ONCE on
+    * the reference corpus ([[graft.operators.Curation.dsirBucketWeights]],
+    * a ≤`buckets`-row table, cached for the life of the query) and every
+    * micro-batch of incoming documents is scored against it
+    * ([[graft.operators.Curation.dsirScoreFromWeights]]) — the
+    * filter-at-ingest form of data selection: score each crawl shard as
+    * it lands, keep what reads like the target domain. A per-doc score
+    * depends only on the doc and the FIXED model, so the union of
+    * per-batch results over any trigger decomposition equals the
+    * one-shot batch scoring (StreamingSpec proves it) — the same
+    * corpus-is-the-model reasoning as [[incrementalTfidfCosine]]. */
+  def incrementalDsirScores(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      targetCol: org.apache.spark.sql.Column, buckets: Int = 1024)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val weights = graft.operators.Curation
+      .dsirBucketWeights(corpus, idCol, textCol, targetCol, buckets).cache()
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Curation.dsirScoreFromWeights(
+          batch.toDF(), idCol, textCol, weights, buckets), batchId)
+      }
+      .outputMode("append")
+      .start()
+  }
 }

@@ -245,6 +245,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dsir scoring stream: union over micro-batches == one-shot batch") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_dsir_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.incrementalDsirScores(stream, corpus,
+      "doc_id", "text", col("source") === "src0", buckets = 256) { (scores, id) =>
+      collected.synchronized {
+        batches += id
+        collected ++= scores.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Curation.dsirScoreFromWeights(
+          newDocs, "doc_id", "text",
+          graft.operators.Curation.dsirBucketWeights(corpus, "doc_id", "text",
+            col("source") === "src0", buckets = 256), buckets = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.size === newDocs.count(), "every streamed doc scored")
+    } finally q.stop()
+  }
+
   test("bloom-pruned incremental dedup stream == unpruned, even with a tiny lossy sketch") {
     val docs = Sources.table(spark, sf0001, "documents")
     val corpus = docs.filter(col("doc_id") % 2 === 0)

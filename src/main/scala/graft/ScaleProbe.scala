@@ -308,6 +308,12 @@ object ScaleProbe {
             col("source") === "src0", buckets = 1024)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"remove_dup_spans_${n}x") {
+        // amplified copies make every gram globally duplicated — the
+        // worst case for the coverage explode (all positions covered)
+        operators.Dedup.removeDuplicateSpans(docsN, "doc_id", "text", n = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

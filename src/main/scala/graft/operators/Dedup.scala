@@ -99,6 +99,66 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** The substring-dedup REWRITE (Lee et al. 2022's ExactSubstr): drop
+    * every token covered by an n-gram that occurs ≥ `minOccurrences`
+    * times ANYWHERE in the corpus (other docs or the same doc), and
+    * rebuild each document from the surviving tokens. Overlapping
+    * duplicated spans merge by position-set union, so the rewrite is
+    * well-defined regardless of how spans nest. Unlike
+    * [[dupNgramStats]] (a per-doc ranking SIGNAL), this is the
+    * transformation itself — the output corpus has every shared span
+    * excised once per occurrence.
+    *
+    * Entirely integer/string arithmetic — no floats anywhere, so the
+    * oracle compares full value equality, not rounded hashes.
+    *
+    * Scale shape: positional n-gram explode → occurrence count keyed on
+    * the n-gram (map-side combined, NO broadcast hint — corpus-sized
+    * vocabulary) → join back → per-dup-gram coverage explode (≤ n rows
+    * each) → distinct + anti-join on (doc, position) → one per-doc
+    * bounded `sort_array(collect_list)` rebuild (array size = doc
+    * length, the same bound every tokenizer op here already carries).
+    * No pair join and no window; every shuffle key is (gram) or
+    * (doc, pos). Token positions ride through the SAME explode that
+    * builds the grams, so the corpus is tokenized twice total (gram
+    * side + rebuild side), scanned, never cached. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Long = 2L): DataFrame = {
+    require(minOccurrences >= 2L,
+      "minOccurrences must be >= 2: every n-gram occurs at least once")
+    val toked = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // positional grams, NON-distinct: within-doc repeats are duplicates
+    // too (a doc that repeats its own span gets every occurrence cut)
+    val grams = toked
+      .select(col("id"), posexplode(
+        TextAnalysis.ngramsFromTokens(col("__toks"), n)))
+      .select(col("id"), (col("pos") + 1).as("gpos"), col("col").as("gram"))
+    val freq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOccurrences)
+    val covered = grams.join(freq, "gram")
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = toked
+      .select(col("id"), posexplode(col("__toks")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * `|A∩B| / |A∪B| >= threshold` over distinct word n-gram shingles.
     *

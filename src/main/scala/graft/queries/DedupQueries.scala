@@ -178,6 +178,14 @@ object DedupQueries {
         docs.filter(col("split") === "train"),
         "doc_id", "text", n = 8)
     },
+    // the substring-dedup REWRITE: excise every 8-gram span occurring
+    // twice anywhere in the corpus, rebuild docs from surviving tokens
+    "q_remove_dup_spans" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 8, minOccurrences = 2L)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_removed"))
+    },
     // duplicated-3-gram fraction per doc (Lee et al. substring-dedup
     // ranking signal) — no pair join, just shingle frequencies
     "q_dup_ngram_stats" -> { (s, dir) =>
@@ -469,6 +477,35 @@ object DedupQueries {
         |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_remove_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, toks,
+        |         unnest(range(1, greatest(len(toks) - 6, 1))) AS gpos
+        |       FROM tk),
+        |g AS (SELECT doc_id, gpos,
+        |        concat_ws(' ', toks[gpos], toks[gpos+1], toks[gpos+2],
+        |          toks[gpos+3], toks[gpos+4], toks[gpos+5], toks[gpos+6],
+        |          toks[gpos+7]) AS gram
+        |      FROM g0),
+        |f AS (SELECT gram FROM g GROUP BY gram HAVING count(1) >= 2),
+        |cov0 AS (SELECT doc_id, gpos FROM g JOIN f USING (gram)),
+        |cov1 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS pos FROM cov0),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov1),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+        |tp AS (SELECT doc_id, pos, toks[pos] AS tok FROM tp0),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+        |         FROM tp ANTI JOIN cov USING (doc_id, pos)),
+        |k AS (SELECT doc_id, count(1) AS n_kept,
+        |        string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |      FROM kept GROUP BY doc_id),
+        |b AS (SELECT doc_id, len(toks)::BIGINT AS n FROM tk)
+        |SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  (b.n - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+        |FROM b LEFT JOIN k USING (doc_id)""".stripMargin,
     "q_dup_ngram_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

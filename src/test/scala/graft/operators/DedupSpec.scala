@@ -219,6 +219,26 @@ class DedupSpec extends SparkSpec {
       score(4L) > score(2L), score.toString)
   }
 
+  test("removeDuplicateSpans: cross-doc, within-doc, and overlap-merge cases") {
+    val df = Seq(
+      (1L, "x y z q r s t u v"), // "x y z" shared with doc 2
+      (2L, "a b x y z w k l m"), // ... at gpos 3 here
+      (3L, "p p p p"),           // "p p p" twice WITHIN one doc; spans 1-3, 2-4 merge
+      (4L, "h i")                // too short for any trigram
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(got === Map(
+      1L -> (("q r s t u v", 6L, 3L)),
+      2L -> (("a b w k l m", 6L, 3L)),
+      3L -> (("", 0L, 4L)),
+      4L -> (("h i", 2L, 0L))))
+  }
+
   test("dsirResample: partition-invariant; tiny temperature degenerates to greedy top-k") {
     import org.apache.spark.sql.functions.col
     val d = Sources.table(spark, sf0001, "documents")

@@ -51,6 +51,7 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Curation.decontaminate(emptyDocs, emptyDocs, "doc_id", "text", 8)
       .count() === 0)
     assert(Dedup.dupNgramStats(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.removeDuplicateSpans(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(Curation.dsirWeights(emptyDocs, "doc_id", "text",
       lit(true), buckets = 16).count() === 0)
     assert(Curation.dsirResample(emptyDocs, "doc_id", "text",

@@ -145,6 +145,13 @@ class Round5PlanSpec extends SparkSpec {
     assert(!p.contains("Window ["), p)
   }
 
+  test("removeDuplicateSpans: gram-frequency join shuffle-capable; no window, no cartesian") {
+    val p = planNoAutoBroadcast("q_remove_dup_spans")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dsirResample: top-k is TakeOrderedAndProject, never a global sort") {
     val p = plan("q_dsir_resample")
     assert(p.contains("TakeOrderedAndProject"), p)

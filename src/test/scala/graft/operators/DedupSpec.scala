@@ -130,7 +130,9 @@ class DedupSpec extends SparkSpec {
     def pairsOf(df: org.apache.spark.sql.DataFrame) = Seq(
       Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 3, 0.8),
       Dedup.minHashLshPairs(df, "doc_id", "text", 3, 0.8),
-      Dedup.simHashPairs(df, "doc_id", "text", 3, 8)
+      Dedup.simHashPairs(df, "doc_id", "text", 3, 8),
+      Dedup.dupNgramStats(df, "doc_id", "text", 3),
+      Dedup.removeDuplicateSpans(df, "doc_id", "text", 8)
     ).map(_.collect().map(_.toSeq).toSet)
     val base = pairsOf(docs.repartition(1))
     for (p <- Seq(3, 16)) {

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classification — the fastText-style "train a small
+  * model on labeled examples, score the whole corpus" selection step of
+  * a pre-training data pipeline (cf. GPT-3 / LLaMA quality filtering:
+  * a linear classifier over document features scores every crawled page
+  * and the pipeline keeps the high scorers, often via the same Gumbel
+  * resampling that [[Curation.dsirResample]] implements).
+  *
+  * The model here is binary logistic regression trained by full-batch
+  * gradient descent, IN-PLAN: each GD step is one corpus scan — a
+  * codegen'd sigmoid projection against the current weights as literals
+  * feeding a (dim+1)-key aggregation whose map-side combine reduces the
+  * shuffle to (dim+1) rows per partition. Driver-resident state is the
+  * weight vector alone, O(dim) doubles per step, independent of corpus
+  * size — the same contract as [[Clustering.trainCentroids]], and the
+  * same shape Spark MLlib's LogisticRegression uses (treeAggregate of
+  * per-partition gradient sums).
+  *
+  * Determinism (the oracle contract): weights init at zero (no seed),
+  * every updated weight is rounded to 6 decimals between steps — the
+  * inter-iteration anchor of `Clustering.round6` — so DuckDB can replay
+  * the exact trajectory with unrolled CTEs. The margin folds
+  * left-to-right over the SAME augmented vector (`[1.0] ++ x`, bias as
+  * feature 0) in both engines, so the floats agree to the ulp and the
+  * anchor absorbs the per-step sum-order noise of the distributed
+  * gradient.
+  *
+  * Reference scope note: kaylee has no model training — this is
+  * north-star extension work (`/root/reference/README.md:4-8` scopes
+  * the reference to MapReduce).
+  */
+object Classification {
+
+  /** Half-away-from-zero rounding to 6 decimals — same boundary rule as
+    * DuckDB's `round(x, 6)`, shared with `Clustering.round6`. */
+  private def round6(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+
+  /** `[1.0] ++ vec` as array<double> — bias rides as feature 0, so the
+    * margin is ONE fold and the gradient is ONE explode in both the
+    * engine and the oracle (no separate bias aggregation). */
+  private def augmented(vecCol: Column): Column =
+    concat(array(lit(1.0)), vecCol.cast("array<double>"))
+
+  /** σ(w·xa) with `w` a plan-time literal: fully codegen'd — the native
+    * [[graft.functions.VectorDot]] fold plus one exp. Left-to-right
+    * over the augmented vector, matching the oracle's
+    * `list_sum(list_transform(...))` bit-for-bit (sub-ulp exp()
+    * differences between libm and the JVM are absorbed by the 6-decimal
+    * anchor/output rounding, the same budget [[Curation.dsirResample]]
+    * documents for ln). */
+  private def sigmoid(xaCol: Column, w: Seq[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-graft.functions.VectorDot(xaCol, typedlit(w))))
+
+  /** Train binary logistic regression by `steps` full-batch GD updates
+    * at learning rate `lr`, target `targetCol` (a boolean expression
+    * over `df` rows). Returns the dim+1 weights (index 0 = bias),
+    * 6-decimal-anchored per step. Empty input returns the zero vector
+    * (dim read from the first row — an empty corpus yields Nil).
+    *
+    * Each step is one job: scan → sigmoid → posexplode(augmented) →
+    * per-index gradient sum (map-side combined to dim+1 rows per task)
+    * → collect dim+1 rows. The input is cached across steps and
+    * unpersisted before returning (the [[Clustering.trainCentroids]]
+    * cache lifecycle). */
+  def trainLogReg(df: DataFrame, idCol: String, vecCol: String,
+      targetCol: Column, steps: Int, lr: Double): Seq[Double] = {
+    require(steps > 0, "steps must be positive")
+    require(lr > 0, "lr must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val prepped = df.select(col(idCol).as("id"),
+        augmented(col(vecCol)).as("__xa"),
+        when(targetCol, lit(1.0)).otherwise(lit(0.0)).as("__y"))
+      .cache() // scanned `steps` times; unpersisted below
+    try {
+      val dimRow = prepped.select(size(col("__xa"))).limit(1).collect()
+      if (dimRow.isEmpty) return Nil
+      var w: Seq[Double] = Seq.fill(dimRow.head.getInt(0))(0.0)
+      for (_ <- 1 to steps) {
+        // Σ (p − y)·xa_i and the row count per index: dim+1 rows back.
+        // Every index has the same n (fixed-dim vectors), so avg =
+        // s/n per index — the oracle's avg() — without a second agg.
+        // residual computed BELOW the explode: ExtractGenerator puts
+        // same-select expressions in the Project above the Generate,
+        // which would re-fold the O(dim) dot product once per exploded
+        // row (O(dim^2)/row); as a pre-computed attribute it is one
+        // fold per input row, replicated by the Generate for free
+        val grads = prepped
+          .select(col("__xa"),
+            (sigmoid(col("__xa"), w) - col("__y")).as("__d"))
+          .select(posexplode(col("__xa")).as(Seq("i", "v")), col("__d"))
+          .groupBy(col("i"))
+          .agg(sum(col("__d") * col("v")).as("g"), count(lit(1)).as("n"))
+          .collect()
+        val byIdx = grads.map(r => r.getInt(0) -> (r.getDouble(1) / r.getLong(2))).toMap
+        w = w.zipWithIndex.map { case (wi, i) => round6(wi - lr * byIdx(i)) }
+      }
+      w
+    } finally {
+      prepped.unpersist()
+    }
+  }
+
+  /** Score rows against a trained weight vector: (id, lr_score) with
+    * lr_score = σ(w·[1.0 ++ vec]) rounded to 6 decimals. Stateless
+    * codegen'd projection — applies unchanged to a streaming DataFrame,
+    * and at 100 TB it is scan-bound like every other scorer here. */
+  def scoreLogReg(df: DataFrame, idCol: String, vecCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      round(sigmoid(augmented(col(vecCol)), weights), 6).as("lr_score"))
+  }
+
+  /** Train-then-score in one call: [[trainLogReg]] on `df` itself (the
+    * self-trained form, like [[Curation.dsirWeights]]), then
+    * [[scoreLogReg]] every row. Output: (id, y, lr_score). At scale the
+    * two halves separate naturally — train once on a labeled sample,
+    * persist the weights, score batches/streams against them. */
+  def logRegScores(df: DataFrame, idCol: String, vecCol: String,
+      targetCol: Column, steps: Int = 2, lr: Double = 1.0): DataFrame = {
+    val w = trainLogReg(df, idCol, vecCol, targetCol, steps, lr)
+    if (w.isEmpty) // empty corpus: empty result, correct schema
+      return df.select(col(idCol).as("id"), lit(0.0).as("y"),
+        lit(0.0).as("lr_score"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      when(targetCol, lit(1.0)).otherwise(lit(0.0)).as("y"),
+      round(sigmoid(augmented(col(vecCol)), w), 6).as("lr_score"))
+  }
+}

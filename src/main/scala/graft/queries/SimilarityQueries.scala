@@ -102,6 +102,16 @@ object SimilarityQueries {
         .groupBy(col("label"), col("dim"))
         .agg(round(avg(col("v")), 6).as("centroid_v"))
     },
+    // trained quality classifier: 2-step in-plan logistic regression
+    // (zero init, 6-decimal weight anchor per step — the Lloyd
+    // determinism recipe) targeting label=1, scoring every vector;
+    // DuckDB replays the exact GD trajectory with unrolled CTEs
+    "q_lr_train_score" -> { (s, dir) =>
+      graft.operators.Classification.logRegScores(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          col("label") === 1, steps = 2, lr = 1.0)
+        .select(col("id").as("vec_id"), col("y"), col("lr_score"))
+    },
   )
 
   /** DuckDB replay of [[Similarity.srpNeardupPairs]]: the seeded
@@ -452,5 +462,41 @@ object SimilarityQueries {
         |SELECT label, count(1) AS n, round(avg(err), 6) AS avg_err,
         |       round(max(err), 6) AS max_err
         |FROM r GROUP BY label""".stripMargin,
+    "q_lr_train_score" -> logRegOracle(steps = 2, lr = 1.0, dim = 64),
   )
+
+  /** DuckDB replay of `Classification.logRegScores`: the GD trajectory
+    * unrolled step by step — sigmoid against the previous weights, the
+    * per-index gradient avg, the 6-decimal weight anchor — over the
+    * same augmented `[1.0] || e` vector and the same left-to-right
+    * margin fold the engine's VectorDot uses. `w0` is the zero vector,
+    * so step 1's margin is exactly 0.0 in both engines. */
+  private def logRegOracle(steps: Int, lr: Double, dim: Int): String = {
+    val hi = dim + 2 // exclusive range bound over the augmented vector
+    def margin(w: String): String =
+      s"list_sum(list_transform(range(1, $hi), i -> $w[i] * xa[i]))"
+    val stepCtes = (1 to steps).map { k =>
+      s"""p$k AS (
+         |  SELECT vec_id, xa, y,
+         |    1.0 / (1.0 + exp(-(${margin(s"w${k - 1}.w")}))) AS p
+         |  FROM emb CROSS JOIN w${k - 1}),
+         |g$k AS (
+         |  SELECT i, avg((p - y) * v) AS g
+         |  FROM (SELECT y, p, unnest(xa) AS v,
+         |               unnest(range(len(xa))) AS i FROM p$k) u
+         |  GROUP BY i),
+         |w$k AS (
+         |  SELECT list(round(wp.w[i + 1] - $lr * g, 6) ORDER BY i) AS w
+         |  FROM g$k CROSS JOIN w${k - 1} wp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, [1.0::DOUBLE] || embedding::DOUBLE[] AS xa,
+       |    CASE WHEN label = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM embeddings),
+       |w0 AS (SELECT list_transform(range(1, $hi), i -> 0.0::DOUBLE) AS w),
+       |$stepCtes
+       |SELECT vec_id, y,
+       |  round(1.0 / (1.0 + exp(-(${margin(s"w$steps.w")}))), 6) AS lr_score
+       |FROM emb CROSS JOIN w$steps""".stripMargin
+  }
 }

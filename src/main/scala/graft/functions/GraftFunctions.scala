@@ -26,6 +26,10 @@ object GraftFunctions {
       "bloom_contains", buildBloomContains, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_probe", buildBloomProbe, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", PqOps.buildEncode, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc_lut", PqOps.buildAdcLut, "scala_udf")
   }
 
   /** Spark's internal runtime-filter bloom aggregate

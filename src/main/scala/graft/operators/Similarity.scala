@@ -352,4 +352,338 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)))
     out.drop("__e", "__amax")
   }
+
+  /** Product-quantization codebooks: the vector space is split into
+    * `subspaces` contiguous slices of dim/subspaces dims, and each
+    * slice gets its own k-means codebook of `codesPerSubspace` entries
+    * trained by [[Clustering.trainCentroids]] (deterministic lowest-id
+    * init + 6-decimal anchors, so an oracle can replay every one of the
+    * `subspaces` trajectories). A 64-d float32 vector compresses to
+    * `subspaces` byte-sized codes — 32x smaller — which is what makes
+    * corpus-resident ANN state feasible at 100 TB: the ADC scan reads
+    * the codes table, never the raw vectors.
+    *
+    * Training cost is `subspaces` independent Lloyd runs over the
+    * sliced corpus (each caches its slice for `trainIters` scans); at
+    * scale, train on a bounded sample — the codebooks are a model
+    * artifact, like IVF centroids, and apply unchanged to the full
+    * corpus and to future batches. */
+  def pqCodebooks(emb: DataFrame, dim: Int, subspaces: Int = 8,
+      codesPerSubspace: Int = 16, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[(Int, Seq[Double])]] = {
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    // no codegen cap here: encode/ADC run through the native PqOps
+    // kernels (loops over a referenced model, not unrolled literals),
+    // so the standard 256-entry codebooks of published PQ systems are
+    // fine; training itself switches to the broadcast-join path above
+    // Clustering.LiteralArgminMax
+    require(codesPerSubspace > 0, "codesPerSubspace must be positive")
+    val sub = dim / subspaces
+    (0 until subspaces).map { s =>
+      val sliced = emb.select(col(idCol).as("vec_id"),
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sub"))
+      Clustering.trainCentroids(sliced, codesPerSubspace, trainIters,
+        idCol = "vec_id", vecCol = "__sub")
+    }
+  }
+
+  /** Encode every vector as its per-subspace nearest-codebook-entry
+    * codes: (vec_id, codes array<int>). One codegen'd projection — per
+    * subspace an argmin over `codesPerSubspace` literal structs on the
+    * algebraic squared distance, ties toward the lower code (the
+    * k-means criterion, same as the oracle's row_number order). This is
+    * the artifact a production pipeline PERSISTS (bucketed by vec_id
+    * range or IVF cell); batches/streams encode with the same fixed
+    * codebooks. */
+  def pqEncode(emb: DataFrame, codebooks: Seq[Seq[(Int, Seq[Double])]],
+      dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqEncode needs non-empty codebooks (empty corpus trains none)")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol).as("vec_id"),
+      pqCodesCol(col(vecCol).cast("array<double>"), codebooks, dim).as("codes"))
+  }
+
+  /** The codes projection itself — the native
+    * [[graft.functions.PqOps.pqEncode]] kernel: per subspace an argmin
+    * on the algebraic squared distance (ties toward the lower code, the
+    * k-means criterion and the oracle's row_number order). A composed
+    * literal-argmin column would unroll subspaces×codes dot products
+    * into one unsplittable generated method and blow Janino's 64 KB cap
+    * once fused with a downstream sort (see PqOps scaladoc); the native
+    * kernel keeps the stage codegen'd at any codebook size. Shared by
+    * [[pqEncode]] and [[pqEncodeWithCells]]. */
+  private def pqCodesCol(e: Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): Column =
+    graft.functions.PqOps.pqEncode(e, codebooks)
+
+  /** ADC (asymmetric distance computation) top-k over an ENCODED
+    * corpus: queries keep exact vectors; each (query, code-row) pair
+    * costs `subspaces` table lookups + small dot products against the
+    * codebook literals — ~dim multiply-adds against the 8-byte codes
+    * row instead of the 256-byte float32 row. The scan side is the
+    * codes table only: at 100 TB of raw vectors the ADC pass reads ~3
+    * TB. Scoring is still |codes|·|queries| pairs (PQ compresses
+    * memory, not candidates) — compose with IVF cells to prune
+    * candidates too; the per-query ranking is the same windowed top-k
+    * as [[bruteForceTopK]]. Distance is the sum of per-subspace
+    * algebraic squared distances, folded left-to-right in subspace
+    * order so the oracle's replay is bit-identical. */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(codes.sparkSession)
+    val qPrepped = adcPrepQueries(
+      queries.select(col("query_id"), col("q")), codebooks, dim)
+    val scored = codes.crossJoin(broadcast(qPrepped))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__d", adcDistCol(codebooks, dim))
+    adcRank(scored, k)
+  }
+
+  /** The classic ADC distance TABLE, computed ONCE per query on the
+    * (small) broadcast side: `__lut[s][j]` = the clamped algebraic
+    * squared distance from the query's subspace-s slice to codebook
+    * entry j. Scoring a pair then costs `subspaces` array lookups — no
+    * per-pair dot products at all, and (as important on Spark) the
+    * per-pair expression is a few dozen bytes of generated code, so the
+    * scan→score→rank stage stays inside whole-stage codegen instead of
+    * blowing Janino's 64 KB method cap the way per-pair codebook dot
+    * products do (SimilaritySpec pins the no-fallback property).
+    *
+    * The table is indexed by code VALUE (position j holds code j):
+    * Lloyd training drops a cluster that loses all members, so code ids
+    * can be non-contiguous — vanished ids get a MaxValue filler, which
+    * [[pqEncode]] can never emit. Extra columns on `queries` (e.g. a
+    * probe-cell id) ride through untouched. */
+  private def adcPrepQueries(queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): DataFrame =
+    queries.withColumn("__lut",
+      graft.functions.PqOps.pqAdcLut(col("q").cast("array<double>"), codebooks))
+      .drop("q")
+
+  /** The per-pair ADC distance over a `codes` column and the
+    * [[adcPrepQueries]] table: `subspaces` lookups summed left-to-right
+    * in subspace order, so the oracle's per-pair replay (which computes
+    * each term directly — same arithmetic, evaluated query-side here)
+    * is bit-identical. */
+  private def adcDistCol(codebooks: Seq[Seq[(Int, Seq[Double])]],
+      dim: Int): Column =
+    codebooks.indices.map { s =>
+      element_at(element_at(col("__lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Windowed per-query top-k on the ADC distance (ties toward the
+    * lower neighbor id — the oracle's row_number order). */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(asc("__d"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("__d"), 6).as("adc_d2"))
+  }
+
+  /** Self-contained PQ ANN: train codebooks on the corpus, encode it,
+    * ADC-rank the `vec_id % every == 0` queries. [[guardSize]] refuses
+    * oversized corpora like the other all-pairs baselines (ADC scores
+    * every (query, row) pair — at scale, persist the codes table and
+    * prune candidates with IVF cells before ADC). */
+  def pqTopK(emb: DataFrame, k: Int, dim: Int, subspaces: Int = 8,
+      codesPerSubspace: Int = 16, every: Long = 50L, trainIters: Int = 2,
+      maxRows: Long = DefaultBruteForceMaxRows): DataFrame = {
+    guardSize(emb, maxRows, "pqTopK", "ivfTopK (or IVF-pruned pqAdcTopK)")
+    val cbs = pqCodebooks(emb, dim, subspaces, codesPerSubspace, trainIters)
+    if (cbs.exists(_.isEmpty)) { // empty corpus: typed empty result
+      val spark = emb.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "adc_d2")
+    }
+    val codes = pqEncode(emb, cbs, dim)
+    val queries = emb.filter(col("vec_id") % every === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    pqAdcTopK(codes, queries, cbs, dim, k)
+  }
+
+  /** Encode vectors to (vec_id, cell, codes): the IVF-PQ index row —
+    * coarse cell for candidate pruning, PQ codes for compressed
+    * scoring. At or below [[Clustering.LiteralArgminMax]] cells the
+    * whole row is ONE shuffle-free codegen'd projection (cell argmin +
+    * `subspaces` code argmins over literals); above it, cell assignment
+    * takes [[Clustering.assign]]'s broadcast-join path and joins the
+    * codes projection by id — one bounded shuffle, the price of
+    * thousand-cell quantizers (in production both sides land in the
+    * same bucketed table, so the join cost is paid once at index-build,
+    * as `SimilaritySpec` pins path equality). */
+  def pqEncodeWithCells(emb: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      coarse: Seq[(Int, Seq[Double])], dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(coarse.nonEmpty, "pqEncodeWithCells needs coarse centroids")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqEncodeWithCells needs non-empty codebooks")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    if (coarse.size <= Clustering.LiteralArgminMax)
+      pqEncodeCellsLiteral(emb, codebooks, coarse, dim, idCol, vecCol)
+    else pqEncodeCellsJoin(emb, codebooks, coarse, dim, idCol, vecCol)
+  }
+
+  /** Literal-argmin form of [[pqEncodeWithCells]] — one shuffle-free
+    * projection (SimilaritySpec pins equality with the join form). */
+  private[operators] def pqEncodeCellsLiteral(emb: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      coarse: Seq[(Int, Seq[Double])], dim: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val e = col(vecCol).cast("array<double>")
+    val xx = graft.functions.VectorDot(e, e)
+    val cellCol = array_min(array(coarse.map { case (cid, c) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct(greatest(xx - lit(2.0) *
+          graft.functions.VectorDot(e, typedLit(c)) + lit(cc),
+        lit(0.0)).as("d2"), lit(cid).as("cell"))
+    }: _*)).getField("cell")
+    emb.select(col(idCol).as("vec_id"), cellCol.as("cell"),
+      pqCodesCol(e, codebooks, dim).as("codes"))
+  }
+
+  /** Broadcast-join form of [[pqEncodeWithCells]] for above-cap cell
+    * counts: [[Clustering.assign]]'s small-expression path, then the
+    * codes projection joined by id. */
+  private[operators] def pqEncodeCellsJoin(emb: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      coarse: Seq[(Int, Seq[Double])], dim: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val cells = Clustering.assign(emb, coarse, idCol, vecCol)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    cells.join(pqEncode(emb, codebooks, dim, idCol, vecCol), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** ADC top-k over an IVF-PQ index: each query probes its `nprobe`
+    * nearest coarse cells (by full-dimension squared distance to the
+    * cell centroid, ties toward the lower cell id) and ADC-scores ONLY
+    * the code rows assigned to those cells — the scored fraction drops
+    * to ~nprobe/nCells AND each scored row is the compressed codes row,
+    * the both-axes reduction that makes ANN a scan problem at 100 TB
+    * (partition the codes table by cell and the probe join prunes
+    * partitions too). Queries are the broadcast side; the probe
+    * expansion (nprobe rows per query) happens before broadcast, so the
+    * join is a plain equi-join on cell. */
+  def pqAdcTopKCells(codes: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      coarse: Seq[(Int, Seq[Double])], dim: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(coarse.nonEmpty, "pqAdcTopKCells needs coarse centroids")
+    // nprobe nearest cells per query — literal argsort below the
+    // codegen cap, broadcast-join + bounded sorted-prefix above it
+    // (same switch and identical ranked quantity as ivfTopKWithCentroids)
+    val probed = pqProbeCells(queries, coarse, nprobe,
+      literal = coarse.size <= Clustering.LiteralArgminMax)
+    val qPrepped = adcPrepQueries(probed, codebooks, dim)
+    // each vector lives in exactly ONE cell and probe cells are
+    // distinct per query, so (query, neighbor) pairs are unique — no
+    // dedup needed before ranking
+    val scored = codes.join(broadcast(qPrepped), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__d", adcDistCol(codebooks, dim))
+    adcRank(scored, k)
+  }
+
+  /** The probe expansion of [[pqAdcTopKCells]]: (query_id, cell, q)
+    * rows — nprobe cells per query, nearest-first by full-dimension
+    * squared distance with ties toward the lower cell id. Both paths
+    * rank the identical quantity (SimilaritySpec pins set equality);
+    * `literal` picks the single-projection argsort (codegen-safe only
+    * below [[Clustering.LiteralArgminMax]] cells) vs the broadcast-join
+    * + bounded sorted-prefix aggregation that scales to thousands of
+    * cells. */
+  private[operators] def pqProbeCells(queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double])], nprobe: Int,
+      literal: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    val q0 = queries.select(col("query_id"),
+        col("q").cast("array<double>").as("q"))
+      .withColumn("__xx", graft.functions.VectorDot(col("q"), col("q")))
+    if (literal) {
+      val all = array(coarse.map { case (cid, c) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct(greatest(col("__xx") - lit(2.0) *
+            graft.functions.VectorDot(col("q"), typedLit(c)) + lit(cc),
+          lit(0.0)).as("d"), lit(cid).as("cell"))
+      }: _*)
+      q0.withColumn("cell", explode(transform(
+          slice(array_sort(all), 1, nprobe), s => s.getField("cell"))))
+        .select(col("query_id"), col("cell"), col("q"))
+    } else {
+      import spark.implicits._
+      val cent = coarse.map { case (i, c) =>
+        (i, c, c.foldLeft(0.0)((acc, x) => acc + x * x))
+      }.toDF("__cid", "__c", "__cc")
+      val d2 = greatest(col("__xx") - lit(2.0) *
+        graft.functions.VectorDot(col("q"), col("__c")) + col("__cc"),
+        lit(0.0))
+      // ties on (d, cell) impossible (cell ids unique), so the
+      // trailing q field is never compared — it rides along to avoid
+      // a second join
+      q0.crossJoin(broadcast(cent))
+        .select(col("query_id"),
+          struct(d2.as("d"), col("__cid").as("cell")).as("__s"),
+          struct(d2.as("d"), col("__cid").as("cell"), col("q").as("q"))
+            .as("__se"))
+        .groupBy(col("query_id"))
+        .agg(slice(sort_array(collect_list(col("__s"))), 1, nprobe)
+          .as("__cells"), min(col("__se")).as("__m"))
+        .select(col("query_id"), col("__m.q").as("q"),
+          explode(transform(col("__cells"), s => s.getField("cell")))
+            .as("cell"))
+        .select(col("query_id"), col("cell"), col("q"))
+    }
+  }
+
+  /** Self-contained IVF-PQ ANN: train the coarse quantizer and the PQ
+    * codebooks on the corpus, build the (cell, codes) index in one
+    * projection, probe + ADC-rank the `vec_id % every == 0` queries.
+    * Needs no [[guardSize]]: candidates are pruned to the probed cells
+    * (~nprobe/nCells of the corpus), so there is no all-pairs plan to
+    * refuse — this IS the scale path the guarded baselines point to.
+    * Codebooks are trained on raw vectors, not cell residuals: the
+    * oracle replays raw-vector trajectories exactly, and residual
+    * encoding (classic IVFADC) changes recall, not the plan shape. */
+  def pqIvfTopK(emb: DataFrame, k: Int, dim: Int, nCells: Int = 8,
+      nprobe: Int = 2, subspaces: Int = 8, codesPerSubspace: Int = 16,
+      every: Long = 50L, trainIters: Int = 2): DataFrame = {
+    val coarse = Clustering.trainCentroids(emb, nCells, trainIters)
+    val cbs = pqCodebooks(emb, dim, subspaces, codesPerSubspace, trainIters)
+    if (coarse.isEmpty || cbs.exists(_.isEmpty)) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "adc_d2")
+    }
+    val codes = pqEncodeWithCells(emb, cbs, coarse, dim)
+    val queries = emb.filter(col("vec_id") % every === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    pqAdcTopKCells(codes, queries, cbs, coarse, dim, k, nprobe)
+  }
+
+  /** Read PQ codebooks back from the model table written by the
+    * persisted-index lifecycle (rows: subspace, code, c array<double>).
+    * The collect is the MODEL, not data — subspaces·codesPerSubspace
+    * rows (same bounded-driver-state contract as
+    * [[Clustering.trainCentroids]]'s centroid list). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Seq[(Int, Seq[Double])]] =
+    spark.table(table)
+      .select(col("subspace"), col("code"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toList))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_._2).map { case (_, code, c) => (code, c) }.toSeq
+      }
 }

@@ -112,6 +112,21 @@ object SimilarityQueries {
           col("label") === 1, steps = 2, lr = 1.0)
         .select(col("id").as("vec_id"), col("y"), col("lr_score"))
     },
+    // product-quantization ANN: 8 per-subspace codebooks (trained
+    // Lloyd, deterministic trajectory), vectors encoded to 8 codes,
+    // queries ranked by ADC distance over the codes table — DuckDB
+    // replays all 8 trajectories + encode + ADC
+    "q_ann_pq_topk" -> { (s, dir) =>
+      Similarity.pqTopK(table(s, dir, "embeddings"), k = 5, dim = 64)
+    },
+    // IVF-PQ: coarse cells prune candidates (~nprobe/nCells of the
+    // corpus), PQ codes compress what remains — the both-axes ANN
+    // scale path; the oracle replays coarse + 8 subspace trajectories,
+    // assignment/probing, encode, and ADC
+    "q_ann_ivfpq_topk" -> { (s, dir) =>
+      Similarity.pqIvfTopK(table(s, dir, "embeddings"), k = 5, dim = 64,
+        nCells = 8, nprobe = 2)
+    },
   )
 
   /** DuckDB replay of [[Similarity.srpNeardupPairs]]: the seeded
@@ -213,32 +228,35 @@ object SimilarityQueries {
     * with ‖c‖²), s1/a1 (first assignment by the engine's algebraic
     * squared distance, ties toward the lower cid), and c1cc (updated
     * 6-decimal-anchored centroids with ‖c‖²) — the exact trajectory of
-    * `Clustering.trainCentroids(…, k, iters = 2)`. */
-  private[queries] def lloyd2Ctes(src: String, k: Int, dim: Int = 64): String =
-    s"""c0 AS (
+    * `Clustering.trainCentroids(…, k, iters = 2)`. `sfx` suffixes every
+    * CTE name so several independent trajectories can live in one query
+    * (the PQ oracle replays one per subspace). */
+  private[queries] def lloyd2Ctes(src: String, k: Int, dim: Int = 64,
+      sfx: String = ""): String =
+    s"""c0$sfx AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |         list_transform(e, x -> round(x, 6)) AS c
        |  FROM $src ORDER BY vec_id LIMIT $k),
-       |c0cc AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
-       |         FROM c0),
-       |s1 AS (
+       |c0cc$sfx AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
+       |         FROM c0$sfx),
+       |s1$sfx AS (
        |  SELECT m.vec_id, m.e, c.cid, ${d2Sql("m", "c", dim)} AS d
-       |  FROM $src m CROSS JOIN c0cc c),
-       |a1 AS (
+       |  FROM $src m CROSS JOIN c0cc$sfx c),
+       |a1$sfx AS (
        |  SELECT vec_id, e, cid FROM (
        |    SELECT vec_id, e, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM s1) WHERE rn = 1),
-       |c1 AS (
+       |    FROM s1$sfx) WHERE rn = 1),
+       |c1$sfx AS (
        |  SELECT cid, list(r ORDER BY i) AS c
        |  FROM (
        |    SELECT cid, i, round(avg(v), 6) AS r
        |    FROM (SELECT cid, unnest(e) AS v, unnest(range(len(e))) AS i
-       |          FROM a1) u
+       |          FROM a1$sfx) u
        |    GROUP BY cid, i) g
        |  GROUP BY cid),
-       |c1cc AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
-       |         FROM c1)""".stripMargin
+       |c1cc$sfx AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
+       |         FROM c1$sfx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup_lsh" ->
@@ -463,7 +481,121 @@ object SimilarityQueries {
         |       round(max(err), 6) AS max_err
         |FROM r GROUP BY label""".stripMargin,
     "q_lr_train_score" -> logRegOracle(steps = 2, lr = 1.0, dim = 64),
+    "q_ann_pq_topk" -> pqOracle(dim = 64, subspaces = 8, kCodes = 16,
+      k = 5, every = 50L),
+    "q_ann_ivfpq_topk" -> pqIvfOracle(dim = 64, subspaces = 8, kCodes = 16,
+      k = 5, every = 50L, nCells = 8, nprobe = 2),
   )
+
+  /** The PQ replay building blocks, shared by the three PQ oracles.
+    * `pqSubCtes(src, …)` emits one [[lloyd2Ctes]] trajectory per
+    * subspace over the sliced vectors of `src` (which must provide
+    * vec_id, e0) plus `enc$s` = encode — argmin d² against the final
+    * centroids, ties toward the lower code; `enc$s` keeps the winning
+    * centroid and its ‖c‖² so ADC needs no further codebook join.
+    * `pqAdcTerms` is the ADC distance: the per-subspace algebraic terms
+    * summed left-to-right in subspace order (the engine's
+    * `reduce(_ + _)`). */
+  private def pqSubCtes(src: String, dim: Int, subspaces: Int,
+      kCodes: Int): String = {
+    val sub = dim / subspaces
+    (0 until subspaces).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      s"""sub$s AS (
+         |  SELECT vec_id, e0[$lo:$hi] AS e,
+         |         list_sum(list_transform(e0[$lo:$hi], x -> x * x)) AS xx
+         |  FROM $src),
+         |${lloyd2Ctes(s"sub$s", kCodes, sub, s"_$s")},
+         |enc$s AS (
+         |  SELECT vec_id, c, cc FROM (
+         |    SELECT m.vec_id, c.c, c.cc,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |                         ORDER BY ${d2Sql("m", "c", sub)}, c.cid) AS rn
+         |    FROM sub$s m CROSS JOIN c1cc_$s c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private def pqEncJoins(subspaces: Int): String = (1 until subspaces)
+    .map(s => s"JOIN enc$s n$s ON n$s.vec_id = n0.vec_id").mkString("\n  ")
+
+  private def pqAdcTerms(dim: Int, subspaces: Int): String = {
+    val sub = dim / subspaces
+    (0 until subspaces).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      s"""greatest(list_sum(list_transform(q.q[$lo:$hi], x -> x * x))
+         |      - 2 * list_sum(list_transform(range(1, ${sub + 1}),
+         |                     i -> q.q[${lo - 1} + i] * n$s.c[i]))
+         |      + n$s.cc, 0)""".stripMargin
+    }.mkString("\n    + ")
+  }
+
+  /** Per-query ADC top-k ranking over a `scored` CTE (query_id,
+    * neighbor_id, d), ties toward the lower neighbor id. */
+  private def pqRankSql(k: Int): String =
+    s"""SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       |       round(d, 6) AS adc_d2
+       |FROM (
+       |  SELECT query_id, neighbor_id, d,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY d, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** DuckDB replay of [[Similarity.pqTopK]] — train + encode + ADC over
+    * the full embeddings table, ranked per query by (d, neighbor_id). */
+  private def pqOracle(dim: Int, subspaces: Int, kCodes: Int, k: Int,
+      every: Long): String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+       |${pqSubCtes("emb", dim, subspaces, kCodes)},
+       |qs AS (SELECT vec_id AS query_id, e0 AS q FROM emb
+       |       WHERE vec_id % $every = 0),
+       |scored AS (
+       |  SELECT q.query_id, n0.vec_id AS neighbor_id,
+       |    ${pqAdcTerms(dim, subspaces)} AS d
+       |  FROM qs q CROSS JOIN enc0 n0
+       |  ${pqEncJoins(subspaces)}
+       |  WHERE n0.vec_id <> q.query_id)
+       |${pqRankSql(k)}""".stripMargin
+
+  /** DuckDB replay of [[Similarity.pqIvfTopK]]: the coarse-quantizer
+    * trajectory ([[lloyd2Ctes]] suffix `_cz` over the FULL dimension)
+    * gives cell assignment (rn = 1) and per-query probe cells
+    * (rn <= nprobe), both argmin d² with ties toward the lower cell;
+    * the scored set is restricted to neighbors ASSIGNED to a probed
+    * cell, then the same encode + ADC replay as [[pqOracle]]. */
+  private def pqIvfOracle(dim: Int, subspaces: Int, kCodes: Int, k: Int,
+      every: Long, nCells: Int, nprobe: Int): String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+       |embf AS (SELECT vec_id, e0 AS e,
+       |           list_sum(list_transform(e0, x -> x * x)) AS xx
+       |         FROM emb),
+       |${lloyd2Ctes("embf", nCells, dim, "_cz")},
+       |dots_cz AS (
+       |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c", dim)} AS d
+       |  FROM embf m CROSS JOIN c1cc_cz c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dots_cz) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dots_cz WHERE vec_id % $every = 0) WHERE rn <= $nprobe),
+       |${pqSubCtes("emb", dim, subspaces, kCodes)},
+       |qs AS (SELECT vec_id AS query_id, e0 AS q FROM emb
+       |       WHERE vec_id % $every = 0),
+       |scored AS (
+       |  SELECT q.query_id, n0.vec_id AS neighbor_id,
+       |    ${pqAdcTerms(dim, subspaces)} AS d
+       |  FROM probes p
+       |  JOIN qs q ON q.query_id = p.query_id
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN enc0 n0 ON n0.vec_id = a.vec_id
+       |  ${pqEncJoins(subspaces)})
+       |${pqRankSql(k)}""".stripMargin
 
   /** DuckDB replay of `Classification.logRegScores`: the GD trajectory
     * unrolled step by step — sigmoid against the previous weights, the

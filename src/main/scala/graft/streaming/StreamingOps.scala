@@ -389,4 +389,27 @@ object StreamingOps {
       .outputMode("append")
       .start()
   }
+
+  /** Streaming trained-classifier scoring: logistic-regression weights
+    * are trained ONCE on the labeled corpus
+    * ([[graft.operators.Classification.trainLogReg]] — the model is
+    * O(dim) doubles on the driver, baked into the plan as literals) and
+    * the incoming vector stream is scored by the stateless codegen'd
+    * sigmoid projection. Unlike the other five incremental modalities
+    * this needs NO foreachBatch: [[graft.operators.Classification.scoreLogReg]]
+    * is a pure per-row projection, so it transforms the streaming
+    * DataFrame directly — the caller attaches any writeStream sink, and
+    * micro-batch decomposition trivially cannot change per-row results
+    * (StreamingSpec still pins it end-to-end). This is the
+    * quality-filter-at-ingest deployment: train on curated labels in
+    * batch, score every crawl shard as it lands. */
+  def incrementalLogRegScores(newVecs: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      targetCol: org.apache.spark.sql.Column, steps: Int = 2,
+      lr: Double = 1.0): DataFrame = {
+    val w = graft.operators.Classification
+      .trainLogReg(corpus, idCol, vecCol, targetCol, steps, lr)
+    require(w.nonEmpty, "incrementalLogRegScores needs a non-empty corpus")
+    graft.operators.Classification.scoreLogReg(newVecs, idCol, vecCol, w)
+  }
 }

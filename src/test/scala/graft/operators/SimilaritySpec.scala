@@ -176,4 +176,110 @@ class SimilaritySpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_lc_srp_bands")
     }
   }
+
+  test("pqAdcTopK matches a driver-side ADC reference on fixed codebooks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dim=4, 2 subspaces of 2; hand codebooks (no training involved)
+    val cbs: Seq[Seq[(Int, Seq[Double])]] = Seq(
+      Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(1.0, 1.0)),
+      Seq(0 -> Seq(0.5, -0.5), 1 -> Seq(-1.0, 2.0)))
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(0.1, 0.1, 0.4, -0.4), 1L -> Seq(0.9, 1.1, -0.9, 1.8),
+      2L -> Seq(0.2, -0.1, 0.6, -0.6), 3L -> Seq(1.2, 0.8, -1.1, 2.2))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, cbs, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // reference encode: nearest codebook entry per slice
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (id, v) =>
+      val want = Seq(
+        cbs(0).minBy { case (cid, c) => (d2(v.slice(0, 2), c), cid) }._1,
+        cbs(1).minBy { case (cid, c) => (d2(v.slice(2, 4), c), cid) }._1)
+      assert(codes(id) === want, s"vec $id")
+    }
+    // reference ADC: distance from each query to each code's centroids
+    val queries = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val got = Similarity.pqAdcTopK(Similarity.pqEncode(emb, cbs, dim = 4),
+        queries, cbs, dim = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = vecs.filter(_._1 % 2 == 0).flatMap { case (qid, q) =>
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val adc = d2(q.slice(0, 2), cbs(0)(codes(nid)(0))._2) +
+          d2(q.slice(2, 4), cbs(1)(codes(nid)(1))._2)
+        (qid, nid, adc)
+      }.sortBy { case (_, nid, adc) => (adc, nid) }
+        .take(2).zipWithIndex.map { case ((q2, n, _), i) => (q2, n, i + 1) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("pqEncode: shuffle-free codegen'd projection, invariant to partitioning") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val cbs = Similarity.pqCodebooks(emb, dim = 64)
+    val enc = Similarity.pqEncode(emb, cbs, dim = 64)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan) // *-prefix = codegen'd
+    val a = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val b = Similarity.pqEncode(emb.repartition(13), cbs, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(a === b)
+    assert(a.values.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("pqTopK: empty corpus yields a typed empty result") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+      .filter(org.apache.spark.sql.functions.lit(false))
+    val out = Similarity.pqTopK(emb, k = 5, dim = 64)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "rank", "adc_d2"))
+    assert(out.count() === 0L)
+  }
+
+  test("pqEncodeWithCells + pqProbeCells: literal and join paths agree") {
+    import org.apache.spark.sql.functions.col
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val coarse = Clustering.trainCentroids(emb, 8, 2)
+    val cbs = Similarity.pqCodebooks(emb, dim = 64)
+    def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
+    assert(
+      enc(Similarity.pqEncodeCellsLiteral(emb, cbs, coarse, 64,
+        "vec_id", "embedding")) ===
+      enc(Similarity.pqEncodeCellsJoin(emb, cbs, coarse, 64,
+        "vec_id", "embedding")))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    def probes(literal: Boolean) =
+      Similarity.pqProbeCells(queries, coarse, nprobe = 3, literal = literal)
+        .select("query_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(probes(literal = true) === probes(literal = false))
+  }
+
+  test("pqIvfTopK probing every cell == exhaustive pqTopK; no codegen fallback") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // the LUT form keeps the scan→score→rank stage under Janino's 64 KB
+    // method cap — per-pair codebook dot products blew it and silently
+    // dropped the whole stage to interpreted execution
+    assertNoCodegenFallback {
+      val full = rows(Similarity.pqTopK(emb, k = 5, dim = 64))
+      val ivf = rows(Similarity.pqIvfTopK(emb, k = 5, dim = 64,
+        nCells = 8, nprobe = 8))
+      assert(ivf === full)
+    }
+  }
+
+  test("pqIvfTopK: empty corpus yields a typed empty result") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+      .filter(org.apache.spark.sql.functions.lit(false))
+    val out = Similarity.pqIvfTopK(emb, k = 5, dim = 64)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "rank", "adc_d2"))
+    assert(out.count() === 0L)
+  }
 }

@@ -433,4 +433,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size === 500)
     } finally q.stop()
   }
+
+  test("streaming logreg scoring == batch scoring (corpus-trained model)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val newVecs = emb.filter(col("vec_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_lr_stream").toFile
+    tmp.deleteOnExit()
+    newVecs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(newVecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.incrementalLogRegScores(stream, corpus,
+        "vec_id", "embedding", col("label") === 1, steps = 2, lr = 1.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lr_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val w = graft.operators.Classification.trainLogReg(corpus,
+        "vec_id", "embedding", col("label") === 1, steps = 2, lr = 1.0)
+      val batch = graft.operators.Classification
+        .scoreLogReg(newVecs, "vec_id", "embedding", w)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch)
+      assert(streamed.size === newVecs.count())
+    } finally q.stop()
+  }
 }

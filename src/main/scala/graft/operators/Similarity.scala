@@ -671,11 +671,29 @@ object Similarity {
     pqAdcTopKCells(codes, queries, cbs, coarse, dim, k, nprobe)
   }
 
-  /** Read PQ codebooks back from the model table written by the
-    * persisted-index lifecycle (rows: subspace, code, c array<double>).
-    * The collect is the MODEL, not data — subspaces·codesPerSubspace
-    * rows (same bounded-driver-state contract as
-    * [[Clustering.trainCentroids]]'s centroid list). */
+  /** Persist PQ codebooks as a model table (rows: subspace, code,
+    * c array<double>) — the artifact half of the persisted PQ index:
+    * the corpus pays training once; later sessions/batches/streams
+    * [[loadPqCodebooks]] and encode with the SAME model, which is what
+    * makes stored codes comparable across ingest batches. Goes through
+    * [[graft.sources.Sinks.writeBucketed]] for its catalog-resolved
+    * replace semantics (the table is subspaces·codesPerSubspace rows —
+    * layout is irrelevant, crash-safe replace is not). Parquet doubles
+    * round-trip bit-exact, so save → load is identity (SimilaritySpec). */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], table: String): Unit = {
+    import spark.implicits._
+    val rows = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (code, c) => (s, code, c) }
+    }
+    graft.sources.Sinks.writeBucketed(rows.toDF("subspace", "code", "c"),
+      table, bucketCols = Seq("subspace"), numBuckets = 1)
+  }
+
+  /** Read PQ codebooks back from the model table written by
+    * [[savePqCodebooks]]. The collect is the MODEL, not data —
+    * subspaces·codesPerSubspace rows (same bounded-driver-state
+    * contract as [[Clustering.trainCentroids]]'s centroid list). */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       table: String): Seq[Seq[(Int, Seq[Double])]] =
     spark.table(table)

@@ -127,6 +127,30 @@ object SimilarityQueries {
       Similarity.pqIvfTopK(table(s, dir, "embeddings"), k = 5, dim = 64,
         nCells = 8, nprobe = 2)
     },
+    // the PERSISTED PQ index lifecycle: codebooks trained on the corpus
+    // and written as a model table, the corpus encoded ONCE into a
+    // stored codes table; the ingest batch (test split) reads both back
+    // and ADC-ranks against the stored codes — the corpus never
+    // re-trains, never re-encodes, and the ADC scan reads 32x-compressed
+    // rows (query results must equal the in-memory path bit-for-bit —
+    // SimilaritySpec pins that; the oracle replays train+encode+ADC)
+    "q_pq_incremental_persisted" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val emb = graft.operators.Sampling
+        .split(table(s, dir, "embeddings"), col("vec_id"), 12, 2)
+      val corpus = emb.filter(col("split") =!= "test").drop("split")
+      val batch = emb.filter(col("split") === "test").drop("split")
+      Similarity.savePqCodebooks(s,
+        Similarity.pqCodebooks(corpus, dim = 64), "graft_pq_codebooks")
+      val stored = Similarity.loadPqCodebooks(s, "graft_pq_codebooks")
+      graft.sources.Sinks.writeBucketed(
+        Similarity.pqEncode(corpus, stored, dim = 64), "graft_pq_codes",
+        bucketCols = Seq("vec_id"), numBuckets = 8)
+      val queries = batch.select(col("vec_id").as("query_id"),
+        col("embedding").as("q"))
+      Similarity.pqAdcTopK(s.table("graft_pq_codes"), queries, stored,
+        dim = 64, k = 3)
+    },
   )
 
   /** DuckDB replay of [[Similarity.srpNeardupPairs]]: the seeded
@@ -485,7 +509,33 @@ object SimilarityQueries {
       k = 5, every = 50L),
     "q_ann_ivfpq_topk" -> pqIvfOracle(dim = 64, subspaces = 8, kCodes = 16,
       k = 5, every = 50L, nCells = 8, nprobe = 2),
+    "q_pq_incremental_persisted" -> pqPersistedOracle(dim = 64,
+      subspaces = 8, kCodes = 16, k = 3),
   )
+
+  /** DuckDB replay of the persisted-PQ-index query: same
+    * train + encode + ADC replay as [[pqOracle]], but codebooks train
+    * and codes encode over the CORPUS split only (md5 16-bucket split
+    * on vec_id, test = bkt >= 14) and the queries are the batch split.
+    * The parquet round-trip of the engine's model/codes tables is
+    * bit-exact, so the persisted path must hash-match this direct
+    * replay. */
+  private def pqPersistedOracle(dim: Int, subspaces: Int, kCodes: Int,
+      k: Int): String =
+    s"""WITH emb0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e0,
+       |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+       |  FROM embeddings),
+       |emb AS (SELECT vec_id, e0 FROM emb0 WHERE bkt < 14),
+       |${pqSubCtes("emb", dim, subspaces, kCodes)},
+       |qs AS (SELECT vec_id AS query_id, e0 AS q FROM emb0 WHERE bkt >= 14),
+       |scored AS (
+       |  SELECT q.query_id, n0.vec_id AS neighbor_id,
+       |    ${pqAdcTerms(dim, subspaces)} AS d
+       |  FROM qs q CROSS JOIN enc0 n0
+       |  ${pqEncJoins(subspaces)}
+       |  WHERE n0.vec_id <> q.query_id)
+       |${pqRankSql(k)}""".stripMargin
 
   /** The PQ replay building blocks, shared by the three PQ oracles.
     * `pqSubCtes(src, …)` emits one [[lloyd2Ctes]] trajectory per

@@ -412,4 +412,25 @@ object StreamingOps {
     require(w.nonEmpty, "incrementalLogRegScores needs a non-empty corpus")
     graft.operators.Classification.scoreLogReg(newVecs, idCol, vecCol, w)
   }
+
+  /** Streaming PQ encode: codebooks are trained ONCE on the batch
+    * corpus ([[graft.operators.Similarity.pqCodebooks]] — the model is
+    * subspaces·codesPerSubspace centroids on the driver, shipped inside
+    * the plan as a [[graft.functions.PqModel]] reference object) and
+    * the incoming vector stream is encoded by the stateless native
+    * projection. Like logreg scoring — and unlike the candidate-join
+    * dedup modalities — this needs NO foreachBatch: per-row results
+    * trivially cannot depend on micro-batch decomposition (StreamingSpec
+    * pins it end-to-end anyway). This is the index-maintenance ingest
+    * path of a persisted PQ deployment: every arriving shard lands
+    * already encoded against the corpus model, ready to append to the
+    * stored codes table. */
+  def incrementalPqEncode(newVecs: DataFrame, corpus: DataFrame, dim: Int,
+      subspaces: Int = 8, codesPerSubspace: Int = 16, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cbs = graft.operators.Similarity.pqCodebooks(corpus, dim, subspaces,
+      codesPerSubspace, trainIters, idCol, vecCol)
+    require(cbs.forall(_.nonEmpty), "incrementalPqEncode needs a non-empty corpus")
+    graft.operators.Similarity.pqEncode(newVecs, cbs, dim, idCol, vecCol)
+  }
 }

@@ -275,6 +275,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: save/load round-trip is identity; stored == in-memory; append grows the codes table") {
+    import org.apache.spark.sql.functions.col
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val cbs = Similarity.pqCodebooks(corpus, dim = 64)
+    try {
+      // model round-trip: parquet doubles are bit-exact
+      Similarity.savePqCodebooks(spark, cbs, "graft_pq_cb_t")
+      val stored = Similarity.loadPqCodebooks(spark, "graft_pq_cb_t")
+      assert(stored === cbs)
+      // stored codes path == in-memory path, bit for bit
+      graft.sources.Sinks.writeBucketed(
+        Similarity.pqEncode(corpus, stored, dim = 64), "graft_pq_codes_t",
+        bucketCols = Seq("vec_id"), numBuckets = 4)
+      val queries = batch.select(col("vec_id").as("query_id"),
+        col("embedding").as("q"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      val persisted = rows(Similarity.pqAdcTopK(
+        spark.table("graft_pq_codes_t"), queries, stored, dim = 64, k = 3))
+      val direct = rows(Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, cbs, dim = 64), queries, cbs,
+        dim = 64, k = 3))
+      assert(persisted === direct)
+      // index maintenance: appending the batch's codes == full rebuild
+      graft.sources.Sinks.appendBucketed(
+        Similarity.pqEncode(batch, stored, dim = 64), "graft_pq_codes_t",
+        bucketCols = Seq("vec_id"), numBuckets = 4)
+      def codes(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(codes(spark.table("graft_pq_codes_t")) ===
+        codes(Similarity.pqEncode(emb, cbs, dim = 64)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pq_cb_t")
+      spark.sql("DROP TABLE IF EXISTS graft_pq_codes_t")
+    }
+  }
+
   test("pqIvfTopK: empty corpus yields a typed empty result") {
     val emb = Sources.table(spark, sf0001, "embeddings")
       .filter(org.apache.spark.sql.functions.lit(false))

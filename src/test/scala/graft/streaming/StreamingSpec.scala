@@ -434,6 +434,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pq encode == batch encode (corpus-trained codebooks)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val newVecs = emb.filter(col("vec_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_pq_stream").toFile
+    tmp.deleteOnExit()
+    newVecs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(newVecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.incrementalPqEncode(stream, corpus, dim = 64)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pq_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pq_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val cbs = graft.operators.Similarity.pqCodebooks(corpus, dim = 64)
+      val batch = graft.operators.Similarity.pqEncode(newVecs, cbs, dim = 64)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(streamed === batch)
+      assert(streamed.size === newVecs.count())
+    } finally q.stop()
+  }
+
   test("streaming logreg scoring == batch scoring (corpus-trained model)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") % 2 === 0)

@@ -70,7 +70,14 @@ class Round3PlanSpec extends SparkSpec {
       // exact all-pairs ORACLE BASELINES — documented as such; the
       // scale paths are the LSH/IVF variants (SCALE.md "Known tradeoffs")
       "q_ann_bruteforce_topk",
-      "q_embedding_neardup_exact")
+      "q_embedding_neardup_exact",
+      // ADC scans: every (query, codes-row) pair scored — by design the
+      // pair side is the 32x-compressed codes table and each pair costs
+      // `subspaces` LUT lookups; pqTopK is guardSize'd, the persisted
+      // form scans stored codes. Candidate PRUNING is the IVF-PQ
+      // composition (q_ann_ivfpq_topk — equi-join on cell, NOT listed)
+      "q_ann_pq_topk",
+      "q_pq_incremental_persisted")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

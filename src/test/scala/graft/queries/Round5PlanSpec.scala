@@ -177,4 +177,38 @@ class Round5PlanSpec extends SparkSpec {
     assert(query <= baseline,
       s"plan build launched $query job(s) vs $baseline for the bare table read")
   }
+
+  test("ivf-pq: candidates come from an equi-join on cell; codes side is one shuffle-free projection") {
+    val p = plan("q_ann_ivfpq_topk")
+    // candidate pruning is a hash equi-join on the probed cell — never
+    // an ADC scan of the whole corpus (that shape is the two allowed
+    // BNLJ baselines in Round3PlanSpec's sweep)
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus index row (vec_id, cell, codes) is a single projection
+    // off the scan: no exchange upstream of the join on the codes side
+    val joinIdx = p.indexOf("BroadcastHashJoin [cell")
+    val streamedSide = p.substring(joinIdx)
+    val scanIdx = streamedSide.indexOf("FileScan parquet")
+    assert(scanIdx > 0, p)
+    // between the join and the streamed-side scan: project/filter only
+    val streamedOps = streamedSide.substring(0, scanIdx)
+    assert(!streamedOps.contains("Exchange hashpartitioning"), p)
+    // ranking is a windowed top-k with group-limit pushdown, not a
+    // global sort
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("pq adc scoring: per-pair cost is LUT lookups (no per-pair vector ops in the scored projection)") {
+    val p = plan("q_ann_pq_topk")
+    // the only vector_dot calls live in the QUERY-side LUT build
+    // (pq_adc_lut) and nowhere in the per-pair path: the scored
+    // projection references __lut element_at lookups only
+    assert(p.contains("pq_adc_lut"), p)
+    assert(p.contains("pq_encode"), p)
+    // window ranking with group-limit pushdown
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

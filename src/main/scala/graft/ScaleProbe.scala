@@ -297,6 +297,34 @@ object ScaleProbe {
           nprobe = 4, every = 50L)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"pq_encode_${n}x") {
+        // pure scan-shaped projection through the native kernel: slope
+        // must be linear in the corpus (the index-build cost)
+        val cbs = operators.Similarity.pqCodebooks(embN, dim = 64)
+        operators.Similarity.pqEncode(embN, cbs, dim = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"pq_adc_topk_${n}x") {
+        // production shape: FIXED query set, growing corpus — ADC cost
+        // is |codes|·|queries| LUT lookups, so the slope is linear in
+        // the corpus (the quadratic regime is both sides growing, which
+        // is the guarded-baseline pqTopK, not this)
+        val cbs = operators.Similarity.pqCodebooks(embN, dim = 64)
+        val queries = embN.filter(col("vec_id") < 100L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+        operators.Similarity.pqAdcTopK(
+            operators.Similarity.pqEncode(embN, cbs, dim = 64),
+            queries, cbs, dim = 64, k = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"ivfpq_topk_${n}x") {
+        // cells scale with the corpus at fixed nprobe (the bounded-cell
+        // rule): per-query scored fraction nprobe/nCells holds the
+        // per-query cost flat, so total slope tracks the encode scan
+        operators.Similarity.pqIvfTopK(embN, k = 5, dim = 64,
+            nCells = 8 * n, nprobe = 2, every = 50L)
+          .write.format("noop").mode("overwrite").save()
+      }
       // no pair join in either of these: slope should track the
       // shingle/token explode (linear), not answer density
       time(s"dup_ngram_stats_${n}x") {

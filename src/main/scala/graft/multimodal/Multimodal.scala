@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * IMAGES are decoded for real: the JDK ships PNG/JPEG/GIF/BMP codecs
   * (`javax.imageio.ImageIO`), so [[encodeGrayPng]] / [[decodeImageFeatures]]
   * run an actual encode→decode round trip over real compressed bytes.
-  * Audio/video codecs (opus/h264) are NOT in this container, so their
-  * byte-level decode below remains a clearly-marked deterministic STUB —
+  * AUDIO is decoded for real too: the JDK ships WAV/AIFF/AU containers
+  * (`javax.sound.sampled`), so [[encodePcmWav]] / [[decodeAudioFeatures]]
+  * run an actual PCM round trip through a genuine RIFF/WAVE stream.
+  * COMPRESSED audio/video codecs (opus/h264) are NOT in this container,
+  * so the generic byte-level decode below remains a clearly-marked
+  * deterministic STUB —
   * what is real throughout, and what this module exists to pin down, is
   * the Spark-side shape a production pipeline needs:
   *  - payloads travel as `BinaryType` columns (Tungsten keeps them
@@ -164,6 +168,105 @@ object Multimodal {
           if (bandN(j) == 0) 0.0f else (bandSum(j).toDouble / bandN(j) / 255.0).toFloat)
         ImageFeatures(r.id, r.media_type, r.payload.length.toLong, w, h,
           math.round(mean * 10000.0) / 10000.0, emb)
+      }
+    }
+  }
+
+  /** REAL audio encode: each payload byte becomes one 16-bit PCM
+    * sample (`(b − 128) · 256`, mono, signed little-endian) and the
+    * stream is wrapped into a genuine RIFF/WAVE container by the JDK's
+    * `javax.sound.sampled` codec (java.desktop ships WAV/AIFF/AU —
+    * no external libs). PCM WAV is lossless, so samples survive the
+    * round trip exactly: every decoded sample is a deterministic
+    * function of the input bytes even though the container's header
+    * bytes are writer-internal — the same oracle-ability argument as
+    * [[encodeGrayPng]]. */
+  def encodePcmWav(media: Dataset[MediaRecord], sampleRate: Int = 8000): Dataset[MediaRecord] = {
+    require(sampleRate >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
+      it.map { r =>
+        val pcm = new Array[Byte](r.payload.length * 2)
+        var i = 0
+        while (i < r.payload.length) {
+          val s = ((r.payload(i) & 0xff) - 128) * 256
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, r.payload.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(r.id, "audio/wav", bos.toByteArray)
+      }
+    }
+  }
+
+  case class AudioFeatures(id: Long, media_type: String, n_bytes: Long,
+      sample_rate: Int, n_samples: Long, mean_amp: Double,
+      zero_crossings: Long, embedding: Array[Float])
+
+  /** REAL audio decode + feature extraction, batched per partition:
+    * `AudioSystem.getAudioInputStream` parses the actual WAV container
+    * and yields the PCM stream (16-bit signed mono — anything else
+    * fails loudly rather than degrade to byte statistics). Features
+    * come from the decoded samples: count, mean |amplitude| (scaled to
+    * [0, 1]), zero-crossing count (exact integer — the classic
+    * voiced/unvoiced signal), and an `embeddingDim`-band embedding
+    * (mean |amplitude| of `embeddingDim` time stripes — the audio twin
+    * of [[decodeImageFeatures]]' luminance bands, and the same
+    * composable `array<float>` shape the similarity stack consumes). */
+  def decodeAudioFeatures(media: Dataset[MediaRecord],
+      embeddingDim: Int = 8): Dataset[AudioFeatures] = {
+    require(embeddingDim >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // the stream parser is per-payload; a heavier codec (opus etc.)
+      // would be instantiated ONCE here at the partition boundary
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"payload of id=${r.id} is not 16-bit signed mono PCM")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sumAbs = 0L
+        var crossings = 0L
+        val bandSum = new Array[Long](embeddingDim)
+        val bandN = new Array[Long](embeddingDim)
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          // first byte is high in big-endian WAVs; .toInt sign-extends
+          val s = if (fmt.isBigEndian)
+            (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
+          else (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          val a = math.abs(s).toLong
+          sumAbs += a
+          val band = math.min(embeddingDim - 1, i * embeddingDim / n)
+          bandSum(band) += a
+          bandN(band) += 1
+          i += 1
+        }
+        val mean = if (n == 0) 0.0 else sumAbs.toDouble / n / 32768.0
+        val emb = Array.tabulate(embeddingDim)(j =>
+          if (bandN(j) == 0) 0.0f
+          else (bandSum(j).toDouble / bandN(j) / 32768.0).toFloat)
+        AudioFeatures(r.id, r.media_type, r.payload.length.toLong,
+          math.round(fmt.getSampleRate), n.toLong,
+          math.round(mean * 10000.0) / 10000.0, crossings, emb)
       }
     }
   }

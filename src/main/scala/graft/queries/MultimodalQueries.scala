@@ -51,6 +51,29 @@ object MultimodalQueries {
         features.select(col("id").as("vec_id"), col("embedding")),
         threshold = 0.99995, nClusters = 4, trainIters = 2)
     },
+    // REAL audio codec round trip: text bytes -> 16-bit PCM samples ->
+    // genuine RIFF/WAVE via javax.sound.sampled -> decode -> features
+    // from the decoded samples. PCM WAV is lossless, so every decoded
+    // sample is (byte - 128) * 256 — the oracle recomputes the exact
+    // integer sums (zero crossings, |amplitude| means) from the text
+    // without touching the container bytes, same argument as the image
+    // path. Empty docs are kept: a zero-sample WAV decodes to the
+    // all-zero feature row.
+    "q_audio_features" -> { (s, dir) =>
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      Multimodal.decodeAudioFeatures(
+          Multimodal.encodePcmWav(media, sampleRate = 8000))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"), col("n_samples"),
+          col("zero_crossings"), col("mean_amp"),
+          size(col("embedding")).as("embedding_dim"),
+          // band 0 value-checks the embedding path end-to-end in the
+          // oracle (full-vector parity pinned in MultimodalSpec)
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("band0"))
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -125,8 +148,49 @@ object MultimodalQueries {
        |SELECT a, b, round(cos, 6) AS cos FROM scored
        |WHERE cos >= $threshold""".stripMargin
 
+  /** DuckDB replay of the decoded-sample audio features: PCM WAV is
+    * lossless, so sample i IS `(byte_i − 128) · 256` — zero crossings
+    * and |amplitude| sums are exact integer arithmetic over the text's
+    * bytes (ASCII ⇒ byte == codepoint), and only the final band mean
+    * rounds through float32 exactly as the engine's Array[Float]. */
+  private def audioFeaturesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len
+       |  FROM documents),
+       |sv AS (
+       |  SELECT doc_id, i,
+       |    (unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256 AS s
+       |  FROM (SELECT doc_id, text, unnest(range(0, len)) AS i FROM d)),
+       |cr AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS zc
+       |  FROM (SELECT doc_id, s,
+       |          lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |        FROM sv)
+       |  WHERE prev IS NOT NULL GROUP BY 1),
+       |ma AS (SELECT doc_id, sum(abs(s)) AS sa, count(1) AS n
+       |       FROM sv GROUP BY 1),
+       |b0 AS (
+       |  SELECT sv.doc_id, sum(abs(s)) AS bs, count(1) AS bn
+       |  FROM sv JOIN ma ON ma.doc_id = sv.doc_id
+       |  WHERE least(7, (i * 8) // ma.n) = 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  8000 AS sample_rate,
+       |  CAST(d.len AS BIGINT) AS n_samples,
+       |  CAST(coalesce(cr.zc, 0) AS BIGINT) AS zero_crossings,
+       |  coalesce(round((CAST(ma.sa AS DOUBLE) / ma.n) / 32768.0, 4), 0.0)
+       |    AS mean_amp,
+       |  8 AS embedding_dim,
+       |  coalesce(round(CAST(CAST((CAST(b0.bs AS DOUBLE) / b0.bn) / 32768.0
+       |    AS FLOAT) AS DOUBLE), 6), 0.0) AS band0
+       |FROM d
+       |LEFT JOIN cr ON cr.doc_id = d.doc_id
+       |LEFT JOIN ma ON ma.doc_id = d.doc_id
+       |LEFT JOIN b0 ON b0.doc_id = d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
+    "q_audio_features" -> audioFeaturesOracle,
     // text is ASCII, so utf-8 byte values == codepoints; the image is
     // 16 pixels wide, zero-padded to full rows, so mean luminance =
     // byte sum / (16 * rows)

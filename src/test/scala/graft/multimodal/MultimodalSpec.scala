@@ -95,6 +95,53 @@ class MultimodalSpec extends SparkSpec {
     assert(same.payload.toSeq === payload.toSeq)
   }
 
+  test("wav round trip: genuine RIFF container, samples recovered exactly") {
+    val payload = Array[Byte](0, 64, 127.toByte, 128.toByte, 200.toByte, 255.toByte)
+    val wav = Multimodal.encodePcmWav(media((7L, payload)), sampleRate = 8000)
+      .collect().head
+    assert(wav.media_type === "audio/wav")
+    // a real RIFF/WAVE stream, not our input bytes
+    assert(new String(wav.payload.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.payload.slice(8, 12), "US-ASCII") === "WAVE")
+    // decode with the JDK parser and compare every sample to the
+    // defining transform (b - 128) * 256
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav.payload))
+    val pcm = ais.readAllBytes()
+    val got = (0 until pcm.length / 2).map(i =>
+      ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)))
+    val want = payload.map(b => ((b & 0xff) - 128) * 256).toSeq
+    assert(got === want)
+  }
+
+  test("decodeAudioFeatures: exact stats on a hand signal; empty payload; non-PCM fails") {
+    // signal: bytes 130, 120, 130, 128 -> samples 512, -2048, 512, 0
+    // |s| sum = 3072; crossings: +,-,+,0(nonneg) -> 2
+    val payload = Array[Byte](130.toByte, 120, 130.toByte, 128.toByte)
+    val f = Multimodal.decodeAudioFeatures(
+        Multimodal.encodePcmWav(media((1L, payload))), embeddingDim = 2)
+      .collect().head
+    assert(f.sample_rate === 8000)
+    assert(f.n_samples === 4L)
+    assert(f.zero_crossings === 2L)
+    assert(f.mean_amp === math.round(3072.0 / 4 / 32768.0 * 10000.0) / 10000.0)
+    // bands: [512, -2048] and [512, 0] -> mean |s| 1280 and 256
+    assert(f.embedding.toSeq ===
+      Seq((1280.0 / 32768.0).toFloat, (256.0 / 32768.0).toFloat))
+    // empty payload: zero-sample WAV decodes to the all-zero row
+    val e = Multimodal.decodeAudioFeatures(
+        Multimodal.encodePcmWav(media((2L, Array.empty[Byte]))))
+      .collect().head
+    assert(e.n_samples === 0L && e.zero_crossings === 0L &&
+      e.mean_amp === 0.0 && e.embedding.forall(_ === 0.0f))
+    // a non-audio payload must fail loudly, not degrade to byte stats
+    val bad = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(media((3L, Array[Byte](1, 2, 3))))
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("binary payloads round-trip through parquet with metadata pruning") {
     val tmp = Files.createTempDirectory("graft_media").toFile
     tmp.deleteOnExit()

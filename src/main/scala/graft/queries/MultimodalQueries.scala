@@ -74,6 +74,43 @@ object MultimodalQueries {
           // oracle (full-vector parity pinned in MultimodalSpec)
           round(element_at(col("embedding"), 1).cast("double"), 6).as("band0"))
     },
+    // the VIDEO-shaped pipeline, as real as a container-less
+    // environment allows: sample fixed-size frames from each payload
+    // (the stand-in for container demux — the one genuinely stubbed
+    // step), push EVERY FRAME through the real PNG codec round trip,
+    // and pool the per-frame pooled-pixel embeddings into one
+    // per-video vector (frame-order deterministic fold, so the result
+    // is invariant to shuffle order). This is the standard
+    // video-dedup/feature shape: demux -> per-frame image model ->
+    // temporal pooling.
+    "q_video_pooled_embedding" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "video/fake")
+      val frames = Multimodal.sampleFrames(media, frameSize = 64, maxFrames = 5)
+      // pack (doc, frame) into the media id; recovered after decode
+      val frameMedia = frames.map(f => Multimodal.MediaRecord(
+        f.id * 8L + f.frame_idx, "image/gray", f.frame_bytes))
+      val feats = Multimodal.decodeImageFeatures(
+        Multimodal.encodeGrayPng(frameMedia, width = 16)).toDF()
+      val perFrame = feats.select(
+        floor(col("id") / 8).cast("long").as("doc_id"),
+        (col("id") % 8).cast("int").as("frame_idx"),
+        col("embedding"))
+      val pooled = perFrame.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_frames"),
+        sort_array(collect_list(struct(col("frame_idx"), col("embedding"))))
+          .as("__fr"))
+      val bands = (1 to 8).map { j =>
+        round(aggregate(col("__fr"), lit(0.0), (acc, f) =>
+            acc + element_at(f.getField("embedding"), j).cast("double"))
+          / col("n_frames"), 6).as(s"band$j")
+      }
+      pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -188,9 +225,56 @@ object MultimodalQueries {
        |LEFT JOIN ma ON ma.doc_id = d.doc_id
        |LEFT JOIN b0 ON b0.doc_id = d.doc_id""".stripMargin
 
+  /** DuckDB replay of the pooled video embedding: frame f of a doc is
+    * bytes [64f, 64f + flen) (flen = min(64, len − 64f), ≤5 frames);
+    * each frame's pixel grid and 8-band float32 means replay exactly as
+    * [[imageNeardupOracle]]; the per-video band is the frame-ORDERED
+    * left-to-right sum (the engine's sorted-prefix fold) / n_frames. */
+  private def videoPooledOracle: String =
+    s"""WITH nz AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |fr AS (
+       |  SELECT doc_id, text, len,
+       |    unnest(range(0, CAST(least(5, ceil(len / 64.0)) AS BIGINT))) AS f
+       |  FROM nz),
+       |fb AS (
+       |  SELECT doc_id, text, f, f * 64 AS off,
+       |    least(64, len - f * 64) AS flen
+       |  FROM fr),
+       |fpx AS (
+       |  SELECT doc_id, text, f, off, flen,
+       |    CAST(ceil(flen / 16.0) AS BIGINT) AS h,
+       |    unnest(range(0, 16 * CAST(ceil(flen / 16.0) AS BIGINT))) AS i
+       |  FROM fb),
+       |fpv AS (
+       |  SELECT doc_id, f, least(7, ((i // 16) * 8) // h) AS band,
+       |    CASE WHEN i < flen THEN unicode(text[CAST(off + i + 1 AS INTEGER)])
+       |         ELSE 0 END AS v
+       |  FROM fpx),
+       |fbs AS (SELECT doc_id, f, band, sum(v) AS s, count(1) AS n
+       |        FROM fpv GROUP BY 1, 2, 3),
+       |fbe AS (
+       |  SELECT fb.doc_id, fb.f, r.j,
+       |    coalesce(CAST(CAST(b.s AS DOUBLE) / b.n / 255.0 AS FLOAT)::DOUBLE,
+       |      0.0) AS ev
+       |  FROM fb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
+       |  LEFT JOIN fbs b ON b.doc_id = fb.doc_id AND b.f = fb.f
+       |    AND b.band = r.j),
+       |agg AS (
+       |  SELECT doc_id, j, list_sum(list(ev ORDER BY f)) AS sj,
+       |    count(1) AS nf
+       |  FROM fbe GROUP BY 1, 2)
+       |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+       |${(0 until 8).map(j =>
+          s"  round(max(CASE WHEN j = $j THEN sj END) / max(nf), 6) AS band${j + 1}")
+          .mkString(",\n")}
+       |FROM agg GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
+    "q_video_pooled_embedding" -> videoPooledOracle,
     // text is ASCII, so utf-8 byte values == codepoints; the image is
     // 16 pixels wide, zero-padded to full rows, so mean luminance =
     // byte sum / (16 * rows)

@@ -151,6 +151,39 @@ object SimilarityQueries {
       Similarity.pqAdcTopK(s.table("graft_pq_codes"), queries, stored,
         dim = 64, k = 3)
     },
+    // the PERSISTED IVF-PQ index, partitioned BY CELL: the corpus index
+    // (vec_id, cell, codes) lands as cell=N/ directories, and the probe
+    // join — queries broadcast with their nprobe cells — triggers
+    // Spark's dynamic partition pruning, so the scan physically reads
+    // ONLY the probed cells' files (plan-pinned in Round5PlanSpec).
+    // This is the 100 TB ANN serving shape end-to-end: candidates cut
+    // to ~nprobe/nCells by partition PRUNING (not just a join filter),
+    // each surviving row 32x compressed, scoring via per-query LUT
+    // lookups
+    "q_ivfpq_incremental_persisted" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val emb = table(s, dir, "embeddings")
+      // the same 12/2/2 split as Sampling.split, expressed as DIRECT
+      // bucket comparisons: the folded CASE label that split's
+      // string-equality filter optimizes into is not "likely
+      // selective" to Spark's PartitionPruning rule, so it would
+      // silently disqualify the probe side from dynamic partition
+      // pruning — the point of this query's storage layout
+      val bkt = graft.operators.Sampling.hashBucket16(col("vec_id"))
+      val corpus = emb.filter(bkt < 14)
+      val batch = emb.filter(bkt >= 14)
+      val coarse = graft.operators.Clustering
+        .trainCentroids(corpus, k = 8, iters = 2)
+      val cbs = Similarity.pqCodebooks(corpus, dim = 64)
+      val wh = s.sessionState.conf.getConfString("spark.sql.warehouse.dir")
+      graft.sources.Sinks.writePartitioned(
+        Similarity.pqEncodeWithCells(corpus, cbs, coarse, dim = 64),
+        s"$wh/graft_ivfpq_cells", partitionCols = Seq("cell"))
+      val queries = batch.select(col("vec_id").as("query_id"),
+        col("embedding").as("q"))
+      Similarity.pqAdcTopKCells(s.read.parquet(s"$wh/graft_ivfpq_cells"),
+        queries, cbs, coarse, dim = 64, k = 3, nprobe = 2)
+    },
   )
 
   /** DuckDB replay of [[Similarity.srpNeardupPairs]]: the seeded
@@ -511,6 +544,18 @@ object SimilarityQueries {
       k = 5, every = 50L, nCells = 8, nprobe = 2),
     "q_pq_incremental_persisted" -> pqPersistedOracle(dim = 64,
       subspaces = 8, kCodes = 16, k = 3),
+    // parquet round-trips doubles/ints bit-exactly and partition
+    // layout cannot change values, so the cell-partitioned store
+    // replays as the direct corpus-split IVF-PQ computation
+    "q_ivfpq_incremental_persisted" -> pqIvfOracleCore(
+      prefix = """emb0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e0,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM embeddings),
+        |corp AS (SELECT vec_id, e0 FROM emb0 WHERE bkt < 14)""".stripMargin,
+      corpusSrc = "corp",
+      qsDef = "SELECT vec_id AS query_id, e0 AS q FROM emb0 WHERE bkt >= 14",
+      dim = 64, subspaces = 8, kCodes = 16, k = 3, nCells = 8, nprobe = 2),
   )
 
   /** DuckDB replay of the persisted-PQ-index query: same
@@ -608,18 +653,33 @@ object SimilarityQueries {
        |  WHERE n0.vec_id <> q.query_id)
        |${pqRankSql(k)}""".stripMargin
 
-  /** DuckDB replay of [[Similarity.pqIvfTopK]]: the coarse-quantizer
-    * trajectory ([[lloyd2Ctes]] suffix `_cz` over the FULL dimension)
-    * gives cell assignment (rn = 1) and per-query probe cells
-    * (rn <= nprobe), both argmin d² with ties toward the lower cell;
-    * the scored set is restricted to neighbors ASSIGNED to a probed
-    * cell, then the same encode + ADC replay as [[pqOracle]]. */
+  /** DuckDB replay of [[Similarity.pqIvfTopK]] over the full
+    * embeddings table (queries ⊂ corpus by `vec_id % every`). */
   private def pqIvfOracle(dim: Int, subspaces: Int, kCodes: Int, k: Int,
       every: Long, nCells: Int, nprobe: Int): String =
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+    pqIvfOracleCore(
+      prefix = "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings)",
+      corpusSrc = "emb",
+      qsDef = s"SELECT vec_id AS query_id, e0 AS q FROM emb WHERE vec_id % $every = 0",
+      dim = dim, subspaces = subspaces, kCodes = kCodes, k = k,
+      nCells = nCells, nprobe = nprobe)
+
+  /** The IVF-PQ replay over arbitrary corpus/query sources: the
+    * coarse-quantizer trajectory ([[lloyd2Ctes]] suffix `_cz` over the
+    * FULL dimension) trains on `corpusSrc` (vec_id, e0) and gives
+    * corpus cell assignment (rn = 1); queries (from `qsDef`:
+    * query_id, q) get their own distance CTE against the same final
+    * centroids and probe their nprobe nearest cells; both argmins break
+    * ties toward the lower cell. The scored set is restricted to
+    * neighbors ASSIGNED to a probed cell, then the same encode + ADC
+    * replay as [[pqOracle]]. */
+  private def pqIvfOracleCore(prefix: String, corpusSrc: String,
+      qsDef: String, dim: Int, subspaces: Int, kCodes: Int, k: Int,
+      nCells: Int, nprobe: Int): String =
+    s"""WITH $prefix,
        |embf AS (SELECT vec_id, e0 AS e,
        |           list_sum(list_transform(e0, x -> x * x)) AS xx
-       |         FROM emb),
+       |         FROM $corpusSrc),
        |${lloyd2Ctes("embf", nCells, dim, "_cz")},
        |dots_cz AS (
        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c", dim)} AS d
@@ -629,14 +689,21 @@ object SimilarityQueries {
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
        |    FROM dots_cz) WHERE rn = 1),
+       |qs AS ($qsDef),
+       |qsx AS (SELECT query_id, q,
+       |          list_sum(list_transform(q, x -> x * x)) AS xx
+       |        FROM qs),
+       |dots_q AS (
+       |  SELECT m.query_id, c.cid,
+       |    greatest(m.xx - 2 * list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> m.q[i] * c.c[i])) + c.cc, 0) AS d
+       |  FROM qsx m CROSS JOIN c1cc_cz c),
        |probes AS (
-       |  SELECT vec_id AS query_id, cid AS cell FROM (
-       |    SELECT vec_id, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM dots_cz WHERE vec_id % $every = 0) WHERE rn <= $nprobe),
-       |${pqSubCtes("emb", dim, subspaces, kCodes)},
-       |qs AS (SELECT vec_id AS query_id, e0 AS q FROM emb
-       |       WHERE vec_id % $every = 0),
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT query_id, cid,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+       |    FROM dots_q) WHERE rn <= $nprobe),
+       |${pqSubCtes(corpusSrc, dim, subspaces, kCodes)},
        |scored AS (
        |  SELECT q.query_id, n0.vec_id AS neighbor_id,
        |    ${pqAdcTerms(dim, subspaces)} AS d

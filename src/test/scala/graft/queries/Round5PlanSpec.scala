@@ -201,6 +201,33 @@ class Round5PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("persisted ivf-pq: the probe join PRUNES cell partitions dynamically") {
+    // the codes store is laid out cell=N/; the broadcast probe join
+    // must reach the scan as a dynamic partition-pruning filter, so
+    // only the probed cells' files are READ — the partition-level
+    // realization of "score ~nprobe/nCells of the corpus". Spark's
+    // PartitionPruning rule applies a size-benefit veto: it fires when
+    // the pruning side is large relative to the filter side — true by
+    // construction at corpus scale (TB codes table, KB query batch),
+    // INVERTED at test scale. Emulate the production size ratio on an
+    // isolated session by disabling the stats estimate and raising the
+    // fallback ratio; the MECHANISM (filter reaches PartitionFilters as
+    // dynamicpruning#N via broadcast reuse) is what this pins.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+      "100000")
+    graft.functions.GraftFunctions.register(s)
+    val p = SparkEntry.queries("q_ivfpq_incremental_persisted")(s, sf0001)
+      .queryExecution.executedPlan.toString
+    val i = p.indexOf("PartitionFilters")
+    assert(i >= 0, p)
+    assert(p.substring(i, math.min(i + 400, p.length))
+      .contains("dynamicpruning"), p.substring(i, math.min(i + 400, p.length)))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq adc scoring: per-pair cost is LUT lookups (no per-pair vector ops in the scored projection)") {
     val p = plan("q_ann_pq_topk")
     // the only vector_dot calls live in the QUERY-side LUT build

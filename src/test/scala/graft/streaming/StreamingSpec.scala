@@ -434,6 +434,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multimodal codec paths run on streams: streaming decode == batch decode") {
+    // the codec stages are stateless typed mapPartitions, so they apply
+    // to a streaming Dataset unchanged — this pins that the REAL
+    // PNG/WAV round trips (not just the plumbing) hold under
+    // micro-batched execution
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val tmp = Files.createTempDirectory("graft_mm_stream").toFile
+    tmp.deleteOnExit()
+    docs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = Multimodal.decodeAudioFeatures(
+        Multimodal.encodePcmWav(
+          Multimodal.asMedia(stream, "doc_id", "payload", "text/plain")))
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mm_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getLong(6))).toSet
+      val batch = Multimodal.decodeAudioFeatures(
+          Multimodal.encodePcmWav(
+            Multimodal.asMedia(docs, "doc_id", "payload", "text/plain")))
+        .toDF()
+        .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(6))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming pq encode == batch encode (corpus-trained codebooks)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") % 2 === 0)

@@ -821,4 +821,41 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"),
         col("hamming").cast("int").as("hamming"))
   }
+
+  /** Local-duplication candidate pairs from winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]]): docs sharing ≥ `minShared`
+    * selected fingerprints, scored by shared / min(|A|, |B|) overlap.
+    * Where the Jaccard/MinHash family asks "are these documents mostly
+    * the same?", winnowing pairs ask "do these documents share any
+    * substring of ≥ k + window - 1 chars?" — the boilerplate /
+    * quotation / template-reuse detector.
+    *
+    * Scale shape: a bucket-keyed equi-join on the fingerprint value —
+    * the same candidate-generation shape as every other family here.
+    * `maxDf` drops fingerprints present in more than that many docs
+    * BEFORE the self-join (site-wide boilerplate is exactly the
+    * hot-key that would otherwise go quadratic); the drop loses only
+    * pairs whose every shared span is ubiquitous, the spans a dedup
+    * pipeline wants to ignore anyway. Fingerprints are per-doc
+    * distinct, so the df count is a doc frequency. */
+  def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4, minShared: Int = 2,
+      maxDf: Int = 100): DataFrame = {
+    val fp = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("fp")
+    val pruned = fp.join(rare, Seq("fp"))
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("nf"))
+    pruned.select(col("id").as("id_a"), col("fp"))
+      .join(pruned.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared") / least(col("__na"), col("__nb")), 6).as("overlap"))
+  }
 }

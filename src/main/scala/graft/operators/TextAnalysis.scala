@@ -140,6 +140,50 @@ object TextAnalysis {
     expr(s"rolling_hash($textCol)")
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD '03 — the MOSS
+    * algorithm): hash every char `k`-gram of the whitespace-normalized
+    * text (md5-derived 60-bit ints, the [[graft.operators.Dedup.md5Hash60]]
+    * family DuckDB replays exactly), then keep the MINIMUM hash of each
+    * sliding window of `window` consecutive k-gram hashes. The selected
+    * set is position-independent and guarantees that any shared
+    * substring of length ≥ k + window - 1 contributes at least one
+    * shared fingerprint — the local-dup detection property rolling a
+    * single whole-doc hash ([[rollingHashFingerprint]]) cannot give.
+    * Output: (id, fps sorted-distinct array). Docs shorter than
+    * k + window - 1 normalized chars have no complete window and are
+    * absent.
+    *
+    * Scale shape: entirely array-local per row (two higher-order
+    * transforms, no explode until a caller joins on fingerprints), so
+    * the operator itself is a narrow map at any scale; cost is one md5
+    * per character position, the price of robust local fingerprints.
+    * Density is 2/(window+1) of positions selected (the winnowing
+    * paper's expectation), so downstream join fanout shrinks with
+    * `window`. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__s"))
+      .filter(length(col("__s")) >= k + window - 1)
+      // CRITICAL plan shape: the normalized string and the hash array
+      // are LET-BOUND via transform(array(x), v -> ...) so each is
+      // computed once per row. Referencing a projected alias from
+      // inside a HOF lambda lets the optimizer inline the producing
+      // expression into the lambda body, re-evaluating it PER ELEMENT
+      // — O(len²) md5+regex per document (observed: minutes per 500
+      // docs). The lambda-variable binding evaluates the value exactly
+      // once, by construction, independent of optimizer behavior.
+      .select(col("id"), expr(
+        s"""element_at(transform(array(__s), s ->
+           |  element_at(transform(array(
+           |      transform(sequence(1, length(s) - ${k - 1}), i ->
+           |        cast(conv(substring(md5(cast(substring(s, i, $k) as binary)),
+           |                  1, 15), 16, 10) as bigint))), hs ->
+           |    array_sort(array_distinct(
+           |      transform(sequence(1, size(hs) - ${window - 1}),
+           |        j -> array_min(slice(hs, j, $window)))))), 1)), 1)"""
+          .stripMargin).as("fps"))
+
   /** Term frequencies per (id, term): one explode + count. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
@@ -396,6 +440,64 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(round(avg(-log(col("c") / col("t"))), 6).as("avg_neg_logprob"),
         count(lit(1)).as("n_tokens"))
+  }
+
+  /** Consecutive-token bigrams of `textCol` as one row per (id, w1, w2)
+    * — the pair stream both the model trainer and the scorer consume.
+    * Array-local (`transform` over `sequence`), so the only wide op a
+    * caller adds is its own groupBy/join; docs with fewer than two
+    * tokens produce no pairs. */
+  private def bigramPairs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      // let-bind the token array (the winnowFingerprints idiom) so the
+      // tokenizing split runs once per row, not once per pair position
+      .select(col("id"), explode(expr(
+        "element_at(transform(array(__t), t -> " +
+          "transform(sequence(1, size(t) - 1), i -> named_struct(" +
+          "'w1', element_at(t, i), 'w2', element_at(t, i + 1)))), 1)"))
+        .as("__p"))
+      .select(col("id"), col("__p.w1"), col("__p.w2"))
+
+  /** Bigram language-model scoring with add-k smoothing — the
+    * KenLM/CCNet-style fluency filter one step up from
+    * [[unigramLogProb]]: train bigram/context counts on `corpus`,
+    * score each `docs` row by its average negative log-probability
+    *   -avg ln( (c(w1,w2)+k) / (c(w1)+k·V) )
+    * over its consecutive token pairs (V = corpus vocabulary size, so
+    * unseen pairs and unseen contexts degrade to the smoothed floor
+    * instead of -inf). Docs with fewer than two tokens score no pairs
+    * and are absent from the output.
+    *
+    * Scale shape: the model is two grouped counts with map-side
+    * combine — bigram counts keyed by (w1,w2) and context counts by w1
+    * (counted over the same pair stream, so c(w1) is exactly the
+    * denominator Σ_w c(w1,w)). Scoring is two left joins on those keys
+    * with NO broadcast hint: a web corpus has 10⁹+ distinct bigrams
+    * and a forced broadcast is a driver OOM (the [[unigramLogProb]] /
+    * [[tfidfWeights]] reasoning); AQE broadcasts whenever the model
+    * actually fits. V and k·V ride along as a one-row broadcast
+    * aggregate. No UDFs, no driver state — the model never leaves the
+    * cluster. */
+  def bigramLogProb(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, addK: Double = 0.5): DataFrame = {
+    val cp = bigramPairs(corpus, idCol, textCol)
+    val big = cp.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = cp.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = corpus
+      .select(explode(tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    bigramPairs(docs, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        (-log((coalesce(col("c2"), lit(0L)) + lit(addK)) /
+          (coalesce(col("c1"), lit(0L)) + lit(addK) * col("v")))).as("__nlp"))
+      .groupBy(col("id"))
+      .agg(round(avg(col("__nlp")), 6).as("avg_neg_logprob"),
+        count(lit(1)).as("n_bigrams"))
   }
 
   /** Deterministic sequence packing: assign docs to fixed-capacity

@@ -28,6 +28,16 @@ object DedupQueries {
       Dedup.ngramJaccardPairsPrefix(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
     },
+    // winnowing shared-fingerprint pairs: the shared-substring detector
+    // (boilerplate/quotation reuse), candidate-joined on the
+    // fingerprint value with a df cap on ubiquitous fingerprints.
+    // k=24/window=8 guarantees detection of any shared span >= 31
+    // chars (~6 words) — tuned to the synthetic corpus's 31-word
+    // vocabulary, where shorter spans recur by chance in every doc
+    "q_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowSharedPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 24, window = 8, minShared = 2, maxDf = 50)
+    },
     "q_curation_summary" -> { (s, dir) =>
       import org.apache.spark.sql.functions.{col, count, lit}
       graft.operators.Curation.curate(table(s, dir, "documents"))
@@ -737,6 +747,38 @@ object DedupQueries {
         |FROM pairs
         |JOIN documents da ON pairs.a = da.doc_id
         |JOIN documents db ON pairs.b = db.doc_id""".stripMargin,
+    // winnowing pairs: the q_winnow_fingerprint CTE shape at k=24/w=8,
+    // then df-capped self-join on the fingerprint value
+    "q_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(s) - 22),
+        |      i -> CAST(('0x' || substring(md5(substring(s, i, 24)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM d WHERE length(s) >= 31),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 6),
+        |      j -> list_min(hs[j : j + 7]))) AS fps
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |rare AS (SELECT fp FROM (SELECT fp, count(1) AS c FROM fp GROUP BY 1)
+        |         WHERE c <= 50),
+        |p AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+        |sz AS (SELECT doc_id, count(1) AS nf FROM p GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS shared
+        |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(1) >= 2)
+        |SELECT id_a, id_b, shared,
+        |  round(shared::DOUBLE / least(sa.nf, sb.nf), 6) AS overlap
+        |FROM pr
+        |JOIN sz sa ON pr.id_a = sa.doc_id
+        |JOIN sz sb ON pr.id_b = sb.doc_id""".stripMargin,
     "q_neardup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

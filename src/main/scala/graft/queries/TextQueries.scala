@@ -42,6 +42,15 @@ object TextQueries {
         TextAnalysis.rollingHashFingerprint(df, "text").as("fp_roll"))
     },
 
+    // winnowing (MOSS) fingerprint selection — one row per selected
+    // fingerprint; the robust local-fingerprint complement to the
+    // whole-doc hashes in q_fingerprint
+    "q_winnow_fingerprint" -> { (s, dir) =>
+      TextAnalysis.winnowFingerprints(table(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), explode(col("fps")).as("fp"))
+    },
+
     "q_tfidf" -> { (s, dir) =>
       TextAnalysis.tfIdf(table(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
@@ -92,6 +101,21 @@ object TextQueries {
     "q_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionFeatures(table(s, dir, "documents"), "doc_id", "text", 3)
     },
+    // bigram-LM fluency scoring (KenLM/CCNet style): model trained on
+    // the corpus split, held-out split scored with add-k smoothing.
+    // Model counts stay distributed (shuffle joins, AQE may broadcast);
+    // unseen pairs/contexts hit the smoothed floor, never -inf
+    "q_bigram_logprob" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      TextAnalysis.bigramLogProb(
+        docs.filter(col("split") === "test"),
+        docs.filter(col("split") =!= "test"),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("avg_neg_logprob"),
+          col("n_bigrams"))
+    },
+
     "q_unigram_logprob" -> { (s, dir) =>
       TextAnalysis.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("avg_neg_logprob"), col("n_tokens"))
@@ -288,6 +312,59 @@ object TextQueries {
         |             THEN 1.0 - len(list_distinct(ng))::DOUBLE / len(ng)
         |             ELSE 0.0 END, 6) AS rep_ratio
         |FROM t""".stripMargin,
+    // winnowing: k=8 char-gram md5-60bit hashes, window-4 minima,
+    // sorted-distinct — pure integer selection, bit-exact cross-engine
+    "q_winnow_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(s) - 6),
+        |      i -> CAST(('0x' || substring(md5(substring(s, i, 8)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM d WHERE length(s) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_min(hs[j : j + 3])))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
+    // bigram LM: pair stream replayed via two parallel unnests (DuckDB
+    // zips equal-length lists); smoothing arithmetic is pure doubles,
+    // rounded at 6 like the unigram twin
+    "q_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                x -> x <> '') AS t,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |         AS INTEGER) AS bkt
+        |  FROM documents),
+        |cp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        |  FROM d WHERE bkt < 14 AND len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(1) AS c2 FROM cp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(1) AS c1 FROM cp GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM
+        |        (SELECT unnest(t) AS w FROM d WHERE bkt < 14)),
+        |tp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        |  FROM d WHERE bkt >= 14 AND len(t) >= 2),
+        |j AS (
+        |  SELECT tp.doc_id,
+        |    -ln((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v))
+        |      AS nlp
+        |  FROM tp LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, round(avg(nlp), 6) AS avg_neg_logprob,
+        |  count(1)::BIGINT AS n_bigrams
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id,

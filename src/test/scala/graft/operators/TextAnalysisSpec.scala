@@ -215,4 +215,61 @@ class TextAnalysisSpec extends SparkSpec {
     val r = df.collect().head
     assert(r.getString(0) === "no secrets here" && r.getInt(1) === 0)
   }
+
+  test("winnowing: shared span >= k+w-1 guarantees a shared fingerprint; " +
+      "disjoint texts at long k share none") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other start $shared different tail"),
+      (3L, "completely unrelated content with nothing in common here at all"))
+      .toDF("id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "id", "text", k = 24, window = 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee (Schleimer '03): any match of length >=
+    // k + window - 1 = 31 chars selects at least one common fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // density: selection keeps ~2/(w+1) of positions, never all of them
+    assert(fps(1L).size < shared.length + 30)
+  }
+
+  test("winnowing pairs: shared-span docs pair; overlap in (0,1]; " +
+      "ubiquitous fingerprints df-capped out") {
+    val boiler = "this boilerplate footer appears on every single document in the corpus"
+    val df = (1L to 6L).map(i => (i, s"doc $i unique words $i$i$i $boiler"))
+      .toDF("id", "text")
+    // maxDf=3 < 6 docs: the only shared content is the ubiquitous
+    // footer, which the df cap drops -> no pairs survive
+    val capped = Dedup.winnowSharedPairs(df, "id", "text",
+      k = 24, window = 8, minShared = 1, maxDf = 3)
+    assert(capped.count() === 0L)
+    // with the cap lifted the footer pairs everything
+    val open = Dedup.winnowSharedPairs(df, "id", "text",
+      k = 24, window = 8, minShared = 1, maxDf = 100)
+    assert(open.count() === 15L) // C(6,2)
+    val ov = open.select(min(col("overlap")), max(col("overlap"))).collect().head
+    assert(ov.getDouble(0) > 0.0 && ov.getDouble(1) <= 1.0)
+  }
+
+  test("bigramLogProb: seen text scores below unseen; smoothing keeps " +
+      "unseen contexts finite; <2-token docs absent") {
+    val corpus = Seq(
+      (10L, "spark shuffles data across the cluster"),
+      (11L, "spark shuffles data across many executors"),
+      (12L, "the cluster runs many executors")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "spark shuffles data"),     // every bigram seen
+      (2L, "zebra quantum xylophone"), // nothing seen
+      (3L, "single")).toDF("id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.contains(1L) && got.contains(2L) && !got.contains(3L))
+    assert(got(1L) < got(2L))
+    assert(java.lang.Double.isFinite(got(2L)))
+    // unseen floor is exactly -ln(k / (k*V)) = ln(V) per bigram
+    val v = corpus.select(explode(TextAnalysis.tokens(col("text")))).distinct().count()
+    assert(math.abs(got(2L) - math.log(v.toDouble)) < 1e-6)
+  }
 }

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked stdout goes straight through, NOT via sbt's logger: the bench
+// driver parses the one-line JSON metrics from stdout, and the logger's
+// "[info] " prefix breaks that parse (BENCH "parsed": null in r1–r5).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

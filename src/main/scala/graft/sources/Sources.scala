@@ -18,21 +18,34 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table with its TIMESTAMP(NANOS) parquet column read as
-    * a microsecond `TimestampType`. Spark has no native nanos timestamp:
-    * the reader rejects INT64(TIMESTAMP(NANOS)) unless
-    * `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw long, which
-    * we then truncate (floor-divide) to micros — matching DuckDB's
-    * ns→µs cast semantics for the oracle. */
+  /** The `events` table with `ts` normalized to a session-TZ
+    * `TimestampType` in microseconds, whatever the parquet writer chose:
+    * TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, then floor-divided to µs —
+    * matching DuckDB's ns→µs cast), TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ, cast exactly under the
+    * UTC session TZ), or a plain TIMESTAMP (passed through). The testdata
+    * generator has emitted both ns-as-int64 and µs variants across rounds,
+    * so the reader adapts per file rather than assuming one. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session-wide and sticky: only affects parquet columns that ARE
-    // nanos-typed, i.e. only events.ts.
+    // nanos-typed, i.e. only a nanos-encoded events.ts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer `div`, NOT `/`: epoch nanos exceed double precision (2^53),
-    // so float division is off by up to ±1µs
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to `TimestampType`
+    * micros regardless of on-disk encoding (see [[events]]). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // integer `div`, NOT `/`: epoch nanos exceed double precision
+      // (2^53), so float division is off by up to ±1µs
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Text file as `(lineIndex, line)` — the reference example's source

@@ -17,27 +17,21 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Raw schema of the events parquet (ts is TIMESTAMP(NANOS), which
-    * Spark reads as long under nanosAsLong). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over an events parquet path (the events.parquet
     * dir itself, NOT the sf dir — a file source globs every file under
     * its path, and sibling tables would surface as all-null rows), ts
-    * truncated to micros exactly like the batch reader (Sources.events). */
+    * normalized to micros exactly like the batch reader (Sources.events).
+    * The stream schema is taken from one batch footer read of the same
+    * path, so the stream adapts to whichever ts encoding the file uses
+    * (ns-as-int64 vs µs — both have occurred across testdata rounds). */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .format("parquet")
-      .load(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(path).schema // footer-only, no scan
+    graft.sources.Sources.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .format("parquet")
+        .load(path))
   }
 
   /** Watermarked tumbling-window counts — the streaming twin of

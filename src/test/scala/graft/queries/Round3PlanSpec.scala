@@ -53,6 +53,7 @@ class Round3PlanSpec extends SparkSpec {
       "q_above_nation_avg",  // broadcast 1-row global average
       "q_correlated_subquery",
       "q_unigram_logprob",   // broadcast 1-row corpus token total
+      "q_bigram_logprob",    // broadcast 1-row vocab size (same pattern)
       "q_label_balance",     // broadcast 1-row minority-class count
       "q_decayed_engagement",// broadcast 1-row reference timestamp
       "q_decile_stats",      // broadcast 1-row global bounds (distributedNtile)

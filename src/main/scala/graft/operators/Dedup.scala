@@ -838,6 +838,105 @@ object Dedup {
     * pairs whose every shared span is ubiquitous, the spans a dedup
     * pipeline wants to ignore anyway. Fingerprints are per-doc
     * distinct, so the df count is a doc frequency. */
+  /** Edit-distance (Levenshtein) fuzzy-match pairs `(a < b)` with
+    * `ed(a,b) <= maxDist` — record-linkage dedup over short keys
+    * (titles, names, URLs), where token/shingle methods are too coarse.
+    *
+    * Candidate generation is the PassJoin pigeonhole scheme (Li, Deng,
+    * Feng — VLDB'11; public algorithm): split the INDEXED string of
+    * length `L` into `k+1` contiguous segments (even partition, the
+    * short segments first). If `ed(a,b) <= k`, some segment of `b`
+    * appears VERBATIM in `a`, start-shifted at most `k` — so the join
+    * key is `(indexed_len, segment_idx, segment_text)` and the probe
+    * side enumerates, per row, every partner length in `[L-k, L+k]` and
+    * every allowed shift: O(k^3) bounded probe substrings per row
+    * (tighter multi-match-aware shift bounds exist; the k-cube constant
+    * is already small for linkage-scale k <= 4). LOSSLESS: candidates
+    * are a superset of true pairs (spec'd equal to the naive join), the
+    * exact `levenshtein` post-filter runs only on candidates.
+    *
+    * 100 TB shape: one equi-join shuffle on the segment key; segment
+    * buckets are substring-frequency-bounded (no all-pairs path).
+    * Strings shorter than `maxDist+1` chars can't host k+1 non-empty
+    * segments and fall into a per-length catch-all bucket — bounded,
+    * since every member is a <= k-char string. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val m = k + 1
+    // array<struct<j,st,ln>> of the even segment partition of a string
+    // of length `L`: rem = L mod m segments of base+1 chars go LAST,
+    // the first m-rem have base = L div m chars.
+    def segs(lenExpr: String): String =
+      s"""transform(sequence(0, $k), j -> named_struct(
+         |  'j', j,
+         |  'st', CASE WHEN j < $m - (($lenExpr) % $m)
+         |        THEN j * (($lenExpr) div $m)
+         |        ELSE ($m - (($lenExpr) % $m)) * (($lenExpr) div $m)
+         |             + (j - ($m - (($lenExpr) % $m))) * ((($lenExpr) div $m) + 1) END,
+         |  'ln', CASE WHEN j < $m - (($lenExpr) % $m)
+         |        THEN (($lenExpr) div $m) ELSE (($lenExpr) div $m) + 1 END))""".stripMargin
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"), length(col(strCol)).as("len"))
+      .filter(col("len") >= 1)
+    // indexed side: one key per segment; <=k-char strings get the
+    // catch-all (len, -1, '') key instead of empty-segment keys
+    val index = base
+      .withColumn("seg", explode(expr(segs("len"))))
+      .select(col("id").as("id_y"), col("s").as("s_y"), col("len").as("len_y"),
+        when(col("len") <= k, struct(lit(-1).as("j"), lit("").as("t")))
+          .otherwise(struct(col("seg.j").as("j"),
+            expr("substring(s, seg.st + 1, seg.ln)").as("t"))).as("key"))
+      .select(col("id_y"), col("s_y"), col("len_y"),
+        col("key.j").as("j"), col("key.t").as("t"))
+      .distinct()
+    // probe side: for every partner length lb in [len-k, len+k], every
+    // segment of THAT partition, every shift in [-k, k]
+    val probe = base
+      .withColumn("lb", explode(expr(
+        s"sequence(greatest(1, len - $k), len + $k)")))
+      .withColumn("seg", explode(expr(segs("lb"))))
+      .withColumn("d", explode(expr(s"sequence(-$k, $k)")))
+      .withColumn("p", col("seg.st") + col("d"))
+      .filter(col("lb") <= k ||
+        (col("seg.ln") > 0 && col("p") >= 0 && col("p") + col("seg.ln") <= col("len")))
+      .select(col("id").as("id_x"), col("s").as("s_x"), col("lb").as("len_y"),
+        when(col("lb") <= k, struct(lit(-1).as("j"), lit("").as("t")))
+          .otherwise(struct(col("seg.j").as("j"),
+            expr("substring(s, p + 1, seg.ln)").as("t"))).as("key"))
+      .select(col("id_x"), col("s_x"), col("len_y"),
+        col("key.j").as("j"), col("key.t").as("t"))
+      .distinct()
+    probe.join(index, Seq("len_y", "j", "t"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        when(col("id_x") < col("id_y"), col("s_x")).otherwise(col("s_y")).as("s_a"),
+        when(col("id_x") < col("id_y"), col("s_y")).otherwise(col("s_x")).as("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Naive all-pairs edit-distance join — the oracle baseline for
+    * [[editDistancePairs]]; refuses oversized inputs like the other
+    * brute-force baselines (Similarity.guardSize rationale). */
+  def editDistancePairsNaive(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"editDistancePairsNaive is the O(n^2) oracle baseline ($n rows > $maxRows); " +
+        "use editDistancePairs (PassJoin segment blocking) at scale")
+    val a = df.select(col(idCol).cast("long").as("id_a"), col(strCol).as("s_a"))
+    val b = df.select(col(idCol).cast("long").as("id_b"), col(strCol).as("s_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4, minShared: Int = 2,
       maxDf: Int = 100): DataFrame = {

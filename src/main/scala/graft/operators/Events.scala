@@ -300,4 +300,31 @@ object Events {
         coalesce(col("__v"), lit(0.0)).as("value"),
         when(col("__v").isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
   }
+
+  /** SCD2 (type-2 slowly-changing-dimension) interval builder: collapse
+    * a per-key change log into `[valid_from, valid_to)` attribute
+    * intervals, open intervals flagged `is_current`. Consecutive equal
+    * attribute values merge into one interval; `valid_to` of a closed
+    * interval is the `valid_from` of its successor (the half-open
+    * convention, so per-key intervals tile time with no gaps).
+    *
+    * The change-detection lag and the successor lead share one window
+    * spec `(key, ts, id)`, so the whole operator is a single shuffle on
+    * the dimension key regardless of history depth — the standard way to
+    * rebuild a dimension table from a CDC/event stream at any scale.
+    * `valid_to` of the open interval is `Long.MaxValue` epoch-µs rather
+    * than NULL so downstream `BETWEEN` probes need no null branch. */
+  def scd2Intervals(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        unix_micros(col(tsCol)).as("valid_from"),
+        coalesce(unix_micros(col("__next_ts")), lit(Long.MaxValue)).as("valid_to"),
+        col("__next_ts").isNull.cast("int").as("is_current"))
+  }
 }

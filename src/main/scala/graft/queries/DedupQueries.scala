@@ -18,6 +18,17 @@ object DedupQueries {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
     },
+    // record-linkage fuzzy join: Levenshtein <= 4 over 32-char doc
+    // prefixes (title-granularity keys), PassJoin segment blocking —
+    // the oracle replays the NAIVE all-pairs form; equality proves the
+    // segment filter lossless on this corpus (DedupSpec proves it on
+    // hand cases too)
+    "q_edit_distance_pairs" -> { (s, dir) =>
+      Dedup.editDistancePairs(
+        table(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).as("key32")),
+        "doc_id", "key32", maxDist = 4)
+    },
     "q_dedup_survivors" -> { (s, dir) =>
       Dedup.exactSurvivors(table(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
@@ -414,6 +425,12 @@ object DedupQueries {
       .distinct.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_edit_distance_pairs" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.s, b.s)::INT AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 4""".stripMargin,
     "q_neardup_minhash_lsh" ->
       minHashLshOracle(k = 128, bands = 32, threshold = 0.8),
     "q_neardup_simhash" -> simHashOracle(maxHamming = 8),

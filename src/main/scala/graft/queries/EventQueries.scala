@@ -83,9 +83,34 @@ object EventQueries {
         .select(col("day"), round(col("value"), 4).as("rev"),
           round(avg(col("value")).over(w), 4).as("ma7"), col("is_gap"))
     },
+    // SCD2 dimension rebuild from the event stream: per-user event_type
+    // history collapsed to [valid_from, valid_to) intervals
+    "q_scd2_intervals" -> { (s, dir) =>
+      Events.scd2Intervals(Sources.events(s, dir),
+        keyCol = "user_id", attrCol = "event_type",
+        tsCol = "ts", idCol = "event_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+        |  FROM events),
+        |ch AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM e)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  epoch_us(ts) AS valid_from,
+        |  coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)), 9223372036854775807) AS valid_to,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM ch""".stripMargin,
     "q_decayed_engagement" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
         |m AS (SELECT max(ts) AS tmax FROM e)

@@ -23,6 +23,39 @@ import graft.sources.Sources.table
 object Relational2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multi-grain aggregation in ONE pass: ROLLUP(region, nation) emits
+    // the nation, region-subtotal, and grand-total grains from a single
+    // Expand+partial-agg plan — at 100 TB this replaces three separate
+    // scans/shuffles with one (Expand multiplies rows AFTER the
+    // map-side partial aggregation keys them, so the shuffle carries
+    // one row per (grain, group), not 3x the fact table).
+    "q_rollup_revenue" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_orders"), col("revenue"))
+    },
+    // CUBE(status, year): all four grains of a 2-attribute cube in one
+    // Expand pass; same shuffle-volume argument as q_rollup_revenue.
+    "q_cube_orders" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr"), lit(-1)).as("yr"),
+          col("n_orders"), col("revenue"))
+    },
     // TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates to a
     // left-semi join on the fact table; no per-row subquery execution.
     "q_exists_subquery" -> { (s, dir) =>
@@ -274,6 +307,23 @@ object Relational2 {
       |SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(1)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(year(o_orderdate)::INT, -1) AS yr,
+        |  count(1)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, year(o_orderdate)::INT)""".stripMargin,
     "q_exists_subquery" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

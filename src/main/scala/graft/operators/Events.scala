@@ -301,6 +301,30 @@ object Events {
         when(col("__v").isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
   }
 
+  /** Trailing moving average over [[gapFillDaily]] output WITHOUT a
+    * WindowExec: the day spine is calendar-bounded (rows = distinct
+    * days, not corpus size — see gapFillDaily's scaladoc), so the whole
+    * series fits one `sort_array(collect_list(struct))` aggregate and
+    * the per-day average is a bounded `slice`+`aggregate` fold over
+    * that array (the Stats.distributedNtile pattern). Keeps the engine
+    * at ZERO unpartitioned windows, so a "No Partition Defined"
+    * warning in any log is a real regression, never expected noise
+    * (Round6PlanSpec sweeps every query plan for that invariant).
+    * Sum order inside each fold is day-ascending — deterministic. */
+  def gapFillMovingAvg(g: DataFrame, maWindow: Int): DataFrame = {
+    val n = maWindow
+    g.agg(sort_array(collect_list(struct(col("day"), col("value"), col("is_gap"))))
+        .as("arr"))
+      .select(explode(expr(
+        s"""transform(arr, (x, i) -> named_struct(
+           |  'day', x.day, 'value', x.value, 'is_gap', x.is_gap,
+           |  'ma', aggregate(slice(arr, greatest(1, i - ${n - 2}), least(i + 1, $n)),
+           |          cast(0.0 as double), (acc, y) -> acc + y.value)
+           |        / least(i + 1, $n)))""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.value").as("value"),
+        col("r.is_gap").as("is_gap"), col("r.ma").as("ma"))
+  }
+
   /** SCD2 (type-2 slowly-changing-dimension) interval builder: collapse
     * a per-key change log into `[valid_from, valid_to)` attribute
     * intervals, open intervals flagged `is_current`. Consecutive equal

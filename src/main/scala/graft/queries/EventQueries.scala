@@ -73,15 +73,16 @@ object EventQueries {
           round(col("decayed_sum"), 6).as("decayed_sum"))
     },
     // calendar gap-fill + 7-day moving average over daily order revenue;
-    // the window runs over the bounded date spine (see gapFillDaily's
-    // scaladoc), so the single partition is fine at any corpus scale
+    // the average is a bounded array fold over the date spine
+    // (gapFillMovingAvg) rather than an unpartitioned window, so the
+    // engine plans ZERO no-partition WindowExecs and that warning stays
+    // a trustworthy regression signal (Round6PlanSpec pins this)
     "q_ts_gapfill" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("day")).rowsBetween(-6, 0)
-      Events.gapFillDaily(Sources.table(s, dir, "orders"),
-          col("o_orderdate"), col("o_totalprice"))
+      Events.gapFillMovingAvg(
+          Events.gapFillDaily(Sources.table(s, dir, "orders"),
+            col("o_orderdate"), col("o_totalprice")), 7)
         .select(col("day"), round(col("value"), 4).as("rev"),
-          round(avg(col("value")).over(w), 4).as("ma7"), col("is_gap"))
+          round(col("ma"), 4).as("ma7"), col("is_gap"))
     },
     // SCD2 dimension rebuild from the event stream: per-user event_type
     // history collapsed to [valid_from, valid_to) intervals

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++ graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++ graft.queries.EventQueries.queries ++
       graft.queries.MultimodalQueries.queries ++ graft.queries.Extras.queries ++
-      graft.queries.TpchQueries.queries ++ graft.queries.StatsQueries.queries
+      graft.queries.TpchQueries.queries ++ graft.queries.StatsQueries.queries ++
+      graft.queries.BpeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,7 +34,8 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++ graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++ graft.queries.EventQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++ graft.queries.Extras.oracles ++
-      graft.queries.TpchQueries.oracles ++ graft.queries.StatsQueries.oracles
+      graft.queries.TpchQueries.oracles ++ graft.queries.StatsQueries.oracles ++
+      graft.queries.BpeQueries.oracles
 
   // ---- MapReduce parity core (SURVEY §2 rows 1-7, 13) ----
   private def mapReduceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

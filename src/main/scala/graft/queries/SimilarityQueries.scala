@@ -19,6 +19,15 @@ object SimilarityQueries {
         round(Similarity.norm(col("embedding")), 6).as("norm"),
         size(col("embedding")).as("dim"))
     },
+    // top principal component by 4 power-iteration steps, every vector
+    // projected onto it (embedding de-biasing / variance-audit op);
+    // the oracle replays the whole anchored trajectory in CTEs
+    "q_pca_project" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val tc = graft.operators.Pca.trainTopComponent(
+        emb, "vec_id", "embedding", iters = 4)
+      graft.operators.Pca.project(emb, "vec_id", "embedding", tc)
+    },
     "q_ann_bruteforce_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), k = 5, every = 50L)
     },
@@ -315,7 +324,41 @@ object SimilarityQueries {
        |c1cc$sfx AS (SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS cc
        |         FROM c1$sfx)""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.Pca.trainTopComponent]]: the
+    * anchored power-iteration trajectory unrolled — 6-decimal-rounded
+    * mean, uniform-unit init, per-step rounded w then normalize from
+    * the ROUNDED w — followed by the per-vector projection. */
+  private def pcaProjectOracle(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+         |mu AS (SELECT list(round(m, 6) ORDER BY d) AS mu FROM (
+         |  SELECT d, avg(e[d]) AS m FROM e CROSS JOIN dims GROUP BY d)),
+         |v0 AS (SELECT list_transform(range(1, ${dim + 1}),
+         |  i -> round(1.0 / sqrt(${dim}.0), 6)) AS v)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+         |w$k AS (SELECT list(round(s, 6) ORDER BY d) AS w FROM (
+         |  SELECT d, sum((t.e[d] - t.mu[d]) * t.dotc) AS s FROM (
+         |    SELECT e.e AS e, mu.mu AS mu,
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> (e.e[i] - mu.mu[i]) * v.v[i])) AS dotc
+         |    FROM e CROSS JOIN mu CROSS JOIN v${k - 1} v) t
+         |  CROSS JOIN dims GROUP BY d)),
+         |v$k AS (SELECT list_transform(w, x -> round(x /
+         |  sqrt(list_sum(list_transform(w, y -> y * y))), 6)) AS v
+         |  FROM w$k)""".stripMargin)
+    }
+    sb.append(s"""
+         |SELECT vec_id,
+         |  round(list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> (e.e[i] - mu.mu[i]) * v.v[i])), 6) AS pc1
+         |FROM e CROSS JOIN mu CROSS JOIN v$iters v""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pca_project" -> pcaProjectOracle(dim = 64, iters = 4),
     "q_embedding_neardup_lsh" ->
       srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
     "q_srp_incremental_persisted" ->

@@ -14,6 +14,20 @@ import graft.sources.Sources.table
 object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order layout audit: Morton codes over (l_partkey, l_suppkey),
+    // top-4-bit code buckets == prospective files; narrow per-bucket
+    // min/max spans on BOTH keys are exactly what parquet file skipping
+    // prunes on (operators.Layout scaladoc; LayoutSpec measures the
+    // area collapse vs a linear sort). Bounds are a one-row broadcast.
+    "q_zorder_layout" -> { (s, dir) =>
+      graft.operators.Layout
+        .withZCode(table(s, dir, "lineitem"),
+          col("l_partkey"), col("l_suppkey"), bits = 16)
+        .groupBy(shiftright(col("z"), 28).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+    },
     // salted two-stage agg == direct groupBy (oracle proves it)
     "q_salted_agg" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
@@ -346,6 +360,25 @@ object Extras {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((ra >> $i) & 1) << ${2 * i})",
+        s"(((rb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (
+        |  SELECT min(l_partkey)::BIGINT AS mina, max(l_partkey)::BIGINT AS maxa,
+        |         min(l_suppkey)::BIGINT AS minb, max(l_suppkey)::BIGINT AS maxb
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    ((l_partkey - mina) * 65535) // greatest(1, maxa - mina) AS ra,
+        |    ((l_suppkey - minb) * 65535) // greatest(1, maxb - minb) AS rb
+        |  FROM lineitem CROSS JOIN b),
+        |z AS (SELECT l_partkey, l_suppkey, ($terms) AS z FROM r)
+        |SELECT (z >> 28)::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM z GROUP BY 1""".stripMargin
+    },
     // contract-form sketch oracles: the exact columns are recomputed,
     // the bound columns are literal TRUE — the Spark side computes the
     // actual |approx - exact| check, so a contract violation hashes

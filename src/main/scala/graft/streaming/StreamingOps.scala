@@ -205,6 +205,57 @@ object StreamingOps {
       }
   }
 
+  case class Scd2Event(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class Scd2Open(attr: String, from_us: Long)
+  case class Scd2Closed(user_id: Long, event_type: String, valid_from: Long,
+      valid_to: Long)
+
+  /** Streaming twin of [[graft.operators.Events.scd2Intervals]]: CDC
+    * dimension maintenance. Closed `[valid_from, valid_to)` intervals
+    * append the moment the attribute changes; the open (current)
+    * interval is O(1) keyed state (attr + valid_from), never re-emitted
+    * — the sink materializes current rows by unioning the closed table
+    * with the state-store-shaped open set, exactly how a type-2
+    * dimension is served from a changelog at scale.
+    *
+    * Semantics contract: per-key events must arrive ts-ordered across
+    * micro-batches (in-batch disorder is fine — each batch sorts its
+    * slice by (ts, id) before folding). That is the standard CDC
+    * ordering guarantee (per-key ordered log, e.g. a keyed topic);
+    * under it, streaming closed intervals == the batch operator's
+    * `is_current = 0` rows for ANY micro-batching (StreamingSpec).
+    * True out-of-order repair would need retraction — out of scope, as
+    * it is for every append-mode CDC consumer. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[Scd2Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Scd2Event], state: GroupState[Scd2Open]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var open = state.getOption
+          val out = List.newBuilder[Scd2Closed]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if s.attr == e.event_type => () // unchanged
+              case Some(s) =>
+                out += Scd2Closed(user, s.attr, s.from_us, e.ts_us)
+                open = Some(Scd2Open(e.event_type, e.ts_us))
+              case None =>
+                open = Some(Scd2Open(e.event_type, e.ts_us))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming incremental near-dup: every micro-batch of newly
     * ingested documents is Jaccard-checked against a STATIC corpus via
     * `foreachBatch` + [[graft.operators.Dedup.crossJaccardPairs]].

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Partitioning
 import graft.operators.Sampling
+import graft.sources.Sources
 import graft.sources.Sources.table
 
 /** Coverage extras: skew-safe salted aggregation, deterministic
@@ -27,6 +28,42 @@ object Extras {
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+    },
+    // CSV round trip: documents written as CSV (quoted text column),
+    // read back through the schema-explicit reader, aggregated. The
+    // oracle aggregates the ORIGINAL parquet — equality proves the
+    // format conversion lossless including the free-text column.
+    "q_csv_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = System.getProperty("java.io.tmpdir") + "/graft_csv_roundtrip"
+      table(s, dir, "documents")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Sources.csv(s, path, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+    },
+    // JSON-lines round trip: events (ts as epoch-µs long — JSON has no
+    // timestamp type) written and re-read schema-explicitly, then
+    // aggregated against the parquet-side oracle.
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = System.getProperty("java.io.tmpdir") + "/graft_jsonl_roundtrip"
+      Sources.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType), StructField("ts_us", LongType)))
+      graft.sources.Sources.jsonLines(s, path, schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+          min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
     },
     // salted two-stage agg == direct groupBy (oracle proves it)
     "q_salted_agg" -> { (s, dir) =>
@@ -360,6 +397,17 @@ object Extras {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(length(text))::BIGINT AS sum_text_len
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
+        |  max(epoch_us(ts::TIMESTAMP)) AS max_ts_us
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_zorder_layout" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((ra >> $i) & 1) << ${2 * i})",

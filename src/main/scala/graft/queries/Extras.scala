@@ -96,6 +96,30 @@ object Extras {
         .select(col("id").as("nation"), round(col("rank"), 6).as("rank"))
     },
 
+    // exact triangle census on the nation trade graph, thresholded to
+    // above-average edge weight so it isn't near-complete; the operator
+    // uses degree orientation (out-degree bounded O(sqrt m)) — see
+    // Graph.triangleStats. 1-row broadcasts: avg threshold + stat rows
+    "q_triangle_count" -> { (s, dir) =>
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
+      val wEdges = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = wEdges
+        .crossJoin(broadcast(wEdges.agg(avg(col("w")).as("aw"))))
+        .filter(col("w") > col("aw"))
+        .select("src", "dst")
+      graft.operators.Graph.triangleStats(edges)
+    },
+
     // salted fact-dim join == plain equi-join (oracle proves it)
     "q_salted_join" -> { (s, dir) =>
       Partitioning.saltedJoin(
@@ -408,6 +432,45 @@ object Extras {
         |  min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
         |  max(epoch_us(ts::TIMESTAMP)) AS max_ts_us
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_triangle_count" ->
+      """WITH tr AS (
+        |  SELECT n1.n_name AS src, n2.n_name AS dst, count(1)::BIGINT AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name <> n2.n_name
+        |  GROUP BY 1, 2),
+        |aw AS (SELECT avg(w) AS aw FROM tr),
+        |ed AS (SELECT src, dst FROM tr CROSS JOIN aw WHERE w > aw),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM ed),
+        |deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+        |          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |         THEN a ELSE b END AS src,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |         THEN b ELSE a END AS dst,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |         THEN d2.deg ELSE d1.deg END AS dd
+        |  FROM und JOIN deg d1 ON d1.v = und.a JOIN deg d2 ON d2.v = und.b),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles
+        |        FROM o x
+        |        JOIN o y ON x.src = y.src
+        |          AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+        |        JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+        |wg AS (SELECT (sum(deg * (deg - 1)) / 2)::BIGINT AS n_wedges FROM deg),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg),
+        |ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, n_triangles,
+        |  round(CASE WHEN n_wedges > 0
+        |    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6) AS clustering
+        |FROM nn CROSS JOIN ne CROSS JOIN tri CROSS JOIN wg""".stripMargin,
     "q_zorder_layout" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((ra >> $i) & 1) << ${2 * i})",

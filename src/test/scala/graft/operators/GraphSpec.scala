@@ -48,4 +48,34 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got("x") - 0.15) < 1e-12)
     assert(got("y") > got("x"))
   }
+
+  test("triangleStats: hand graph — K4 plus a pendant edge") {
+    // K4 has C(4,3)=4 triangles and 6 edges; the pendant edge adds one
+    // node and raises d's degree to 4 — wedges = 3+3+3+C(4,2)+0 = 15
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"),
+      ("b", "a"), ("c", "a")) // reversed/parallel dups must collapse
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 7L, 4L)))
+    // clustering = 3*4 / 15 = 0.8
+    assert(math.abs(r.getDouble(3) - 0.8) < 1e-5)
+  }
+
+  test("triangleStats: triangle-free bipartite graph counts zero") {
+    val edges = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1"), ("u2", "v2"))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).head
+    assert(r.getLong(2) === 0L)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("triangleStats: star graph — orientation kills hub wedges") {
+    // hub h with 6 leaves: no triangles; all edges point INTO the hub
+    // under degree orientation, so the wedge join sees zero hub pairs
+    val edges = (1 to 6).map(i => (s"l$i", "h")).toDF("src", "dst")
+    val r = Graph.triangleStats(edges).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((7L, 6L, 0L)))
+  }
 }

@@ -46,6 +46,7 @@ class Round3PlanSpec extends SparkSpec {
       "q_asof_join_2table",  // as-of two-table form
       "q_histogram",         // broadcast 1-row global bounds
       "q_zorder_layout",     // broadcast 1-row min/max rank bounds
+      "q_triangle_count",    // broadcast 1-row avg threshold + stat rows
       "q_cooccurrence_lift", // broadcast 1-row user count
       "q_mix_rebalance",     // broadcast 1-row token target
       "q_market_share",      // broadcast 1-row denominator

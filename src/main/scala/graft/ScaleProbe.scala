@@ -342,6 +342,47 @@ object ScaleProbe {
         operators.Dedup.removeDuplicateSpans(docsN, "doc_id", "text", n = 8)
           .write.format("noop").mode("overwrite").save()
       }
+      // round 6
+      time(s"edit_distance_pairs_${n}x") {
+        // amplified copies are exact dups (dist 0) — candidate volume
+        // scales with key-prefix frequency; slope tracks the O(k^3)
+        // probe explode + the segment join, not n^2
+        operators.Dedup.editDistancePairs(
+            docsN.select(col("doc_id"), substring(col("text"), 1, 32).as("s")),
+            "doc_id", "s", maxDist = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"bpe_train_${n}x") {
+        // amplified ids don't change the WORD distribution (text is
+        // untouched), so the distinct-word working set stays constant:
+        // near-flat slope expected — the vocabulary-bounded claim
+        operators.Bpe.train(docsN, "text", nMerges = 8)
+      }
+      time(s"pca_power_${n}x") {
+        operators.Pca.trainTopComponent(embN, "vec_id", "embedding",
+          iters = 4)
+      }
+      time(s"zorder_write_${n}x") {
+        operators.Layout.withZCode(liN, col("l_partkey"), col("l_suppkey"))
+          .repartitionByRange(16 * n, col("z"))
+          .sortWithinPartitions(col("z"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"scd2_intervals_${n}x") {
+        operators.Events.scd2Intervals(evN, "user_id", "event_type",
+            "ts", "event_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"triangle_census_${n}x") {
+        // synthetic co-purchase graph: orders x2 parts per order via
+        // modular hash — edge count scales linearly with orders
+        val e = ordN.select(col("o_orderkey").as("k"),
+            pmod(col("o_orderkey"), lit(200 * n)).as("src"),
+            pmod(col("o_orderkey") * 31 + 7, lit(200 * n)).as("dst"))
+          .select(col("src"), col("dst"))
+        operators.Graph.triangleStats(e)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -880,15 +880,19 @@ object Dedup {
     val base = df.select(col(idCol).cast("long").as("id"),
         col(strCol).as("s"), length(col(strCol)).as("len"))
       .filter(col("len") >= 1)
+    // candidate generation carries ONLY (key, id): the strings rejoin
+    // AFTER the pair distinct, so the segment shuffle moves ids and
+    // short substrings, never full payloads (~10x narrower rows when
+    // keys are long documents)
     // indexed side: one key per segment; <=k-char strings get the
     // catch-all (len, -1, '') key instead of empty-segment keys
     val index = base
       .withColumn("seg", explode(expr(segs("len"))))
-      .select(col("id").as("id_y"), col("s").as("s_y"), col("len").as("len_y"),
+      .select(col("id").as("id_y"), col("len").as("len_y"),
         when(col("len") <= k, struct(lit(-1).as("j"), lit("").as("t")))
           .otherwise(struct(col("seg.j").as("j"),
             expr("substring(s, seg.st + 1, seg.ln)").as("t"))).as("key"))
-      .select(col("id_y"), col("s_y"), col("len_y"),
+      .select(col("id_y"), col("len_y"),
         col("key.j").as("j"), col("key.t").as("t"))
       .distinct()
     // probe side: for every partner length lb in [len-k, len+k], every
@@ -901,20 +905,21 @@ object Dedup {
       .withColumn("p", col("seg.st") + col("d"))
       .filter(col("lb") <= k ||
         (col("seg.ln") > 0 && col("p") >= 0 && col("p") + col("seg.ln") <= col("len")))
-      .select(col("id").as("id_x"), col("s").as("s_x"), col("lb").as("len_y"),
+      .select(col("id").as("id_x"), col("lb").as("len_y"),
         when(col("lb") <= k, struct(lit(-1).as("j"), lit("").as("t")))
           .otherwise(struct(col("seg.j").as("j"),
             expr("substring(s, p + 1, seg.ln)").as("t"))).as("key"))
-      .select(col("id_x"), col("s_x"), col("len_y"),
+      .select(col("id_x"), col("len_y"),
         col("key.j").as("j"), col("key.t").as("t"))
       .distinct()
-    probe.join(index, Seq("len_y", "j", "t"))
+    val pairs = probe.join(index, Seq("len_y", "j", "t"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"),
-        when(col("id_x") < col("id_y"), col("s_x")).otherwise(col("s_y")).as("s_a"),
-        when(col("id_x") < col("id_y"), col("s_y")).otherwise(col("s_x")).as("s_b"))
+        greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))

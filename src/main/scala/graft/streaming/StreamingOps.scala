@@ -478,4 +478,18 @@ object StreamingOps {
     require(cbs.forall(_.nonEmpty), "incrementalPqEncode needs a non-empty corpus")
     graft.operators.Similarity.pqEncode(newVecs, cbs, dim, idCol, vecCol)
   }
+
+  /** Streaming PCA projection: the component is trained OFFLINE on the
+    * static corpus ([[graft.operators.Pca.trainTopComponent]] — driver
+    * state O(dim)); arriving vectors are projected statelessly with the
+    * literal centered-dot, so the stream query plans a pure codegen'd
+    * projection — no state store, no join, any micro-batching yields
+    * the same rows (the assignToCentroids / incrementalPqEncode
+    * train-offline/score-online pattern). */
+  def incrementalPcaProject(newVecs: DataFrame, corpus: DataFrame,
+      iters: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val tc = graft.operators.Pca.trainTopComponent(corpus, idCol, vecCol, iters)
+    graft.operators.Pca.project(newVecs, idCol, vecCol, tc)
+  }
 }

@@ -529,6 +529,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PCA projection == batch projection (corpus-trained component)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val newVecs = emb.filter(col("vec_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft_pca_stream").toFile
+    tmp.deleteOnExit()
+    newVecs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(newVecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.incrementalPcaProject(stream, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pca_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pca_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val tc = graft.operators.Pca.trainTopComponent(corpus, "vec_id", "embedding", 4)
+      val batch = graft.operators.Pca.project(newVecs, "vec_id", "embedding", tc)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch)
+      assert(streamed.size === newVecs.count())
+    } finally q.stop()
+  }
+
   test("streaming logreg scoring == batch scoring (corpus-trained model)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") % 2 === 0)

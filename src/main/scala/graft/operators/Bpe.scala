@@ -105,6 +105,20 @@ object Bpe {
     merges.toDF()
   }
 
+  /** Persist a trained merge list as a model table — train once on the
+    * corpus, reuse across runs/streams (the
+    * [[Similarity.savePqCodebooks]] lifecycle). */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], table: String): Unit =
+    mergesDF(spark, merges).write.mode("overwrite").saveAsTable(table)
+
+  /** Read a merge list back; ORDER (step) is the model — merges must
+    * replay in training order. The collect is the model, O(nMerges). */
+  def loadMerges(spark: SparkSession, table: String): Seq[Merge] =
+    spark.table(table)
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.step).toSeq
+
   /** Weighted subword-piece frequencies of the corpus under the learned
     * merges — the "what does the token distribution look like under
     * this vocab" audit. Top `topN` by count, ties lexicographic. */

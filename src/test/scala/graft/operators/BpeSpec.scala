@@ -49,6 +49,19 @@ class BpeSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("merge model round-trips through the model table in training order") {
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val trained = Bpe.train(docs, "text", 6)
+    Bpe.saveMerges(spark, trained, "graft_bpe_merges_spec")
+    val loaded = Bpe.loadMerges(spark, "graft_bpe_merges_spec")
+    assert(loaded === trained)
+    // encoding under the loaded model is identical
+    val w = Seq("lowest").toDF("word")
+    val a = w.select(Bpe.encodeExpr(trained)).head.getString(0)
+    val b = w.select(Bpe.encodeExpr(loaded)).head.getString(0)
+    assert(a === b)
+  }
+
   test("subwordCounts conserves total weighted symbol mass <= char count") {
     val docs = Seq("low lower low").toDF("text")
     val merges = Bpe.train(docs, "text", 2)

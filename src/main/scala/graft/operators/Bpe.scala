@@ -107,9 +107,11 @@ object Bpe {
 
   /** Persist a trained merge list as a model table — train once on the
     * corpus, reuse across runs/streams (the
-    * [[Similarity.savePqCodebooks]] lifecycle). */
+    * [[Similarity.savePqCodebooks]] lifecycle; Sinks handles the
+    * orphaned-location replace semantics). */
   def saveMerges(spark: SparkSession, merges: Seq[Merge], table: String): Unit =
-    mergesDF(spark, merges).write.mode("overwrite").saveAsTable(table)
+    graft.sources.Sinks.writeBucketed(mergesDF(spark, merges), table,
+      bucketCols = Seq("step"), numBuckets = 1)
 
   /** Read a merge list back; ORDER (step) is the model — merges must
     * replay in training order. The collect is the model, O(nMerges). */

@@ -62,6 +62,23 @@ object DedupQueries {
         n = 3, threshold = 0.8)
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     },
+    // leakage-safe train/valid/test split: the split is decided on the
+    // near-dup CLUSTER representative, docs inherit it — so two near-dup
+    // documents can NEVER straddle train and test (the eval-contamination
+    // guard a doc-level hash split cannot give; straddle-impossibility
+    // is by construction since split = f(cluster_rep), and DedupSpec
+    // asserts it on the materialized assignment)
+    "q_leakage_safe_split" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      graft.operators.Sampling.split(clusters, col("cluster_rep"), 12, 2)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"))
+    },
     // survivorship POLICY composed on near-dup clusters: per cluster,
     // keep the highest-token-count doc (id tiebreak) — "keep best,
     // drop rest", the step after clustering in a curation pipeline
@@ -711,6 +728,44 @@ object DedupQueries {
         |SELECT r.cluster_rep, cnt.n_docs, r.doc_id AS kept_id,
         |  r.ntok AS kept_tokens
         |FROM r JOIN cnt USING (cluster_rep) WHERE rn = 1""".stripMargin,
+    "q_leakage_safe_split" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+        |      FROM e0 ea JOIN e0 eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        |pairs AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN c ca ON p.a = ca.doc_id
+        |  JOIN c cb ON p.b = cb.doc_id
+        |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+        |         FROM reach GROUP BY src)
+        |SELECT CASE WHEN bucket < 12 THEN 'train'
+        |            WHEN bucket < 14 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  count(1)::BIGINT AS n_docs,
+        |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters
+        |FROM (SELECT cluster_rep,
+        |        CAST(('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 1))
+        |          AS INTEGER) AS bucket
+        |      FROM comp)
+        |GROUP BY 1""".stripMargin,
     "q_dedup_clusters" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -389,4 +389,28 @@ class DedupSpec extends SparkSpec {
       assert(d <= 8)
     }
   }
+
+  test("leakage-safe split: near-dup clusters never straddle splits, and the guard is exercised") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+    val clusters = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val assigned = Sampling.split(clusters, col("cluster_rep"), 12, 2)
+    val straddling = assigned.groupBy("cluster_rep")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling === 0L)
+    // the property is non-vacuous: some cluster really has >1 doc
+    val multiDoc = assigned.groupBy("cluster_rep").count()
+      .filter(col("count") > 1).count()
+    assert(multiDoc > 0L)
+    // contrast: the doc-level split DOES split at least one cluster
+    // (this is the leak the operator exists to prevent)
+    val docLevel = Sampling.split(clusters, col("doc_id"), 12, 2)
+      .groupBy("cluster_rep")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(docLevel > 0L)
+  }
 }

@@ -54,6 +54,7 @@ object Pca {
         .groupBy("d").agg(avg(col("x")).as("m"))
         .collect()
       val dim = meanRows.length
+      require(dim > 0, "trainTopComponent needs a non-empty corpus")
       val mu = meanRows.sortBy(_.getInt(0)).map(r => round6(r.getDouble(1))).toSeq
       val n = df.count()
 

@@ -194,4 +194,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.exactNeardupPairs(oneEmb, 0.4).count() === 0)
     assert(Similarity.ivfTopK(oneEmb, 5, nCells = 1).count() === 0) // only self
   }
+
+  test("round-6 operators on empty / degenerate input") {
+    // PassJoin: empty and single-row inputs yield no pairs
+    assert(Dedup.editDistancePairs(
+      emptyDocs.select(col("doc_id"), col("text").as("s")), "doc_id", "s", 2)
+      .count() === 0)
+    val one = Seq((1L, "abc")).toDF("doc_id", "s")
+    assert(Dedup.editDistancePairs(one, "doc_id", "s", 2).count() === 0)
+    // BPE: empty corpus trains an empty model; encode still works
+    assert(Bpe.train(emptyDocs, "text", 4) === Seq.empty)
+    assert(Bpe.subwordCounts(emptyDocs, "text", Seq.empty, 10).count() === 0)
+    // SCD2: empty change log -> no intervals
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("ts", TimestampType))))
+    assert(Events.scd2Intervals(emptyEvents, "user_id", "event_type",
+      "ts", "event_id").count() === 0)
+    // triangles: empty edge set -> one all-zero stat row, clustering 0
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", StringType), StructField("dst", StringType))))
+    val t = Graph.triangleStats(emptyEdges).head
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getDouble(3)) ===
+      ((0L, 0L, 0L, 0.0)))
+  }
 }

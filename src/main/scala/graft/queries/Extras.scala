@@ -65,6 +65,23 @@ object Extras {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
           min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
     },
+    // Deequ-style validation battery: six constraints, ONE aggregation
+    // pass (plus the distinct for uniqueness); see operators.Validation.
+    // The uniqueness check runs against the true composite line key
+    "q_validate_lineitem" -> { (s, dir) =>
+      import graft.operators.Validation._
+      val li = table(s, dir, "lineitem")
+        .withColumn("line_key",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      validate(li, Seq(
+        nonEmpty(),
+        notNull("l_orderkey"),
+        inRange("l_quantity", 1.0, 50.0),
+        inRange("l_discount", 0.0, 0.1),
+        accepted("l_returnflag", Seq("A", "N", "R")),
+        unique("line_key")))
+    },
+
     // salted two-stage agg == direct groupBy (oracle proves it)
     "q_salted_agg" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
@@ -421,6 +438,30 @@ object Extras {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_validate_lineitem" ->
+      """WITH m AS (SELECT
+        |  count(1)::BIGINT AS m_nonempty,
+        |  coalesce(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END), 0)::BIGINT AS m_notnull,
+        |  coalesce(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END), 0)::BIGINT AS m_qty,
+        |  coalesce(sum(CASE WHEN l_discount IS NOT NULL
+        |    AND l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END), 0)::BIGINT AS m_disc,
+        |  coalesce(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |    THEN 0 ELSE 1 END), 0)::BIGINT AS m_rf,
+        |  (count(1) - count(DISTINCT l_orderkey || '-' || l_linenumber))::BIGINT AS m_uniq
+        |FROM lineitem)
+        |SELECT 'non_empty' AS constraint, m_nonempty AS metric,
+        |  CASE WHEN m_nonempty > 0 THEN 1 ELSE 0 END AS passed FROM m
+        |UNION ALL SELECT 'not_null(l_orderkey)', m_notnull,
+        |  CASE WHEN m_notnull = 0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL SELECT 'in_range(l_quantity)', m_qty,
+        |  CASE WHEN m_qty = 0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL SELECT 'in_range(l_discount)', m_disc,
+        |  CASE WHEN m_disc = 0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL SELECT 'accepted(l_returnflag)', m_rf,
+        |  CASE WHEN m_rf = 0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL SELECT 'unique(line_key)', m_uniq,
+        |  CASE WHEN m_uniq = 0 THEN 1 ELSE 0 END FROM m""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS sum_chars,

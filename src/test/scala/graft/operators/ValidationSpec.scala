@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(df: org.apache.spark.sql.DataFrame,
+      checks: Seq[Validation.Check]): Map[String, (Long, Int)] =
+    Validation.validate(df, checks).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+
+  test("constraint battery: violations counted, pass flags correct") {
+    val df = Seq(
+      (1L, Some(10.0), "A"),
+      (2L, Some(200.0), "B"),  // out of range, bad flag
+      (3L, None, "A"),         // null value
+      (3L, Some(5.0), "A"))    // duplicate id
+      .toDF("id", "v", "flag")
+    val got = run(df, Seq(
+      Validation.nonEmpty(),
+      Validation.notNull("v"),
+      Validation.inRange("v", 0.0, 100.0),
+      Validation.accepted("flag", Seq("A")),
+      Validation.unique("id")))
+    assert(got("non_empty") === ((4L, 1)))
+    assert(got("not_null(v)") === ((1L, 0)))
+    assert(got("in_range(v)") === ((2L, 0)))  // null AND out-of-range both violate
+    assert(got("accepted(flag)") === ((1L, 0)))
+    assert(got("unique(id)") === ((1L, 0)))
+  }
+
+  test("clean table passes everything; empty table fails only non_empty") {
+    val clean = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val g1 = run(clean, Seq(Validation.nonEmpty(), Validation.notNull("v"),
+      Validation.unique("id")))
+    assert(g1.values.forall(_._2 == 1))
+    val empty = clean.filter(lit(false))
+    val g2 = run(empty, Seq(Validation.nonEmpty(), Validation.notNull("v"),
+      Validation.unique("id")))
+    assert(g2("non_empty") === ((0L, 0)))
+    assert(g2("not_null(v)") === ((0L, 1)))
+    assert(g2("unique(id)") === ((0L, 1)))
+  }
+
+  test("one scan: the battery plans a single aggregate over the table (plus distinct)") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val p = Validation.validate(df, Seq(Validation.nonEmpty(),
+      Validation.notNull("l_orderkey"),
+      Validation.inRange("l_quantity", 1.0, 50.0)))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
+  }
+}

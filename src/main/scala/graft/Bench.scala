@@ -79,6 +79,9 @@ object Bench {
       "q_neardup_minhash_lsh", "q_ann_bruteforce_topk", "q_tfidf",
       "q_pagerank_nations", "mr_wordcount", "q_kmeans_assign",
       "q_chunk_documents", "q_semantic_neardup", "q_decile_stats",
+      // round-6 families
+      "q_edit_distance_pairs", "q_bpe_train", "q_pca_project",
+      "q_zorder_layout", "q_scd2_intervals", "q_triangle_count",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
     val runsJson = allRuns

@@ -94,6 +94,35 @@ object Events {
         sum(col("len")).as("active_days"))
   }
 
+  /** Merge overlapping/touching `[start_us, end_us)` intervals per key
+    * into maximal disjoint spans — the interval-union primitive behind
+    * "active coverage" (device uptime, content-visible time, lease
+    * coalescing). Gaps-and-islands on the time axis: within a key,
+    * order by start and open a new span exactly when the next start
+    * exceeds the running max of ends seen so far (running max, not
+    * `lag(end)` — an interval can be fully contained in an earlier one,
+    * which a lag-based test misclassifies). One shuffle on `keyCol`;
+    * the running-max window, the island id, and the final aggregation
+    * all reuse that single key partitioning — per-key sequential work,
+    * never global. Touching intervals (next start == current end)
+    * merge, as half-open semantics dictate. */
+  def mergeIntervals(intervals: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("start_us").asc, col("end_us").asc)
+    val runMax = max(col("end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    intervals
+      .withColumn("new_span",
+        when(runMax.isNull || col("start_us") > runMax, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("span_id"))
+      .agg(min(col("start_us")).as("span_start_us"),
+        max(col("end_us")).as("span_end_us"),
+        count(lit(1)).as("n_merged"))
+      .drop("span_id")
+  }
+
   /** Markov-style transition counts: (event_type -> next event_type) per
     * user in event-time order (event_id tiebreak). */
   def transitions(events: DataFrame): DataFrame = {

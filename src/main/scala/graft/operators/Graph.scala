@@ -121,4 +121,56 @@ object Graph {
           lit(3.0) * col("n_triangles") / col("n_wedges"))
           .otherwise(lit(0.0)), 6).as("clustering"))
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k —
+    * the standard dense-community / spam-farm detector (a link farm is
+    * a high-k core; a long chain of singleton references is not).
+    * Deterministic peel: repeatedly delete every node of degree < k,
+    * simultaneously, until none remains. The simultaneous-delete
+    * fixpoint is order-independent, so the result is unique — and
+    * replayable round-for-round by an unrolled SQL oracle.
+    *
+    * Each round is one degree aggregation + one semi-join back onto
+    * the edge list, both keyed — per-round cost is O(|surviving
+    * edges|), monotonically shrinking. `localCheckpoint` per round
+    * keeps the plan flat (the [[pageRank]] / connectedComponents
+    * iteration pattern); the per-round `count()` driver action reads
+    * one aggregate row, not data. Worst-case round count is large on
+    * pathological chains (a path graph peels 2 nodes/round), so the
+    * loop throws at `maxRounds` rather than spin — real web/similarity
+    * graphs converge in a handful of rounds because peeling cascades.
+    *
+    * Returns surviving nodes with their degree inside the core
+    * (≥ k by construction). */
+  def kCore(rawEdges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var e = rawEdges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = e.count()
+      converged = n == nEdges
+      nEdges = n
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds rounds")
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -50,6 +50,41 @@ object Sampling {
     df.filter(hashBucket16(key) < rate)
   }
 
+  /** Temporal train/holdout split: rows at or before the fraction-`q`
+    * timestamp cutoff → train, later rows → test. A HASH split of
+    * time-series data leaks the future into training (a model scored
+    * on the test split has already seen temporally-interleaved
+    * neighbors); the time-ordered split is the leakage-safe form for
+    * forecasting-shaped tasks — the time-axis sibling of the
+    * cluster-level q_leakage_safe_split.
+    *
+    * The cutoff is the exact `q`-quantile of `tsCol`, computed IN-PLAN
+    * and broadcast back as a one-row aggregate (the `Events.decayedSum`
+    * anchor pattern) — no driver action, no second scan of anything
+    * but the one-row join build side. Floored to whole seconds so the
+    * boundary is engine-portable (linear-interpolation quantiles agree
+    * across engines only up to float ulps; a second-granularity floor
+    * absorbs that). Exact percentile buffers the column being split
+    * ONCE in one aggregation — acceptable for a per-dataset constant;
+    * swap `approx_percentile` in when even that pass is too much (the
+    * cutoff then shifts within sketch error, uniformly for all rows).
+    */
+  def temporalSplit(df: DataFrame, tsCol: Column, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"split fraction must be in (0,1): $q")
+    // integer `div`, never float-divide-then-cast: Spark truncates a
+    // double→long cast, DuckDB rounds — the one-second boundary row
+    // would differ between engines
+    val cutoff = df
+      .agg(floor(percentile(unix_micros(tsCol), lit(q))).as("__cut_us"))
+      .select(expr("__cut_us div 1000000").as("__cut_s"))
+    df.withColumn("__us", unix_micros(tsCol))
+      .crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(expr("__us div 1000000") <= col("__cut_s"), "train")
+          .otherwise("test"))
+      .drop("__us", "__cut_s")
+  }
+
   /** 32-bit uniform in [0, 1) from the first 8 hex chars of md5(key) —
     * the finer-grained sibling of [[hashBucket256]] for per-row keep
     * probabilities. */

@@ -251,4 +251,33 @@ object Stats {
       .select(col(groupCol), col("__v").as("value"),
         round((col("__v") - col("med")) / col("mad"), 6).as("n_mads"))
   }
+
+  /** Pre-flight equi-join cardinality: the EXACT output row count of
+    * `left ⋈ right ON leftKey = rightKey` computed from the two per-key
+    * frequency profiles — `Σ_k cnt_L(k)·cnt_R(k)` — without
+    * materializing a single joined row. Cost is two hash aggregations
+    * plus a join of the two (key-cardinality-sized) profiles; at 100 TB
+    * that is orders of magnitude cheaper than the join it sizes.
+    *
+    * One summary row: matched-key count, exact output rows, and the
+    * largest single key's share of the output — the number that decides
+    * the physical strategy BEFORE the expensive join runs (broadcast if
+    * the output is small, salt ([[graft.core.Partitioning]]) or rely on
+    * AQE skew splitting if one key dominates). The companion per-key
+    * view is [[keySkew]]; this composes both sides' skew into the
+    * number that actually matters — the join's own fanout. */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    lc.join(rc, Seq("k"))
+      .select((col("cl") * col("cr")).as("rows_k"))
+      .agg(count(lit(1)).as("n_matched_keys"),
+        coalesce(sum(col("rows_k")), lit(0L)).as("join_rows"),
+        coalesce(max(col("rows_k")), lit(0L)).as("max_key_rows"))
+      .select(col("n_matched_keys"), col("join_rows"), col("max_key_rows"),
+        round(when(col("join_rows") > 0,
+          col("max_key_rows").cast("double") / col("join_rows"))
+          .otherwise(lit(0.0)), 6).as("top_key_share"))
+  }
 }

@@ -611,4 +611,68 @@ object TextAnalysis {
   def piiSpanCount(c: Column): Column =
     regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(NumberRe)) +
       regexp_count(c, lit(EmailRe))
+
+  /** Gopher's "≥2 distinct required stopwords" indicator set (Rae et
+    * al. 2021, table A1) — distinct from the ratio-scoring lists above:
+    * presence of these is a naturalness test, not a language signal. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/C4-style composite quality filter: the standard rule
+    * battery (word-count bounds, mean-word-length band, alphabetic-word
+    * fraction, symbol density, bullet/ellipsis line shape, required
+    * stopwords) evaluated per document in ONE codegen'd projection —
+    * no shuffle, no UDF, scan-bound at any corpus size. Each rule
+    * emits its signal AND its pass flag, because at 100 TB the
+    * actionable output is "which rule killed how many docs per source",
+    * not a bare boolean; `keep` is the conjunction.
+    *
+    * Thresholds are the published Gopher defaults (word count tuned
+    * down to ≥10 for this corpus's short synthetic docs; production
+    * uses 50). All ratios round to 6dp so the DuckDB oracle
+    * hash-matches float-for-float. */
+  def gopherQualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 10L, maxWords: Long = 100000L): DataFrame = {
+    val nW = greatest(col("n_words"), lit(1L))
+    val nL = greatest(col("n_lines"), lit(1L))
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__toks", tokens(col("__t")))
+      .withColumn("__lines", filter(split(col("__t"), "\n"), l => l =!= ""))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("mean_word_len",
+        round(aggregate(col("__toks"), lit(0L), (a, t) => a + length(t))
+          .cast("double") / nW, 6))
+      .withColumn("frac_alpha_words",
+        round(size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
+          .cast("double") / nW, 6))
+      // '#' occurrences + '...' occurrences (the ellipsis char and the
+      // three-dot spelling), per word — Gopher's symbol-to-word ratio
+      .withColumn("symbol_ratio", round((
+        (length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
+          regexp_count(col("__t"), lit("\\.\\.\\.|…")))
+        .cast("double") / nW, 6))
+      .withColumn("frac_bullet_lines",
+        round(size(filter(col("__lines"), l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+          .cast("double") / nL, 6))
+      .withColumn("frac_ellipsis_lines",
+        round(size(filter(col("__lines"), l =>
+          l.endsWith("...") || l.endsWith("…")))
+          .cast("double") / nL, 6))
+      .withColumn("n_stop_hits",
+        GopherStopwords.map(w =>
+          when(array_contains(transform(col("__toks"), lower _), w), 1L)
+            .otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("frac_bullet_lines") <= 0.9 &&
+          col("frac_ellipsis_lines") <= 0.3 &&
+          col("n_stop_hits") >= 2L).cast("int"))
+      .drop("__t", "__toks", "__lines")
+  }
 }

@@ -38,6 +38,28 @@ object EventQueries {
     "q_events_sliding" -> { (s, dir) =>
       Events.slidingAgg(Sources.events(s, dir), "1 hour", "15 minutes")
     },
+    // interval union per user: every event opens a 40-minute activity
+    // interval; overlapping/touching intervals coalesce into maximal
+    // spans (Events.mergeIntervals — one user_id shuffle end to end)
+    "q_merge_intervals" -> { (s, dir) =>
+      val iv = Sources.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lit(2400000000L)).as("end_us"))
+      Events.mergeIntervals(iv, "user_id")
+    },
+    // leakage-safe time split: first 80% of event time (exact in-plan
+    // quantile cutoff, floored to seconds) → train, rest → test; the
+    // per-split summary exposes the boundary + the user overlap a
+    // hash split would have hidden (Sampling.temporalSplit)
+    "q_temporal_split" -> { (s, dir) =>
+      graft.operators.Sampling
+        .temporalSplit(Sources.events(s, dir), col("ts"), 0.8)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(unix_micros(col("ts"))).as("min_ts_us"),
+          max(unix_micros(col("ts"))).as("max_ts_us"))
+    },
     "q_funnel" -> { (s, dir) =>
       Events.funnel(Sources.events(s, dir), Seq("view", "click", "purchase"))
     },
@@ -94,6 +116,44 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS start_us,
+        |    epoch_us(ts::TIMESTAMP) + 2400000000 AS end_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, start_us, end_us,
+        |    max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, start_us, end_us,
+        |    CASE WHEN run_max IS NULL OR start_us > run_max
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, start_us, end_us,
+        |    sum(new_span) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM f)
+        |SELECT user_id, min(start_us) AS span_start_us,
+        |  max(end_us) AS span_end_us, count(*)::BIGINT AS n_merged
+        |FROM g GROUP BY user_id, span_id""".stripMargin,
+    "q_temporal_split" ->
+      """WITH cut AS (
+        |  SELECT floor(quantile_cont(epoch_us(ts::TIMESTAMP), 0.8))::BIGINT
+        |    // 1000000 AS cut_s
+        |  FROM events)
+        |SELECT CASE WHEN epoch_us(ts::TIMESTAMP) // 1000000 <= cut_s
+        |         THEN 'train' ELSE 'test' END AS split,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
+        |  max(epoch_us(ts::TIMESTAMP)) AS max_ts_us
+        |FROM events CROSS JOIN cut
+        |GROUP BY 1""".stripMargin,
     "q_scd2_intervals" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id

@@ -117,24 +117,60 @@ object Extras {
     // above-average edge weight so it isn't near-complete; the operator
     // uses degree orientation (out-degree bounded O(sqrt m)) — see
     // Graph.triangleStats. 1-row broadcasts: avg threshold + stat rows
+    // incremental rollup maintenance: per-customer order stats kept as
+    // a mergeable state table; the pre-cutoff state absorbs the
+    // post-cutoff delta WITHOUT re-touching pre-cutoff raw rows, and
+    // the merge equals a from-scratch aggregation over everything —
+    // which is exactly what the oracle computes (Upsert.mergeAggStates)
+    "q_agg_state_merge" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val orders = table(s, dir, "orders")
+      val state = Upsert.aggState(
+        orders.filter(col("o_orderdate") < lit("1997-01-01")),
+        Seq("o_custkey"), "o_totalprice")
+      val delta = Upsert.aggState(
+        orders.filter(col("o_orderdate") >= lit("1997-01-01")),
+        Seq("o_custkey"), "o_totalprice")
+      Upsert.mergeAggStates(state, delta, Seq("o_custkey"))
+        .select(col("o_custkey"), col("cnt"),
+          round(col("sum_v"), 4).as("sum_v"), col("min_v"), col("max_v"),
+          round(col("sum_v") / col("cnt"), 6).as("avg_v"))
+    },
+    // snapshot diff: orders-as-of-mid-1997 vs a year later with
+    // deterministic synthetic removals (key % 13 == 5) and price
+    // changes (key % 7 == 0) — classify every key added/removed/changed
+    // via one full-outer row-hash join, summarize per class with a key
+    // checksum so membership (not just counts) is value-verified
+    "q_snapshot_diff" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val oldSnap = orders.filter(col("o_orderdate") < lit("1997-06-01"))
+      val newSnap = orders
+        .filter(col("o_orderdate") < lit("1998-01-01") &&
+          col("o_orderkey") % 13 =!= 5)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.operators.Upsert.snapshotDiff(oldSnap, newSnap, "o_orderkey")
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    },
+    // 3-core of the thresholded nation trade graph: the dense-community
+    // detector (Graph.kCore deterministic simultaneous peel, replayed
+    // round-for-round by the unrolled oracle)
+    "q_kcore" -> { (s, dir) =>
+      graft.operators.Graph.kCore(tradeEdges(s, dir), k = 3)
+    },
+    // pre-flight join sizing: the EXACT lineitem-x-lineitem self-join
+    // cardinality on l_partkey from the two per-key profiles — the
+    // number that picks broadcast/salt/AQE BEFORE the join runs
+    // (Stats.joinSizeEstimate; never materializes a joined row)
+    "q_join_size_estimate" -> { (s, dir) =>
+      graft.operators.Stats.joinSizeEstimate(
+        table(s, dir, "lineitem"), "l_partkey",
+        table(s, dir, "lineitem"), "l_partkey")
+    },
     "q_triangle_count" -> { (s, dir) =>
-      val n1 = table(s, dir, "nation")
-        .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
-      val n2 = table(s, dir, "nation")
-        .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
-      val wEdges = table(s, dir, "lineitem")
-        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      val edges = wEdges
-        .crossJoin(broadcast(wEdges.agg(avg(col("w")).as("aw"))))
-        .filter(col("w") > col("aw"))
-        .select("src", "dst")
-      graft.operators.Graph.triangleStats(edges)
+      graft.operators.Graph.triangleStats(tradeEdges(s, dir))
     },
 
     // salted fact-dim join == plain equi-join (oracle proves it)
@@ -410,6 +446,68 @@ object Extras {
     * recursive-CTE single-reference contortions). Same trajectory:
     * weighted distinct edges, ranks start at 1.0, dangling mass leaks
     * via the inner join to out-degrees. */
+  /** The thresholded nation trade graph shared by q_triangle_count and
+    * q_kcore: supplier-nation → customer-nation shipment edges, kept
+    * when their weight exceeds the mean edge weight (the one-row
+    * broadcast threshold makes the graph sparse but non-trivial). */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val n1 = table(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
+    val n2 = table(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
+    val wEdges = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    wEdges
+      .crossJoin(broadcast(wEdges.agg(avg(col("w")).as("aw"))))
+      .filter(col("w") > col("aw"))
+      .select("src", "dst")
+  }
+
+  /** Unrolled simultaneous-peel replay of Graph.kCore on the trade
+    * graph: each round recomputes degrees and keeps only edges whose
+    * BOTH endpoints have degree >= k. Peeling is idempotent at the
+    * fixpoint, so any `rounds` at or beyond convergence yields the
+    * same rows; Round6Spec pins that the engine converges well inside
+    * this unroll depth at test scale. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each e{i+1} references e{i} three times — inlined
+    // CTEs would re-expand the whole prefix per reference (3^rounds
+    // parquet scans; observed as an fd-exhaustion error in DuckDB)
+    val peel = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY v),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT a, b FROM e$i
+         |  WHERE a IN (SELECT v FROM d$i WHERE deg >= $k)
+         |    AND b IN (SELECT v FROM d$i WHERE deg >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT n1.n_name AS src, n2.n_name AS dst, count(1)::BIGINT AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE n1.n_name <> n2.n_name
+       |  GROUP BY 1, 2),
+       |aw AS (SELECT avg(w) AS aw FROM tr),
+       |ed AS (SELECT src, dst FROM tr CROSS JOIN aw WHERE w > aw),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM ed),
+       |$peel
+       |SELECT v, count(*)::BIGINT AS core_deg FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY v""".stripMargin
+  }
+
   private def pageRankNationsOracle(iters: Int): String = {
     val base =
       """WITH e AS (
@@ -473,6 +571,44 @@ object Extras {
         |  min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
         |  max(epoch_us(ts::TIMESTAMP)) AS max_ts_us
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_agg_state_merge" ->
+      """SELECT o_custkey, count(*)::BIGINT AS cnt,
+        |  round(sum(o_totalprice), 4) AS sum_v,
+        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+        |  round(sum(o_totalprice) / count(*), 6) AS avg_v
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o_old AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+        |o_new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 13 <> 5),
+        |d AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM o_old a FULL OUTER JOIN o_new b ON a.o_orderkey = b.o_orderkey)
+        |SELECT change, count(*)::BIGINT AS n, sum(k)::BIGINT AS key_sum
+        |FROM d WHERE change <> 'unchanged' GROUP BY change""".stripMargin,
+    "q_kcore" -> kCoreOracle(k = 3, rounds = 8),
+    "q_join_size_estimate" ->
+      """WITH lc AS (SELECT l_partkey AS k, count(*)::BIGINT AS cl
+        |            FROM lineitem GROUP BY 1),
+        |rc AS (SELECT l_partkey AS k, count(*)::BIGINT AS cr
+        |       FROM lineitem GROUP BY 1),
+        |j AS (SELECT cl * cr AS rows_k FROM lc JOIN rc USING (k))
+        |SELECT count(*)::BIGINT AS n_matched_keys,
+        |  coalesce(sum(rows_k), 0)::BIGINT AS join_rows,
+        |  coalesce(max(rows_k), 0)::BIGINT AS max_key_rows,
+        |  round(CASE WHEN sum(rows_k) > 0
+        |    THEN max(rows_k)::DOUBLE / sum(rows_k) ELSE 0.0 END, 6)
+        |    AS top_key_share
+        |FROM j""".stripMargin,
     "q_triangle_count" ->
       """WITH tr AS (
         |  SELECT n1.n_name AS src, n2.n_name AS dst, count(1)::BIGINT AS w

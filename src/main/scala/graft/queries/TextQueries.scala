@@ -28,6 +28,14 @@ object TextQueries {
           "stopword_ratio", "alnum_ratio")
     },
 
+    // the full Gopher/C4 rule battery in one codegen'd projection:
+    // per-doc signals + per-rule outcomes folded into `keep`
+    // (TextAnalysis.gopherQualityFilter)
+    "q_gopher_filter" -> { (s, dir) =>
+      TextAnalysis.gopherQualityFilter(
+        table(s, dir, "documents"), "doc_id", "text")
+    },
+
     "q_lang_id" -> { (s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -155,6 +163,48 @@ object TextQueries {
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "q_gopher_filter" -> {
+      val stopHits = graft.operators.TextAnalysis.GopherStopwords
+        .map(w => s"CASE WHEN list_contains(lt, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, coalesce(text, '') AS txt,
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |      x -> x <> '') AS toks,
+         |    list_filter(string_split(coalesce(text, ''), chr(10)),
+         |      x -> x <> '') AS lns
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, txt, toks, lns,
+         |    list_transform(toks, x -> lower(x)) AS lt,
+         |    len(toks)::BIGINT AS n_words, len(lns)::BIGINT AS n_lines,
+         |    greatest(len(toks), 1) AS nw, greatest(len(lns), 1) AS nl
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, n_words, n_lines,
+         |    round(coalesce(list_sum(list_transform(toks, x -> length(x))),
+         |      0)::DOUBLE / nw, 6) AS mean_word_len,
+         |    round(len(list_filter(toks,
+         |      x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nw, 6)
+         |      AS frac_alpha_words,
+         |    round(((length(txt) - length(replace(txt, '#', ''))) +
+         |      len(regexp_extract_all(txt, '\\.\\.\\.|…')))::DOUBLE / nw, 6)
+         |      AS symbol_ratio,
+         |    round(len(list_filter(lns, x -> x LIKE '- %' OR x LIKE '* %'
+         |      OR x LIKE '• %'))::DOUBLE / nl, 6) AS frac_bullet_lines,
+         |    round(len(list_filter(lns, x -> x LIKE '%...'
+         |      OR x LIKE '%…'))::DOUBLE / nl, 6) AS frac_ellipsis_lines,
+         |    ($stopHits)::BIGINT AS n_stop_hits
+         |  FROM s)
+         |SELECT doc_id, n_words, n_lines, mean_word_len, frac_alpha_words,
+         |  symbol_ratio, frac_bullet_lines, frac_ellipsis_lines, n_stop_hits,
+         |  CASE WHEN n_words >= 10 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND frac_alpha_words >= 0.8 AND symbol_ratio <= 0.1
+         |    AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+         |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+         |FROM m""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -945,8 +945,17 @@ object Dedup {
   def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4, minShared: Int = 2,
       maxDf: Int = 100): DataFrame = {
-    val fp = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, window)
+    // CACHE the exploded fingerprints: they feed four consumers (the
+    // df-cap aggregate, the prune join, the per-doc sizes, and BOTH
+    // sides of the self-join), and the winnow hash scan is the
+    // dominant cost — uncached, Spark re-evaluates it per consumer
+    // (measured 26s -> the fps pass alone was 8s at sf0.1 on the md5
+    // family); the cached (id, fp) pairs are two fixed-width columns,
+    // tiny next to the text. The FAST (rolling-polynomial) family cuts
+    // the scan itself ~100x on top.
+    val fp = TextAnalysis.winnowFingerprintsFast(df, idCol, textCol, k, window)
       .select(col("id"), explode(col("fps")).as("fp"))
+      .cache()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("fp")

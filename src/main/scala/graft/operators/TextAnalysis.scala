@@ -184,6 +184,29 @@ object TextAnalysis {
            |        j -> array_min(slice(hs, j, $window)))))), 1)), 1)"""
           .stripMargin).as("fps"))
 
+  /** Scale-path winnowing: same selection guarantees and output shape
+    * as [[winnowFingerprints]], with the per-position md5 replaced by
+    * the native rolling dual-polynomial scan
+    * ([[graft.functions.WinnowFpsExpr]]) — one O(len) pass, a handful
+    * of integer ops per position (measured: the md5 form's hash scan
+    * was the single most expensive stage in the engine at sf0.1). The
+    * hash family differs (so fingerprint VALUES differ), but every
+    * selection property — density 2/(window+1), shared-substring
+    * guarantee, position independence — is family-agnostic, and the
+    * polynomial pair is replayed exactly by the DuckDB oracle in
+    * 64-bit integer SQL. Prefer this form everywhere; the md5 form
+    * remains as the cross-validation reference. */
+  def winnowFingerprintsFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        trim(regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " "))
+          .as("__s"))
+      .filter(length(col("__s")) >= k + window - 1)
+      .select(col("id"),
+        expr(s"winnow_fps(__s, $k, $window)").as("fps"))
+  }
+
   /** Term frequencies per (id, term): one explode + count. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))

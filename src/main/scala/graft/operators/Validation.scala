@@ -64,4 +64,70 @@ object Validation {
       .select(col("r.constraint").as("constraint"),
         col("r.metric").as("metric"), col("r.passed").as("passed"))
   }
+
+  /** One-pass column profiler — the "describe the table" audit every
+    * ingest runs before anything trains on it: per column, row/null/
+    * distinct counts plus min/max (numeric columns natively, string
+    * columns lexicographically; each family in its own typed column so
+    * no cross-engine float formatting ever round-trips through text).
+    * All columns profile in ONE aggregation (the distinct counts are
+    * the shuffle-bearing part — Spark plans them as a single Expand,
+    * so cost scales with |cols| × one scan, not |cols| scans). At
+    * 100 TB swap `exactDistinct=false` to profile with
+    * `approx_count_distinct` and keep the aggregation state O(1) per
+    * column instead of |distinct values|. */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val numeric: Set[String] = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSet
+    val aggs = cols.flatMap { c =>
+      val d = if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__null_$c"),
+        d.as(s"__d_$c"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__minn_$c"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__maxn_$c"),
+        (if (numeric(c)) lit(null).cast("string") else min(col(c)).cast("string"))
+          .as(s"__mins_$c"),
+        (if (numeric(c)) lit(null).cast("string") else max(col(c)).cast("string"))
+          .as(s"__maxs_$c"))
+    }
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__d_$c").as("n_distinct"),
+        col(s"__minn_$c").as("min_num"), col(s"__maxn_$c").as("max_num"),
+        col(s"__mins_$c").as("min_str"), col(s"__maxs_$c").as("max_str"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column").as("column"), col("r.n_rows").as("n_rows"),
+        col("r.n_null").as("n_null"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_num").as("min_num"), col("r.max_num").as("max_num"),
+        col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+  }
+
+  /** Piggyback the [[validate]] metrics onto an EXISTING job instead of
+    * paying a separate scan: `df.observe` evaluates the same aggregate
+    * expressions inside whatever action next materializes `df` (a
+    * write, a downstream aggregation), and the returned
+    * `Observation` yields the metrics afterwards. At 100 TB this is
+    * the difference between "validate then write" (two scans) and
+    * "validate WHILE writing" (one). Constraint names become metric
+    * keys; read them as `obs.get(name)` after the action completes.
+    * Restriction inherited from `observe`: no distinct aggregates —
+    * [[unique]] checks stay in the scan-bearing [[validate]] path. */
+  def observedValidate(df: DataFrame, checks: Seq[Check])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "need at least one check")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = checks.map(c => c.metric.cast("long").as(c.name))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 }

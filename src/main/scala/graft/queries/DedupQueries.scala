@@ -822,21 +822,7 @@ object DedupQueries {
     // winnowing pairs: the q_winnow_fingerprint CTE shape at k=24/w=8,
     // then df-capped self-join on the fingerprint value
     "q_winnow_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS s
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(s) - 22),
-        |      i -> CAST(('0x' || substring(md5(substring(s, i, 24)), 1, 15))
-        |                AS BIGINT)) AS hs
-        |  FROM d WHERE length(s) >= 31),
-        |f AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(hs) - 6),
-        |      j -> list_min(hs[j : j + 7]))) AS fps
-        |  FROM h),
+      s"""WITH ${graft.queries.TextQueries.winnowPolyCtes(24, 8)},
         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
         |rare AS (SELECT fp FROM (SELECT fp, count(1) AS c FROM fp GROUP BY 1)
         |         WHERE c <= 50),

@@ -117,6 +117,13 @@ object Extras {
     // above-average edge weight so it isn't near-complete; the operator
     // uses degree orientation (out-degree bounded O(sqrt m)) — see
     // Graph.triangleStats. 1-row broadcasts: avg threshold + stat rows
+    // one-pass column profiler over mixed numeric/string columns: every
+    // stat for every column in ONE aggregation (single Expand for the
+    // distinct counts — |cols| x one scan, not |cols| scans)
+    "q_profile_lineitem" -> { (s, dir) =>
+      graft.operators.Validation.profile(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    },
     // incremental rollup maintenance: per-customer order stats kept as
     // a mergeable state table; the pre-cutoff state absorbs the
     // post-cutoff delta WITHOUT re-touching pre-cutoff raw rows, and
@@ -571,6 +578,27 @@ object Extras {
         |  min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
         |  max(epoch_us(ts::TIMESTAMP)) AS max_ts_us
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_profile_lineitem" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS column, count(*)::BIGINT AS n_rows,
+           |  coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+           |    AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+           |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS column, count(*)::BIGINT AS n_rows,
+           |  coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+           |    AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+           |  min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str
+           |FROM lineitem""".stripMargin
+      Seq(num("l_orderkey"), num("l_quantity"),
+        str("l_returnflag"), str("l_shipdate"))
+        .mkString("\nUNION ALL\n")
+    },
     "q_agg_state_merge" ->
       """SELECT o_custkey, count(*)::BIGINT AS cnt,
         |  round(sum(o_totalprice), 4) AS sum_v,

@@ -54,7 +54,7 @@ object TextQueries {
     // fingerprint; the robust local-fingerprint complement to the
     // whole-doc hashes in q_fingerprint
     "q_winnow_fingerprint" -> { (s, dir) =>
-      TextAnalysis.winnowFingerprints(table(s, dir, "documents"),
+      TextAnalysis.winnowFingerprintsFast(table(s, dir, "documents"),
           "doc_id", "text")
         .select(col("id").as("doc_id"), explode(col("fps")).as("fp"))
     },
@@ -362,25 +362,12 @@ object TextQueries {
         |             THEN 1.0 - len(list_distinct(ng))::DOUBLE / len(ng)
         |             ELSE 0.0 END, 6) AS rep_ratio
         |FROM t""".stripMargin,
-    // winnowing: k=8 char-gram md5-60bit hashes, window-4 minima,
-    // sorted-distinct — pure integer selection, bit-exact cross-engine
+    // winnowing: k=8 codepoint-gram dual-polynomial hashes (the native
+    // WinnowFps rolling scan, replayed below in 64-bit integer SQL),
+    // window-4 minima, sorted-distinct — bit-exact cross-engine
     "q_winnow_fingerprint" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS s
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(s) - 6),
-        |      i -> CAST(('0x' || substring(md5(substring(s, i, 8)), 1, 15))
-        |                AS BIGINT)) AS hs
-        |  FROM d WHERE length(s) >= 11),
-        |f AS (
-        |  SELECT doc_id,
-        |    list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
-        |      j -> list_min(hs[j : j + 3])))) AS fps
-        |  FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
+      s"""WITH ${winnowPolyCtes(8, 4)}
+         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
     // bigram LM: pair stream replayed via two parallel unnests (DuckDB
     // zips equal-length lists); smoothing arithmetic is pure doubles,
     // rounded at 6 like the unigram twin
@@ -484,4 +471,41 @@ object TextQueries {
         |  count(DISTINCT masked) AS n_distinct_masked
         |FROM t GROUP BY event_type""".stripMargin,
   )
+
+  /** DuckDB replay of [[graft.functions.WinnowFpsExpr]]'s dual
+    * polynomial hash family as the `d` → `h` → `f` CTE prefix shared
+    * by q_winnow_fingerprint and q_winnow_pairs: per-position k-gram
+    * hashes as the direct power-weighted codepoint sums (identical to
+    * the engine's rolling form by modular arithmetic — every term and
+    * the sum stay under 2⁵⁷, so plain BIGINTs suffice), window minima,
+    * sorted-distinct. */
+  def winnowPolyCtes(k: Int, w: Int): String = {
+    def pows(b: Long, m: Long): String = {
+      val arr = new Array[Long](k)
+      arr(k - 1) = 1L
+      for (j <- k - 2 to 0 by -1) arr(j) = arr(j + 1) * b % m
+      arr.mkString("[", ", ", "]")
+    }
+    val pw1 = pows(31L, 2147483647L)
+    val pw2 = pows(37L, 1000000007L)
+    s"""d AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(s) - ${k - 2}), i ->
+       |      (list_sum(list_transform(range(0, $k), j ->
+       |        unicode(substring(s, i + j, 1))::BIGINT * ($pw1)[j + 1]))
+       |        % 2147483647)::BIGINT * 1000000007 +
+       |      (list_sum(list_transform(range(0, $k), j ->
+       |        unicode(substring(s, i + j, 1))::BIGINT * ($pw2)[j + 1]))
+       |        % 1000000007)::BIGINT) AS hs
+       |  FROM d WHERE length(s) >= ${k + w - 1}),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(range(1, len(hs) - ${w - 2}),
+       |      j -> list_min(hs[j : j + ${w - 1}])))) AS fps
+       |  FROM h)""".stripMargin
+  }
 }

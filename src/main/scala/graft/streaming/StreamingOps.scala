@@ -492,4 +492,38 @@ object StreamingOps {
     val tc = graft.operators.Pca.trainTopComponent(corpus, idCol, vecCol, iters)
     graft.operators.Pca.project(newVecs, idCol, vecCol, tc)
   }
+
+  /** Streaming twin of [[graft.operators.Upsert.aggState]]: because the
+    * state row is a mergeable monoid (count/sum/min/max), the batch
+    * operator IS the streaming operator — applied to a streaming frame
+    * it plans a native stateful aggregation whose state store holds
+    * exactly one state row per key, updated per micro-batch (run in
+    * `update` output mode). No foreachBatch, no custom state class:
+    * this is the case where designing the batch operator around
+    * mergeability makes Structured Streaming adopt it verbatim. */
+  def runningAggState(stream: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame =
+    graft.operators.Upsert.aggState(stream, keyCols, valueCol)
+
+  /** Delta-emitting form for a PERSISTED state table: each micro-batch
+    * collapses to its per-key partial state
+    * ([[graft.operators.Upsert.aggState]]) and the sink merges it into
+    * the stored table with
+    * [[graft.operators.Upsert.mergeAggStates]] — O(|state| + |batch|)
+    * per trigger, raw history never re-read. Merge associativity +
+    * commutativity make the result micro-batching-invariant: folding
+    * ANY partition of the input through mergeAggStates equals the
+    * one-shot aggState (StreamingSpec pins this with
+    * maxFilesPerTrigger=1). This is the streaming face of the nightly
+    * incremental-rollup contract (q_agg_state_merge). */
+  def incrementalAggStateDeltas(newRows: DataFrame, keyCols: Seq[String],
+      valueCol: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Upsert.aggState(batch.toDF(), keyCols, valueCol),
+          batchId)
+      }
+      .outputMode("append")
+      .start()
 }

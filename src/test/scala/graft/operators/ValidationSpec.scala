@@ -52,4 +52,43 @@ class ValidationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
   }
+
+  test("profile: numeric and string columns, nulls and distincts exact") {
+    val df = Seq((1L, Option(2.0), Option("b")), (2L, None, Option("a")),
+      (3L, Option(5.0), None), (3L, Option(5.0), Option("a")))
+      .toDF("id", "v", "s")
+    val got = Validation.profile(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = got("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L && id.getLong(3) === 3L)
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 3.0)
+    assert(id.isNullAt(6) && id.isNullAt(7))
+    val v = got("v")
+    assert(v.getLong(2) === 1L && v.getLong(3) === 2L)
+    assert(v.getDouble(4) === 2.0 && v.getDouble(5) === 5.0)
+    val s = got("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) === "a" && s.getString(7) === "b")
+  }
+
+  test("profile: one scan for the whole battery") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val p = Validation.profile(df, Seq("l_orderkey", "l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
+  }
+
+  test("observedValidate: metrics ride the main action, values match validate") {
+    val df = Seq((1L, 10.0), (2L, -3.0), (3L, 7.0)).toDF("id", "v")
+    val checks = Seq(Validation.nonEmpty(),
+      Validation.inRange("v", 0.0, 100.0))
+    val (observed, obs) = Validation.observedValidate(df, checks)
+    // ONE action materializes data AND metrics — no second scan
+    val n = observed.count()
+    assert(n === 3L)
+    val m = obs.get
+    assert(m("non_empty") === 3L)
+    assert(m("in_range(v)") === 1L) // one violation
+  }
 }

@@ -67,6 +67,7 @@ class Round3PlanSpec extends SparkSpec {
       "q_bm25_score",               // broadcast 1-row (N, avgdl)
       "q_dsir_weights",             // broadcast 1-row (T, R) totals
       "q_dsir_resample",            // same totals feeding the top-k
+      "q_temporal_split",           // broadcast 1-row quantile cutoff
       // broadcast k-row centroid table: the >32-cell assignment path
       // (Clustering.LiteralArgminMax scaladoc) — bounded by nCells
       "q_ann_ivf_topk_wide",

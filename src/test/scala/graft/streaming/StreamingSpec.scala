@@ -581,4 +581,66 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size === newVecs.count())
     } finally q.stop()
   }
+
+  test("runningAggState in update mode converges to batch aggState") {
+    val stream = StreamingOps.eventsStream(spark, stageEventsDir())
+    val q = StreamingOps.runningAggState(stream, Seq("user_id"), "value")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("aggstate_out").start()
+    try {
+      q.processAllAvailable()
+      // update mode: keep the LAST emitted row per key
+      val streamed = spark.table("aggstate_out")
+        .withColumn("__seq", monotonically_increasing_id())
+        .orderBy("__seq").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4,
+            r.getDouble(3), r.getDouble(4))).toMap
+      val batch = graft.operators.Upsert
+        .aggState(Sources.events(spark, sf0001), Seq("user_id"), "value")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4,
+            r.getDouble(3), r.getDouble(4))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("incrementalAggStateDeltas: per-batch deltas fold to the one-shot state") {
+    val ev = Sources.events(spark, sf0001)
+    val tmp = Files.createTempDirectory("graft_aggstate_stream").toFile
+    tmp.deleteOnExit()
+    ev.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.incrementalAggStateDeltas(
+        stream, Seq("user_id"), "value") { (delta, id) =>
+      deltas.synchronized { batches += id; deltas += delta.cache() }
+    }
+    try {
+      q.processAllAvailable()
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      val folded = deltas.reduce((a, b) =>
+        graft.operators.Upsert.mergeAggStates(a, b, Seq("user_id")))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4,
+            r.getDouble(3), r.getDouble(4))).toMap
+      val oneShot = graft.operators.Upsert
+        .aggState(ev, Seq("user_id"), "value")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4,
+            r.getDouble(3), r.getDouble(4))).toMap
+      assert(folded === oneShot)
+    } finally {
+      q.stop()
+      deltas.foreach(_.unpersist())
+    }
+  }
 }

@@ -24,7 +24,7 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++ graft.queries.EventQueries.queries ++
       graft.queries.MultimodalQueries.queries ++ graft.queries.Extras.queries ++
       graft.queries.TpchQueries.queries ++ graft.queries.StatsQueries.queries ++
-      graft.queries.BpeQueries.queries
+      graft.queries.BpeQueries.queries ++ graft.queries.DriftQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,7 +35,7 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++ graft.queries.EventQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++ graft.queries.Extras.oracles ++
       graft.queries.TpchQueries.oracles ++ graft.queries.StatsQueries.oracles ++
-      graft.queries.BpeQueries.oracles
+      graft.queries.BpeQueries.oracles ++ graft.queries.DriftQueries.oracles
 
   // ---- MapReduce parity core (SURVEY §2 rows 1-7, 13) ----
   private def mapReduceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

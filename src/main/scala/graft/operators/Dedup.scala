@@ -57,6 +57,54 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Line-level corpus dedup — the C4/RefinedWeb rewrite step: any LINE
+    * (newline-delimited) that occurs verbatim in more than one place
+    * across the whole corpus is kept only at its FIRST occurrence
+    * (lowest `(id, pos)`), removed everywhere else, and each document
+    * is reassembled from its surviving lines in original order. Lines
+    * shorter than `minChars` are structural (headings, blanks,
+    * separators) and always kept — deduping them would shred every
+    * document the same way C4's authors found before adding the same
+    * guard. Output: `(id, text_dedup, n_lines, n_removed)` — one row
+    * per input document, including documents that lose every line
+    * (empty `text_dedup`), so downstream joins stay total.
+    *
+    * Scale shape: one `posexplode` per document; the duplicate decision
+    * is a single aggregation keyed on `md5(line)` (map-side combined —
+    * frequency and first-occurrence `min(struct(id, pos))` in the same
+    * pass) joined back on the same 32-char hash key, so the wide line
+    * strings never shuffle twice; reassembly is one `id`-keyed
+    * aggregation with a per-document `sort_array` fold (bounded by
+    * lines-per-doc, no window). NO broadcast hint on the frequency
+    * join: the distinct-line table is corpus-sized at web scale (the
+    * [[TextAnalysis.tfidfWeights]] vocabulary reasoning); AQE
+    * broadcasts it only when it genuinely fits. */
+  def lineLevelDedup(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 10): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val tagged = lines.withColumn("__h",
+      when(length(col("line")) >= minChars, md5(col("line").cast("binary"))))
+    val freq = tagged.where(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__c"))
+    tagged
+      // null __h (short lines) never matches — those rows pass through kept
+      .join(freq, Seq("__h"), "left")
+      .withColumn("__kept", col("__h").isNull || col("__c") === 1 ||
+        (col("__first.id") === col("id") && col("__first.pos") === col("pos")))
+      .groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(
+              when(col("__kept"), struct(col("pos"), col("line"))))),
+            x => x("line"))).as("text_dedup"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Cross-document duplicated-n-gram fraction per document — the
     * "how much of this doc also appears elsewhere" diagnostic behind
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between a reference sample and a
+  * current sample of the same column — the pipeline-health check a
+  * training-data pipeline runs on every ingest batch (did yesterday's
+  * crawl shift the length / quality / language mix?) and on every
+  * model-serving feature (training-vs-serving skew).
+  *
+  * The reference has no monitoring surface (SURVEY.md §2); this is
+  * extension surface per the north star, shaped like the published
+  * practice: PSI (population stability index, the banking-standard
+  * drift score), a binned two-sample Kolmogorov–Smirnov statistic, and
+  * Jensen–Shannon / chi-square / total-variation over categorical
+  * mixes.
+  *
+  * Scale design: nothing here sorts or windows the data globally.
+  *  - Numeric drift bins BOTH samples against the reference's
+  *    equi-depth cutpoints (one one-row percentile aggregate,
+  *    broadcast back — the `Stats.histogram` bounds idiom). Each side
+  *    is then one map-side-combinable `groupBy(bin).count` over
+  *    `nBins` keys; everything downstream operates on the ≤ 2·nBins
+  *    bin rows, collapsed into ONE bounded sorted array and folded
+  *    with higher-order functions (the `Stats.distributedNtile`
+  *    no-WindowExec idiom: prefix CDFs via array folds, not windows).
+  *  - Categorical drift is two grouped counts full-outer-joined on the
+  *    category key — one shuffle per side, output rows = distinct
+  *    categories. The summary is a single aggregation over that.
+  *  - The exact KS statistic over raw values would need a global
+  *    merge-sort of both samples; the binned statistic evaluates both
+  *    ECDFs only at the reference's `nBins-1` quantile cutpoints,
+  *    which bounds the error at the bin mass and keeps the plan
+  *    scan+agg only. Raise `nBins` for resolution; the cost stays
+  *    O(nBins), not O(n log n).
+  *
+  * Engine portability (the DuckDB-oracle discipline): cutpoints are
+  * `floor()`ed to whole units (the `Sampling.temporalSplit` pattern —
+  * interpolated percentiles differ in the last ulp across engines;
+  * floored ones cannot), rows bin by `count(cuts strictly below v)`,
+  * smoothed fractions use exact add-½ Laplace constants, and final
+  * floating outputs are rounded to 6 decimals.
+  */
+object Drift {
+
+  /** Per-bin contingency table of `valueCol` in `ref` vs `cur`:
+    * `(bin, ref_n, cur_n, ref_frac, cur_frac)`, bins defined by the
+    * REFERENCE sample's equi-depth cutpoints (floored to integer
+    * units; pre-scale the column upstream for sub-unit resolution).
+    * Fractions are Laplace-smoothed — `(n + ½) / (N + nBins/2)` — so
+    * an empty bin on either side stays finite in PSI/KS ratios.
+    * Bins run 0..nBins-1; every bin row is present even when both
+    * sides are empty there. */
+  def binnedCounts(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 4096, s"nBins out of range: $nBins")
+    val v = col(valueCol).cast("double")
+    // reference-defined cutpoints: nBins-1 interior equi-depth quantiles,
+    // floored (cross-engine exact); one-row aggregate, broadcast back
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = ref.agg(
+      transform(percentile(v, array(qs.map(lit): _*)), c => floor(c))
+        .as("__cuts"))
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.select(v.as("__v")).where(col("__v").isNotNull)
+        .crossJoin(broadcast(cuts))
+        // bin = number of cutpoints strictly below v (ties at a floored
+        // cutpoint land in the LEFT bin — replayed verbatim in the oracle)
+        .select(size(filter(col("__cuts"), c => c < col("__v"))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(s"${side}_n"))
+    val spine = cuts.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val joined = spine
+      .join(binned(ref, "ref"), Seq("bin"), "left")
+      .join(binned(cur, "cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // totals ride along as a one-row broadcast aggregate (no driver
+    // action). `joined` appears twice in the plan; its per-side grouped
+    // counts sit directly above shuffle exchanges with identical
+    // canonical subtrees, so ReuseExchange serves the second reference
+    // from the first's shuffle files — the base tables are scanned once
+    // per side, not twice.
+    val totals = joined.agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        ((col("ref_n") + lit(0.5)) / (col("__rt") + lit(nBins * 0.5))).as("ref_frac"),
+        ((col("cur_n") + lit(0.5)) / (col("__ct") + lit(nBins * 0.5))).as("cur_frac"))
+  }
+
+  /** One-row numeric drift summary:
+    * `(psi, ks_stat, n_ref, n_cur)` with
+    * `psi = Σ_b (cur_frac−ref_frac)·ln(cur_frac/ref_frac)` and
+    * `ks_stat = max_b |CDF_ref(b) − CDF_cur(b)|` over the binned CDFs.
+    * The ≤ nBins bin rows collapse into one sorted array; PSI and the
+    * running-CDF sup are higher-order folds over it — zero WindowExec,
+    * bounded buffer (the engine-wide no-unpartitioned-window
+    * invariant). Common thresholds: PSI < 0.1 stable, 0.1–0.25 drift
+    * warning, > 0.25 action. */
+  def psiKs(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int): DataFrame =
+    binnedCounts(ref, cur, valueCol, nBins)
+      .agg(
+        sum(col("ref_n")).as("n_ref"), sum(col("cur_n")).as("n_cur"),
+        round(sum((col("cur_frac") - col("ref_frac")) *
+          log(col("cur_frac") / col("ref_frac"))), 6).as("__psi"),
+        sort_array(collect_list(struct(col("bin"),
+          col("ref_frac"), col("cur_frac")))).as("__arr"))
+      .withColumn("__ks", expr(
+        // fold carries (ref CDF, cur CDF, best sup) through the sorted bins
+        """aggregate(__arr,
+          |  named_struct('r', cast(0.0 as double), 'c', cast(0.0 as double),
+          |               'best', cast(0.0 as double)),
+          |  (a, x) -> named_struct(
+          |    'r', a.r + x.ref_frac, 'c', a.c + x.cur_frac,
+          |    'best', greatest(a.best, abs((a.r + x.ref_frac) - (a.c + x.cur_frac)))),
+          |  a -> round(a.best, 6))""".stripMargin))
+      .select(col("__psi").as("psi"), col("__ks").as("ks_stat"),
+        col("n_ref"), col("n_cur"))
+
+  /** One-row categorical-mix drift summary over `catCol`:
+    * `(js_divergence, chi_square, tvd, n_categories, n_ref, n_cur)`.
+    *  - `js_divergence` — Jensen–Shannon divergence (natural log,
+    *    ∈ [0, ln 2]) between the smoothed mixes: symmetric, finite for
+    *    disjoint supports (unlike KL).
+    *  - `chi_square` — Pearson statistic of the current counts against
+    *    expected counts at reference proportions (the classic
+    *    homogeneity test input; compare against a χ² table upstream).
+    *  - `tvd` — total variation distance `½·Σ|p−q|`, the "what
+    *    fraction of mass moved" number humans read best.
+    * Shape: one grouped count per side (map-side combined), a
+    * full-outer join on the category key — NO broadcast hint: a
+    * categorical column at web scale (domains, URLs) can have 10⁸
+    * categories, and AQE broadcasts whenever a side actually fits —
+    * then a single aggregation over the category rows. */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    val refN = ref.groupBy(col(catCol).as("__k")).agg(count(lit(1)).as("ref_n"))
+    val curN = cur.groupBy(col(catCol).as("__k")).agg(count(lit(1)).as("cur_n"))
+    val joined = refN.join(curN, Seq("__k"), "full_outer")
+      .select(col("__k"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(
+      sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"),
+      count(lit(1)).as("__k_n"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("ref_n"), col("cur_n"), col("__rt"), col("__ct"), col("__k_n"),
+        ((col("ref_n") + lit(0.5)) / (col("__rt") + col("__k_n") * lit(0.5))).as("__p"),
+        ((col("cur_n") + lit(0.5)) / (col("__ct") + col("__k_n") * lit(0.5))).as("__q"))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+      .agg(
+        round(sum(col("__p") * log(col("__p") / col("__m")) * lit(0.5) +
+          col("__q") * log(col("__q") / col("__m")) * lit(0.5)), 6)
+          .as("js_divergence"),
+        // expected current count at reference proportions; the smoothed
+        // proportions keep ref-absent categories finite
+        round(sum(pow(col("cur_n") - col("__p") * col("__ct"), 2) /
+          (col("__p") * col("__ct"))), 6).as("chi_square"),
+        round(sum(abs(col("__p") - col("__q"))) / lit(2.0), 6).as("tvd"),
+        max(col("__k_n")).as("n_categories"),
+        max(col("__rt")).as("n_ref"), max(col("__ct")).as("n_cur"))
+  }
+}

@@ -698,4 +698,53 @@ object TextAnalysis {
           col("n_stop_hits") >= 2L).cast("int"))
       .drop("__t", "__toks", "__lines")
   }
+
+  /** URL canonicalization + registered-domain extraction — the
+    * crawl-side curation primitives (per-domain caps, blocklist joins,
+    * and URL-level dedup all key on these). Appends three columns:
+    *  - `url_norm`: scheme and host lowercased, userinfo and port and
+    *    fragment stripped, leading `www.` dropped, trailing path
+    *    slashes trimmed (bare root normalizes to `/`), tracking
+    *    parameters (`utm_*`, `fbclid*`, `gclid*`) removed and the
+    *    surviving query parameters sorted — so syntactic variants of
+    *    the same resource collapse to one key;
+    *  - `host`: the normalized host alone;
+    *  - `registered_domain`: last two host labels, or last three when
+    *    the TLD is 2 chars and the second-level label is a known
+    *    registry affix (`co|com|net|org|gov|ac|edu` — the heuristic
+    *    core of the public-suffix list; a full PSL would ship as a
+    *    broadcast lookup table, same plan shape).
+    *
+    * Pure codegen'd string expressions — no UDF, no shuffle, scales as
+    * a projection over the scan. Every regexp is Java/RE2/DuckDB
+    * portable (the [[maskPii]] pattern-subset discipline). */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = element_at(split(auth, "@"), -1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostPort, ":[0-9]*$", "")), "^www\\.", "")
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathTrim = regexp_replace(path0, "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val query0 = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike("^(utm_|fbclid|gclid)"))
+    val qnorm = array_join(array_sort(params), "&")
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    // branches guard their element_at/slice bounds (ANSI-safe: CaseWhen
+    // only evaluates the matched branch)
+    val dom = when(n >= 3 && length(element_at(parts, -1)) === 2 &&
+        element_at(parts, -2).isin("co", "com", "net", "org", "gov", "ac", "edu"),
+        concat_ws(".", slice(parts, -3, 3)))
+      .when(n >= 2, concat_ws(".", slice(parts, -2, 2)))
+      .otherwise(host)
+    df.withColumn("url_norm",
+        concat(scheme, lit("://"), host, path,
+          when(qnorm === "", lit("")).otherwise(concat(lit("?"), qnorm))))
+      .withColumn("host", host)
+      .withColumn("registered_domain", dom)
+  }
 }

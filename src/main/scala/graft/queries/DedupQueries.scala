@@ -224,6 +224,24 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_kept"), col("n_removed"))
     },
+    // C4/RefinedWeb line-level dedup: corpus-duplicated lines survive
+    // only at their first occurrence, docs reassembled. The synthetic
+    // docs are single-line, so the query first reflows each into
+    // 8-word lines (deterministic — the oracle replays the reflow).
+    "q_line_dedup" -> { (s, dir) =>
+      val reflowed = table(s, dir, "documents")
+        .withColumn("__toks",
+          graft.operators.TextAnalysis.tokens(col("text")))
+        .withColumn("text_lines",
+          when(size(col("__toks")) === 0, lit(""))
+            .otherwise(concat_ws("\n",
+              transform(
+                sequence(lit(0), expr("(size(__toks) + 7) div 8").cast("int") - 1),
+                i => array_join(slice(col("__toks"), i * lit(8) + 1, lit(8)), " ")))))
+      Dedup.lineLevelDedup(reflowed, "doc_id", "text_lines", minChars = 10)
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_lines"), col("n_removed"))
+    },
     // duplicated-3-gram fraction per doc (Lee et al. substring-dedup
     // ranking signal) — no pair join, just shingle frequencies
     "q_dup_ngram_stats" -> { (s, dir) =>
@@ -521,6 +539,43 @@ object DedupQueries {
         |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_line_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |rf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN ''
+        |         ELSE array_to_string(
+        |           list_transform(range(0, (len(toks) + 7) // 8),
+        |             i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+        |           chr(10)) END AS text
+        |  FROM tk),
+        |ln AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM rf),
+        |tg AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN length(line) >= 10 THEN md5(line) END AS h
+        |  FROM ln),
+        |st AS (
+        |  SELECT doc_id, pos, line,
+        |    count(*) OVER (PARTITION BY h) AS c,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM tg WHERE h IS NOT NULL),
+        |fl AS (
+        |  SELECT doc_id, pos, line, true AS keep FROM tg WHERE h IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, pos, line, (c = 1 OR rn = 1) AS keep FROM st)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+        |    '') AS text_dedup,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+        |FROM fl GROUP BY doc_id""".stripMargin,
     "q_remove_dup_spans" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Drift, Sampling}
+import graft.sources.Sources
+
+/** Drift-monitoring queries: the ingest-batch health checks a
+  * training-data pipeline runs between every crawl snapshot. Both
+  * queries split `events` at its exact median event time (the
+  * [[Sampling.temporalSplit]] in-plan cutoff — "last week" as the
+  * reference, "this week" as the current batch) and ask whether the
+  * numeric value distribution / the event-type mix moved.
+  *
+  * Oracles replay the whole computation in DuckDB: the floored
+  * epoch-second cutoff, the floored equi-depth cutpoints
+  * (`quantile_cont` == Spark `percentile`), strictly-below binning,
+  * add-½ Laplace smoothing, and the PSI/KS/JS/χ²/TVD arithmetic —
+  * full rows+schema+hash compares, no contract gating.
+  */
+object DriftQueries {
+
+  private def splitHalves(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Sources.events(s, dir)
+    val tagged = Sampling.temporalSplit(ev, col("ts"), 0.5)
+    (tagged.filter(col("split") === "train").drop("split"),
+      tagged.filter(col("split") === "test").drop("split"))
+  }
+
+  /** The shared early/late CTE prefix of both oracles (the
+    * `temporalSplit(0.5)` replay: cutoff floored to epoch seconds). */
+  private val splitCte =
+    """WITH cutoff AS (
+      |  SELECT floor(quantile_cont(epoch_us(ts::TIMESTAMP), 0.5))::BIGINT // 1000000 AS cut_s
+      |  FROM events
+      |), ref_rows AS (
+      |  SELECT * FROM events, cutoff
+      |  WHERE epoch_us(ts::TIMESTAMP) // 1000000 <= cut_s
+      |), cur_rows AS (
+      |  SELECT * FROM events, cutoff
+      |  WHERE epoch_us(ts::TIMESTAMP) // 1000000 > cut_s
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // numeric drift of `value`, early half vs late half, 16 equi-depth
+    // bins defined by the early half
+    "q_drift_numeric" -> { (s, dir) =>
+      val (ref, cur) = splitHalves(s, dir)
+      Drift.psiKs(ref, cur, "value", 16)
+    },
+    // per-bin contingency table behind the summary — the drilldown a
+    // dashboard renders when q_drift_numeric alerts
+    "q_drift_bins" -> { (s, dir) =>
+      val (ref, cur) = splitHalves(s, dir)
+      Drift.binnedCounts(ref, cur, "value", 8)
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          round(col("ref_frac"), 6).as("ref_frac"),
+          round(col("cur_frac"), 6).as("cur_frac"))
+    },
+    // categorical mix drift of `event_type`, early vs late
+    "q_drift_categorical" -> { (s, dir) =>
+      val (ref, cur) = splitHalves(s, dir)
+      Drift.categoricalDrift(ref, cur, "event_type")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_drift_numeric" -> (splitCte +
+      """, cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [0.0625,0.125,0.1875,0.25,0.3125,0.375,0.4375,0.5,
+        |                          0.5625,0.625,0.6875,0.75,0.8125,0.875,0.9375]),
+        |    c -> floor(c)) AS cuts
+        |  FROM ref_rows WHERE value IS NOT NULL
+        |), rb AS (
+        |  SELECT len(list_filter(cuts.cuts, c -> c < value)) AS bin, count(*) AS ref_n
+        |  FROM ref_rows, cuts WHERE value IS NOT NULL GROUP BY 1
+        |), cb AS (
+        |  SELECT len(list_filter(cuts.cuts, c -> c < value)) AS bin, count(*) AS cur_n
+        |  FROM cur_rows, cuts WHERE value IS NOT NULL GROUP BY 1
+        |), spine AS (SELECT unnest(range(0, 16)) AS bin
+        |), tab AS (
+        |  SELECT spine.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |  FROM spine LEFT JOIN rb ON spine.bin = rb.bin LEFT JOIN cb ON spine.bin = cb.bin
+        |), tot AS (SELECT sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct FROM tab
+        |), fr AS (
+        |  SELECT bin, ref_n, cur_n,
+        |    (ref_n + 0.5) / (rt + 8.0) AS ref_frac,
+        |    (cur_n + 0.5) / (ct + 8.0) AS cur_frac,
+        |    rt, ct
+        |  FROM tab, tot
+        |), cum AS (
+        |  SELECT *,
+        |    sum(ref_frac) OVER (ORDER BY bin) AS cum_ref,
+        |    sum(cur_frac) OVER (ORDER BY bin) AS cum_cur
+        |  FROM fr
+        |)
+        |SELECT
+        |  round(sum((cur_frac - ref_frac) * ln(cur_frac / ref_frac)), 6) AS psi,
+        |  round(max(abs(cum_ref - cum_cur)), 6) AS ks_stat,
+        |  max(rt) AS n_ref, max(ct) AS n_cur
+        |FROM cum""".stripMargin),
+    "q_drift_bins" -> (splitCte +
+      """, cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]),
+        |    c -> floor(c)) AS cuts
+        |  FROM ref_rows WHERE value IS NOT NULL
+        |), rb AS (
+        |  SELECT len(list_filter(cuts.cuts, c -> c < value)) AS bin, count(*) AS ref_n
+        |  FROM ref_rows, cuts WHERE value IS NOT NULL GROUP BY 1
+        |), cb AS (
+        |  SELECT len(list_filter(cuts.cuts, c -> c < value)) AS bin, count(*) AS cur_n
+        |  FROM cur_rows, cuts WHERE value IS NOT NULL GROUP BY 1
+        |), spine AS (SELECT unnest(range(0, 8)) AS bin
+        |), tab AS (
+        |  SELECT spine.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |  FROM spine LEFT JOIN rb ON spine.bin = rb.bin LEFT JOIN cb ON spine.bin = cb.bin
+        |), tot AS (SELECT sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct FROM tab)
+        |SELECT bin, ref_n, cur_n,
+        |  round((ref_n + 0.5) / (rt + 4.0), 6) AS ref_frac,
+        |  round((cur_n + 0.5) / (ct + 4.0), 6) AS cur_frac
+        |FROM tab, tot""".stripMargin),
+    "q_drift_categorical" -> (splitCte +
+      """, r AS (SELECT event_type AS k, count(*) AS ref_n FROM ref_rows GROUP BY 1
+        |), c AS (SELECT event_type AS k, count(*) AS cur_n FROM cur_rows GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(r.k, c.k) AS k,
+        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |  FROM r FULL OUTER JOIN c ON r.k = c.k
+        |), tot AS (
+        |  SELECT sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct,
+        |    count(*) AS kn FROM j
+        |), sm AS (
+        |  SELECT ref_n, cur_n, rt, ct, kn,
+        |    (ref_n + 0.5) / (rt + kn * 0.5) AS p,
+        |    (cur_n + 0.5) / (ct + kn * 0.5) AS q
+        |  FROM j, tot
+        |)
+        |SELECT
+        |  round(sum(p * ln(p / ((p + q) / 2)) * 0.5
+        |          + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS js_divergence,
+        |  round(sum(power(cur_n - p * ct, 2) / (p * ct)), 6) AS chi_square,
+        |  round(sum(abs(p - q)) / 2, 6) AS tvd,
+        |  max(kn) AS n_categories, max(rt) AS n_ref, max(ct) AS n_cur
+        |FROM sm""".stripMargin),
+  )
+}

@@ -144,6 +144,26 @@ object TextQueries {
     },
     // PII scrub audit over the one table with digit-bearing payloads
     // (events.props JSON) — per-type redaction counts + masked shape
+    // URL canonicalization: synthetic-but-messy URLs (case noise,
+    // userinfo, ports, tracking params, fragments, trailing slashes —
+    // deterministic functions of doc_id/source, replayed by the
+    // oracle) collapse to canonical form + registered domain
+    "q_url_normalize" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").withColumn("url",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://www."), col("source"),
+            lit(".Example.COM/a/b/?utm_source=feed&z=9&a=1")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTP://"), col("source"), lit(".example.co.uk:8080/path/"),
+            (col("doc_id") % 5).cast("string"), lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://user@"), col("source"),
+            lit(".example.org/?fbclid=abc&q="), col("lang"), lit("#frag")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".example.net"))))
+      TextAnalysis.normalizeUrls(docs, "url")
+        .select(col("doc_id"), col("url_norm"), col("host"),
+          col("registered_domain"))
+    },
     "q_pii_mask" -> { (s, dir) =>
       graft.sources.Sources.events(s, dir)
         .select(col("event_type"),
@@ -158,6 +178,49 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_url_normalize" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.Example.COM/a/b/?utm_source=feed&z=9&a=1'
+        |      WHEN doc_id % 4 = 1 THEN 'HTTP://' || source || '.example.co.uk:8080/path/' || (doc_id % 5)::VARCHAR || '/'
+        |      WHEN doc_id % 4 = 2 THEN 'https://user@' || source || '.example.org/?fbclid=abc&q=' || lang || '#frag'
+        |      ELSE 'https://' || source || '.example.net'
+        |    END AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
+        |    -- DuckDB regexp_extract yields NULL on no-match (Spark: '')
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query0
+        |  FROM urls),
+        |p2 AS (
+        |  SELECT doc_id, scheme, path0, query0,
+        |    regexp_replace(lower(regexp_replace(string_split(auth, '@')[-1],
+        |      ':[0-9]*$', '')), '^www\.', '') AS host
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, scheme, host,
+        |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |    -- DuckDB array_to_string([]) is NULL where Spark array_join is ''
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query0, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))),
+        |      '&'), '') AS qnorm,
+        |    string_split(host, '.') AS parts
+        |  FROM p2)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url_norm,
+        |  host,
+        |  CASE WHEN len(parts) >= 3 AND length(parts[-1]) = 2
+        |            AND parts[-2] IN ('co','com','net','org','gov','ac','edu')
+        |       THEN array_to_string(parts[-3:], '.')
+        |       WHEN len(parts) >= 2 THEN array_to_string(parts[-2:], '.')
+        |       ELSE host END AS registered_domain
+        |FROM p3""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,

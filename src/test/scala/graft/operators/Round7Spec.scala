@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 wave: drift monitoring (PSI / binned KS / categorical),
+  * C4-style line-level corpus dedup, and URL canonicalization. */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Drift.psiKs / binnedCounts ----
+
+  test("psiKs: identical samples score exactly zero drift") {
+    val ref = (0 until 200).map(i => i.toDouble).toDF("v")
+    val out = Drift.psiKs(ref, ref, "v", 8).collect().head
+    assert(out.getDouble(0) === 0.0) // psi
+    assert(out.getDouble(1) === 0.0) // ks
+    assert(out.getLong(2) === 200L && out.getLong(3) === 200L)
+  }
+
+  test("psiKs: disjoint shifted distribution maxes the binned KS") {
+    val ref = (0 until 200).map(i => i.toDouble).toDF("v")
+    val cur = (0 until 200).map(i => 10000.0 + i).toDF("v")
+    val out = Drift.psiKs(ref, cur, "v", 8).collect().head
+    // all current mass lands in the top bin: KS sup ≈ 7/8, PSI huge
+    assert(out.getDouble(0) > 1.0, s"psi=${out.getDouble(0)}")
+    assert(out.getDouble(1) > 0.8, s"ks=${out.getDouble(1)}")
+  }
+
+  test("binnedCounts: complete spine, counts conserved, fracs sum to 1") {
+    val ref = (0 until 100).map(i => i.toDouble).toDF("v")
+    val cur = (0 until 50).map(i => (i * 2).toDouble).toDF("v")
+    val rows = Drift.binnedCounts(ref, cur, "v", 8).collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getAs[Int]("bin")).sorted.toSeq === (0 until 8))
+    assert(rows.map(_.getAs[Long]("ref_n")).sum === 100L)
+    assert(rows.map(_.getAs[Long]("cur_n")).sum === 50L)
+    assert(math.abs(rows.map(_.getAs[Double]("ref_frac")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("cur_frac")).sum - 1.0) < 1e-9)
+  }
+
+  test("psiKs is partitioning-invariant") {
+    val ref = (0 until 300).map(i => (i % 37).toDouble).toDF("v")
+    val cur = (0 until 300).map(i => (i % 23).toDouble).toDF("v")
+    val a = Drift.psiKs(ref, cur, "v", 16).collect().head
+    val b = Drift.psiKs(ref.repartition(7), cur.repartition(3), "v", 16)
+      .collect().head
+    assert(a === b)
+  }
+
+  // ---- Drift.categoricalDrift ----
+
+  test("categoricalDrift: identical mixes score zero; disjoint near ln 2") {
+    // big enough that add-½ smoothing is negligible (at toy counts the
+    // smoothed mixes overlap substantially by construction)
+    val ref = (0 until 400).map(i => Seq("a", "a", "b", "c")(i % 4)).toDF("k")
+    val same = Drift.categoricalDrift(ref, ref, "k").collect().head
+    assert(same.getAs[Double]("js_divergence") === 0.0)
+    assert(same.getAs[Double]("tvd") === 0.0)
+
+    val cur = (0 until 400).map(i => Seq("x", "x", "y", "z")(i % 4)).toDF("k")
+    val dis = Drift.categoricalDrift(ref, cur, "k").collect().head
+    // smoothing keeps it short of the ln 2 ≈ 0.6931 ceiling, but close
+    assert(dis.getAs[Double]("js_divergence") > 0.5)
+    assert(dis.getAs[Double]("tvd") > 0.8)
+    assert(dis.getAs[Long]("n_categories") === 6L)
+  }
+
+  // ---- Dedup.lineLevelDedup ----
+
+  private def docs2(rows: (Long, String)*) = rows.toDF("id", "text")
+
+  test("lineLevelDedup: corpus-duplicated line survives only at first occurrence") {
+    val d = docs2(
+      (1L, "the quick brown fox jumps\nunique line number one"),
+      (2L, "the quick brown fox jumps\nunique line number two"))
+    val out = Dedup.lineLevelDedup(d, "id", "text", minChars = 10)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text_dedup") ===
+      "the quick brown fox jumps\nunique line number one")
+    assert(out(1).getAs[String]("text_dedup") === "unique line number two")
+    assert(out(1).getAs[Long]("n_removed") === 1L)
+  }
+
+  test("lineLevelDedup: within-doc repeat removed; order preserved") {
+    val d = docs2((1L, "aaaaaaaaaaaa\nbbbbbbbbbbbb\naaaaaaaaaaaa\ncccccccccccc"))
+    val out = Dedup.lineLevelDedup(d, "id", "text", minChars = 10).collect().head
+    assert(out.getAs[String]("text_dedup") ===
+      "aaaaaaaaaaaa\nbbbbbbbbbbbb\ncccccccccccc")
+    assert(out.getAs[Long]("n_lines") === 4L)
+    assert(out.getAs[Long]("n_removed") === 1L)
+  }
+
+  test("lineLevelDedup: short lines are structural and never deduped") {
+    val d = docs2((1L, "---\nlong enough line here"), (2L, "---\nother body"))
+    val out = Dedup.lineLevelDedup(d, "id", "text", minChars = 4)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text_dedup").startsWith("---\n"))
+    assert(out(1).getAs[String]("text_dedup").startsWith("---\n"))
+  }
+
+  test("lineLevelDedup: doc losing every line stays present with empty text") {
+    val d = docs2((1L, "only duplicated body"), (2L, "only duplicated body"))
+    val out = Dedup.lineLevelDedup(d, "id", "text", minChars = 10)
+      .orderBy("id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("text_dedup") === "only duplicated body")
+    assert(out(1).getAs[String]("text_dedup") === "")
+  }
+
+  test("lineLevelDedup: minChars boundary — exactly minChars dedupes") {
+    val d = docs2((1L, "abcdefghij\nabcdefghi"), (2L, "abcdefghij\nabcdefghi"))
+    val out = Dedup.lineLevelDedup(d, "id", "text", minChars = 10)
+      .orderBy("id").collect()
+    // 10-char line deduped away in doc 2; 9-char line kept in both
+    assert(out(1).getAs[String]("text_dedup") === "abcdefghi")
+  }
+
+  // ---- TextAnalysis.normalizeUrls ----
+
+  private def norm(url: String): (String, String, String) = {
+    val r = TextAnalysis.normalizeUrls(Seq(url).toDF("url"), "url").collect().head
+    (r.getAs[String]("url_norm"), r.getAs[String]("host"),
+      r.getAs[String]("registered_domain"))
+  }
+
+  test("normalizeUrls: tracking params dropped, survivors sorted, fragment gone") {
+    val (u, h, d) =
+      norm("https://WWW.Example.COM/a/b/?utm_source=x&z=9&a=1&fbclid=q#frag")
+    assert(u === "https://example.com/a/b?a=1&z=9")
+    assert(h === "example.com")
+    assert(d === "example.com")
+  }
+
+  test("normalizeUrls: userinfo and port stripped, ccTLD registry affix kept") {
+    val (u, h, d) = norm("HTTP://user:pw@news.bbc.co.uk:8080/stories/1/")
+    assert(u === "http://news.bbc.co.uk/stories/1")
+    assert(h === "news.bbc.co.uk")
+    assert(d === "bbc.co.uk")
+  }
+
+  test("normalizeUrls: bare host normalizes to root path, no query marker") {
+    val (u, _, d) = norm("https://example.net")
+    assert(u === "https://example.net/")
+    assert(d === "example.net")
+  }
+
+  test("normalizeUrls: single-label host falls back to itself") {
+    val (_, h, d) = norm("https://localhost/x")
+    assert(h === "localhost" && d === "localhost")
+  }
+}

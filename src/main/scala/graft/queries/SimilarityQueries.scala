@@ -49,6 +49,26 @@ object SimilarityQueries {
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5, nCells = 64,
         nprobe = 8)
     },
+    // recall audit: mean recall@5 of the IVF index against the exact
+    // scan over the same query sample — the quality measurement that
+    // decides nCells/nprobe before anyone trusts the index. At corpus
+    // scale the exact side runs on a bounded query SAMPLE (here the
+    // same every=50th vector both paths already use), so the audit
+    // stays guardSize-legal while the index serves the full corpus.
+    "q_ann_recall" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("m"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("kq"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(round(avg(coalesce(col("m"), lit(0L)).cast("double") / col("kq")), 6)
+            .as("mean_recall"),
+          count(lit(1)).as("n_queries"))
+    },
     // 2-round Lloyd's k-means (k=8, deterministic lowest-id init,
     // 6-decimal centroid anchor each round) — DuckDB replays the exact
     // trajectory with unrolled CTEs
@@ -357,7 +377,7 @@ object SimilarityQueries {
     sb.toString
   }
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q_pca_project" -> pcaProjectOracle(dim = 64, iters = 4),
     "q_embedding_neardup_lsh" ->
       srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
@@ -600,6 +620,28 @@ object SimilarityQueries {
       qsDef = "SELECT vec_id AS query_id, e0 AS q FROM emb0 WHERE bkt >= 14",
       dim = 64, subspaces = 8, kCodes = 16, k = 3, nCells = 8, nprobe = 2),
   )
+
+  /** The recall audit composes the two ANN oracles verbatim as nested
+    * CTE subqueries (DuckDB allows WITH inside a CTE body), so the
+    * exact and approximate sides replay EXACTLY what
+    * q_ann_bruteforce_topk / q_ann_ivf_topk are already verified
+    * against — the recall number can only disagree if the set
+    * intersection itself does. */
+  lazy val oracles: Map[String, String] = oraclesBase +
+    ("q_ann_recall" ->
+      s"""WITH ex AS (
+         |${oraclesBase("q_ann_bruteforce_topk")}),
+         |ap AS (
+         |${oraclesBase("q_ann_ivf_topk")}),
+         |hits AS (
+         |  SELECT ex.query_id, count(*) AS m
+         |  FROM ex JOIN ap ON ex.query_id = ap.query_id
+         |                 AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY 1),
+         |qs AS (SELECT query_id, count(*) AS kq FROM ex GROUP BY 1)
+         |SELECT round(avg(coalesce(m, 0)::DOUBLE / kq), 6) AS mean_recall,
+         |  count(*)::BIGINT AS n_queries
+         |FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id""".stripMargin)
 
   /** DuckDB replay of the persisted-PQ-index query: same
     * train + encode + ADC replay as [[pqOracle]], but codebooks train

@@ -526,4 +526,30 @@ object StreamingOps {
       }
       .outputMode("append")
       .start()
+
+  /** Streaming drift monitor: every micro-batch of arriving rows is
+    * scored against the STATIC reference distribution with
+    * [[graft.operators.Drift.psiKs]] — one `(psi, ks_stat, n_ref,
+    * n_cur, batch_id)` row per trigger, the live "did this ingest
+    * batch shift?" alarm. The reference is the model (train-offline /
+    * score-online, the [[assignToCentroids]] pattern): its cutpoints
+    * and bin counts never move with the stream, so each batch's score
+    * equals the batch-mode `psiKs(reference, thatBatch)` verbatim
+    * (StreamingSpec pins it per-file). PSI is a whole-batch statistic,
+    * NOT micro-batching-invariant by design — per-trigger granularity
+    * IS the monitoring contract (score per ingest batch), unlike the
+    * row-wise incremental twins. Callers monitoring a long stream
+    * should pass a `.cache()`d reference so its quantile pass runs
+    * once, not per trigger. */
+  def driftMonitor(stream: DataFrame, reference: DataFrame,
+      valueCol: String, nBins: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Drift.psiKs(reference, batch.toDF(), valueCol, nBins)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+          batchId)
+      }
+      .outputMode("append")
+      .start()
 }

@@ -643,4 +643,42 @@ class StreamingSpec extends SparkSpec {
       deltas.foreach(_.unpersist())
     }
   }
+
+  test("streaming drift monitor: each trigger's PSI == batch psiKs of that file") {
+    val ev = Sources.events(spark, sf0001)
+    val reference = ev.filter(col("user_id") % 2 === 0).select("value").cache()
+    val cur = ev.filter(col("user_id") % 2 === 1).select("value")
+    val tmp = Files.createTempDirectory("graft_drift_stream").toFile
+    tmp.deleteOnExit()
+    cur.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(cur.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long, Long)]
+    val q = StreamingOps.driftMonitor(stream, reference, "value", 8) { (df, _) =>
+      collected.synchronized {
+        collected ++= df.collect()
+          .map(r => (r.getAs[Double]("psi"), r.getAs[Double]("ks_stat"),
+            r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur")))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val files = tmp.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length > 1, "expected multiple staged files")
+      val expected = files.map { f =>
+        val r = graft.operators.Drift
+          .psiKs(reference, spark.read.parquet(f.getAbsolutePath), "value", 8)
+          .collect().head
+        (r.getAs[Double]("psi"), r.getAs[Double]("ks_stat"),
+          r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))
+      }.toSet
+      assert(collected.size === files.length)
+      assert(collected.toSet === expected)
+    } finally {
+      q.stop()
+      reference.unpersist()
+    }
+  }
 }

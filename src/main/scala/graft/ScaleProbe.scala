@@ -383,6 +383,29 @@ object ScaleProbe {
         operators.Graph.triangleStats(e)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"drift_psi_${n}x") {
+        // two scans + two 16-key aggregations — expect linear
+        operators.Drift.psiKs(
+          evN.filter(pmod(col("user_id"), lit(2)) === 0),
+          evN.filter(pmod(col("user_id"), lit(2)) === 1),
+          "value", 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"line_dedup_${n}x") {
+        // one line-hash shuffle + one id shuffle; amplified copies make
+        // every line a cross-copy duplicate — the worst case
+        val reflowed = docsN
+          .withColumn("__toks", operators.TextAnalysis.tokens(col("text")))
+          .withColumn("text_lines",
+            when(size(col("__toks")) === 0, lit(""))
+              .otherwise(concat_ws("\n",
+                transform(
+                  sequence(lit(0),
+                    expr("(size(__toks) + 7) div 8").cast("int") - 1),
+                  i => array_join(slice(col("__toks"), i * lit(8) + 1, lit(8)), " ")))))
+        operators.Dedup.lineLevelDedup(reflowed, "doc_id", "text_lines")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

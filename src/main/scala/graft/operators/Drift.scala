@@ -53,6 +53,21 @@ object Drift {
     * Bins run 0..nBins-1; every bin row is present even when both
     * sides are empty there. */
   def binnedCounts(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int): DataFrame =
+    binnedCountsFromProfile(referenceProfile(ref, valueCol, nBins),
+      cur, valueCol)
+
+  /** Reference distribution profile — the persistable drift "model":
+    * one row per bin, `(bin, cut, ref_n)`, where `cut` is the bin's
+    * upper cutpoint (the reference's floored equi-depth quantile; NULL
+    * for the open last bin) and `ref_n` its reference count. ≤ nBins
+    * rows REGARDLESS of reference size: compute once per corpus
+    * snapshot, store as a model table
+    * (`Sinks.writeBucketed` — the BPE-merges / PQ-codebook lifecycle),
+    * and score every future ingest batch against the stored rows
+    * without ever re-touching the reference data. All-integer columns,
+    * so the parquet round trip is bit-exact. */
+  def referenceProfile(ref: DataFrame, valueCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 4096, s"nBins out of range: $nBins")
     val v = col(valueCol).cast("double")
@@ -62,31 +77,58 @@ object Drift {
     val cuts = ref.agg(
       transform(percentile(v, array(qs.map(lit): _*)), c => floor(c))
         .as("__cuts"))
-    def binned(df: DataFrame, side: String): DataFrame =
-      df.select(v.as("__v")).where(col("__v").isNotNull)
-        .crossJoin(broadcast(cuts))
-        // bin = number of cutpoints strictly below v (ties at a floored
-        // cutpoint land in the LEFT bin — replayed verbatim in the oracle)
-        .select(size(filter(col("__cuts"), c => c < col("__v"))).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(s"${side}_n"))
-    val spine = cuts.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
-    val joined = spine
-      .join(binned(ref, "ref"), Seq("bin"), "left")
-      .join(binned(cur, "cur"), Seq("bin"), "left")
+    val counts = ref.select(v.as("__v")).where(col("__v").isNotNull)
+      .crossJoin(broadcast(cuts))
+      // bin = number of cutpoints strictly below v (ties at a floored
+      // cutpoint land in the LEFT bin — replayed verbatim in the oracle)
+      .select(size(filter(col("__cuts"), c => c < col("__v"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
+    cuts.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
+        col("__cuts"))
+      // guarded element_at (1-based) — CaseWhen only evaluates the
+      // matched branch, so the last bin's out-of-range index never runs
       .select(col("bin"),
-        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        when(col("bin") < nBins - 1,
+          element_at(col("__cuts"), col("bin") + 1)).as("cut"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("cut"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+  }
+
+  /** [[binnedCounts]] against a precomputed [[referenceProfile]] —
+    * only the CURRENT sample is scanned; the profile's ≤ nBins rows
+    * collapse into one broadcast cutpoint array. This is the scoring
+    * path a monitoring pipeline actually runs: profile stored once,
+    * every batch pays one scan + one nBins-key aggregation. */
+  def binnedCountsFromProfile(profile: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cuts = profile
+      .agg(sort_array(collect_list(struct(col("bin"), col("cut")))).as("__p"))
+      .select(expr(
+        "transform(filter(__p, x -> x.cut IS NOT NULL), x -> x.cut)")
+        .as("__cuts"))
+    val curCounts = cur.select(v.as("__v")).where(col("__v").isNotNull)
+      .crossJoin(broadcast(cuts))
+      .select(size(filter(col("__cuts"), c => c < col("__v"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cur_n"))
+    val joined = profile.select(col("bin"), col("ref_n"))
+      .join(curCounts, Seq("bin"), "left")
+      .select(col("bin"), col("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     // totals ride along as a one-row broadcast aggregate (no driver
-    // action). `joined` appears twice in the plan; its per-side grouped
-    // counts sit directly above shuffle exchanges with identical
-    // canonical subtrees, so ReuseExchange serves the second reference
-    // from the first's shuffle files — the base tables are scanned once
-    // per side, not twice.
-    val totals = joined.agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    // action). `joined` appears twice in the plan; the grouped counts
+    // sit directly above shuffle exchanges with identical canonical
+    // subtrees, so ReuseExchange serves the second reference from the
+    // first's shuffle files — the current sample is scanned once.
+    val totals = joined.agg(sum(col("ref_n")).as("__rt"),
+      sum(col("cur_n")).as("__ct"), count(lit(1)).as("__nb"))
     joined.crossJoin(broadcast(totals))
       .select(col("bin"), col("ref_n"), col("cur_n"),
-        ((col("ref_n") + lit(0.5)) / (col("__rt") + lit(nBins * 0.5))).as("ref_frac"),
-        ((col("cur_n") + lit(0.5)) / (col("__ct") + lit(nBins * 0.5))).as("cur_frac"))
+        ((col("ref_n") + lit(0.5)) / (col("__rt") + col("__nb") * lit(0.5)))
+          .as("ref_frac"),
+        ((col("cur_n") + lit(0.5)) / (col("__ct") + col("__nb") * lit(0.5)))
+          .as("cur_frac"))
   }
 
   /** One-row numeric drift summary:
@@ -100,7 +142,16 @@ object Drift {
     * warning, > 0.25 action. */
   def psiKs(ref: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int): DataFrame =
-    binnedCounts(ref, cur, valueCol, nBins)
+    summarize(binnedCounts(ref, cur, valueCol, nBins))
+
+  /** [[psiKs]] against a stored [[referenceProfile]] — the score path
+    * that never re-reads reference data. */
+  def psiKsFromProfile(profile: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame =
+    summarize(binnedCountsFromProfile(profile, cur, valueCol))
+
+  private def summarize(binned: DataFrame): DataFrame =
+    binned
       .agg(
         sum(col("ref_n")).as("n_ref"), sum(col("cur_n")).as("n_cur"),
         round(sum((col("cur_frac") - col("ref_frac")) *

@@ -62,10 +62,28 @@ object DriftQueries {
       val (ref, cur) = splitHalves(s, dir)
       Drift.categoricalDrift(ref, cur, "event_type")
     },
+    // persisted-model lifecycle: the reference half is profiled ONCE
+    // into a ≤16-row integer model table (the BPE-merges/PQ-codebook
+    // pattern), the current half scores against the STORED rows —
+    // reference data never re-read. Bit-exact vs q_drift_numeric by
+    // construction (all-integer profile), so it shares that oracle.
+    "q_drift_profile_persisted" -> { (s, dir) =>
+      val (ref, cur) = splitHalves(s, dir)
+      graft.sources.Sinks.writeBucketed(
+        Drift.referenceProfile(ref, "value", 16),
+        "graft_drift_profile", bucketCols = Seq("bin"), numBuckets = 1)
+      Drift.psiKsFromProfile(s.table("graft_drift_profile"), cur, "value")
+    },
   )
 
   val oracles: Map[String, String] = Map(
-    "q_drift_numeric" -> (splitCte +
+    // the stored profile is all-integer, so the persisted path replays
+    // as the direct computation
+    "q_drift_profile_persisted" -> numericOracle,
+    "q_drift_numeric" -> numericOracle,
+  ) ++ restOracles
+
+  private lazy val numericOracle: String = (splitCte +
       """, cuts AS (
         |  SELECT list_transform(
         |    quantile_cont(value, [0.0625,0.125,0.1875,0.25,0.3125,0.375,0.4375,0.5,
@@ -99,7 +117,9 @@ object DriftQueries {
         |  round(sum((cur_frac - ref_frac) * ln(cur_frac / ref_frac)), 6) AS psi,
         |  round(max(abs(cum_ref - cum_cur)), 6) AS ks_stat,
         |  max(rt) AS n_ref, max(ct) AS n_cur
-        |FROM cum""".stripMargin),
+        |FROM cum""".stripMargin)
+
+  private lazy val restOracles: Map[String, String] = Map(
     "q_drift_bins" -> (splitCte +
       """, cuts AS (
         |  SELECT list_transform(

@@ -149,20 +149,24 @@ object TextQueries {
     // deterministic functions of doc_id/source, replayed by the
     // oracle) collapse to canonical form + registered domain
     "q_url_normalize" -> { (s, dir) =>
-      val docs = table(s, dir, "documents").withColumn("url",
-        when(col("doc_id") % 4 === 0,
-          concat(lit("https://www."), col("source"),
-            lit(".Example.COM/a/b/?utm_source=feed&z=9&a=1")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("HTTP://"), col("source"), lit(".example.co.uk:8080/path/"),
-            (col("doc_id") % 5).cast("string"), lit("/")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("https://user@"), col("source"),
-            lit(".example.org/?fbclid=abc&q="), col("lang"), lit("#frag")))
-        .otherwise(concat(lit("https://"), col("source"), lit(".example.net"))))
-      TextAnalysis.normalizeUrls(docs, "url")
+      TextAnalysis.normalizeUrls(synthUrls(s, dir), "url")
         .select(col("doc_id"), col("url_norm"), col("host"),
           col("registered_domain"))
+    },
+    // per-domain document cap (the RefinedWeb anti-SEO-flood move):
+    // canonicalize URLs, then keep at most 30 docs per registered
+    // domain by deterministic lowest-md5 membership
+    // (Sampling.bottomKPerGroup); kept_id_sum pins WHICH rows survived
+    "q_domain_cap" -> { (s, dir) =>
+      val withDom = TextAnalysis.normalizeUrls(synthUrls(s, dir), "url")
+      val capped = graft.operators.Sampling.bottomKPerGroup(
+        withDom, col("registered_domain"), col("doc_id"), 30)
+      withDom.groupBy(col("registered_domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(capped.groupBy(col("registered_domain"))
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("doc_id")).as("kept_id_sum")),
+          Seq("registered_domain"))
     },
     "q_pii_mask" -> { (s, dir) =>
       graft.sources.Sources.events(s, dir)
@@ -177,50 +181,87 @@ object TextQueries {
     },
   )
 
+  /** Deterministic messy-URL synthesis shared by q_url_normalize /
+    * q_domain_cap (the oracle replays the same CASE). */
+  private def synthUrls(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").withColumn("url",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://www."), col("source"),
+          lit(".Example.COM/a/b/?utm_source=feed&z=9&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTP://"), col("source"), lit(".example.co.uk:8080/path/"),
+          (col("doc_id") % 5).cast("string"), lit("/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://user@"), col("source"),
+          lit(".example.org/?fbclid=abc&q="), col("lang"), lit("#frag")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".example.net"))))
+
+  /** Shared oracle CTE chain: messy-URL synthesis → parsed components
+    * → normalized host/path/query/domain parts (ends at `p3`). */
+  private val urlCtes: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.Example.COM/a/b/?utm_source=feed&z=9&a=1'
+      |      WHEN doc_id % 4 = 1 THEN 'HTTP://' || source || '.example.co.uk:8080/path/' || (doc_id % 5)::VARCHAR || '/'
+      |      WHEN doc_id % 4 = 2 THEN 'https://user@' || source || '.example.org/?fbclid=abc&q=' || lang || '#frag'
+      |      ELSE 'https://' || source || '.example.net'
+      |    END AS url
+      |  FROM documents),
+      |p1 AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
+      |    -- DuckDB regexp_extract yields NULL on no-match (Spark: '')
+      |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query0
+      |  FROM urls),
+      |p2 AS (
+      |  SELECT doc_id, scheme, path0, query0,
+      |    regexp_replace(lower(regexp_replace(string_split(auth, '@')[-1],
+      |      ':[0-9]*$', '')), '^www\.', '') AS host
+      |  FROM p1),
+      |p3 AS (
+      |  SELECT doc_id, scheme, host,
+      |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(path0, '/+$', '') END AS path,
+      |    -- DuckDB array_to_string([]) is NULL where Spark array_join is ''
+      |    coalesce(array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))),
+      |      '&'), '') AS qnorm,
+      |    string_split(host, '.') AS parts
+      |  FROM p2)""".stripMargin
+
+  private val domainSql: String =
+    """CASE WHEN len(parts) >= 3 AND length(parts[-1]) = 2
+      |          AND parts[-2] IN ('co','com','net','org','gov','ac','edu')
+      |     THEN array_to_string(parts[-3:], '.')
+      |     WHEN len(parts) >= 2 THEN array_to_string(parts[-2:], '.')
+      |     ELSE host END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_url_normalize" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE
-        |      WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.Example.COM/a/b/?utm_source=feed&z=9&a=1'
-        |      WHEN doc_id % 4 = 1 THEN 'HTTP://' || source || '.example.co.uk:8080/path/' || (doc_id % 5)::VARCHAR || '/'
-        |      WHEN doc_id % 4 = 2 THEN 'https://user@' || source || '.example.org/?fbclid=abc&q=' || lang || '#frag'
-        |      ELSE 'https://' || source || '.example.net'
-        |    END AS url
-        |  FROM documents),
-        |p1 AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-        |    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
-        |    -- DuckDB regexp_extract yields NULL on no-match (Spark: '')
-        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query0
-        |  FROM urls),
-        |p2 AS (
-        |  SELECT doc_id, scheme, path0, query0,
-        |    regexp_replace(lower(regexp_replace(string_split(auth, '@')[-1],
-        |      ':[0-9]*$', '')), '^www\.', '') AS host
-        |  FROM p1),
-        |p3 AS (
-        |  SELECT doc_id, scheme, host,
-        |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
-        |         ELSE regexp_replace(path0, '/+$', '') END AS path,
-        |    -- DuckDB array_to_string([]) is NULL where Spark array_join is ''
-        |    coalesce(array_to_string(list_sort(list_filter(string_split(query0, '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))),
-        |      '&'), '') AS qnorm,
-        |    string_split(host, '.') AS parts
-        |  FROM p2)
+      s"""$urlCtes
         |SELECT doc_id,
         |  scheme || '://' || host || path ||
         |    CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url_norm,
         |  host,
-        |  CASE WHEN len(parts) >= 3 AND length(parts[-1]) = 2
-        |            AND parts[-2] IN ('co','com','net','org','gov','ac','edu')
-        |       THEN array_to_string(parts[-3:], '.')
-        |       WHEN len(parts) >= 2 THEN array_to_string(parts[-2:], '.')
-        |       ELSE host END AS registered_domain
+        |  $domainSql AS registered_domain
         |FROM p3""".stripMargin,
+    "q_domain_cap" ->
+      s"""$urlCtes,
+        |d AS (SELECT doc_id, $domainSql AS registered_domain FROM p3),
+        |r AS (
+        |  SELECT registered_domain, doc_id,
+        |    row_number() OVER (PARTITION BY registered_domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d),
+        |t AS (SELECT registered_domain, count(*) AS n_docs FROM d GROUP BY 1),
+        |k AS (SELECT registered_domain, count(*) AS n_kept,
+        |        sum(doc_id)::BIGINT AS kept_id_sum
+        |      FROM r WHERE rk <= 30 GROUP BY 1)
+        |SELECT t.registered_domain, n_docs, n_kept, kept_id_sum
+        |FROM t JOIN k ON t.registered_domain = k.registered_domain""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,

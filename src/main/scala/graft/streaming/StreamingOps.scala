@@ -544,9 +544,22 @@ object StreamingOps {
   def driftMonitor(stream: DataFrame, reference: DataFrame,
       valueCol: String, nBins: Int)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    driftMonitorFromProfile(stream,
+      graft.operators.Drift.referenceProfile(reference, valueCol, nBins),
+      valueCol)(sink)
+
+  /** [[driftMonitor]] against a STORED
+    * [[graft.operators.Drift.referenceProfile]] table (≤ nBins integer
+    * rows) — the production monitoring shape: the reference corpus is
+    * profiled once offline, the stream scores each trigger against the
+    * tiny stored artifact and never touches reference data at all. */
+  def driftMonitorFromProfile(stream: DataFrame, profile: DataFrame,
+      valueCol: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(graft.operators.Drift.psiKs(reference, batch.toDF(), valueCol, nBins)
+        sink(graft.operators.Drift
+          .psiKsFromProfile(profile, batch.toDF(), valueCol)
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
           batchId)
       }

@@ -48,6 +48,19 @@ class Round7Spec extends SparkSpec {
     assert(a === b)
   }
 
+  test("referenceProfile: persisted profile scores identically to direct psiKs") {
+    val ref = (0 until 300).map(i => (i % 41).toDouble).toDF("v")
+    val cur = (0 until 200).map(i => (i % 29).toDouble).toDF("v")
+    val direct = Drift.psiKs(ref, cur, "v", 8).collect().head
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_prof").toFile
+    tmp.deleteOnExit()
+    Drift.referenceProfile(ref, "v", 8).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val viaStored = Drift.psiKsFromProfile(
+      spark.read.parquet(tmp.getAbsolutePath), cur, "v").collect().head
+    assert(viaStored === direct)
+  }
+
   // ---- Drift.categoricalDrift ----
 
   test("categoricalDrift: identical mixes score zero; disjoint near ln 2") {

@@ -62,6 +62,21 @@ object DriftQueries {
       val (ref, cur) = splitHalves(s, dir)
       Drift.categoricalDrift(ref, cur, "event_type")
     },
+    // embedding-space drift: train k-means cells on the REFERENCE half
+    // (vec_id parity split — "yesterday's corpus"), assign BOTH halves
+    // to the trained centroids (stateless literal projection), and
+    // measure the cell-occupancy mix shift — the "did the embedding
+    // distribution move" monitor that catches semantic drift plain
+    // per-dimension stats can't see
+    "q_drift_embedding" -> { (s, dir) =>
+      val emb = Sources.table(s, dir, "embeddings")
+      val ref = emb.filter(col("vec_id") % 2 === 0)
+      val cur = emb.filter(col("vec_id") % 2 === 1)
+      val cents = graft.operators.Clustering.trainCentroids(ref, k = 8, iters = 2)
+      def cells(df: DataFrame) =
+        graft.operators.Clustering.assign(df, cents).select(col("cluster"))
+      Drift.categoricalDrift(cells(ref), cells(cur), "cluster")
+    },
     // persisted-model lifecycle: the reference half is profiled ONCE
     // into a ≤16-row integer model table (the BPE-merges/PQ-codebook
     // pattern), the current half scores against the STORED rows —
@@ -144,25 +159,56 @@ object DriftQueries {
     "q_drift_categorical" -> (splitCte +
       """, r AS (SELECT event_type AS k, count(*) AS ref_n FROM ref_rows GROUP BY 1
         |), c AS (SELECT event_type AS k, count(*) AS cur_n FROM cur_rows GROUP BY 1
-        |), j AS (
-        |  SELECT coalesce(r.k, c.k) AS k,
-        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
-        |  FROM r FULL OUTER JOIN c ON r.k = c.k
-        |), tot AS (
-        |  SELECT sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct,
-        |    count(*) AS kn FROM j
-        |), sm AS (
-        |  SELECT ref_n, cur_n, rt, ct, kn,
-        |    (ref_n + 0.5) / (rt + kn * 0.5) AS p,
-        |    (cur_n + 0.5) / (ct + kn * 0.5) AS q
-        |  FROM j, tot
-        |)
-        |SELECT
-        |  round(sum(p * ln(p / ((p + q) / 2)) * 0.5
-        |          + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS js_divergence,
-        |  round(sum(power(cur_n - p * ct, 2) / (p * ct)), 6) AS chi_square,
-        |  round(sum(abs(p - q)) / 2, 6) AS tvd,
-        |  max(kn) AS n_categories, max(rt) AS n_ref, max(ct) AS n_cur
-        |FROM sm""".stripMargin),
+        |)""".stripMargin + catTail),
+    // cell-mix drift over REFERENCE-trained k-means cells: the exact
+    // Lloyd trajectory replays via SimilarityQueries' shared CTE
+    // builders, assignment of both halves to the trained centroids,
+    // then the same categorical-drift arithmetic over cell ids
+    "q_drift_embedding" ->
+      (s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |refe AS (
+        |  SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS xx
+        |  FROM emb0 WHERE vec_id % 2 = 0),
+        |alle AS (
+        |  SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS xx
+        |  FROM emb0),
+        |${SimilarityQueries.lloyd2Ctes("refe", 8)},
+        |dots AS (
+        |  SELECT m.vec_id, m.vec_id % 2 AS par, c.cid,
+        |    ${SimilarityQueries.d2Sql("m", "c")} AS d
+        |  FROM alle m CROSS JOIN c1cc c),
+        |asg AS (
+        |  SELECT vec_id, par, cid FROM (
+        |    SELECT vec_id, par, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |r AS (SELECT cid AS k, count(*) AS ref_n FROM asg WHERE par = 0 GROUP BY 1),
+        |c AS (SELECT cid AS k, count(*) AS cur_n FROM asg WHERE par = 1 GROUP BY 1)"""
+        .stripMargin + catTail),
   )
+
+  /** Shared categorical-drift arithmetic over CTEs `r(k, ref_n)` and
+    * `c(k, cur_n)` — full-outer union of supports, add-½ smoothing,
+    * JS / χ² / TVD. */
+  private lazy val catTail: String =
+    """, j AS (
+      |  SELECT coalesce(r.k, c.k) AS k,
+      |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+      |  FROM r FULL OUTER JOIN c ON r.k = c.k
+      |), tot AS (
+      |  SELECT sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct,
+      |    count(*) AS kn FROM j
+      |), sm AS (
+      |  SELECT ref_n, cur_n, rt, ct, kn,
+      |    (ref_n + 0.5) / (rt + kn * 0.5) AS p,
+      |    (cur_n + 0.5) / (ct + kn * 0.5) AS q
+      |  FROM j, tot
+      |)
+      |SELECT
+      |  round(sum(p * ln(p / ((p + q) / 2)) * 0.5
+      |          + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS js_divergence,
+      |  round(sum(power(cur_n - p * ct, 2) / (p * ct)), 6) AS chi_square,
+      |  round(sum(abs(p - q)) / 2, 6) AS tvd,
+      |  max(kn) AS n_categories, max(rt) AS n_ref, max(ct) AS n_cur
+      |FROM sm""".stripMargin
 }

@@ -699,6 +699,21 @@ object TextAnalysis {
       .drop("__t", "__toks", "__lines")
   }
 
+  /** Text canonicalization battery — the step every exact-dedup
+    * fingerprint / shingle / URL key needs FIRST on a multilingual
+    * crawl: Unicode NFC composition (native codegen'd
+    * [[graft.functions.NfcNormalize]] — composed `é` and decomposed
+    * `e`+U+0301 must hash identically), Unicode-aware lowercasing,
+    * whitespace runs collapsed to single spaces, edges trimmed.
+    * Appends `text_norm`. Pure projection — no shuffle, no UDF, scales
+    * as the scan. */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("text_norm",
+      trim(regexp_replace(
+        lower(call_function("nfc_normalize", col(textCol))), "\\s+", " ")))
+  }
+
   /** URL canonicalization + registered-domain extraction — the
     * crawl-side curation primitives (per-domain caps, blocklist joins,
     * and URL-level dedup all key on these). Appends three columns:

@@ -47,6 +47,20 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_text_len"))
     },
+    // ORC round trip: the other columnar format Spark ships natively
+    // (predicate pushdown + column pruning apply the same as parquet);
+    // lineitem written as ORC, read back, aggregated against the
+    // parquet-side oracle — lossless including decimals-as-doubles.
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_orc_roundtrip"
+      table(s, dir, "lineitem")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    },
     // JSON-lines round trip: events (ts as epoch-µs long — JSON has no
     // timestamp type) written and re-read schema-explicitly, then
     // aggregated against the parquet-side oracle.
@@ -572,6 +586,11 @@ object Extras {
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  sum(length(text))::BIGINT AS sum_text_len
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(sum(l_extendedprice), 4) AS sum_price,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  round(sum(value), 4) AS sum_value,

@@ -153,6 +153,19 @@ object TextQueries {
         .select(col("doc_id"), col("url_norm"), col("host"),
           col("registered_domain"))
     },
+    // text canonicalization: decomposed combining marks (é as
+    // e+U+0301, Å as A+U+030A — planted deterministically), case
+    // noise, and ragged whitespace all collapse to one canonical form;
+    // the native nfc_normalize expression matches DuckDB's
+    // nfc_normalize for full value equality
+    "q_text_normalize" -> { (s, dir) =>
+      val messy = table(s, dir, "documents").withColumn("raw",
+        concat(substring(col("text"), 1, 40), lit("  Cafe\u0301 \t"),
+          upper(col("lang")), lit(" A\u030A")))
+      TextAnalysis.normalizeText(messy, "raw")
+        .select(col("doc_id"), col("text_norm"),
+          length(col("text_norm")).as("n_chars_norm"))
+    },
     // per-domain document cap (the RefinedWeb anti-SEO-flood move):
     // canonicalize URLs, then keep at most 30 docs per registered
     // domain by deterministic lowest-md5 membership
@@ -240,6 +253,19 @@ object TextQueries {
       |     ELSE host END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """WITH messy AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || '  Cafe' || chr(769) || ' ' || chr(9)
+        |      || upper(lang) || ' A' || chr(778) AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g'))
+        |      AS text_norm
+        |  FROM messy)
+        |SELECT doc_id, text_norm, length(text_norm)::BIGINT AS n_chars_norm
+        |FROM n""".stripMargin,
     "q_url_normalize" ->
       s"""$urlCtes
         |SELECT doc_id,

@@ -129,6 +129,27 @@ class Round7Spec extends SparkSpec {
     assert(out(1).getAs[String]("text_dedup") === "abcdefghi")
   }
 
+  // ---- TextAnalysis.normalizeText / NfcNormalize ----
+
+  test("normalizeText: NFC composes marks, lowercases, collapses whitespace — codegen'd") {
+    val out = assertNoCodegenFallback {
+      TextAnalysis.normalizeText(
+        Seq("Café  X\tY", "plain", "").toDF("t"), "t")
+        .collect().map(_.getAs[String]("text_norm"))
+    }
+    assert(out(0) === "caf\u00e9 x y") // composed, single char
+    assert(out(1) === "plain")
+    assert(out(2) === "")
+  }
+
+  test("NfcNormalize.compute: already-NFC input returns the same object") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString("already normalized ascii")
+    assert(graft.functions.NfcNormalize.compute(u) eq u)
+    val dec = UTF8String.fromString("Å")
+    assert(graft.functions.NfcNormalize.compute(dec).toString === "\u00C5")
+  }
+
   // ---- TextAnalysis.normalizeUrls ----
 
   private def norm(url: String): (String, String, String) = {

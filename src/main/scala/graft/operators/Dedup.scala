@@ -105,6 +105,60 @@ object Dedup {
         sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Distinct line-hash index of a corpus — the persistable side of
+    * incremental line dedup: one `(h)` row per distinct dedupable line
+    * (md5, `minChars`+ chars). Write it bucketed on `h`
+    * (`Sinks.writeBucketed`) and grow it with `appendBucketed`; each
+    * ingest batch then joins the STORED index instead of re-exploding
+    * the corpus ([[lineLevelCrossDedup]]). One explode + one
+    * distinct-aggregation on the hash key. */
+  def lineHashIndex(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 10): DataFrame =
+    df.select(explode(split(col(textCol), "\n")).as("line"))
+      .where(length(col("line")) >= minChars)
+      .select(md5(col("line").cast("binary")).as("h"))
+      .distinct()
+
+  /** Incremental (batch-vs-corpus) line dedup: lines of the new batch
+    * that already exist in the corpus line index are removed; within a
+    * DOCUMENT a repeated line keeps its first occurrence. Deliberately
+    * NO cross-document dedup inside the batch: each output row is a
+    * pure function of its own document and the stored index, which
+    * makes the operator micro-batching-invariant (the streaming twin's
+    * contract — same reasoning as the pair-emitting incremental dedup
+    * ops), and batch-internal cross-doc dups are caught on the next
+    * index append anyway.
+    *
+    * Shape: one explode per batch doc, one keyed window on
+    * `(id, line-hash)` for within-doc firsts, one hash join against
+    * the bucketed index (batch side shuffles; the stored side is
+    * pre-bucketed on `h`), one id-keyed reassembly. NO broadcast hint
+    * on the index join — a web-corpus line index is enormous; AQE
+    * broadcasts only when it fits. */
+  def lineLevelCrossDedup(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, minChars: Int = 10): DataFrame = {
+    val lines = batch.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val tagged = lines.withColumn("__h",
+      when(length(col("line")) >= minChars, md5(col("line").cast("binary"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("__h")).orderBy(col("pos"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .join(corpusIndex.select(col("h").as("__h"), lit(1).as("__seen")),
+        Seq("__h"), "left")
+      .withColumn("__kept", col("__h").isNull ||
+        (col("__seen").isNull && col("__rn") === 1))
+      .groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(
+              when(col("__kept"), struct(col("pos"), col("line"))))),
+            x => x("line"))).as("text_dedup"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Cross-document duplicated-n-gram fraction per document — the
     * "how much of this doc also appears elsewhere" diagnostic behind
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training

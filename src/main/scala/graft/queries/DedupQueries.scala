@@ -229,16 +229,25 @@ object DedupQueries {
     // docs are single-line, so the query first reflows each into
     // 8-word lines (deterministic — the oracle replays the reflow).
     "q_line_dedup" -> { (s, dir) =>
-      val reflowed = table(s, dir, "documents")
-        .withColumn("__toks",
-          graft.operators.TextAnalysis.tokens(col("text")))
-        .withColumn("text_lines",
-          when(size(col("__toks")) === 0, lit(""))
-            .otherwise(concat_ws("\n",
-              transform(
-                sequence(lit(0), expr("(size(__toks) + 7) div 8").cast("int") - 1),
-                i => array_join(slice(col("__toks"), i * lit(8) + 1, lit(8)), " ")))))
-      Dedup.lineLevelDedup(reflowed, "doc_id", "text_lines", minChars = 10)
+      Dedup.lineLevelDedup(reflowLines(table(s, dir, "documents")),
+          "doc_id", "text_lines", minChars = 10)
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_lines"), col("n_removed"))
+    },
+    // incremental line dedup against a PERSISTED line-hash index: the
+    // corpus pays its explode once (distinct hashes stored bucketed on
+    // h), each ingest batch removes corpus-seen lines + within-doc
+    // repeats — the C4 rewrite as a batch-linear index join
+    "q_line_dedup_incremental" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      graft.sources.Sinks.writeBucketed(
+        Dedup.lineHashIndex(reflowLines(docs.filter(col("split") =!= "test")),
+          "doc_id", "text_lines"),
+        "graft_corpus_line_hashes", bucketCols = Seq("h"), numBuckets = 8)
+      Dedup.lineLevelCrossDedup(
+        reflowLines(docs.filter(col("split") === "test")),
+        s.table("graft_corpus_line_hashes"), "doc_id", "text_lines")
         .select(col("id").as("doc_id"), col("text_dedup"),
           col("n_lines"), col("n_removed"))
     },
@@ -538,25 +547,67 @@ object DedupQueries {
         |JOIN c cb ON p.right_id = cb.doc_id
         |WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8""".stripMargin
 
+  /** Reflow the single-line synthetic docs into 8-word lines —
+    * deterministic, replayed by the line-dedup oracles. */
+  private def reflowLines(df: DataFrame): DataFrame = df
+    .withColumn("__toks", graft.operators.TextAnalysis.tokens(col("text")))
+    .withColumn("text_lines",
+      when(size(col("__toks")) === 0, lit(""))
+        .otherwise(concat_ws("\n",
+          transform(
+            sequence(lit(0), expr("(size(__toks) + 7) div 8").cast("int") - 1),
+            i => array_join(slice(col("__toks"), i * lit(8) + 1, lit(8)), " ")))))
+
+  /** Shared reflow CTE prefix for the line-dedup oracles: tk (tokens +
+    * md5 split bucket) → rf (reflowed text) → ln (line, pos). */
+  private lazy val reflowCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |rf AS (
+      |  SELECT doc_id, bkt,
+      |    CASE WHEN len(toks) = 0 THEN ''
+      |         ELSE array_to_string(
+      |           list_transform(range(0, (len(toks) + 7) // 8),
+      |             i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+      |           chr(10)) END AS text
+      |  FROM tk),
+      |ln AS (
+      |  SELECT doc_id, bkt,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    unnest(range(len(string_split(text, chr(10))))) AS pos
+      |  FROM rf)""".stripMargin
+
   private lazy val oraclesTail: Map[String, String] = Map(
-    "q_line_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |rf AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) = 0 THEN ''
-        |         ELSE array_to_string(
-        |           list_transform(range(0, (len(toks) + 7) // 8),
-        |             i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
-        |           chr(10)) END AS text
-        |  FROM tk),
-        |ln AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(text, chr(10))) AS line,
-        |    unnest(range(len(string_split(text, chr(10))))) AS pos
-        |  FROM rf),
+    "q_line_dedup_incremental" -> (reflowCtes +
+      """,
+        |ch AS (
+        |  SELECT DISTINCT md5(line) AS h FROM ln
+        |  WHERE bkt < 14 AND length(line) >= 10),
+        |tg AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN length(line) >= 10 THEN md5(line) END AS h
+        |  FROM ln WHERE bkt >= 14),
+        |st AS (
+        |  SELECT doc_id, pos, line, h,
+        |    row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) AS rn
+        |  FROM tg WHERE h IS NOT NULL),
+        |fl AS (
+        |  SELECT doc_id, pos, line, true AS keep FROM tg WHERE h IS NULL
+        |  UNION ALL
+        |  SELECT st.doc_id, st.pos, st.line,
+        |    (ch.h IS NULL AND rn = 1) AS keep
+        |  FROM st LEFT JOIN ch ON st.h = ch.h)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+        |    '') AS text_dedup,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+        |FROM fl GROUP BY doc_id""".stripMargin),
+    "q_line_dedup" -> (reflowCtes +
+      """,
         |tg AS (
         |  SELECT doc_id, pos, line,
         |    CASE WHEN length(line) >= 10 THEN md5(line) END AS h
@@ -575,7 +626,7 @@ object DedupQueries {
         |    '') AS text_dedup,
         |  count(*)::BIGINT AS n_lines,
         |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
-        |FROM fl GROUP BY doc_id""".stripMargin,
+        |FROM fl GROUP BY doc_id""".stripMargin),
     "q_remove_dup_spans" ->
       """WITH tk AS (
         |  SELECT doc_id,

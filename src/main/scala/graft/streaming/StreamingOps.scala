@@ -527,6 +527,27 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming incremental line dedup: each micro-batch of documents is
+    * rewritten against the PERSISTED corpus line-hash index
+    * ([[graft.operators.Dedup.lineHashIndex]]) — corpus-seen lines and
+    * within-doc repeats removed, docs reassembled. Micro-batching
+    * invariant by construction: every output row is a pure function of
+    * its own document and the stored index
+    * ([[graft.operators.Dedup.lineLevelCrossDedup]]'s deliberate
+    * no-cross-doc-in-batch contract), so the union over ANY trigger
+    * decomposition equals the one-shot batch rewrite (StreamingSpec). */
+  def incrementalLineDedup(newDocs: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, minChars: Int = 10)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.lineLevelCrossDedup(
+          batch.toDF(), corpusIndex, idCol, textCol, minChars), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming drift monitor: every micro-batch of arriving rows is
     * scored against the STATIC reference distribution with
     * [[graft.operators.Drift.psiKs]] — one `(psi, ks_stat, n_ref,

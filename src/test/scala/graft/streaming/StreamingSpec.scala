@@ -681,4 +681,48 @@ class StreamingSpec extends SparkSpec {
       reference.unpersist()
     }
   }
+
+  test("streaming line dedup: union over micro-batches == one-shot batch rewrite") {
+    val docs = Sources.table(spark, sf0001, "documents")
+      // give docs real line structure: break each into 6-word lines
+      .withColumn("toks", org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+      .withColumn("text_lines",
+        concat_ws("\n",
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(0), expr("(size(toks) + 5) div 6").cast("int") - 1),
+            i => array_join(slice(col("toks"), i * lit(6) + 1, lit(6)), " "))))
+      .select("doc_id", "text_lines")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.Dedup
+      .lineHashIndex(corpus, "doc_id", "text_lines").cache()
+    val tmp = Files.createTempDirectory("graft_linededup_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q = StreamingOps.incrementalLineDedup(stream, index,
+      "doc_id", "text_lines") { (out, _) =>
+      collected.synchronized {
+        collected ++= out.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Dedup
+        .lineLevelCrossDedup(newDocs, index, "doc_id", "text_lines")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(collected.toSet === oneShot)
+      assert(collected.size === newDocs.count())
+      assert(oneShot.exists(_._4 > 0), "cross-split duplicate lines expected")
+    } finally {
+      q.stop()
+      index.unpersist()
+    }
+  }
 }

@@ -141,6 +141,24 @@ object SimilarityQueries {
           col("label") === 1, steps = 2, lr = 1.0)
         .select(col("id").as("vec_id"), col("y"), col("lr_score"))
     },
+    // calibration curve (reliability diagram) of the trained quality
+    // classifier: scores bucketed into deciles, per-bucket observed
+    // positive rate vs mean predicted score — the "can I trust 0.9 to
+    // mean 90%" audit that decides the keep-threshold before a
+    // classifier filters a corpus
+    "q_lr_calibration" -> { (s, dir) =>
+      val scored = graft.operators.Classification.logRegScores(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          col("label") === 1, steps = 2, lr = 1.0)
+        .select(col("id"), col("y"), col("lr_score"))
+      // equi-depth score deciles via the no-global-window ntile
+      graft.operators.Stats.distributedNtile(scored, "lr_score", "id",
+          nTiles = 10)
+        .groupBy(col("tile").as("score_decile"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("y").cast("double")), 6).as("frac_positive"),
+          round(avg(col("lr_score")), 6).as("avg_score"))
+    },
     // product-quantization ANN: 8 per-subspace codebooks (trained
     // Lloyd, deterministic trajectory), vectors encoded to 8 codes,
     // queries ranked by ADC distance over the codes table — DuckDB
@@ -641,7 +659,18 @@ object SimilarityQueries {
          |qs AS (SELECT query_id, count(*) AS kq FROM ex GROUP BY 1)
          |SELECT round(avg(coalesce(m, 0)::DOUBLE / kq), 6) AS mean_recall,
          |  count(*)::BIGINT AS n_queries
-         |FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id""".stripMargin)
+         |FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id""".stripMargin) +
+    ("q_lr_calibration" ->
+      s"""WITH sc AS (
+         |${logRegOracle(steps = 2, lr = 1.0, dim = 64)}),
+         |d AS (
+         |  SELECT y, lr_score,
+         |    ntile(10) OVER (ORDER BY lr_score, vec_id) AS score_decile
+         |  FROM sc)
+         |SELECT score_decile, count(*)::BIGINT AS n,
+         |  round(avg(y), 6) AS frac_positive,
+         |  round(avg(lr_score), 6) AS avg_score
+         |FROM d GROUP BY 1""".stripMargin)
 
   /** DuckDB replay of the persisted-PQ-index query: same
     * train + encode + ADC replay as [[pqOracle]], but codebooks train

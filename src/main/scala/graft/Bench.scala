@@ -82,6 +82,8 @@ object Bench {
       // round-6 families
       "q_edit_distance_pairs", "q_bpe_train", "q_pca_project",
       "q_zorder_layout", "q_scd2_intervals", "q_triangle_count",
+      // round-7 families
+      "q_drift_numeric", "q_line_dedup", "q_url_normalize",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
     val runsJson = allRuns

@@ -81,7 +81,19 @@ class Round3PlanSpec extends SparkSpec {
       // form scans stored codes. Candidate PRUNING is the IVF-PQ
       // composition (q_ann_ivfpq_topk — equi-join on cell, NOT listed)
       "q_ann_pq_topk",
-      "q_pq_incremental_persisted")
+      "q_pq_incremental_persisted",
+      // round-7: drift binning broadcasts the 1-row cutpoint array and
+      // the 1-row totals (Drift scaladoc — every post-scan object is
+      // ≤ nBins rows); categorical/embedding variants broadcast the
+      // 1-row totals over the category/cell counts
+      "q_drift_numeric", "q_drift_bins", "q_drift_categorical",
+      "q_drift_embedding", "q_drift_profile_persisted",
+      // recall audit composes the allowlisted brute-force baseline as
+      // its exact side (bounded query sample by guardSize)
+      "q_ann_recall",
+      // calibration runs distributedNtile — 1-row global bounds (the
+      // q_decile_stats pattern)
+      "q_lr_calibration")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -150,8 +150,52 @@ object Drift {
       valueCol: String): DataFrame =
     summarize(binnedCountsFromProfile(profile, cur, valueCol))
 
-  private def summarize(binned: DataFrame): DataFrame =
+  /** Per-group PSI/KS against one shared reference — the drift
+    * DASHBOARD shape: one row per group (per day, per source, per
+    * shard) scoring that group's slice of `cur` against the global
+    * reference distribution. Plan: the reference profile's cutpoints
+    * and counts broadcast (≤ nBins rows); the current sample pays one
+    * scan and one (group, bin)-keyed aggregation; the per-group
+    * summary folds ≤ nBins rows per group. Groups × nBins intermediate
+    * rows — never a row-multiplication of the data. */
+  def psiKsPerGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: String, nBins: Int): DataFrame = {
+    val prof = referenceProfile(ref, valueCol, nBins)
+    val cuts = prof
+      .agg(sort_array(collect_list(struct(col("bin"), col("cut")))).as("__p"))
+      .select(expr(
+        "transform(filter(__p, x -> x.cut IS NOT NULL), x -> x.cut)")
+        .as("__cuts"))
+    val v = col(valueCol).cast("double")
+    val curCounts = cur.select(col(groupCol), v.as("__v"))
+      .where(col("__v").isNotNull)
+      .crossJoin(broadcast(cuts))
+      .select(col(groupCol), size(filter(col("__cuts"), c => c < col("__v"))).as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cur_n"))
+    val spine = curCounts.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(prof.select(col("bin"), col("ref_n"))))
+    val binned = spine
+      .join(curCounts, Seq(groupCol, "bin"), "left")
+      .join(curCounts.groupBy(col(groupCol)).agg(sum(col("cur_n")).as("__ct")),
+        Seq(groupCol))
+      .crossJoin(broadcast(prof.agg(sum(col("ref_n")).as("__rt"))))
+      .select(col(groupCol), col("bin"), col("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"),
+        ((col("ref_n") + lit(0.5)) / (col("__rt") + lit(nBins * 0.5)))
+          .as("ref_frac"),
+        ((coalesce(col("cur_n"), lit(0L)) + lit(0.5)) /
+          (col("__ct") + lit(nBins * 0.5))).as("cur_frac"))
+    summarizeBy(binned, col(groupCol))
+  }
+
+  private def summarize(binned: DataFrame): DataFrame = summarizeBy(binned)
+
+  /** The shared PSI/KS summary fold — global when `keys` is empty
+    * (`groupBy()` == whole-frame agg), per-group otherwise; either way
+    * each fold buffer holds ≤ nBins bin rows. */
+  private def summarizeBy(binned: DataFrame, keys: Column*): DataFrame =
     binned
+      .groupBy(keys: _*)
       .agg(
         sum(col("ref_n")).as("n_ref"), sum(col("cur_n")).as("n_cur"),
         round(sum((col("cur_frac") - col("ref_frac")) *
@@ -167,8 +211,8 @@ object Drift {
           |    'r', a.r + x.ref_frac, 'c', a.c + x.cur_frac,
           |    'best', greatest(a.best, abs((a.r + x.ref_frac) - (a.c + x.cur_frac)))),
           |  a -> round(a.best, 6))""".stripMargin))
-      .select(col("__psi").as("psi"), col("__ks").as("ks_stat"),
-        col("n_ref"), col("n_cur"))
+      .select(keys ++ Seq(col("__psi").as("psi"), col("__ks").as("ks_stat"),
+        col("n_ref"), col("n_cur")): _*)
 
   /** One-row categorical-mix drift summary over `catCol`:
     * `(js_divergence, chi_square, tvd, n_categories, n_ref, n_cur)`.

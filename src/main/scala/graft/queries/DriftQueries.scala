@@ -62,6 +62,15 @@ object DriftQueries {
       val (ref, cur) = splitHalves(s, dir)
       Drift.categoricalDrift(ref, cur, "event_type")
     },
+    // per-day drift dashboard: every event day scored against the
+    // GLOBAL value distribution — one row per day, the trend line a
+    // monitoring UI plots (groups × nBins intermediate rows only)
+    "q_drift_daily" -> { (s, dir) =>
+      val ev = Sources.events(s, dir)
+      val byDay = ev.withColumn("day",
+        expr("unix_micros(ts) div 86400000000"))
+      Drift.psiKsPerGroup(ev, byDay, "day", "value", 16)
+    },
     // embedding-space drift: train k-means cells on the REFERENCE half
     // (vec_id parity split — "yesterday's corpus"), assign BOTH halves
     // to the trained centroids (stateless literal projection), and
@@ -135,6 +144,54 @@ object DriftQueries {
         |FROM cum""".stripMargin)
 
   private lazy val restOracles: Map[String, String] = Map(
+    "q_drift_daily" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day, value
+        |  FROM events WHERE value IS NOT NULL),
+        |cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [0.0625,0.125,0.1875,0.25,0.3125,0.375,0.4375,0.5,
+        |                          0.5625,0.625,0.6875,0.75,0.8125,0.875,0.9375]),
+        |    c -> floor(c)) AS cuts
+        |  FROM ev),
+        |rb AS (
+        |  SELECT len(list_filter(cuts.cuts, c -> c < value)) AS bin,
+        |    count(*) AS ref_n
+        |  FROM ev, cuts GROUP BY 1),
+        |rbf AS (
+        |  SELECT spine.bin, coalesce(ref_n, 0) AS ref_n
+        |  FROM (SELECT unnest(range(0, 16)) AS bin) spine
+        |  LEFT JOIN rb ON spine.bin = rb.bin),
+        |rt AS (SELECT sum(ref_n)::BIGINT AS rt FROM rbf),
+        |cb AS (
+        |  SELECT day, len(list_filter(cuts.cuts, c -> c < value)) AS bin,
+        |    count(*) AS cur_n
+        |  FROM ev, cuts GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM cb),
+        |spine2 AS (
+        |  SELECT day, bin
+        |  FROM days, (SELECT unnest(range(0, 16)) AS bin) b),
+        |tab AS (
+        |  SELECT spine2.day, spine2.bin, rbf.ref_n,
+        |    coalesce(cb.cur_n, 0) AS cur_n
+        |  FROM spine2 JOIN rbf ON spine2.bin = rbf.bin
+        |  LEFT JOIN cb ON spine2.day = cb.day AND spine2.bin = cb.bin),
+        |ct AS (SELECT day, sum(cur_n)::BIGINT AS ct FROM tab GROUP BY 1),
+        |fr AS (
+        |  SELECT tab.day, bin, ref_n, cur_n, rt, ct,
+        |    (ref_n + 0.5) / (rt + 8.0) AS ref_frac,
+        |    (cur_n + 0.5) / (ct + 8.0) AS cur_frac
+        |  FROM tab CROSS JOIN rt JOIN ct ON tab.day = ct.day),
+        |cum AS (
+        |  SELECT *,
+        |    sum(ref_frac) OVER (PARTITION BY day ORDER BY bin) AS cum_ref,
+        |    sum(cur_frac) OVER (PARTITION BY day ORDER BY bin) AS cum_cur
+        |  FROM fr)
+        |SELECT day,
+        |  round(sum((cur_frac - ref_frac) * ln(cur_frac / ref_frac)), 6) AS psi,
+        |  round(max(abs(cum_ref - cum_cur)), 6) AS ks_stat,
+        |  max(rt) AS n_ref, max(ct) AS n_cur
+        |FROM cum GROUP BY day""".stripMargin,
     "q_drift_bins" -> (splitCte +
       """, cuts AS (
         |  SELECT list_transform(

@@ -61,6 +61,23 @@ class Round7Spec extends SparkSpec {
     assert(viaStored === direct)
   }
 
+  test("psiKsPerGroup: each group's row equals the single-group psiKs") {
+    val ref = (0 until 400).map(i => (i % 53).toDouble).toDF("v")
+    val cur = (0 until 300).map(i => (s"g${i % 3}", (i % 31).toDouble))
+      .toDF("g", "v")
+    val grouped = Drift.psiKsPerGroup(ref, cur, "g", "v", 8)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("psi"), r.getAs[Double]("ks_stat"),
+          r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))).toMap
+    assert(grouped.keySet === Set("g0", "g1", "g2"))
+    for (g <- grouped.keySet) {
+      val solo = Drift.psiKs(ref, cur.filter(col("g") === g), "v", 8)
+        .collect().head
+      assert(grouped(g) === (solo.getDouble(0), solo.getDouble(1),
+        solo.getLong(2), solo.getLong(3)), s"group $g")
+    }
+  }
+
   // ---- Drift.categoricalDrift ----
 
   test("categoricalDrift: identical mixes score zero; disjoint near ln 2") {

@@ -1044,6 +1044,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Exploded `(id, fp)` winnowing fingerprints — the persistable index
+    * side of incremental winnowing dedup: write it bucketed on `fp`
+    * ([[graft.sources.Sinks.writeBucketed]]), grow with
+    * `appendBucketed` (the MinHash/SRP/SimHash/line-hash lifecycle). */
+  def winnowFingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame =
+    TextAnalysis.winnowFingerprintsFast(df, idCol, textCol, k, window)
+      .select(col("id"), explode(col("fps")).as("fp"))
+
+  /** Incremental winnowing near-dup against a PERSISTED fingerprint
+    * index: the ingest batch pays its own winnow scan; candidate pairs
+    * are the fp equi-join against the stored index. The df-cap prunes
+    * fingerprints that are UBIQUITOUS IN THE CORPUS (> maxDf docs) from
+    * both sides — batch-novel fingerprints can't match the corpus at
+    * all, so corpus-frequency pruning loses nothing. Overlap =
+    * shared / min(|batch fps|, |corpus fps|) over the pruned sets, the
+    * [[winnowSharedPairs]] scoring. Batch fingerprints are cached (they
+    * feed the prune, sizes, and the join — the winnowSharedPairs cache
+    * rationale); streaming callers unpersist per trigger. */
+  def winnowCrossPairs(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, window: Int = 4,
+      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val bfp = winnowFingerprintIndex(batch, idCol, textCol, k, window).cache()
+    val frequent = corpusIndex.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("fp")
+    val cpruned = corpusIndex.join(frequent, Seq("fp"), "left_anti")
+    val bpruned = bfp.join(frequent, Seq("fp"), "left_anti")
+    val csz = cpruned.groupBy("id").agg(count(lit(1)).as("__nc"))
+    val bsz = bpruned.groupBy("id").agg(count(lit(1)).as("__nb"))
+    bpruned.select(col("id").as("batch_id"), col("fp"))
+      .join(cpruned.select(col("id").as("corpus_id"), col("fp")), Seq("fp"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(bsz.select(col("id").as("batch_id"), col("__nb")), Seq("batch_id"))
+      .join(csz.select(col("id").as("corpus_id"), col("__nc")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"), col("shared"),
+        round(col("shared") / least(col("__nb"), col("__nc")), 6).as("overlap"))
+  }
+
   def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4, minShared: Int = 2,
       maxDf: Int = 100): DataFrame = {

@@ -49,6 +49,21 @@ object DedupQueries {
       Dedup.winnowSharedPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 24, window = 8, minShared = 2, maxDf = 50)
     },
+    // incremental winnowing against a PERSISTED fingerprint index: the
+    // corpus pays its winnow scan once (fp-bucketed index table), each
+    // ingest batch fp-joins the stored index — the substring-reuse
+    // detector in the same lifecycle as MinHash/SimHash/SRP/line-hash
+    "q_winnow_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      graft.sources.Sinks.writeBucketed(
+        Dedup.winnowFingerprintIndex(docs.filter(col("split") =!= "test"),
+          "doc_id", "text", k = 24, window = 8),
+        "graft_corpus_winnow_fps", bucketCols = Seq("fp"), numBuckets = 8)
+      Dedup.winnowCrossPairs(docs.filter(col("split") === "test"),
+        s.table("graft_corpus_winnow_fps"), "doc_id", "text",
+        k = 24, window = 8, minShared = 2, maxDf = 50)
+    },
     "q_curation_summary" -> { (s, dir) =>
       import org.apache.spark.sql.functions.{col, count, lit}
       graft.operators.Curation.curate(table(s, dir, "documents"))
@@ -925,6 +940,32 @@ object DedupQueries {
         |FROM pairs
         |JOIN documents da ON pairs.a = da.doc_id
         |JOIN documents db ON pairs.b = db.doc_id""".stripMargin,
+    // incremental winnowing vs the stored index: same fingerprint CTEs,
+    // corpus/batch split by the md5 bucket, corpus-frequency df cap on
+    // BOTH sides (batch-novel fps can't match the corpus — lossless)
+    "q_winnow_incremental_persisted" ->
+      s"""WITH ${graft.queries.TextQueries.winnowPolyCtes(24, 8)},
+        |fpall AS (
+        |  SELECT doc_id, unnest(fps) AS fp,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM f),
+        |cfp AS (SELECT doc_id, fp FROM fpall WHERE bkt < 14),
+        |bfp AS (SELECT doc_id, fp FROM fpall WHERE bkt >= 14),
+        |freq AS (SELECT fp FROM (SELECT fp, count(1) AS c FROM cfp GROUP BY 1)
+        |         WHERE c > 50),
+        |cp AS (SELECT * FROM cfp ANTI JOIN freq USING (fp)),
+        |bp AS (SELECT * FROM bfp ANTI JOIN freq USING (fp)),
+        |csz AS (SELECT doc_id, count(1) AS nc FROM cp GROUP BY 1),
+        |bsz AS (SELECT doc_id, count(1) AS nb FROM bp GROUP BY 1),
+        |pr AS (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(1) AS shared
+        |  FROM bp b JOIN cp c ON b.fp = c.fp AND b.doc_id <> c.doc_id
+        |  GROUP BY 1, 2 HAVING count(1) >= 2)
+        |SELECT batch_id, corpus_id, shared,
+        |  round(shared::DOUBLE / least(bsz.nb, csz.nc), 6) AS overlap
+        |FROM pr
+        |JOIN bsz ON pr.batch_id = bsz.doc_id
+        |JOIN csz ON pr.corpus_id = csz.doc_id""".stripMargin,
     // winnowing pairs: the q_winnow_fingerprint CTE shape at k=24/w=8,
     // then df-capped self-join on the fingerprint value
     "q_winnow_pairs" ->

@@ -548,6 +548,26 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Categorical twin of [[driftMonitor]]: each micro-batch's category
+    * mix (event types, languages, sources) scored against the static
+    * reference with [[graft.operators.Drift.categoricalDrift]] — one
+    * `(js_divergence, chi_square, tvd, …, batch_id)` row per trigger.
+    * Same per-trigger-granularity contract; callers should pass a
+    * `.cache()`d reference (its grouped count re-executes per trigger
+    * otherwise). */
+  def categoricalDriftMonitor(stream: DataFrame, reference: DataFrame,
+      catCol: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Drift
+          .categoricalDrift(reference, batch.toDF(), catCol)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+          batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming drift monitor: every micro-batch of arriving rows is
     * scored against the STATIC reference distribution with
     * [[graft.operators.Drift.psiKs]] — one `(psi, ks_stat, n_ref,

@@ -725,4 +725,44 @@ class StreamingSpec extends SparkSpec {
       index.unpersist()
     }
   }
+
+  test("streaming categorical drift: each trigger == batch categoricalDrift of that file") {
+    val ev = Sources.events(spark, sf0001)
+    val reference = ev.filter(col("user_id") % 2 === 0)
+      .select("event_type").cache()
+    val cur = ev.filter(col("user_id") % 2 === 1).select("event_type")
+    val tmp = Files.createTempDirectory("graft_catdrift_stream").toFile
+    tmp.deleteOnExit()
+    cur.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(cur.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+    val q = StreamingOps.categoricalDriftMonitor(stream, reference,
+      "event_type") { (df, _) =>
+      collected.synchronized {
+        collected ++= df.collect().map(r =>
+          (r.getAs[Double]("js_divergence"), r.getAs[Double]("tvd"),
+            r.getAs[Long]("n_cur")))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val files = tmp.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length > 1)
+      val expected = files.map { f =>
+        val r = graft.operators.Drift.categoricalDrift(
+          reference, spark.read.parquet(f.getAbsolutePath), "event_type")
+          .collect().head
+        (r.getAs[Double]("js_divergence"), r.getAs[Double]("tvd"),
+          r.getAs[Long]("n_cur"))
+      }.toSet
+      assert(collected.size === files.length)
+      assert(collected.toSet === expected)
+    } finally {
+      q.stop()
+      reference.unpersist()
+    }
+  }
 }

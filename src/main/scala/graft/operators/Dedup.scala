@@ -143,8 +143,13 @@ object Dedup {
       when(length(col("line")) >= minChars, md5(col("line").cast("binary"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"), col("__h")).orderBy(col("pos"))
+    // distinct BEFORE the join: each append writes its batch's distinct
+    // hashes, so a grown index can hold the same h twice — joining the
+    // raw rows would multiply matched lines (caught by the lifecycle
+    // spec). On an h-bucketed index the distinct needs no exchange.
     tagged.withColumn("__rn", row_number().over(w))
-      .join(corpusIndex.select(col("h").as("__h"), lit(1).as("__seen")),
+      .join(corpusIndex.select(col("h").as("__h")).distinct()
+          .withColumn("__seen", lit(1)),
         Seq("__h"), "left")
       .withColumn("__kept", col("__h").isNull ||
         (col("__seen").isNull && col("__rn") === 1))

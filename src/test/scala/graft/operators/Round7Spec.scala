@@ -146,6 +146,57 @@ class Round7Spec extends SparkSpec {
     assert(out(1).getAs[String]("text_dedup") === "abcdefghi")
   }
 
+  // ---- persisted index lifecycles (winnow, line-hash) ----
+
+  test("winnow index lifecycle: appended batch == from-scratch rebuild") {
+    import graft.sources.Sinks
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    def pairs(index: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowCrossPairs(c, index, "doc_id", "text",
+          k = 24, window = 8, minShared = 1, maxDf = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      Sinks.writeBucketed(
+        Dedup.winnowFingerprintIndex(a, "doc_id", "text", 24, 8),
+        "graft_lc_winnow", Seq("fp"), 4)
+      Sinks.appendBucketed(
+        Dedup.winnowFingerprintIndex(b, "doc_id", "text", 24, 8),
+        "graft_lc_winnow", Seq("fp"), 4)
+      val grown = pairs(spark.table("graft_lc_winnow"))
+      val ref = pairs(
+        Dedup.winnowFingerprintIndex(a.union(b), "doc_id", "text", 24, 8))
+      assert(grown === ref)
+      assert(grown.nonEmpty, "cross-split shared substrings expected")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lc_winnow")
+  }
+
+  test("line-hash index lifecycle: appended batch == from-scratch rebuild") {
+    import graft.sources.Sinks
+    val docs = (0L until 60L).map(i =>
+      (i, s"shared line number ${i % 7} alpha\nunique body line $i tail"))
+      .toDF("id", "text")
+    val a = docs.filter($"id" % 3 === 0)
+    val b = docs.filter($"id" % 3 === 1)
+    val c = docs.filter($"id" % 3 === 2)
+    def rewrite(index: org.apache.spark.sql.DataFrame) =
+      Dedup.lineLevelCrossDedup(c, index, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    try {
+      Sinks.writeBucketed(Dedup.lineHashIndex(a, "id", "text"),
+        "graft_lc_linehash", Seq("h"), 4)
+      Sinks.appendBucketed(Dedup.lineHashIndex(b, "id", "text"),
+        "graft_lc_linehash", Seq("h"), 4)
+      val grown = rewrite(spark.table("graft_lc_linehash"))
+      val ref = rewrite(Dedup.lineHashIndex(a.union(b), "id", "text"))
+      assert(grown === ref)
+      // the shared lines exist in a/b, so c's copies are all removed
+      assert(grown.forall(_._3 >= 1L), "every c doc loses its shared line")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lc_linehash")
+  }
+
   // ---- TextAnalysis.normalizeText / NfcNormalize ----
 
   test("normalizeText: NFC composes marks, lowercases, collapses whitespace — codegen'd") {

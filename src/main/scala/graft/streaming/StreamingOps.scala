@@ -548,6 +548,46 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming distinct-count state maintenance — the sketch-valued
+    * sibling of [[incrementalAggStateDeltas]]: each micro-batch
+    * collapses to one HLL sketch per key (`hll_sketch_agg`, map-side
+    * combined), and the sink merges the delta into a stored state
+    * table with [[mergeHllStates]] — `hll_union` is the mergeable
+    * monoid, so distinct-user counts stay maintainable in
+    * O(|state| + |batch|) per trigger without re-reading raw history
+    * (exact distinct is NOT mergeable — the sketch is the price of
+    * incrementality, within the ~2% HLL error at lgK=14). Union over
+    * any micro-batching folds to the same state (StreamingSpec). */
+  def incrementalHllStateDeltas(newRows: DataFrame, keyCols: Seq[String],
+      valueCol: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(hllState(batch.toDF(), keyCols, valueCol), batchId)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Per-key HLL sketch state of one batch: `(keys…, hll_sk)`. */
+  def hllState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, 14)").as("hll_sk"))
+
+  /** Merge two per-key HLL state tables: union on the keys,
+    * `hll_union` where both sides hold a sketch. merge(state(A),
+    * state(B)) == state(A ∪ B) exactly (the sketch union is exact over
+    * sketches, only the ESTIMATE is approximate). */
+  def mergeHllStates(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val an = a.select(keyCols.map(col) :+ col("hll_sk").as("__a"): _*)
+    val bn = b.select(keyCols.map(col) :+ col("hll_sk").as("__b"): _*)
+    an.join(bn, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__a").isNull, col("__b"))
+          .when(col("__b").isNull, col("__a"))
+          .otherwise(expr("hll_union(__a, __b)")).as("hll_sk"): _*)
+  }
+
   /** Categorical twin of [[driftMonitor]]: each micro-batch's category
     * mix (event types, languages, sources) scored against the static
     * reference with [[graft.operators.Drift.categoricalDrift]] — one

@@ -765,4 +765,43 @@ class StreamingSpec extends SparkSpec {
       reference.unpersist()
     }
   }
+
+  test("incrementalHllStateDeltas: folded sketches estimate == one-shot state") {
+    val ev = Sources.events(spark, sf0001).select("event_type", "user_id")
+    val tmp = Files.createTempDirectory("graft_hllstate_stream").toFile
+    tmp.deleteOnExit()
+    ev.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val q = StreamingOps.incrementalHllStateDeltas(
+        stream, Seq("event_type"), "user_id") { (delta, _) =>
+      deltas.synchronized { deltas += delta.cache() }
+    }
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(hll_sk)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      q.processAllAvailable()
+      assert(deltas.size > 1, "expected multiple micro-batches")
+      val folded = deltas.reduce((a, b) =>
+        StreamingOps.mergeHllStates(a, b, Seq("event_type")))
+      val oneShot = StreamingOps.hllState(ev, Seq("event_type"), "user_id")
+      assert(estimates(folded) === estimates(oneShot))
+      // and the sketch estimate tracks the exact distinct within HLL error
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      estimates(oneShot).foreach { case (k, est) =>
+        assert(math.abs(est - exact(k)).toDouble / exact(k) < 0.05,
+          s"$k: est=$est exact=${exact(k)}")
+      }
+    } finally {
+      q.stop()
+      deltas.foreach(_.unpersist())
+    }
+  }
 }

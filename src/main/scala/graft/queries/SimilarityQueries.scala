@@ -96,6 +96,27 @@ object SimilarityQueries {
       graft.operators.Dedup.semanticCrossPairs(batch, corpus, centroids,
         threshold = 0.4)
     },
+    // SEMANTIC decontamination: the embedding-space complement of the
+    // n-gram q_decontaminate — any TRAINING vector scoring >= threshold
+    // cosine against an eval vector (within the corpus-trained cells)
+    // is flagged; output is the per-training-vector contamination flag
+    // a pipeline filters on before training
+    "q_semantic_decontaminate" -> { (s, dir) =>
+      val emb = graft.operators.Sampling
+        .split(table(s, dir, "embeddings"), col("vec_id"), 12, 2)
+      val train = emb.filter(col("split") =!= "test").drop("split")
+      val eval = emb.filter(col("split") === "test").drop("split")
+      val centroids = graft.operators.Clustering
+        .trainCentroids(train, k = 8, iters = 2)
+      val contaminated = graft.operators.Dedup
+        .semanticCrossPairs(eval, train, centroids, threshold = 0.4)
+        .select(col("corpus_id").as("vec_id")).distinct()
+        .withColumn("__c", lit(1))
+      train.select(col("vec_id"))
+        .join(contaminated, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("__c"), lit(0)).cast("int").as("contaminated"))
+    },
     // incremental SRP-LSH against a PERSISTED band index: the corpus
     // pays signing/banding once (one bucketed band table); each ingest
     // batch (test split) band-joins the stored index, verified by
@@ -318,6 +339,43 @@ object SimilarityQueries {
        |WHERE cos >= $threshold""".stripMargin
   }
 
+  /** Shared CTE prefix of the semantic batch-vs-corpus oracles: md5
+    * split, Lloyd trajectory trained on the corpus split, assignment
+    * of both sides, within-cell exact cosine (`scored`). */
+  private lazy val semCrossCtes: String =
+    s"""WITH emb0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+      |  FROM embeddings),
+      |corp AS (SELECT vec_id, e,
+      |           list_sum(list_transform(e, x -> x * x)) AS xx
+      |         FROM emb0 WHERE bkt < 14),
+      |batch AS (SELECT vec_id, e,
+      |            list_sum(list_transform(e, x -> x * x)) AS xx
+      |          FROM emb0 WHERE bkt >= 14),
+      |${lloyd2Ctes("corp", 8)},
+      |ac AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT m.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY m.vec_id
+      |        ORDER BY ${d2Sql("m", "c")}, c.cid) AS rn
+      |    FROM corp m CROSS JOIN c1cc c) WHERE rn = 1),
+      |ab AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT m.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY m.vec_id
+      |        ORDER BY ${d2Sql("m", "c")}, c.cid) AS rn
+      |    FROM batch m CROSS JOIN c1cc c) WHERE rn = 1),
+      |scored AS (
+      |  SELECT b.vec_id AS batch_id, a.vec_id AS corpus_id,
+      |    list_sum(list_transform(range(1, 65), i -> eb.e[i] * ea.e[i]))
+      |      / (sqrt(list_sum(list_transform(eb.e, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(ea.e, x -> x * x)))) AS cos
+      |  FROM ab b
+      |  JOIN ac a ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+      |  JOIN batch eb ON b.vec_id = eb.vec_id
+      |  JOIN corp ea ON a.vec_id = ea.vec_id)""".stripMargin
+
   /** The engine's squared-distance expression, as SQL text: mirrors
     * `Clustering.sqDistAlg` exactly — `greatest(xx − 2·(x·c) + cc, 0)`
     * with the same left-to-right fold orders. `m` must expose (e, xx),
@@ -482,40 +540,18 @@ object SimilarityQueries {
     // test = bkt >= 14), both sides assigned to the trained centroids,
     // cross cosine within cells
     "q_semantic_neardup_incremental" ->
-      s"""WITH emb0 AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e,
-        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
-        |  FROM embeddings),
-        |corp AS (SELECT vec_id, e,
-        |           list_sum(list_transform(e, x -> x * x)) AS xx
-        |         FROM emb0 WHERE bkt < 14),
-        |batch AS (SELECT vec_id, e,
-        |            list_sum(list_transform(e, x -> x * x)) AS xx
-        |          FROM emb0 WHERE bkt >= 14),
-        |${lloyd2Ctes("corp", 8)},
-        |ac AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT m.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY m.vec_id
-        |        ORDER BY ${d2Sql("m", "c")}, c.cid) AS rn
-        |    FROM corp m CROSS JOIN c1cc c) WHERE rn = 1),
-        |ab AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT m.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY m.vec_id
-        |        ORDER BY ${d2Sql("m", "c")}, c.cid) AS rn
-        |    FROM batch m CROSS JOIN c1cc c) WHERE rn = 1),
-        |scored AS (
-        |  SELECT b.vec_id AS batch_id, a.vec_id AS corpus_id,
-        |    list_sum(list_transform(range(1, 65), i -> eb.e[i] * ea.e[i]))
-        |      / (sqrt(list_sum(list_transform(eb.e, x -> x * x)))
-        |         * sqrt(list_sum(list_transform(ea.e, x -> x * x)))) AS cos
-        |  FROM ab b
-        |  JOIN ac a ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
-        |  JOIN batch eb ON b.vec_id = eb.vec_id
-        |  JOIN corp ea ON a.vec_id = ea.vec_id)
+      s"""$semCrossCtes
         |SELECT batch_id, corpus_id, round(cos, 6) AS cos FROM scored
         |WHERE cos >= 0.4""".stripMargin,
+    // same trajectory + cross scoring; contaminated = any train vector
+    // a batch (eval) vector scores >= threshold against
+    "q_semantic_decontaminate" ->
+      s"""$semCrossCtes,
+        |cont AS (
+        |  SELECT DISTINCT corpus_id AS vec_id FROM scored WHERE cos >= 0.4)
+        |SELECT corp.vec_id,
+        |  CASE WHEN cont.vec_id IS NULL THEN 0 ELSE 1 END AS contaminated
+        |FROM corp LEFT JOIN cont ON corp.vec_id = cont.vec_id""".stripMargin,
     // DuckDB replay of Dedup.semanticPairs: the q_kmeans_assign Lloyd
     // trajectory (k=8, 2 rounds, 6-decimal anchors) up to the final
     // assignment, then exact cosine within each cluster only

@@ -47,6 +47,49 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_text_len"))
     },
+    // contrastive negative sampling: a bounded global pool (64
+    // lowest-md5 docs via TakeOrdered — no window, no full sort), each
+    // anchor broadcast-joins the pool, keeps its 3 deterministic
+    // lowest-pair-hash negatives from OTHER sources — the in-batch
+    // negatives builder for contrastive/embedding training, md5-stable
+    // across reruns and engines
+    "q_negative_pool" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("source"))
+      val pool = docs
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+          col("doc_id").asc)
+        .limit(64)
+        .select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+      docs.join(broadcast(pool),
+          col("doc_id") =!= col("neg_id") && col("source") =!= col("neg_source"))
+        .withColumn("__r",
+          md5(concat_ws("-", col("doc_id"), col("neg_id")).cast("binary")))
+        .groupBy(col("doc_id"))
+        .agg(slice(sort_array(collect_list(struct(col("__r"), col("neg_id")))),
+          1, 3).as("__top"))
+        .select(col("doc_id"), posexplode(col("__top")).as(Seq("__i", "__x")))
+        .select(col("doc_id"), col("__x.neg_id").as("neg_id"),
+          (col("__i") + 1).cast("int").as("neg_rank"))
+    },
+    // next-event-prediction examples: per user, the event-type sequence
+    // (ordered by ts, event_id) unrolled into (last-3-context, label)
+    // pairs — the behavioral-LM dataset builder; one user-keyed shuffle,
+    // per-user bounded fold
+    "q_session_sequences" -> { (s, dir) =>
+      Sources.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, event_type)))," +
+            " x -> x.event_type)").as("__types"))
+        .filter(size(col("__types")) >= 2)
+        .select(col("user_id"), col("__types"),
+          explode(sequence(lit(1), size(col("__types")) - 1)).as("pos"))
+        .select(col("user_id"), col("pos").cast("int").as("pos"),
+          array_join(expr(
+            "slice(__types, greatest(1, pos - 2), pos - greatest(1, pos - 2) + 1)"),
+            " ").as("context"),
+          expr("element_at(__types, pos + 1)").as("label"))
+    },
     // ORC round trip: the other columnar format Spark ships natively
     // (predicate pushdown + column pruning apply the same as parquet);
     // lineitem written as ORC, read back, aggregated against the
@@ -586,6 +629,33 @@ object Extras {
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  sum(length(text))::BIGINT AS sum_text_len
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_negative_pool" ->
+      """WITH pool AS (
+        |  SELECT doc_id AS neg_id, source AS neg_source FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 64),
+        |cand AS (
+        |  SELECT d.doc_id, p.neg_id,
+        |    md5(d.doc_id::VARCHAR || '-' || p.neg_id::VARCHAR) AS r
+        |  FROM documents d, pool p
+        |  WHERE d.doc_id <> p.neg_id AND d.source <> p.neg_source),
+        |rk AS (
+        |  SELECT doc_id, neg_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY r, neg_id) AS neg_rank
+        |  FROM cand)
+        |SELECT doc_id, neg_id, neg_rank::INTEGER AS neg_rank
+        |FROM rk WHERE neg_rank <= 3""".stripMargin,
+    "q_session_sequences" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    list(event_type ORDER BY ts::TIMESTAMP, event_id) AS types
+        |  FROM events GROUP BY user_id),
+        |x AS (
+        |  SELECT user_id, types, unnest(range(1, len(types))) AS i
+        |  FROM u WHERE len(types) >= 2)
+        |SELECT user_id, i::INTEGER AS pos,
+        |  array_to_string(types[greatest(1, i - 2):i], ' ') AS context,
+        |  types[i + 1] AS label
+        |FROM x""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         |  round(sum(l_extendedprice), 4) AS sum_price,

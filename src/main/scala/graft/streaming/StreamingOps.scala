@@ -588,6 +588,41 @@ object StreamingOps {
           .otherwise(expr("hll_union(__a, __b)")).as("hll_sk"): _*)
   }
 
+  /** Streaming heavy-hitter state — the third mergeable-state modality
+    * after count/sum/min/max ([[incrementalAggStateDeltas]]) and
+    * distinct counts ([[incrementalHllStateDeltas]]): per-key
+    * DataSketches frequent-items sketches
+    * (`approx_top_k_accumulate`), merged across micro-batches with
+    * `approx_top_k_combine`. Maintains "top tokens / URLs / event
+    * types per key" over an unbounded stream in O(|state| + |batch|)
+    * per trigger; estimates are EXACT whenever a key's distinct items
+    * fit the sketch's maxItemsTracked. */
+  def topKState(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      maxItemsTracked: Int = 1024): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate($valueCol, $maxItemsTracked)")
+        .as("topk_sk"))
+
+  /** Merge two per-key top-k state tables: union + one combine
+    * aggregation per key (the sketch union is associative and
+    * commutative — merge(state(A), state(B)) == state(A ∪ B)). */
+  def mergeTopKStates(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("approx_top_k_combine(topk_sk)").as("topk_sk"))
+
+  def incrementalTopKStateDeltas(newRows: DataFrame, keyCols: Seq[String],
+      valueCol: String, maxItemsTracked: Int = 1024)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(topKState(batch.toDF(), keyCols, valueCol, maxItemsTracked), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Categorical twin of [[driftMonitor]]: each micro-batch's category
     * mix (event types, languages, sources) scored against the static
     * reference with [[graft.operators.Drift.categoricalDrift]] — one

@@ -93,7 +93,10 @@ class Round3PlanSpec extends SparkSpec {
       "q_ann_recall",
       // calibration runs distributedNtile — 1-row global bounds (the
       // q_decile_stats pattern)
-      "q_lr_calibration")
+      "q_lr_calibration",
+      // bounded 64-row negative pool broadcast with an inequality
+      // condition (anchors × pool, pool size fixed by TakeOrdered)
+      "q_negative_pool")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

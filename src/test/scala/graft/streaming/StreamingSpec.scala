@@ -804,4 +804,42 @@ class StreamingSpec extends SparkSpec {
       deltas.foreach(_.unpersist())
     }
   }
+
+  test("incrementalTopKStateDeltas: folded sketches == one-shot heavy hitters") {
+    val ev = Sources.events(spark, sf0001).select("event_type", "user_id")
+      .withColumn("u", col("user_id").cast("string"))
+      .select("event_type", "u")
+    val tmp = Files.createTempDirectory("graft_topkstate_stream").toFile
+    tmp.deleteOnExit()
+    ev.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val q = StreamingOps.incrementalTopKStateDeltas(
+        stream, Seq("event_type"), "u") { (delta, _) =>
+      deltas.synchronized { deltas += delta.cache() }
+    }
+    // distinct users per type fit maxItemsTracked, so estimates are exact
+    def top5(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        expr("approx_top_k_estimate(topk_sk, 5)").as("tk"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getLong(1))).sortBy(t => (-t._2, t._1))
+      }.toMap
+    try {
+      q.processAllAvailable()
+      assert(deltas.size > 1, "expected multiple micro-batches")
+      val folded = deltas.reduce((a, b) =>
+        StreamingOps.mergeTopKStates(a, b, Seq("event_type")))
+      val oneShot = StreamingOps.topKState(ev, Seq("event_type"), "u")
+      assert(top5(folded) === top5(oneShot))
+      assert(top5(oneShot).nonEmpty)
+    } finally {
+      q.stop()
+      deltas.foreach(_.unpersist())
+    }
+  }
 }

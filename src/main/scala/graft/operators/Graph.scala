@@ -173,4 +173,86 @@ object Graph {
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log n)-round algorithm for topologies
+    * where min-label propagation ([[Dedup.connectedComponents]]) needs
+    * O(diameter) rounds: a CHAIN of progressively-edited near-dups
+    * (d₁~d₂~…~dₙ, each adjacent pair similar but distant pairs not)
+    * has diameter n, and propagation walks it one hop per round while
+    * the star operations collapse it geometrically (Round7Spec pins a
+    * 300-link chain: propagation refuses at maxIters=20, this
+    * converges in ≤ 25 rounds).
+    *
+    * Per round: large-star hangs every neighbor LARGER than u onto
+    * u's neighborhood minimum; small-star re-hangs the smaller
+    * neighbors. Each is one edge-keyed aggregation plus a join —
+    * distributed, no driver state; rounds are `localCheckpoint`ed and
+    * convergence is detected by an order-independent edge-set
+    * signature (count + bit_xor of pair hashes — one tiny action per
+    * round, no except/join). Output contract matches
+    * [[Dedup.connectedComponents]]: `(doc_id, cluster_rep)` with
+    * cluster_rep = component minimum; isolated ids are their own rep. */
+  def connectedComponentsAlternating(allIds: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    def canonSig(df: DataFrame): (Long, Long) = {
+      val r = df
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b"))))
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val u = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = u.groupBy("src").agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("__m"))
+      u.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient large -> small, so every dst < src; m = min neighbor
+      val d = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst")).distinct()
+      val m = d.groupBy("src").agg(min(col("dst")).as("__m"))
+      d.join(m, "src")
+        .select(explode(array(
+          struct(col("dst").as("x"), col("__m").as("y")),
+          struct(col("src").as("x"), col("__m").as("y")))).as("p"))
+        .select(col("p.x").as("src"), col("p.y").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var prevSig = canonSig(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (round < maxRounds && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val sig = canonSig(next)
+      converged = sig == prevSig
+      prevSig = sig
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxRounds " +
+        "rounds — raise maxRounds (expected O(log n))")
+    val labels = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("__mn"), col("id")).as("label"))
+    allIds.select(col("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_rep"))
+  }
 }

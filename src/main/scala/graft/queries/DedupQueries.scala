@@ -77,6 +77,18 @@ object DedupQueries {
         n = 3, threshold = 0.8)
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     },
+    // the SAME clustering through the O(log n)-round alternating-star
+    // algorithm (Graph.connectedComponentsAlternating) — the deep-chain
+    // topology where min-label propagation stalls at O(diameter); both
+    // share one oracle, so the algorithms are pinned label-identical
+    "q_dedup_clusters_logstar" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      graft.operators.Graph.connectedComponentsAlternating(
+        docs.select(col("doc_id").as("id")), pairs)
+    },
     // leakage-safe train/valid/test split: the split is decided on the
     // near-dup CLUSTER representative, docs inherit it — so two near-dup
     // documents can NEVER straddle train and test (the eval-contamination
@@ -887,34 +899,10 @@ object DedupQueries {
         |          AS INTEGER) AS bucket
         |      FROM comp)
         |GROUP BY 1""".stripMargin,
-    "q_dedup_clusters" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |        FROM documents)),
-        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
-        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
-        |      FROM e0 ea JOIN e0 eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
-        |      GROUP BY 1, 2),
-        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
-        |pairs AS (
-        |  SELECT p.a, p.b FROM p
-        |  JOIN c ca ON p.a = ca.doc_id
-        |  JOIN c cb ON p.b = cb.doc_id
-        |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8),
-        |edges AS (SELECT a AS src, b AS dst FROM pairs
-        |          UNION ALL SELECT b, a FROM pairs),
-        |reach AS (
-        |  WITH RECURSIVE r(src, dst) AS (
-        |    SELECT doc_id, doc_id FROM documents
-        |    UNION
-        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
-        |  SELECT * FROM r)
-        |SELECT src AS doc_id, min(dst) AS cluster_rep
-        |FROM reach GROUP BY src""".stripMargin,
+    "q_dedup_clusters" -> clustersOracle,
+    // identical semantics by contract: the log-round algorithm must
+    // produce exactly the propagation algorithm's labels
+    "q_dedup_clusters_logstar" -> clustersOracle,
     "q_neardup_edit_distance" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1004,4 +992,37 @@ object DedupQueries {
         |JOIN c cb ON p.b = cb.doc_id
         |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
   )
+
+  /** Recursive-CTE replay of near-dup clustering — shared by
+    * q_dedup_clusters (min-label propagation) and
+    * q_dedup_clusters_logstar (alternating star rounds): both
+    * algorithms must produce the identical component-min labels. */
+  private lazy val clustersOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+        |      FROM e0 ea JOIN e0 eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        |pairs AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN c ca ON p.a = ca.doc_id
+        |  JOIN c cb ON p.b = cb.doc_id
+        |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT * FROM r)
+        |SELECT src AS doc_id, min(dst) AS cluster_rep
+        |FROM reach GROUP BY src""".stripMargin
 }

@@ -383,6 +383,17 @@ object ScaleProbe {
         operators.Graph.triangleStats(e)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"cc_logstar_chain_${n}x") {
+        // pathological diameter: a single chain of 2000·n links —
+        // propagation would need 2000·n rounds; expect ~log growth in
+        // rounds, near-linear wall-clock
+        val m = 2000L * n
+        val chain = spark.range(m)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        operators.Graph.connectedComponentsAlternating(
+            spark.range(m + 1).toDF("id"), chain, maxRounds = 40)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"drift_psi_${n}x") {
         // two scans + two 16-key aggregations — expect linear
         operators.Drift.psiKs(

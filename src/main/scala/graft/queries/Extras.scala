@@ -47,6 +47,19 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_text_len"))
     },
+    // the SQL surface end-to-end: tables registered as views
+    // (GraftSql), the statement text is ALL there is — including a
+    // graft native function (nfc_normalize) resolving through the
+    // session's function registry, exactly what an ad-hoc SQL user or
+    // BI tool would execute
+    "q_sql_surface" -> { (s, dir) =>
+      graft.sources.GraftSql.sql(s, dir,
+        """SELECT lang,
+          |  count(*) AS n_docs,
+          |  round(avg(length(nfc_normalize(text))), 2) AS avg_norm_len,
+          |  sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS n_long
+          |FROM documents GROUP BY lang""".stripMargin)
+    },
     // contrastive negative sampling: a bounded global pool (64
     // lowest-md5 docs via TakeOrdered — no window, no full sort), each
     // anchor broadcast-joins the pool, keeps its 3 deterministic
@@ -628,6 +641,12 @@ object Extras {
       """SELECT lang, count(*)::BIGINT AS n,
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  sum(length(text))::BIGINT AS sum_text_len
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT lang,
+        |  count(*)::BIGINT AS n_docs,
+        |  round(avg(length(nfc_normalize(text))), 2) AS avg_norm_len,
+        |  sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END)::BIGINT AS n_long
         |FROM documents GROUP BY lang""".stripMargin,
     "q_negative_pool" ->
       """WITH pool AS (

@@ -78,6 +78,34 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("psiKs: EMPTY current batch (a real ingest case) stays finite") {
+    val ref = (0 until 100).map(_.toDouble).toDF("v")
+    val out = Drift.psiKs(ref, ref.limit(0), "v", 8).collect().head
+    assert(out.getLong(3) === 0L) // n_cur
+    assert(!out.getDouble(0).isNaN && !out.getDouble(0).isInfinite)
+    assert(!out.getDouble(1).isNaN && out.getDouble(1) <= 1.0)
+  }
+
+  test("lineLevelDedup / lineLevelCrossDedup: empty inputs yield empty outputs") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.lineLevelDedup(empty, "id", "text").count() === 0L)
+    val idx = Dedup.lineHashIndex(docs2((1L, "some corpus line")), "id", "text")
+    assert(Dedup.lineLevelCrossDedup(empty, idx, "id", "text").count() === 0L)
+    // and an empty INDEX keeps every batch line
+    val out = Dedup.lineLevelCrossDedup(
+      docs2((1L, "only line in this document")),
+      Dedup.lineHashIndex(empty, "id", "text"), "id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_removed") === 0L)
+  }
+
+  test("winnowCrossPairs: empty batch against a real index yields no pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val idx = Dedup.winnowFingerprintIndex(docs, "doc_id", "text", 24, 8)
+    assert(Dedup.winnowCrossPairs(docs.limit(0), idx, "doc_id", "text",
+      24, 8).count() === 0L)
+  }
+
   // ---- Drift.categoricalDrift ----
 
   test("categoricalDrift: identical mixes score zero; disjoint near ln 2") {

@@ -66,7 +66,17 @@ object Drift {
     * (`Sinks.writeBucketed` — the BPE-merges / PQ-codebook lifecycle),
     * and score every future ingest batch against the stored rows
     * without ever re-touching the reference data. All-integer columns,
-    * so the parquet round trip is bit-exact. */
+    * so the parquet round trip is bit-exact.
+    *
+    * Honest scale note: `percentile` here is Spark's EXACT aggregate —
+    * its buffer grows with distinct values per partition, chosen for
+    * cross-engine determinism (the oracle replays `quantile_cont`
+    * bit-for-bit). Profiling a 100 TB reference with high-cardinality
+    * values should swap in `approx_percentile` (mergeable KLL-style
+    * buffer, same plan shape, cutpoints off by at most the sketch
+    * error — irrelevant to drift semantics since bins only need to be
+    * CONSISTENT, not exact). The profile is built once per corpus
+    * snapshot, so even the exact form is a one-off cost. */
   def referenceProfile(ref: DataFrame, valueCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 4096, s"nBins out of range: $nBins")

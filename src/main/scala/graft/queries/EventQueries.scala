@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.Events
 import graft.sources.Sources
 
-/** Event-time queries over `events`. The parquet column is
-  * TIMESTAMP(NANOS); Spark reads it truncated to micros
-  * (Sources.events), so every oracle casts `ts::TIMESTAMP` (ns → µs)
-  * before comparing, and timestamps are emitted as epoch micros.
+/** Event-time queries over `events`. The testdata generator has
+  * emitted `ts` as TIMESTAMP(NANOS)-as-int64, µs-NTZ, and plain µs
+  * across rounds; `Sources.events` normalizes all of them to a µs
+  * `TimestampType` (see its scaladoc), and every oracle casts
+  * `ts::TIMESTAMP` so DuckDB lands on the same µs values whatever the
+  * on-disk encoding. Timestamps are emitted as epoch micros.
   */
 object EventQueries {
 

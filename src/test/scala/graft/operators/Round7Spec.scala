@@ -78,6 +78,19 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("binnedCounts: constant reference (duplicate cutpoints) stays consistent") {
+    // a degenerate reference (all one value) floors every cutpoint to
+    // the same number; binning must still be total and deterministic:
+    // strictly-below puts <=5 in bin 0, >5 in the top bin
+    val ref = (0 until 100).map(_ => 5.0).toDF("v")
+    val cur = Seq(1.0, 5.0, 7.0).toDF("v")
+    val rows = Drift.binnedCounts(ref, cur, "v", 4).collect()
+    assert(rows.length === 4)
+    val m = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Long]("cur_n")).toMap
+    assert(m(0) === 2L && m(3) === 1L)
+    assert(rows.map(_.getAs[Long]("ref_n")).sum === 100L)
+  }
+
   test("psiKs: EMPTY current batch (a real ingest case) stays finite") {
     val ref = (0 until 100).map(_.toDouble).toDF("v")
     val out = Drift.psiKs(ref, ref.limit(0), "v", 8).collect().head

@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership probe holding the sketch as a PLAN-EXTERNAL
@@ -24,8 +26,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * [[graft.operators.BloomPrune]] feeds the sketch build.
   */
 case class BloomProbe(child: Expression, filter: BloomFilter)
-    extends UnaryExpression with Predicate {
+    extends UnaryExpression with Predicate with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] = Seq(LongType)
   override def prettyName: String = "bloom_probe"
 
   override def nullSafeEval(input: Any): Any =

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shannon entropy (bits per character) of a string's code-point
@@ -24,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * The reference has no text-quality operators (SURVEY.md §2; word
   * count is its only workload) — LLM-pipeline extension surface.
   */
-case class CharEntropy(child: Expression) extends UnaryExpression {
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "char_entropy"
 

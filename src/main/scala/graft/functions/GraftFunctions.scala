@@ -5,9 +5,27 @@ import org.apache.spark.sql.SparkSession
 /** Registry for graft's native Catalyst expressions. Idempotent; every
   * operator entry point calls this with the session it's handed, so SQL
   * and `call_function` references resolve in whichever session executes
-  * the plan. */
+  * the plan.
+  *
+  * Registration is performed AT MOST ONCE per session (weak-keyed, so a
+  * stopped session doesn't pin memory): `createOrReplaceTempFunction`
+  * logs a "function replaced" WARN on every repeat call, and with a
+  * couple hundred queries each calling `register`, that spam buried real
+  * warnings in the bench/verify tails. */
 object GraftFunctions {
+
+  /** Sessions already registered. Weak keys: sessions are owned by the
+    * caller; this set must not keep a stopped session reachable. */
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    // add() returns false when the session was already present — the
+    // function set is fixed at compile time, so re-registering the same
+    // builders is always a no-op apart from the WARN noise.
+    if (!registered.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash",
       exprs => RollingHash(exprs.head, RollingHash.DefaultBase, RollingHash.DefaultMod),

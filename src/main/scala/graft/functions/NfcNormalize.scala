@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB has the matching `nfc_normalize`, so results oracle as full
   * value equality (both implement Unicode canonical composition).
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"
 

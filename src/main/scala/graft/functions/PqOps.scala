@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, typedlit}
@@ -177,8 +178,9 @@ object PqModel {
 /** codes = per-subspace nearest-codebook entry of an `array<double>`
   * vector (see [[PqOps]] for why this is a native expression). */
 case class PqEncodeExpr(child: Expression, model: PqModel)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
@@ -196,8 +198,9 @@ case class PqEncodeExpr(child: Expression, model: PqModel)
 
 /** The per-query ADC distance table (see [[PqOps.pqAdcLut]]). */
 case class PqAdcLutExpr(child: Expression, model: PqModel)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_adc_lut"

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial (Karp-Rabin) rolling hash of a string column — the
@@ -24,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * extension surface.
   */
 case class RollingHash(child: Expression, base: Int, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 

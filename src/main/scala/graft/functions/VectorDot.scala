@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Fused dot product over two `array<double>` columns.
   *
@@ -22,8 +23,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * used only where the profile justified it.
   */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftExpectsInputTypes {
 
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 

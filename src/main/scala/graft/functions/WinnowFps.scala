@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.graft.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprints (Schleimer et al., SIGMOD '03) as ONE native
@@ -36,10 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * inputs with fewer than k + window − 1 codepoints yield an empty
   * array (callers filter, as the md5 form does). */
 case class WinnowFpsExpr(child: Expression, k: Int, window: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
 
   require(k >= 1 && window >= 1, s"k and window must be >= 1: $k, $window")
 
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"
 

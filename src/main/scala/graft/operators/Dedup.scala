@@ -1065,13 +1065,20 @@ object Dedup {
     * both sides — batch-novel fingerprints can't match the corpus at
     * all, so corpus-frequency pruning loses nothing. Overlap =
     * shared / min(|batch fps|, |corpus fps|) over the pruned sets, the
-    * [[winnowSharedPairs]] scoring. Batch fingerprints are cached (they
-    * feed the prune, sizes, and the join — the winnowSharedPairs cache
-    * rationale); streaming callers unpersist per trigger. */
+    * [[winnowSharedPairs]] scoring. Batch fingerprints are materialized
+    * ONCE via eager `localCheckpoint` (they feed the prune join and,
+    * through it, the sizes and the pair join — the winnowSharedPairs
+    * compute-once rationale) rather than `cache()`: the result is
+    * consumed lazily, so an internal cache could never be unpersisted
+    * and each call would pin one cached frame until session end;
+    * checkpoint blocks are instead freed by the ContextCleaner when the
+    * frame becomes unreachable, so repeated batch/loop calls don't
+    * accumulate storage. */
   def winnowCrossPairs(batch: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String, k: Int = 8, window: Int = 4,
       minShared: Int = 2, maxDf: Int = 100): DataFrame = {
-    val bfp = winnowFingerprintIndex(batch, idCol, textCol, k, window).cache()
+    val bfp = winnowFingerprintIndex(batch, idCol, textCol, k, window)
+      .localCheckpoint(true)
     val frequent = corpusIndex.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("fp")

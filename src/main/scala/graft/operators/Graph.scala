@@ -231,13 +231,25 @@ object Graph {
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    def canonEdges(df: DataFrame): DataFrame = df
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
     var prevSig = canonSig(edges)
     var round = 0
     var converged = edges.isEmpty
     while (round < maxRounds && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val sig = canonSig(next)
-      converged = sig == prevSig
+      if (sig == prevSig) {
+        // The (count, bit_xor(xxhash64)) signature is necessary but a
+        // ~2^-64 collision between successive NON-equal edge sets would
+        // otherwise terminate early with silently wrong labels. Confirm
+        // with ONE set-equality action on the final pair only (not per
+        // round): counts already match via the signature, so
+        // one-directional except() emptiness implies equality on these
+        // distinct canonical sets. A failed confirm just keeps looping.
+        converged = canonEdges(next).except(canonEdges(edges)).isEmpty
+      }
       prevSig = sig
       edges = next
       round += 1

@@ -67,8 +67,14 @@ object DriftQueries {
     // monitoring UI plots (groups × nBins intermediate rows only)
     "q_drift_daily" -> { (s, dir) =>
       val ev = Sources.events(s, dir)
+      // FLOOR division for the day key (pmod-based, exact in long
+      // arithmetic): the oracle uses DuckDB `//` which floors, while
+      // Spark `div` truncates toward zero — identical post-epoch but
+      // divergent for any pre-1970 timestamp. Matching floor semantics
+      // here removes the latent cross-engine split instead of relying
+      // on the test data staying post-epoch.
       val byDay = ev.withColumn("day",
-        expr("unix_micros(ts) div 86400000000"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000"))
       Drift.psiKsPerGroup(ev, byDay, "day", "value", 16)
     },
     // embedding-space drift: train k-means cells on the REFERENCE half

@@ -223,8 +223,10 @@ object TextQueries {
       |  FROM documents),
       |p1 AS (
       |  SELECT doc_id,
-      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    -- same defensive coalesce as path0/query0: scheme-less or
+      |    -- authority-less URLs must yield '' (Spark parity), not NULL
+      |    coalesce(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)), '') AS scheme,
+      |    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS auth,
       |    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
       |    -- DuckDB regexp_extract yields NULL on no-match (Spark: '')
       |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query0

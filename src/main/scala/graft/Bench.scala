@@ -84,6 +84,9 @@ object Bench {
       "q_zorder_layout", "q_scd2_intervals", "q_triangle_count",
       // round-7 families
       "q_drift_numeric", "q_line_dedup", "q_url_normalize",
+      // round-8: the composed curate→dedup→split→pack pipeline and the
+      // approx-distinct profiler
+      "q_pipeline_e2e", "q_profile_lineitem",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
     val runsJson = allRuns

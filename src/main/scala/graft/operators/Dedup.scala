@@ -231,6 +231,32 @@ object Dedup {
     * side + rebuild side), scanned, never cached. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minOccurrences: Long = 2L): DataFrame = {
+    val (toked, covered) = dupCoverage(df, idCol, textCol, n, minOccurrences)
+    val toks = toked
+      .select(col("id"), posexplode(col("__toks")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Shared coverage kernel of [[removeDuplicateSpans]] and
+    * [[duplicateSpans]]: `(toked, covered)` where `toked` is
+    * `(id, __toks)` and `covered` the distinct `(id, pos)` token
+    * positions lying under any n-gram that occurs ≥ `minOccurrences`
+    * times anywhere in the corpus (within-doc repeats included). */
+  private def dupCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Long): (DataFrame, DataFrame) = {
     require(minOccurrences >= 2L,
       "minOccurrences must be >= 2: every n-gram occurs at least once")
     val toked = df.select(col(idCol).as("id"),
@@ -248,22 +274,59 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
-    val toks = toked
-      .select(col("id"), posexplode(col("__toks")))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("clean_text"))
-    df.select(col(idCol).as("id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    (toked, covered)
+  }
+
+  /** VARIABLE-LENGTH duplicated-span extraction — the Lee et al.
+    * ExactSubstr span view at token granularity: every MAXIMAL run of
+    * token positions covered by corpus-duplicated `minLen`-grams,
+    * emitted as `(id, span_start, span_end, span_len, span_text)`
+    * (1-based inclusive positions). Spans are variable-length by
+    * construction: a 40-token duplicated region surfaces as ONE 40-token
+    * span, not a pile of fixed-n grams.
+    *
+    * Why fixed-n coverage is EXACT here, not an approximation (this is
+    * the precise claim the fixed-n rewrite was missing): at token
+    * granularity, a position lies inside a duplicated run of length ≥
+    * `minLen` ⟺ it is covered by at least one duplicated `minLen`-gram —
+    * (⇐) the gram is itself such a run; (⇒) any position of a length-s
+    * run (s ≥ minLen) has a `minLen`-window inside the run containing
+    * it, and every substring of a duplicated run is duplicated at least
+    * as often. So the coverage union equals the union of ALL duplicated
+    * spans of length ≥ minLen, and its maximal runs are exactly the
+    * maximal duplicated regions (adjacent/overlapping spans merge —
+    * the same position-set-union semantics as the rewrite; each run is
+    * ≥ minLen tokens automatically). What this deliberately does NOT
+    * reproduce from the suffix-array original is sub-token (byte)
+    * granularity and its global suffix order — token granularity is
+    * what the rest of this engine's text surface operates at.
+    *
+    * Scale shape: the [[dupCoverage]] kernel (gram-keyed equi-join, no
+    * pair join), then runs via the gaps-and-islands key `pos − idx`
+    * over each doc's sorted covered positions — one (id)-keyed bounded
+    * `sort_array` fold + one (id, grp)-keyed min/max aggregation; NO
+    * window anywhere (the engine-wide zero-unpartitioned-window
+    * invariant), no driver state. Span text rebuilds by `slice` from
+    * the doc's own token array — never re-scanned, never joined to
+    * other docs. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minOccurrences: Long = 2L): DataFrame = {
+    val (toked, covered) = dupCoverage(df, idCol, textCol, minLen, minOccurrences)
+    val runs = covered
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("id"), posexplode(col("__ps")))
+      // `col` = covered position (1-based), `pos` = its index in the
+      // sorted array; pos − idx is constant exactly along consecutive
+      // runs (classic gaps-and-islands, shuffled on (id, grp) — no
+      // window needed)
+      .groupBy(col("id"), (col("col") - col("pos")).as("__grp"))
+      .agg(min(col("col")).as("span_start"), max(col("col")).as("span_end"))
+    runs.join(toked, Seq("id"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"),
+        concat_ws(" ", slice(col("__toks"), col("span_start"),
+          col("span_end") - col("span_start") + 1)).as("span_text"))
   }
 
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
@@ -955,12 +1018,23 @@ object Dedup {
     * short segments first). If `ed(a,b) <= k`, some segment of `b`
     * appears VERBATIM in `a`, start-shifted at most `k` — so the join
     * key is `(indexed_len, segment_idx, segment_text)` and the probe
-    * side enumerates, per row, every partner length in `[L-k, L+k]` and
-    * every allowed shift: O(k^3) bounded probe substrings per row
-    * (tighter multi-match-aware shift bounds exist; the k-cube constant
-    * is already small for linkage-scale k <= 4). LOSSLESS: candidates
-    * are a superset of true pairs (spec'd equal to the naive join), the
-    * exact `levenshtein` post-filter runs only on candidates.
+    * side enumerates, per row, partner lengths and allowed shifts.
+    * Two LOSSLESS prunes keep the probe fan-out well under the naive
+    * O(k^3) cube:
+    *  - length-bucket statistics: partner lengths `lb` in `[L-k, L+k]`
+    *    that don't occur in the corpus at all are dropped BEFORE the
+    *    segment/shift explode (broadcast semi-join against the ≤
+    *    max-string-length distinct-length set — a partner of an absent
+    *    length cannot exist, so nothing is lost);
+    *  - the paper's length-aware shift bound: a match of segment j at
+    *    shift `d` forces ≥ `|d|` edits before the segment and
+    *    `|Δ − d|` after (Δ = L_probe − L_indexed), so only shifts with
+    *    `|d| + |Δ − d| <= k` are generated — ≤ k+1 shifts instead of
+    *    2k+1, emitted directly from a tightened `sequence()` rather
+    *    than explode-then-filter.
+    * Candidates remain a superset of true pairs (spec'd equal to the
+    * naive join); the exact `levenshtein` post-filter runs only on
+    * candidates.
     *
     * 100 TB shape: one equi-join shuffle on the segment key; segment
     * buckets are substring-frequency-bounded (no all-pairs path).
@@ -1002,13 +1076,20 @@ object Dedup {
       .select(col("id_y"), col("len_y"),
         col("key.j").as("j"), col("key.t").as("t"))
       .distinct()
-    // probe side: for every partner length lb in [len-k, len+k], every
-    // segment of THAT partition, every shift in [-k, k]
+    // probe side: for every partner length lb in [len-k, len+k] that
+    // EXISTS in the corpus, every segment of THAT partition, every
+    // length-aware shift (|d| + |Δ−d| <= k, Δ = len − lb ⇒ d in
+    // [min(0,Δ) − (k−|Δ|)/2, max(0,Δ) + (k−|Δ|)/2])
+    val lens = base.select(col("len").as("lb")).distinct()
     val probe = base
       .withColumn("lb", explode(expr(
         s"sequence(greatest(1, len - $k), len + $k)")))
+      .join(broadcast(lens), Seq("lb"), "left_semi")
       .withColumn("seg", explode(expr(segs("lb"))))
-      .withColumn("d", explode(expr(s"sequence(-$k, $k)")))
+      .withColumn("d", explode(expr(
+        s"""sequence(least(0, len - lb) - (($k - abs(len - lb)) div 2),
+           |         greatest(0, len - lb) + (($k - abs(len - lb)) div 2))"""
+          .stripMargin)))
       .withColumn("p", col("seg.st") + col("d"))
       .filter(col("lb") <= k ||
         (col("seg.ln") > 0 && col("p") >= 0 && col("p") + col("seg.ln") <= col("len")))

@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** `approx_percentile` accuracy for [[referenceProfile]]'s
+    * `approxCutpoints` mode: guaranteed rank error ≤ 1/accuracy =
+    * 0.01% of rows per cutpoint — two-plus orders of magnitude under
+    * the 1/nBins bin mass at any supported nBins (≤ 4096). */
+  val ApproxAccuracy: Int = 10000
+
   /** Per-bin contingency table of `valueCol` in `ref` vs `cur`:
     * `(bin, ref_n, cur_n, ref_frac, cur_frac)`, bins defined by the
     * REFERENCE sample's equi-depth cutpoints (floored to integer
@@ -53,8 +59,9 @@ object Drift {
     * Bins run 0..nBins-1; every bin row is present even when both
     * sides are empty there. */
   def binnedCounts(ref: DataFrame, cur: DataFrame, valueCol: String,
-      nBins: Int): DataFrame =
-    binnedCountsFromProfile(referenceProfile(ref, valueCol, nBins),
+      nBins: Int, approxCutpoints: Boolean = false): DataFrame =
+    binnedCountsFromProfile(
+      referenceProfile(ref, valueCol, nBins, approxCutpoints),
       cur, valueCol)
 
   /** Reference distribution profile — the persistable drift "model":
@@ -68,25 +75,36 @@ object Drift {
     * without ever re-touching the reference data. All-integer columns,
     * so the parquet round trip is bit-exact.
     *
-    * Honest scale note: `percentile` here is Spark's EXACT aggregate —
-    * its buffer grows with distinct values per partition, chosen for
-    * cross-engine determinism (the oracle replays `quantile_cont`
-    * bit-for-bit). Profiling a 100 TB reference with high-cardinality
-    * values should swap in `approx_percentile` (mergeable KLL-style
-    * buffer, same plan shape, cutpoints off by at most the sketch
-    * error — irrelevant to drift semantics since bins only need to be
-    * CONSISTENT, not exact). The profile is built once per corpus
-    * snapshot, so even the exact form is a one-off cost. */
+    * Cutpoint accuracy is a MODE, not a comment:
+    *  - `approxCutpoints = false` (default): Spark's EXACT `percentile`
+    *    aggregate — its buffer grows with distinct values per
+    *    partition, chosen for cross-engine determinism (the oracle
+    *    replays `quantile_cont` bit-for-bit). Fine for a bounded
+    *    reference sample; a footgun fed the raw 100 TB column.
+    *  - `approxCutpoints = true`: `approx_percentile` with
+    *    `ApproxAccuracy` (Greenwald–Khanna mergeable sketch, rank error
+    *    ≤ 1/accuracy = 0.01% — orders of magnitude under any bin's
+    *    1/nBins mass). Same plan shape, O(accuracy·log n) state per
+    *    partition regardless of cardinality — the 100 TB profile build.
+    *    Cutpoints may differ from exact by at most the sketch's rank
+    *    error, which drift semantics don't care about: bins need to be
+    *    CONSISTENT between profile build and scoring, not exact
+    *    (contract pinned by `q_drift_profile_approx` and
+    *    DriftApproxSpec: per-bin reference mass within one bin mass of
+    *    the exact profile's). */
   def referenceProfile(ref: DataFrame, valueCol: String,
-      nBins: Int): DataFrame = {
+      nBins: Int, approxCutpoints: Boolean = false): DataFrame = {
     require(nBins >= 2 && nBins <= 4096, s"nBins out of range: $nBins")
     val v = col(valueCol).cast("double")
     // reference-defined cutpoints: nBins-1 interior equi-depth quantiles,
     // floored (cross-engine exact); one-row aggregate, broadcast back
     val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val pct =
+      if (approxCutpoints)
+        approx_percentile(v, array(qs.map(lit): _*), lit(ApproxAccuracy))
+      else percentile(v, array(qs.map(lit): _*))
     val cuts = ref.agg(
-      transform(percentile(v, array(qs.map(lit): _*)), c => floor(c))
-        .as("__cuts"))
+      transform(pct, c => floor(c)).as("__cuts"))
     val counts = ref.select(v.as("__v")).where(col("__v").isNotNull)
       .crossJoin(broadcast(cuts))
       // bin = number of cutpoints strictly below v (ties at a floored
@@ -103,6 +121,13 @@ object Drift {
       .join(counts, Seq("bin"), "left")
       .select(col("bin"), col("cut"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+      // provable-bound marker: the profile IS exactly nBins rows (the
+      // exploded 0..nBins-1 spine), but explode() erases `maxRows`, so
+      // without this no-op limit Catalyst can't prove a downstream
+      // crossJoin(broadcast(profile)) is bounded — the Round7PlanSpec
+      // engine-wide join sweep (and any size-based join planning)
+      // depends on the bound being visible in the plan.
+      .limit(nBins)
   }
 
   /** [[binnedCounts]] against a precomputed [[referenceProfile]] —
@@ -151,8 +176,8 @@ object Drift {
     * invariant). Common thresholds: PSI < 0.1 stable, 0.1–0.25 drift
     * warning, > 0.25 action. */
   def psiKs(ref: DataFrame, cur: DataFrame, valueCol: String,
-      nBins: Int): DataFrame =
-    summarize(binnedCounts(ref, cur, valueCol, nBins))
+      nBins: Int, approxCutpoints: Boolean = false): DataFrame =
+    summarize(binnedCounts(ref, cur, valueCol, nBins, approxCutpoints))
 
   /** [[psiKs]] against a stored [[referenceProfile]] — the score path
     * that never re-reads reference data. */

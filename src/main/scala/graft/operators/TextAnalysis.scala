@@ -652,10 +652,13 @@ object TextAnalysis {
     *
     * Thresholds are the published Gopher defaults (word count tuned
     * down to ≥10 for this corpus's short synthetic docs; production
-    * uses 50). All ratios round to 6dp so the DuckDB oracle
-    * hash-matches float-for-float. */
+    * uses 50; `minStopHits` likewise tunable — the synthetic corpus is
+    * not English prose, so a pipeline over it lowers the stopword
+    * naturalness bar rather than discarding everything). All ratios
+    * round to 6dp so the DuckDB oracle hash-matches float-for-float. */
   def gopherQualityFilter(df: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 10L, maxWords: Long = 100000L): DataFrame = {
+      minWords: Long = 10L, maxWords: Long = 100000L,
+      minStopHits: Long = 2L): DataFrame = {
     val nW = greatest(col("n_words"), lit(1L))
     val nL = greatest(col("n_lines"), lit(1L))
     df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
@@ -695,7 +698,7 @@ object TextAnalysis {
           col("symbol_ratio") <= 0.1 &&
           col("frac_bullet_lines") <= 0.9 &&
           col("frac_ellipsis_lines") <= 0.3 &&
-          col("n_stop_hits") >= 2L).cast("int"))
+          col("n_stop_hits") >= minStopHits).cast("int"))
       .drop("__t", "__toks", "__lines")
   }
 

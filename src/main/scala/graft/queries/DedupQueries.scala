@@ -251,6 +251,65 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_kept"), col("n_removed"))
     },
+    // the VARIABLE-LENGTH span view of the same dedup: maximal
+    // duplicated token runs (>= 8 each, arbitrary length) with their
+    // text — what removeDuplicateSpans excises, itemized per span
+    "q_remove_dup_spans_var" -> { (s, dir) =>
+      Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          minLen = 8, minOccurrences = 2L)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("span_text"))
+    },
+    // the PRODUCT STORY in one plan: quality filter → line dedup →
+    // near-dup clusters → leakage-safe split → sequence packing, each
+    // stage the already-oracled operator, composed documents-to-
+    // training-chunks with no materialization barrier between stages.
+    // Catalyst sees the WHOLE pipeline, so column pruning crosses stage
+    // boundaries (the gopher stage's rule columns never survive past
+    // `keep`) and the exchanges in the executed plan are exactly the
+    // component sum — no stage pays a handoff shuffle (pinned in
+    // Round7PlanSpec). Output: per-split corpus accounting (docs,
+    // clusters, packed chunks, tokens) — the dashboard row a data-prep
+    // run publishes.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      // 1. Gopher/C4 quality battery, keep survivors only. The
+      //    stopword naturalness bar is lowered to >=1 hit: the
+      //    synthetic corpus is not English prose, and the default >=2
+      //    would reject every document (production English uses 2);
+      //    >=1 filters ~24% here — a real, discriminating gate.
+      val curated = docs.join(
+        graft.operators.TextAnalysis.gopherQualityFilter(docs, "doc_id",
+            "text", minStopHits = 1L)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      // 2. corpus-level line dedup over the 8-word reflow
+      val deduped = Dedup.lineLevelDedup(reflowLines(curated),
+          "doc_id", "text_lines", minChars = 10)
+        .select(col("id").as("doc_id"), col("text_dedup"))
+      // 3. near-dup clusters on the DEDUPED text (lossless prefix
+      //    filter; the dedup may change shingles, so clustering runs
+      //    downstream of it, as a real pipeline would)
+      val pairs = Dedup.ngramJaccardPairsPrefix(deduped, "doc_id",
+        "text_dedup", n = 3, threshold = 0.8)
+      val clusters = Dedup.connectedComponents(
+        deduped.select(col("doc_id").as("id")), pairs)
+      // 4. leakage-safe split decided on the cluster representative
+      val split = graft.operators.Sampling
+        .split(clusters, col("cluster_rep"), 12, 2)
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+      // 5. deterministic sequence packing within each split
+      val packed = graft.operators.TextAnalysis.packSequences(
+        deduped.join(split, Seq("doc_id")), "doc_id", "text_dedup",
+        "split", capacity = 512L)
+      packed.select(col("doc_id"), col("n_tokens"), col("chunk_id"))
+        .join(split, Seq("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"),
+          countDistinct(col("chunk_id")).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tokens"))
+    },
     // C4/RefinedWeb line-level dedup: corpus-duplicated lines survive
     // only at their first occurrence, docs reassembled. The synthetic
     // docs are single-line, so the query first reflows each into
@@ -608,6 +667,130 @@ object DedupQueries {
       |  FROM rf)""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_pipeline_e2e" -> {
+      val stopHits = graft.operators.TextAnalysis.GopherStopwords
+        .map(w => s"CASE WHEN list_contains(lt, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g0 AS (
+         |  SELECT doc_id, coalesce(text, '') AS txt,
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |      x -> x <> '') AS toks,
+         |    list_filter(string_split(coalesce(text, ''), chr(10)),
+         |      x -> x <> '') AS lns
+         |  FROM documents),
+         |g1 AS (
+         |  SELECT doc_id, txt, toks, lns,
+         |    list_transform(toks, x -> lower(x)) AS lt,
+         |    len(toks)::BIGINT AS n_words,
+         |    greatest(len(toks), 1) AS nw, greatest(len(lns), 1) AS nl
+         |  FROM g0),
+         |g2 AS (
+         |  SELECT doc_id, toks,
+         |    round(coalesce(list_sum(list_transform(toks, x -> length(x))),
+         |      0)::DOUBLE / nw, 6) AS mean_word_len,
+         |    round(len(list_filter(toks,
+         |      x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nw, 6)
+         |      AS frac_alpha_words,
+         |    round(((length(txt) - length(replace(txt, '#', ''))) +
+         |      len(regexp_extract_all(txt, '\\.\\.\\.|…')))::DOUBLE / nw, 6)
+         |      AS symbol_ratio,
+         |    round(len(list_filter(lns, x -> x LIKE '- %' OR x LIKE '* %'
+         |      OR x LIKE '• %'))::DOUBLE / nl, 6) AS frac_bullet_lines,
+         |    round(len(list_filter(lns, x -> x LIKE '%...'
+         |      OR x LIKE '%…'))::DOUBLE / nl, 6) AS frac_ellipsis_lines,
+         |    ($stopHits)::BIGINT AS n_stop_hits, n_words
+         |  FROM g1),
+         |cur AS (
+         |  SELECT doc_id, toks FROM g2
+         |  WHERE n_words >= 10 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND frac_alpha_words >= 0.8 AND symbol_ratio <= 0.1
+         |    AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+         |    AND n_stop_hits >= 1),
+         |rf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN ''
+         |         ELSE array_to_string(
+         |           list_transform(range(0, (len(toks) + 7) // 8),
+         |             i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+         |           chr(10)) END AS text
+         |  FROM cur),
+         |ln AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    unnest(range(len(string_split(text, chr(10))))) AS pos
+         |  FROM rf),
+         |tg AS (
+         |  SELECT doc_id, pos, line,
+         |    CASE WHEN length(line) >= 10 THEN md5(line) END AS h
+         |  FROM ln),
+         |st AS (
+         |  SELECT doc_id, pos, line,
+         |    count(*) OVER (PARTITION BY h) AS c,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM tg WHERE h IS NOT NULL),
+         |fl AS (
+         |  SELECT doc_id, pos, line, true AS keep FROM tg WHERE h IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, pos, line, (c = 1 OR rn = 1) AS keep FROM st),
+         |dd AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+         |      '') AS text_dedup
+         |  FROM fl GROUP BY doc_id),
+         |dt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text_dedup, '\\s+'), x -> x <> '') AS toks
+         |  FROM dd),
+         |shg AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         |  FROM dt),
+         |e0 AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+         |p AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+         |      FROM e0 ea JOIN e0 eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+         |      GROUP BY 1, 2),
+         |c AS (SELECT doc_id, len(sh) AS n_sh FROM shg),
+         |pairs AS (
+         |  SELECT p.a, p.b FROM p
+         |  JOIN c ca ON p.a = ca.doc_id
+         |  JOIN c cb ON p.b = cb.doc_id
+         |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT doc_id, doc_id FROM dd
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+         |         FROM reach GROUP BY src),
+         |sp AS (
+         |  SELECT doc_id, cluster_rep,
+         |    CASE WHEN bkt < 12 THEN 'train'
+         |         WHEN bkt < 14 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster_rep,
+         |          CAST(('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 1))
+         |            AS INTEGER) AS bkt
+         |        FROM comp)),
+         |pk AS (
+         |  SELECT sp.doc_id, sp.split, sp.cluster_rep,
+         |    len(dt.toks)::BIGINT AS n_tokens
+         |  FROM sp JOIN dt USING (doc_id)),
+         |ch AS (
+         |  SELECT split, cluster_rep, n_tokens,
+         |    floor((sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id)
+         |           - n_tokens) / 512.0)::INTEGER AS chunk_id
+         |  FROM pk)
+         |SELECT split, count(1)::BIGINT AS n_docs,
+         |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters,
+         |  count(DISTINCT chunk_id)::BIGINT AS n_chunks,
+         |  sum(n_tokens)::BIGINT AS n_tokens
+         |FROM ch GROUP BY split""".stripMargin
+    },
     "q_line_dedup_incremental" -> (reflowCtes +
       """,
         |ch AS (
@@ -683,6 +866,32 @@ object DedupQueries {
         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
         |  (b.n - coalesce(k.n_kept, 0))::BIGINT AS n_removed
         |FROM b LEFT JOIN k USING (doc_id)""".stripMargin,
+    "q_remove_dup_spans_var" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, toks,
+        |         unnest(range(1, greatest(len(toks) - 6, 1))) AS gpos
+        |       FROM tk),
+        |g AS (SELECT doc_id, gpos,
+        |        concat_ws(' ', toks[gpos], toks[gpos+1], toks[gpos+2],
+        |          toks[gpos+3], toks[gpos+4], toks[gpos+5], toks[gpos+6],
+        |          toks[gpos+7]) AS gram
+        |      FROM g0),
+        |f AS (SELECT gram FROM g GROUP BY gram HAVING count(1) >= 2),
+        |cov0 AS (SELECT doc_id, gpos FROM g JOIN f USING (gram)),
+        |cov1 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS pos FROM cov0),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov1),
+        |r AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM cov),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
+        |       FROM r GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, s::BIGINT AS span_start, e::BIGINT AS span_end,
+        |  (e - s + 1)::BIGINT AS span_len,
+        |  array_to_string(tk.toks[s:e], ' ') AS span_text
+        |FROM sp JOIN tk USING (doc_id)""".stripMargin,
     "q_dup_ngram_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -104,6 +104,26 @@ object DriftQueries {
         "graft_drift_profile", bucketCols = Seq("bin"), numBuckets = 1)
       Drift.psiKsFromProfile(s.table("graft_drift_profile"), cur, "value")
     },
+    // scale-safe profile mode, contract-oracled (the q_approx_distinct
+    // pattern): the approx-cutpoint profile (GK sketch, rank error
+    // ≤ 0.01%, O(accuracy) state per partition regardless of value
+    // cardinality — the 100 TB build path) must land within ONE BIN
+    // MASS of the exact profile's reference count in every bin. The
+    // Spark side computes the actual |approx − exact| check; the
+    // oracle replays the exact counts and emits literal TRUE, so any
+    // contract violation hash-mismatches and fails the gate.
+    "q_drift_profile_approx" -> { (s, dir) =>
+      val (ref, _) = splitHalves(s, dir)
+      val exact = Drift.referenceProfile(ref, "value", 16)
+      val approx = Drift.referenceProfile(ref, "value", 16,
+        approxCutpoints = true)
+      exact.select(col("bin"), col("ref_n").as("ref_n_exact"))
+        .join(approx.select(col("bin"), col("ref_n").as("__ra")), Seq("bin"))
+        .crossJoin(broadcast(exact.agg(sum(col("ref_n")).as("__rt"))))
+        .select(col("bin"), col("ref_n_exact"),
+          (abs(col("__ra") - col("ref_n_exact")) <=
+            col("__rt").cast("double") / 16.0).as("approx_within_bin_mass"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +131,22 @@ object DriftQueries {
     // as the direct computation
     "q_drift_profile_persisted" -> numericOracle,
     "q_drift_numeric" -> numericOracle,
+    // contract form: exact per-bin reference counts replayed, the
+    // within-bin-mass bound emitted as literal TRUE
+    "q_drift_profile_approx" -> (splitCte +
+      """, cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [0.0625,0.125,0.1875,0.25,0.3125,0.375,0.4375,0.5,
+        |                          0.5625,0.625,0.6875,0.75,0.8125,0.875,0.9375]),
+        |    c -> floor(c)) AS cuts
+        |  FROM ref_rows WHERE value IS NOT NULL
+        |), rb AS (
+        |  SELECT len(list_filter(cuts.cuts, c -> c < value)) AS bin, count(*) AS ref_n
+        |  FROM ref_rows, cuts WHERE value IS NOT NULL GROUP BY 1
+        |), spine AS (SELECT unnest(range(0, 16)) AS bin)
+        |SELECT spine.bin, coalesce(ref_n, 0)::BIGINT AS ref_n_exact,
+        |  TRUE AS approx_within_bin_mass
+        |FROM spine LEFT JOIN rb ON spine.bin = rb.bin""".stripMargin),
   ) ++ restOracles
 
   private lazy val numericOracle: String = (splitCte +

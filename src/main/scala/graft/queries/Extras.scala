@@ -187,12 +187,28 @@ object Extras {
     // above-average edge weight so it isn't near-complete; the operator
     // uses degree orientation (out-degree bounded O(sqrt m)) — see
     // Graph.triangleStats. 1-row broadcasts: avg threshold + stat rows
-    // one-pass column profiler over mixed numeric/string columns: every
-    // stat for every column in ONE aggregation (single Expand for the
-    // distinct counts — |cols| x one scan, not |cols| scans)
+    // one-pass column profiler over mixed numeric/string columns, in
+    // the SCALE-SAFE default mode: distinct counts via HLL++ (rsd 1%),
+    // one map-side-combinable scan, no Expand. The oracle can't replay
+    // a sketch, so the emitted n_distinct is the exact count (four
+    // cheap single-column distinct aggs — each shuffles only that
+    // column's distinct values, no row multiplication) and the sketch
+    // is gated by the distinct_within_5pct contract column (rsd 1% →
+    // 5% is 5σ; oracle emits literal TRUE)
     "q_profile_lineitem" -> { (s, dir) =>
-      graft.operators.Validation.profile(table(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      val t = table(s, dir, "lineitem")
+      val profCols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val prof = graft.operators.Validation.profile(t, profCols)
+      val exact = profCols.map { c =>
+        t.agg(countDistinct(col(c)).as("n_distinct_exact"))
+          .select(lit(c).as("column"), col("n_distinct_exact"))
+      }.reduce(_ unionByName _)
+      prof.join(broadcast(exact), Seq("column"))
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("n_distinct_exact").as("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+          (abs(col("n_distinct") - col("n_distinct_exact")) <=
+            lit(0.05) * col("n_distinct_exact")).as("distinct_within_5pct"))
     },
     // incremental rollup maintenance: per-customer order stats kept as
     // a mergeable state table; the pre-cutoff state absorbs the
@@ -693,7 +709,8 @@ object Extras {
            |    AS n_null,
            |  count(DISTINCT $c)::BIGINT AS n_distinct,
            |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
-           |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+           |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+           |  TRUE AS distinct_within_5pct
            |FROM lineitem""".stripMargin
       def str(c: String) =
         s"""SELECT '$c' AS column, count(*)::BIGINT AS n_rows,
@@ -701,7 +718,8 @@ object Extras {
            |    AS n_null,
            |  count(DISTINCT $c)::BIGINT AS n_distinct,
            |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
-           |  min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str
+           |  min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str,
+           |  TRUE AS distinct_within_5pct
            |FROM lineitem""".stripMargin
       Seq(num("l_orderkey"), num("l_quantity"),
         str("l_returnflag"), str("l_shipdate"))

@@ -241,6 +241,53 @@ class DedupSpec extends SparkSpec {
       4L -> (("h i", 2L, 0L))))
   }
 
+  test("duplicateSpans: planted variable-length duplicates surface as " +
+      "single maximal spans, consistent with the rewrite") {
+    // a 7-token span planted in docs 1 and 2 (minLen = 3 -> one
+    // 7-token variable-length span each, NOT a pile of trigrams);
+    // doc 3 repeats its own trigram back-to-back (overlap merge);
+    // doc 4 is all-unique filler
+    val planted = "the quick brown fox jumps over all"
+    val df = Seq(
+      (1L, s"u1 u2 $planted u3 u4"),
+      (2L, s"v1 $planted v2 v3 v4"),
+      (3L, "m m m m"),
+      (4L, "w1 w2 w3 w4 w5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", minLen = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"),
+        r.getAs[String]("span_text")))
+      .sortBy(x => (x._1, x._2))
+    assert(spans === Seq(
+      (1L, 3L, 9L, 7L, planted),
+      (2L, 2L, 8L, 7L, planted),
+      (3L, 1L, 4L, 4L, "m m m m")))
+    // every span is at least minLen long by construction
+    assert(spans.forall(_._4 >= 3L))
+    // consistency with the rewrite: per doc, sum of span lengths ==
+    // n_removed, and dropping span positions reproduces clean_text
+    val rewrite = Dedup.removeDuplicateSpans(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))))
+      .toMap
+    val removedBySpans = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    rewrite.foreach { case (id, (_, nRemoved)) =>
+      assert(removedBySpans.getOrElse(id, 0L) === nRemoved, s"doc $id")
+    }
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val toks = texts(id).split("\\s+").toSeq
+      val cut = ss.flatMap(s => (s._2 to s._3)).toSet
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !cut.contains(i + 1L) => t
+      }.mkString(" ")
+      assert(kept === rewrite(id)._1, s"doc $id")
+    }
+  }
+
   test("dsirResample: partition-invariant; tiny temperature degenerates to greedy top-k") {
     import org.apache.spark.sql.functions.col
     val d = Sources.table(spark, sf0001, "documents")

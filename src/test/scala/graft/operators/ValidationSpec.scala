@@ -57,7 +57,7 @@ class ValidationSpec extends SparkSpec {
     val df = Seq((1L, Option(2.0), Option("b")), (2L, None, Option("a")),
       (3L, Option(5.0), None), (3L, Option(5.0), Option("a")))
       .toDF("id", "v", "s")
-    val got = Validation.profile(df, Seq("id", "v", "s"))
+    val got = Validation.profile(df, Seq("id", "v", "s"), exactDistinct = true)
       .collect().map(r => r.getString(0) -> r).toMap
     val id = got("id")
     assert(id.getLong(1) === 4L && id.getLong(2) === 0L && id.getLong(3) === 3L)
@@ -77,6 +77,30 @@ class ValidationSpec extends SparkSpec {
     val p = Validation.profile(df, Seq("l_orderkey", "l_returnflag"))
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
+  }
+
+  test("profile default (approx distinct): no Expand in the plan, " +
+      "counts within 5% of exact") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    // the scale contract: the default profile never Expand-multiplies
+    // rows (exactDistinct=true plans one Expand per table scan)
+    val approxPlan = Validation.profile(df, cols)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    val exactPlan = Validation.profile(df, cols, exactDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan)
+    // the accuracy contract: rsd 1% sketch within 5% (5 sigma) of exact
+    def distincts(exact: Boolean) =
+      Validation.profile(df, cols, exactDistinct = exact).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val a = distincts(false)
+    val e = distincts(true)
+    cols.foreach { c =>
+      assert(math.abs(a(c) - e(c)) <= 0.05 * e(c),
+        s"$c: approx ${a(c)} vs exact ${e(c)}")
+    }
   }
 
   test("observedValidate: metrics ride the main action, values match validate") {

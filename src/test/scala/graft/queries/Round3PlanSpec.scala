@@ -88,6 +88,7 @@ class Round3PlanSpec extends SparkSpec {
       // 1-row totals over the category/cell counts
       "q_drift_numeric", "q_drift_bins", "q_drift_categorical",
       "q_drift_embedding", "q_drift_profile_persisted", "q_drift_daily",
+      "q_drift_profile_approx",
       // recall audit composes the allowlisted brute-force baseline as
       // its exact side (bounded query sample by guardSize)
       "q_ann_recall",

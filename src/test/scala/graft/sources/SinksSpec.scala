@@ -104,4 +104,48 @@ class SinksSpec extends SparkSpec {
     assert(back.agg(sum("doc_id")).collect().head.getLong(0) ===
       docs.agg(sum("doc_id")).collect().head.getLong(0))
   }
+
+  // r5 regression guard: the testdata generator has flip-flopped the
+  // events.ts parquet encoding between rounds (TIMESTAMP(NANOS) read as
+  // long under nanosAsLong, TIMESTAMP_NTZ micros, plain TIMESTAMP) and
+  // a reader assuming one encoding silently broke 20 queries. Pin that
+  // Sources.normalizeTs maps ALL THREE encodings of the same instants
+  // to identical TimestampType micros, so the next generator change
+  // fails HERE by name instead of in 20 oracle rows.
+  test("normalizeTs: nanos-as-long, TIMESTAMP_NTZ, and TIMESTAMP " +
+      "encodings of the same instants normalize identically") {
+    import org.apache.spark.sql.types._
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_ts_enc").toFile
+    tmp.deleteOnExit()
+    // micros chosen to exercise sub-second precision and a pre-epoch
+    // instant (floor semantics on the ns->us division)
+    val micros = Seq(0L, 1L, 999999L, 1700000000123456L, -1L, -987654321L)
+    val asNanoLong = spark.createDataFrame(
+      java.util.List.of(micros.map(m => org.apache.spark.sql.Row(m * 1000L)): _*),
+      StructType(Seq(StructField("ts", LongType))))
+    // build NTZ/TZ frames from the micros via SQL arithmetic so the
+    // writer, not this test, picks the parquet logical type
+    def fromMicros(tpe: String) = spark
+      .createDataFrame(
+        java.util.List.of(micros.map(m => org.apache.spark.sql.Row(m)): _*),
+        StructType(Seq(StructField("us", LongType))))
+      .selectExpr(s"CAST(timestamp_micros(us) AS $tpe) AS ts")
+    val paths = Map(
+      "long"  -> s"${tmp.getAbsolutePath}/long",
+      "ntz"   -> s"${tmp.getAbsolutePath}/ntz",
+      "tz"    -> s"${tmp.getAbsolutePath}/tz")
+    asNanoLong.write.mode("overwrite").parquet(paths("long"))
+    fromMicros("TIMESTAMP_NTZ").write.mode("overwrite").parquet(paths("ntz"))
+    fromMicros("TIMESTAMP").write.mode("overwrite").parquet(paths("tz"))
+    val got = paths.map { case (k, path) =>
+      val df = Sources.normalizeTs(spark.read.parquet(path))
+      assert(df.schema("ts").dataType === TimestampType, k)
+      k -> df.selectExpr("unix_micros(ts)").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+    assert(got("long") === micros.sorted, "nanos-as-long path")
+    assert(got("ntz") === micros.sorted, "TIMESTAMP_NTZ path")
+    assert(got("tz") === micros.sorted, "TIMESTAMP path")
+  }
 }

@@ -49,6 +49,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps", WinnowFps.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kgram_hashes", WinnowFps.buildKgramHashes, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", PqOps.buildEncode, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_adc_lut", PqOps.buildAdcLut, "scala_udf")

@@ -62,14 +62,18 @@ object WinnowFps {
   val B2 = 37L
   val M2 = 1000000007L
 
-  /** The whole winnow pipeline for one string; static so generated code
-    * is one call regardless of k/window. */
-  def compute(s: UTF8String, k: Int, window: Int): GenericArrayData = {
+  /** Per-position k-gram hashes of a string's codepoints — the shared
+    * first phase of [[compute]] (winnow selection) and the standalone
+    * [[KgramHashesExpr]] (`kgram_hashes`): `hs(i)` = the dual
+    * polynomial hash of codepoints `[i, i+k)`, rolling O(1) per
+    * position. Empty array when the string has fewer than k
+    * codepoints. */
+  def positionHashes(s: UTF8String, k: Int): Array[Long] = {
     // codepoint array once — rolling over codepoints (not UTF-16 units)
     // keeps parity with character-indexed SQL oracles on ALL inputs
     val str = s.toString
     val n = str.codePointCount(0, str.length)
-    if (n < k + window - 1) return new GenericArrayData(Array.empty[Long])
+    if (n < k) return Array.empty[Long]
     val cps = new Array[Int](n)
     var ci = 0
     var off = 0
@@ -103,6 +107,15 @@ object WinnowFps {
       hs(g) = h1 * M2 + h2
       g += 1
     }
+    hs
+  }
+
+  /** The whole winnow pipeline for one string; static so generated code
+    * is one call regardless of k/window. */
+  def compute(s: UTF8String, k: Int, window: Int): GenericArrayData = {
+    val hs = positionHashes(s, k)
+    val nGrams = hs.length
+    if (nGrams < window) return new GenericArrayData(Array.empty[Long])
     // sliding-window minima (window is small — single-digit — so the
     // O(n·window) direct scan beats a deque's branchiness)
     val nWin = nGrams - window + 1
@@ -135,11 +148,51 @@ object WinnowFps {
   def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       s"winnow_fps(str, k, window) takes 3 arguments, got ${exprs.length}")
-    def intLit(e: Expression, name: String): Int = e match {
-      case Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"winnow_fps: $name must be an integer literal, got $other")
-    }
-    WinnowFpsExpr(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "window"))
+    WinnowFpsExpr(exprs.head, intLit(exprs(1), "winnow_fps", "k"),
+      intLit(exprs(2), "winnow_fps", "window"))
   }
+
+  /** Registry builder: `kgram_hashes(str, k)` with foldable int k. */
+  def buildKgramHashes(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"kgram_hashes(str, k) takes 2 arguments, got ${exprs.length}")
+    KgramHashesExpr(exprs.head, intLit(exprs(1), "kgram_hashes", "k"))
+  }
+
+  private def intLit(e: Expression, fn: String, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+}
+
+/** Per-position codepoint k-gram hashes — [[WinnowFps.positionHashes]]
+  * exposed standalone: element i (0-based) is the dual polynomial hash
+  * of codepoints `[i, i+k)`; strings shorter than k codepoints yield an
+  * empty array. The positional fingerprint feed of
+  * [[graft.operators.Dedup.duplicateCharSpans]]: hashes shuffle as
+  * 8-byte longs where the raw k-char grams would shuffle k codepoints
+  * each, and the SAME values replay in the DuckDB oracle
+  * ([[graft.queries.TextQueries.winnowPolyCtes]]'s power-sum form), so
+  * even a hash collision cannot diverge the two engines. */
+case class KgramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with GraftExpectsInputTypes {
+
+  require(k >= 1, s"k must be >= 1: $k")
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowFps.positionHashes(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WinnowFps.positionHashes($c, $k));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashesExpr =
+    copy(child = newChild)
 }

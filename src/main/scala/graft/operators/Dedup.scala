@@ -329,6 +329,74 @@ object Dedup {
           col("span_end") - col("span_start") + 1)).as("span_text"))
   }
 
+  /** CHARACTER-level variable-length duplicated-span extraction — the
+    * Lee et al. ExactSubstr granularity the token-level
+    * [[duplicateSpans]] deliberately stops short of: maximal runs of
+    * codepoint positions covered by any `minLen`-codepoint gram whose
+    * fingerprint occurs ≥ `minOccurrences` times anywhere in the
+    * corpus, over the winnow-normalized text (lowercased, whitespace
+    * collapsed — the [[graft.operators.TextAnalysis]] winnowing
+    * canonical form, so "same bytes modulo case/spacing" dedups).
+    * Output `(id, span_start, span_end, span_len, span_text)`,
+    * positions 1-based codepoints into the NORMALIZED string.
+    *
+    * Same maximality argument as [[duplicateSpans]], one granularity
+    * down: a codepoint lies in a duplicated run of ≥ minLen codepoints
+    * ⟺ it is covered by a duplicated minLen-gram, so the coverage
+    * union's maximal islands ARE the maximal duplicated char regions
+    * (adjacent/overlapping regions merge).
+    *
+    * Where the suffix-array original sorts the global byte space, this
+    * shuffles per-position FINGERPRINTS: the dual polynomial hash
+    * family of [[graft.functions.KgramHashesExpr]] (one rolling O(1)
+    * hash per position, computed map-side), so the gram shuffle moves
+    * 8-byte longs instead of minLen-codepoint substrings — at minLen =
+    * 24 a 24× narrower shuffle, the difference between feasible and
+    * not at 100 TB. "Duplicated" is therefore fingerprint equality —
+    * the md5-form collision regime (~2⁻⁶⁰ per gram pair) every
+    * hash-keyed dedup op here already accepts; the DuckDB oracle
+    * replays the EXACT hash family (power-sum form,
+    * `TextQueries.winnowPolyCtes` arithmetic), so the two engines
+    * cannot diverge even when a collision fires.
+    *
+    * Scale shape: kgram-hash projection (codegen'd, scan-bound) →
+    * one hash-keyed frequency aggregation (map-side combined) → one
+    * equi-join back → per-doc bounded island fold — the
+    * [[duplicateSpans]] shape with the token explode replaced by a
+    * hash explode. No pair join, no window, no driver state. */
+  def duplicateCharSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minOccurrences: Long = 2L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 codepoints: $minLen")
+    require(minOccurrences >= 2L,
+      "minOccurrences must be >= 2: every gram occurs at least once")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val norm = df.select(col(idCol).as("id"),
+      trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "\\s+", " ")).as("__s"))
+    val hs = norm
+      .select(col("id"),
+        posexplode(call_function("kgram_hashes", col("__s"), lit(minLen))))
+      .select(col("id"), (col("pos") + 1).as("gpos"), col("col").as("h"))
+    val freq = hs.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOccurrences)
+    val covered = hs.join(freq, "h")
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (minLen - 1))).as("pos"))
+      .distinct()
+    val runs = covered
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("id"), posexplode(col("__ps")))
+      .groupBy(col("id"), (col("col") - col("pos")).as("__grp"))
+      .agg(min(col("col")).as("span_start"), max(col("col")).as("span_end"))
+    runs.join(norm, Seq("id"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"),
+        expr("substring(__s, span_start, span_end - span_start + 1)")
+          .as("span_text"))
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * `|A∩B| / |A∪B| >= threshold` over distinct word n-gram shingles.
     *

@@ -260,6 +260,17 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
           col("span_len"), col("span_text"))
     },
+    // the CHARACTER-granularity variant (Lee et al. ExactSubstr
+    // granularity): maximal duplicated codepoint runs >= 24 chars over
+    // the winnow-normalized text, fingerprint-shuffled (8-byte rolling
+    // hashes, not 24-char grams); the oracle replays the exact dual
+    // polynomial hash family, so hash semantics cannot diverge
+    "q_char_dup_spans" -> { (s, dir) =>
+      Dedup.duplicateCharSpans(table(s, dir, "documents"), "doc_id", "text",
+          minLen = 24, minOccurrences = 2L)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("span_text"))
+    },
     // the PRODUCT STORY in one plan: quality filter → line dedup →
     // near-dup clusters → leakage-safe split → sequence packing, each
     // stage the already-oracled operator, composed documents-to-
@@ -667,6 +678,24 @@ object DedupQueries {
       |  FROM rf)""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_char_dup_spans" -> ("WITH " + TextQueries.winnowPolyCtes(24, 1) +
+      """,
+        |eh AS (SELECT doc_id, unnest(hs) AS h,
+        |         unnest(range(1, len(hs) + 1)) AS gpos
+        |       FROM h),
+        |fq AS (SELECT h FROM eh GROUP BY h HAVING count(1) >= 2),
+        |cov0 AS (SELECT doc_id, gpos FROM eh JOIN fq USING (h)),
+        |cov1 AS (SELECT doc_id, unnest(range(gpos, gpos + 24)) AS pos FROM cov0),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov1),
+        |r AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM cov),
+        |sp AS (SELECT doc_id, min(pos) AS ss, max(pos) AS ee
+        |       FROM r GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, ss::BIGINT AS span_start, ee::BIGINT AS span_end,
+        |  (ee - ss + 1)::BIGINT AS span_len,
+        |  substring(d.s, ss::INTEGER, (ee - ss + 1)::INTEGER) AS span_text
+        |FROM sp JOIN d USING (doc_id)""".stripMargin),
     "q_pipeline_e2e" -> {
       val stopHits = graft.operators.TextAnalysis.GopherStopwords
         .map(w => s"CASE WHEN list_contains(lt, '$w') THEN 1 ELSE 0 END")

@@ -288,6 +288,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateCharSpans: planted char-level duplicates, normalization, " +
+      "within-doc repeats") {
+    // docs 1 and 2 share a 40-char region (differing case/spacing —
+    // the winnow normalization must canonicalize before matching);
+    // doc 3 is unique filler; doc 4 repeats its own 16-char block
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"AAAA bbbb $shared cccc dddd"),
+      (2L, s"eeee ffff  THE  Quick Brown FOX jumps over the LAZY dog gggg"),
+      (3L, "unique filler content with no repeats at all here"),
+      (4L, "xxxxxxxxxxxxxxxx and then xxxxxxxxxxxxxxxx")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateCharSpans(df, "doc_id", "text", minLen = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[String]("span_text")))
+      .sortBy(x => (x._1, x._2))
+    // doc 1 normalized = "aaaa bbbb the quick ... dog cccc dddd", doc 2
+    // = "eeee ffff the quick ... dog gggg": the maximal shared
+    // substring includes the BOUNDING spaces (both docs continue with
+    // ' ' on each side), so the span is " <shared> " — 45 codepoints
+    // starting at position 10 in both
+    assert(spans.count(_._1 == 1L) === 1)
+    assert(spans.count(_._1 == 2L) === 1)
+    val s1 = spans.find(_._1 == 1L).get
+    val s2 = spans.find(_._1 == 2L).get
+    assert(s1._4 === s" $shared " && s2._4 === s" $shared ",
+      s"expected the canonicalized shared span, got $s1 / $s2")
+    assert(s1._2 === 10L && s1._3 === 45L)
+    assert(s2._2 === 10L && s2._3 === 45L)
+    // doc 3: no spans
+    assert(!spans.exists(_._1 == 3L))
+    // doc 4: its 16-x block occurs twice within the doc -> both
+    // occurrences surface (two islands, "and then" uncovered between)
+    val d4 = spans.filter(_._1 == 4L)
+    assert(d4.length === 2 && d4.forall(_._4 == "xxxxxxxxxxxxxxxx"), d4.toSeq)
+    // every span is at least minLen codepoints
+    assert(spans.forall(_._3 >= 16L))
+  }
+
   test("dsirResample: partition-invariant; tiny temperature degenerates to greedy top-k") {
     import org.apache.spark.sql.functions.col
     val d = Sources.table(spark, sf0001, "documents")

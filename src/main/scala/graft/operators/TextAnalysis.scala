@@ -765,4 +765,104 @@ object TextAnalysis {
       .withColumn("host", host)
       .withColumn("registered_domain", dom)
   }
+
+  /** Gopher repetition-signal battery — the WITHIN-DOCUMENT repetition
+    * filters of the published Gopher rules that the cross-corpus dedup
+    * family deliberately does not cover (a doc that endlessly repeats
+    * its own boilerplate is low-quality even if globally unique):
+    *
+    *  - `frac_dup_lines` / `frac_dup_line_chars` — fraction of lines
+    *    (and of line characters) occurring more than once in the doc;
+    *  - `top2_char_frac` / `top3_char_frac` — fraction of token
+    *    characters covered by the single MOST FREQUENT word 2-/3-gram
+    *    (occurrences × the gram's TOKEN chars — joiner spaces excluded
+    *    so numerator and denominator count the same alphabet — over
+    *    total token chars; ties break to the longer then
+    *    lexicographically-smaller gram);
+    *  - `dup5_token_frac` — fraction of token POSITIONS covered by any
+    *    5-gram occurring ≥ 2 times within the doc (positional union —
+    *    the [[graft.operators.Dedup.removeDuplicateSpans]] coverage
+    *    semantics, per-doc).
+    *
+    * All fractions round to 6dp (oracle hash parity); empty docs emit
+    * zeros. Published thresholds for reference: Gopher drops docs with
+    * dup-line frac > 0.30, top-2-gram frac > 0.20, dup-5-gram char
+    * frac > 0.15 — thresholding is left to the caller (the
+    * [[gopherQualityFilter]] keep-column pattern).
+    *
+    * Scale shape: every aggregation is keyed by (id) or (id, gram) /
+    * (id, line) / (id, pos) — within-doc analysis never pairs
+    * documents, so there is no cross-doc shuffle growth at all: cost
+    * is linear in corpus size with map-side combine on every count.
+    * No window, no broadcast of anything data-sized. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    // ---- line duplication (within doc) ----
+    val lines = base
+      .select(col("id"), explode(filter(split(col("__t"), "\n"),
+        l => l =!= "")).as("line"))
+    val lineStats = lines
+      .groupBy(col("id"), col("line"))
+      .agg(count(lit(1)).as("__c"), length(col("line")).as("__len"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("__n_lines"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup_lines"),
+        sum(col("__c") * col("__len")).as("__line_chars"),
+        sum(when(col("__c") > 1, col("__c") * col("__len")).otherwise(0L))
+          .as("__dup_line_chars"))
+    // ---- top n-gram char coverage ----
+    val toked = base.select(col("id"), tokens(col("__t")).as("__toks"))
+    def topGram(n: Int): DataFrame = toked
+      .select(col("id"), explode(ngramsFromTokens(col("__toks"), n)).as("gram"))
+      .groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("id"))
+      // deterministic argmax: count, then gram char length, then the
+      // lexicographically SMALLEST gram (struct max on inverted text is
+      // awkward — invert via min over (−count, −len, gram))
+      .agg(min(struct((-col("__c")).as("nc"),
+          (-length(col("gram"))).as("nl"), col("gram").as("g")))
+        .as("__top"))
+      .select(col("id"),
+        (-col("__top.nc") * (length(col("__top.g")) - (n - 1)))
+          .as(s"__top${n}_chars"))
+    // ---- duplicated 5-gram positional coverage ----
+    val grams5 = toked
+      .select(col("id"), posexplode(ngramsFromTokens(col("__toks"), 5)))
+      .select(col("id"), (col("pos") + 1).as("gpos"), col("col").as("gram"))
+    val dup5 = grams5
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("__c"),
+        collect_list(col("gpos")).as("__ps"))
+      .filter(col("__c") > 1)
+      .select(col("id"), explode(col("__ps")).as("gpos"))
+      .select(col("id"), explode(sequence(col("gpos"), col("gpos") + 4)).as("pos"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("__dup5_toks"))
+    // ---- assemble ----
+    val tokStats = toked.select(col("id"),
+      size(col("__toks")).cast("long").as("__n_toks"),
+      aggregate(col("__toks"), lit(0L), (a, x) => a + length(x))
+        .as("__tok_chars"))
+    tokStats
+      .join(lineStats, Seq("id"), "left")
+      .join(topGram(2), Seq("id"), "left")
+      .join(topGram(3), Seq("id"), "left")
+      .join(dup5, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__n_lines"), lit(0L)).as("n_lines"),
+        round(coalesce(col("__dup_lines"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__n_lines"), lit(0L)), lit(1L)), 6)
+          .as("frac_dup_lines"),
+        round(coalesce(col("__dup_line_chars"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__line_chars"), lit(0L)), lit(1L)), 6)
+          .as("frac_dup_line_chars"),
+        round(coalesce(col("__top2_chars"), lit(0L)).cast("double") /
+          greatest(col("__tok_chars"), lit(1L)), 6).as("top2_char_frac"),
+        round(coalesce(col("__top3_chars"), lit(0L)).cast("double") /
+          greatest(col("__tok_chars"), lit(1L)), 6).as("top3_char_frac"),
+        round(coalesce(col("__dup5_toks"), lit(0L)).cast("double") /
+          greatest(col("__n_toks"), lit(1L)), 6).as("dup5_token_frac"))
+  }
 }

@@ -271,6 +271,17 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
           col("span_len"), col("span_text"))
     },
+    // the Gopher WITHIN-DOC repetition battery over the 8-word reflow
+    // (dup-line fractions need multi-line docs; tokens are unchanged by
+    // the reflow, so the gram signals read the original text)
+    "q_repetition_stats" -> { (s, dir) =>
+      graft.operators.TextAnalysis.repetitionStats(
+          reflowLines(table(s, dir, "documents")), "doc_id", "text_lines")
+        .select(col("id").as("doc_id"), col("n_lines"),
+          col("frac_dup_lines"), col("frac_dup_line_chars"),
+          col("top2_char_frac"), col("top3_char_frac"),
+          col("dup5_token_frac"))
+    },
     // the PRODUCT STORY in one plan: quality filter → line dedup →
     // near-dup clusters → leakage-safe split → sequence packing, each
     // stage the already-oracled operator, composed documents-to-
@@ -678,6 +689,63 @@ object DedupQueries {
       |  FROM rf)""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_repetition_stats" -> (reflowCtes +
+      """,
+        |ls0 AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |        FROM ln WHERE line <> '' GROUP BY doc_id, line),
+        |ls AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+        |         sum(c * len) AS line_chars,
+        |         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_line_chars
+        |       FROM ls0 GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS gram
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks), 1))) AS i FROM tk)),
+        |t2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+        |top2 AS (SELECT doc_id, c * (length(gram) - 1) AS top_chars,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY c DESC, length(gram) DESC, gram ASC) AS rn
+        |         FROM t2),
+        |g3 AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM tk)),
+        |t3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+        |top3 AS (SELECT doc_id, c * (length(gram) - 2) AS top_chars,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY c DESC, length(gram) DESC, gram ASC) AS rn
+        |         FROM t3),
+        |g5 AS (SELECT doc_id, i AS gpos,
+        |         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]) AS gram
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks) - 3, 1))) AS i FROM tk)),
+        |d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) > 1),
+        |cov0 AS (SELECT g5.doc_id, unnest(range(g5.gpos, g5.gpos + 5)) AS pos
+        |         FROM g5 JOIN d5 USING (doc_id, gram)),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |c5 AS (SELECT doc_id, count(*) AS dup5 FROM cov GROUP BY doc_id),
+        |ts AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+        |         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+        |           AS tok_chars
+        |       FROM tk)
+        |SELECT ts.doc_id,
+        |  coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+        |  round(coalesce(ls.dup_lines, 0)::DOUBLE
+        |        / greatest(coalesce(ls.n_lines, 0), 1), 6) AS frac_dup_lines,
+        |  round(coalesce(ls.dup_line_chars, 0)::DOUBLE
+        |        / greatest(coalesce(ls.line_chars, 0), 1), 6) AS frac_dup_line_chars,
+        |  round(coalesce(top2.top_chars, 0)::DOUBLE
+        |        / greatest(ts.tok_chars, 1), 6) AS top2_char_frac,
+        |  round(coalesce(top3.top_chars, 0)::DOUBLE
+        |        / greatest(ts.tok_chars, 1), 6) AS top3_char_frac,
+        |  round(coalesce(c5.dup5, 0)::DOUBLE
+        |        / greatest(ts.n_toks, 1), 6) AS dup5_token_frac
+        |FROM ts
+        |LEFT JOIN ls ON ts.doc_id = ls.doc_id
+        |LEFT JOIN (SELECT doc_id, top_chars FROM top2 WHERE rn = 1) top2
+        |  ON ts.doc_id = top2.doc_id
+        |LEFT JOIN (SELECT doc_id, top_chars FROM top3 WHERE rn = 1) top3
+        |  ON ts.doc_id = top3.doc_id
+        |LEFT JOIN c5 ON ts.doc_id = c5.doc_id""".stripMargin),
     "q_char_dup_spans" -> ("WITH " + TextQueries.winnowPolyCtes(24, 1) +
       """,
         |eh AS (SELECT doc_id, unnest(hs) AS h,

@@ -46,6 +46,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .filter(call_function("bloom_contains", lit(bf), xxhash64(col("id"))))
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 2L))
+    // round-7 additions: the full native surface resolves through the
+    // extension route too (the defensive per-session register is not
+    // required for sessions built with the extensions)
+    val nfc = spark.sql("SELECT nfc_normalize('e\u0301') AS s")
+      .collect().head.getString(0)
+    assert(nfc === "\u00e9", "NFC composes e + combining acute")
+    val fps = spark.sql("SELECT winnow_fps('abcabcabc', 3, 2) AS f")
+      .collect().head.getSeq[Long](0)
+    assert(fps.nonEmpty && fps == fps.sorted && fps.distinct == fps)
+    val khs = spark.sql("SELECT kgram_hashes('abcd', 3) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(khs.length === 2, "two 3-grams in a 4-char string")
+    // hashes replay the documented dual polynomial family
+    def poly(s: String): Long = {
+      val h1 = s.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L)
+      val h2 = s.foldLeft(0L)((a, c) => (a * 37 + c) % 1000000007L)
+      h1 * 1000000007L + h2
+    }
+    assert(khs === Seq(poly("abc"), poly("bcd")))
     // deliberately NOT stopping: the SparkContext is shared with the
     // other suites in this JVM
   }

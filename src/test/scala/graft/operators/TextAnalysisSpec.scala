@@ -316,4 +316,45 @@ class TextAnalysisSpec extends SparkSpec {
     val v = corpus.select(explode(TextAnalysis.tokens(col("text")))).distinct().count()
     assert(math.abs(got(2L) - math.log(v.toDouble)) < 1e-6)
   }
+
+  test("repetitionStats: hand-computed signals per doc") {
+    val df = Seq(
+      // doc 1: 3 lines, "dup line one" twice -> 2/3 dup lines;
+      // tokens: dup line one dup line one unique tail here
+      (1L, "dup line one\ndup line one\nunique tail here"),
+      // doc 2: "a b" bigram repeated 3 times in 6 tokens, no dup lines
+      (2L, "a b a b a b"),
+      // doc 3: a 5-gram repeated -> full coverage of both occurrences
+      (3L, "v w x y z v w x y z"),
+      // doc 4: empty
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r)
+      .toMap
+
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_lines") === 3L)
+    assert(d1.getAs[Double]("frac_dup_lines") === math.round(2.0 / 3 * 1e6) / 1e6)
+    // dup line chars: 2 * 12 = 24 of 12+12+16 = 40
+    assert(d1.getAs[Double]("frac_dup_line_chars") === 0.6)
+
+    val d2 = got(2L)
+    // top bigram "a b" occurs 3 times (of bigrams: "a b" x3, "b a" x2);
+    // token chars = 6; covered = 3 * 2 = 6 -> 1.0
+    assert(d2.getAs[Double]("top2_char_frac") === 1.0)
+    // no within-doc duplicate 5-gram ("a b a b a" once, "b a b a b" once)
+    assert(d2.getAs[Double]("dup5_token_frac") === 0.0)
+
+    val d3 = got(3L)
+    // "v w x y z" occurs twice: positions 1-5 and 6-10 all covered
+    assert(d3.getAs[Double]("dup5_token_frac") === 1.0)
+
+    val d4 = got(4L)
+    assert(d4.getAs[Long]("n_lines") === 0L)
+    assert(d4.getAs[Double]("frac_dup_lines") === 0.0)
+    assert(d4.getAs[Double]("top2_char_frac") === 0.0)
+    assert(d4.getAs[Double]("dup5_token_frac") === 0.0)
+  }
 }

@@ -397,6 +397,67 @@ object Dedup {
           .as("span_text"))
   }
 
+  /** Distinct k-gram fingerprint index of a corpus — the persistable
+    * side of incremental char-span dedup, the [[lineHashIndex]]
+    * lifecycle at gram granularity: one `(h)` row per distinct
+    * position fingerprint of the winnow-normalized corpus text. Write
+    * it bucketed on `h` ([[graft.sources.Sinks.writeBucketed]]), grow
+    * it with `appendBucketed` (append ≡ rebuild — the index is a
+    * distinct set, so unioning a batch's grams commutes with
+    * recomputing from the union). One projection + one hash-keyed
+    * distinct aggregation; 8 bytes per distinct gram. */
+  def charGramIndex(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(
+        explode(call_function("kgram_hashes",
+          trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+            "\\s+", " ")), lit(minLen))).as("h"))
+      .distinct()
+  }
+
+  /** Incremental (batch-vs-corpus) char spans: maximal runs of a batch
+    * document's codepoints covered by grams ALREADY IN the stored
+    * corpus index — "which parts of this crawl batch repeat content the
+    * corpus has seen". Output shape = [[duplicateCharSpans]].
+    *
+    * Each output row is a pure function of its own document and the
+    * stored index — no within-batch cross-doc detection (deliberate:
+    * the [[lineLevelCrossDedup]] micro-batching-invariance contract;
+    * batch-internal duplication is caught on the next index append).
+    * Plan: batch pays its own kgram scan; coverage is one equi-join of
+    * batch gram hashes against the pre-bucketed index (the batch side
+    * shuffles 8-byte hashes, the stored side is bucket-aligned), then
+    * the per-doc island fold. */
+  def duplicateCharSpansAgainst(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 codepoints: $minLen")
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val norm = batch.select(col(idCol).as("id"),
+      trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "\\s+", " ")).as("__s"))
+    val hs = norm
+      .select(col("id"),
+        posexplode(call_function("kgram_hashes", col("__s"), lit(minLen))))
+      .select(col("id"), (col("pos") + 1).as("gpos"), col("col").as("h"))
+    val covered = hs
+      .join(corpusIndex.select(col("h")), Seq("h"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (minLen - 1))).as("pos"))
+      .distinct()
+    val runs = covered
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("id"), posexplode(col("__ps")))
+      .groupBy(col("id"), (col("col") - col("pos")).as("__grp"))
+      .agg(min(col("col")).as("span_start"), max(col("col")).as("span_end"))
+    runs.join(norm, Seq("id"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"),
+        expr("substring(__s, span_start, span_end - span_start + 1)")
+          .as("span_text"))
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * `|A∩B| / |A∪B| >= threshold` over distinct word n-gram shingles.
     *

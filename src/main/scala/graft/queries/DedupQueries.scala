@@ -271,6 +271,23 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
           col("span_len"), col("span_text"))
     },
+    // incremental char spans vs a PERSISTED gram-fingerprint index:
+    // the corpus (bkt < 14) pays its kgram scan once into a bucketed
+    // 8-bytes-per-gram store; each ingest batch (bkt >= 14) joins its
+    // own hashes against it — "which parts of this batch repeat corpus
+    // content", the crawl-ingest screening step
+    "q_char_dup_spans_incremental" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      graft.sources.Sinks.writeBucketed(
+        Dedup.charGramIndex(docs.filter(col("split") =!= "test"),
+          "doc_id", "text", minLen = 24),
+        "graft_corpus_char_grams", bucketCols = Seq("h"), numBuckets = 8)
+      Dedup.duplicateCharSpansAgainst(docs.filter(col("split") === "test"),
+          s.table("graft_corpus_char_grams"), "doc_id", "text", minLen = 24)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("span_text"))
+    },
     // the Gopher WITHIN-DOC repetition battery over the 8-word reflow
     // (dup-line fractions need multi-line docs; tokens are unchanged by
     // the reflow, so the gram signals read the original text)
@@ -689,6 +706,31 @@ object DedupQueries {
       |  FROM rf)""".stripMargin
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    "q_char_dup_spans_incremental" -> ("WITH " + TextQueries.winnowPolyCtes(24, 1) +
+      """,
+        |bk AS (SELECT doc_id,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |           AS INTEGER) AS bkt
+        |       FROM documents),
+        |eh AS (SELECT h.doc_id, unnest(hs) AS h,
+        |         unnest(range(1, len(hs) + 1)) AS gpos
+        |       FROM h),
+        |ci AS (SELECT DISTINCT eh.h FROM eh JOIN bk USING (doc_id)
+        |       WHERE bk.bkt < 14),
+        |bh AS (SELECT eh.doc_id, eh.h, eh.gpos
+        |       FROM eh JOIN bk USING (doc_id) WHERE bk.bkt >= 14),
+        |cov0 AS (SELECT bh.doc_id, unnest(range(bh.gpos, bh.gpos + 24)) AS pos
+        |         FROM bh JOIN ci USING (h)),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |r AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM cov),
+        |sp AS (SELECT doc_id, min(pos) AS ss, max(pos) AS ee
+        |       FROM r GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, ss::BIGINT AS span_start, ee::BIGINT AS span_end,
+        |  (ee - ss + 1)::BIGINT AS span_len,
+        |  substring(d.s, ss::INTEGER, (ee - ss + 1)::INTEGER) AS span_text
+        |FROM sp JOIN d USING (doc_id)""".stripMargin),
     "q_repetition_stats" -> (reflowCtes +
       """,
         |ls0 AS (SELECT doc_id, line, count(*) AS c, length(line) AS len

@@ -548,6 +548,29 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming incremental char-span screening — the sixth
+    * incremental-dedup modality, the [[incrementalLineDedup]] contract
+    * at gram granularity: each micro-batch of ingested documents is
+    * checked against the PERSISTED corpus gram-fingerprint index
+    * ([[graft.operators.Dedup.charGramIndex]]), emitting the maximal
+    * char spans that repeat corpus content
+    * ([[graft.operators.Dedup.duplicateCharSpansAgainst]]). Each
+    * output row is a pure function of its own document and the stored
+    * index, so the union of per-batch results over ANY micro-batching
+    * equals the one-shot batch result — micro-batching invariance for
+    * free, no state operator needed. */
+  def incrementalCharSpans(newDocs: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, minLen: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.duplicateCharSpansAgainst(
+          batch.toDF(), corpusIndex, idCol, textCol, minLen), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming distinct-count state maintenance — the sketch-valued
     * sibling of [[incrementalAggStateDeltas]]: each micro-batch
     * collapses to one HLL sketch per key (`hll_sketch_agg`, map-side

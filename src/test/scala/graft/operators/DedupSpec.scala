@@ -399,6 +399,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(split"), plan)
   }
 
+  test("char-gram index lifecycle: append a batch, grown index == recompute") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions.col
+    val a = docs.filter(col("doc_id") % 3 === 0) // initial corpus
+    val b = docs.filter(col("doc_id") % 3 === 1) // first ingest batch
+    val c = docs.filter(col("doc_id") % 3 === 2) // second ingest batch
+    try {
+      Sinks.writeBucketed(Dedup.charGramIndex(a, "doc_id", "text", 24),
+        "graft_lc_chargrams", Seq("h"), 4)
+      Sinks.appendBucketed(Dedup.charGramIndex(b, "doc_id", "text", 24),
+        "graft_lc_chargrams", Seq("h"), 4)
+      // screening c against the GROWN index == a from-scratch rebuild
+      // over a UNION b (the index is a distinct set; duplicates from
+      // the append are harmless to left_semi coverage)
+      def spansOf(idx: org.apache.spark.sql.DataFrame) =
+        Dedup.duplicateCharSpansAgainst(c, idx, "doc_id", "text", 24)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+          .toSet
+      val grown = spansOf(spark.table("graft_lc_chargrams"))
+      val ref = spansOf(Dedup.charGramIndex(a.union(b), "doc_id", "text", 24))
+      assert(grown === ref)
+      assert(grown.nonEmpty, "cross-split duplicated spans expected")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lc_chargrams")
+    }
+  }
+
   test("minhash index lifecycle: append a deduped batch, grown index == recompute") {
     import graft.sources.Sinks
     import org.apache.spark.sql.functions.col

@@ -726,6 +726,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming char spans: union over micro-batches == one-shot batch screening") {
+    val docs = Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.Dedup
+      .charGramIndex(corpus, "doc_id", "text", minLen = 24).cache()
+    val tmp = Files.createTempDirectory("graft_charspan_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val q = StreamingOps.incrementalCharSpans(stream, index,
+      "doc_id", "text", minLen = 24) { (out, _) =>
+      collected.synchronized {
+        collected ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Dedup
+        .duplicateCharSpansAgainst(newDocs, index, "doc_id", "text", minLen = 24)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toSet
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty, "cross-split duplicated spans expected")
+    } finally {
+      q.stop()
+      index.unpersist()
+    }
+  }
+
   test("streaming categorical drift: each trigger == batch categoricalDrift of that file") {
     val ev = Sources.events(spark, sf0001)
     val reference = ev.filter(col("user_id") % 2 === 0)

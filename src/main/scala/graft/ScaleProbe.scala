@@ -417,6 +417,52 @@ object ScaleProbe {
         operators.Dedup.lineLevelDedup(reflowed, "doc_id", "text_lines")
           .write.format("noop").mode("overwrite").save()
       }
+      // round 7b
+      time(s"char_dup_spans_${n}x") {
+        // amplified copies make every gram corpus-duplicated — full
+        // coverage, the worst case for the island fold; the gram
+        // shuffle itself is 8-byte hashes, linear in total codepoints
+        operators.Dedup.duplicateCharSpans(docsN, "doc_id", "text",
+            minLen = 24)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"repetition_stats_${n}x") {
+        // within-doc only: every aggregation keyed by (id, ...) — no
+        // cross-doc term, expect clean linear
+        operators.TextAnalysis.repetitionStats(docsN, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"pipeline_e2e_${n}x") {
+        // the composed curate->dedup->cluster->split->pack plan; slope
+        // tracks the sum of its stages (the jaccard prefix join is the
+        // only superlinear-risk term, bounded by shared-shingle volume)
+        val reflowed = docsN
+          .withColumn("__toks", operators.TextAnalysis.tokens(col("text")))
+          .withColumn("text_lines",
+            when(size(col("__toks")) === 0, lit(""))
+              .otherwise(concat_ws("\n",
+                transform(
+                  sequence(lit(0),
+                    expr("(size(__toks) + 7) div 8").cast("int") - 1),
+                  i => array_join(slice(col("__toks"), i * lit(8) + 1, lit(8)), " ")))))
+          .drop("__toks")
+        val curated = docsN.join(
+          operators.TextAnalysis.gopherQualityFilter(docsN, "doc_id",
+              "text", minStopHits = 1L)
+            .filter(col("keep") === 1).select("doc_id"),
+          Seq("doc_id"))
+        val deduped = operators.Dedup.lineLevelDedup(
+            reflowed.join(curated.select("doc_id"), Seq("doc_id")),
+            "doc_id", "text_lines")
+          .select(col("id").as("doc_id"), col("text_dedup"))
+        val pairs = operators.Dedup.ngramJaccardPairsPrefix(deduped,
+          "doc_id", "text_dedup", n = 3, threshold = 0.8)
+        val clusters = operators.Dedup.connectedComponents(
+          deduped.select(col("doc_id").as("id")), pairs)
+        operators.Sampling.split(clusters, col("cluster_rep"), 12, 2)
+          .groupBy("split").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -231,7 +231,11 @@ object Dedup {
     * side + rebuild side), scanned, never cached. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minOccurrences: Long = 2L): DataFrame = {
-    val (toked, covered) = dupCoverage(df, idCol, textCol, n, minOccurrences)
+    val (toked, starts) = dupGramStarts(df, idCol, textCol, n, minOccurrences)
+    val covered = starts
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
     val toks = toked
       .select(col("id"), posexplode(col("__toks")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
@@ -250,12 +254,15 @@ object Dedup {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
-  /** Shared coverage kernel of [[removeDuplicateSpans]] and
-    * [[duplicateSpans]]: `(toked, covered)` where `toked` is
-    * `(id, __toks)` and `covered` the distinct `(id, pos)` token
-    * positions lying under any n-gram that occurs ≥ `minOccurrences`
-    * times anywhere in the corpus (within-doc repeats included). */
-  private def dupCoverage(df: DataFrame, idCol: String, textCol: String,
+  /** Shared kernel of the span family: `(toked, starts)` where `toked`
+    * is `(id, __toks)` and `starts` the `(id, gpos)` 1-based start
+    * positions of every n-gram occurring ≥ `minOccurrences` times
+    * anywhere in the corpus (within-doc repeats included). One
+    * position per row — the per-position COVERAGE explode is derived
+    * from this only where needed ([[removeDuplicateSpans]]'s
+    * anti-join); span extraction merges the `[gpos, gpos+n−1]`
+    * intervals directly, n× fewer rows. */
+  private def dupGramStarts(df: DataFrame, idCol: String, textCol: String,
       n: Int, minOccurrences: Long): (DataFrame, DataFrame) = {
     require(minOccurrences >= 2L,
       "minOccurrences must be >= 2: every n-gram occurs at least once")
@@ -270,12 +277,31 @@ object Dedup {
     val freq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOccurrences)
-    val covered = grams.join(freq, "gram")
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
-      .distinct()
-    (toked, covered)
+    (toked, grams.join(freq, "gram").select(col("id"), col("gpos")))
   }
+
+  /** Maximal spans from duplicated-gram START positions: per doc, the
+    * sorted starts fold into merged `[g, g+n−1]` intervals (overlap or
+    * adjacency ⟺ `g ≤ prev_end + 1`) — the islands of the position
+    * UNION without ever materializing it: no per-position explode, no
+    * per-position distinct shuffle; rows entering the per-doc fold are
+    * duplicated-gram COUNTS, n× fewer than covered positions. Output
+    * `(id, span_start, span_end)`, ints. */
+  private def spansFromGramStarts(starts: DataFrame, n: Int): DataFrame =
+    starts
+      .groupBy(col("id")).agg(sort_array(collect_list(col("gpos"))).as("__gs"))
+      .select(col("id"), explode(expr(
+        s"""aggregate(__gs, cast(array() as array<struct<s:int,e:int>>),
+           |  (acc, g) -> CASE
+           |    WHEN size(acc) > 0 AND g <= element_at(acc, -1).e + 1
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s,
+           |                         'e', g + ${n - 1})))
+           |    ELSE concat(acc,
+           |      array(named_struct('s', g, 'e', g + ${n - 1}))) END)"""
+          .stripMargin)).as("__iv"))
+      .select(col("id"), col("__iv.s").as("span_start"),
+        col("__iv.e").as("span_end"))
 
   /** VARIABLE-LENGTH duplicated-span extraction — the Lee et al.
     * ExactSubstr span view at token granularity: every MAXIMAL run of
@@ -301,26 +327,18 @@ object Dedup {
     * granularity and its global suffix order — token granularity is
     * what the rest of this engine's text surface operates at.
     *
-    * Scale shape: the [[dupCoverage]] kernel (gram-keyed equi-join, no
-    * pair join), then runs via the gaps-and-islands key `pos − idx`
-    * over each doc's sorted covered positions — one (id)-keyed bounded
-    * `sort_array` fold + one (id, grp)-keyed min/max aggregation; NO
-    * window anywhere (the engine-wide zero-unpartitioned-window
-    * invariant), no driver state. Span text rebuilds by `slice` from
-    * the doc's own token array — never re-scanned, never joined to
-    * other docs. */
+    * Scale shape: the [[dupGramStarts]] kernel (gram-keyed equi-join,
+    * no pair join), then [[spansFromGramStarts]] — intervals merged
+    * from duplicated-gram START positions directly (one (id)-keyed
+    * bounded fold; no per-position explode, no per-position distinct
+    * shuffle); NO window anywhere (the engine-wide
+    * zero-unpartitioned-window invariant), no driver state. Span text
+    * rebuilds by `slice` from the doc's own token array — never
+    * re-scanned, never joined to other docs. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int, minOccurrences: Long = 2L): DataFrame = {
-    val (toked, covered) = dupCoverage(df, idCol, textCol, minLen, minOccurrences)
-    val runs = covered
-      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
-      .select(col("id"), posexplode(col("__ps")))
-      // `col` = covered position (1-based), `pos` = its index in the
-      // sorted array; pos − idx is constant exactly along consecutive
-      // runs (classic gaps-and-islands, shuffled on (id, grp) — no
-      // window needed)
-      .groupBy(col("id"), (col("col") - col("pos")).as("__grp"))
-      .agg(min(col("col")).as("span_start"), max(col("col")).as("span_end"))
+    val (toked, starts) = dupGramStarts(df, idCol, textCol, minLen, minOccurrences)
+    val runs = spansFromGramStarts(starts, minLen)
     runs.join(toked, Seq("id"))
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"),
@@ -380,15 +398,8 @@ object Dedup {
     val freq = hs.groupBy(col("h"))
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOccurrences)
-    val covered = hs.join(freq, "h")
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + (minLen - 1))).as("pos"))
-      .distinct()
-    val runs = covered
-      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
-      .select(col("id"), posexplode(col("__ps")))
-      .groupBy(col("id"), (col("col") - col("pos")).as("__grp"))
-      .agg(min(col("col")).as("span_start"), max(col("col")).as("span_end"))
+    val runs = spansFromGramStarts(
+      hs.join(freq, "h").select(col("id"), col("gpos")), minLen)
     runs.join(norm, Seq("id"))
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"),
@@ -440,16 +451,9 @@ object Dedup {
       .select(col("id"),
         posexplode(call_function("kgram_hashes", col("__s"), lit(minLen))))
       .select(col("id"), (col("pos") + 1).as("gpos"), col("col").as("h"))
-    val covered = hs
-      .join(corpusIndex.select(col("h")), Seq("h"), "left_semi")
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + (minLen - 1))).as("pos"))
-      .distinct()
-    val runs = covered
-      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
-      .select(col("id"), posexplode(col("__ps")))
-      .groupBy(col("id"), (col("col") - col("pos")).as("__grp"))
-      .agg(min(col("col")).as("span_start"), max(col("col")).as("span_end"))
+    val runs = spansFromGramStarts(
+      hs.join(corpusIndex.select(col("h")), Seq("h"), "left_semi")
+        .select(col("id"), col("gpos")), minLen)
     runs.join(norm, Seq("id"))
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"),

@@ -463,6 +463,25 @@ object ScaleProbe {
           .groupBy("split").agg(count(lit(1)))
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"token_shards_${n}x") {
+        // weighted prefix sum over md5-byte buckets: one keyed shuffle
+        // + bounded 256-row meta — expect clean linear; bucket count is
+        // constant so per-bucket windows grow linearly but uniformly
+        operators.Layout.tokenBalancedShards(
+            docsN.withColumn("n_tokens",
+              operators.TextAnalysis.tokenCount(col("text")).cast("long")),
+            "doc_id", col("n_tokens"), nShards = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"chunk_sentences_${n}x") {
+        // pure per-doc projection (one aggregate fold per row): expect
+        // clean linear, scan-bound
+        operators.TextAnalysis.chunkBySentences(
+            docsN.withColumn("text_s", regexp_replace(col("text"),
+              "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")),
+            "doc_id", "text_s", maxTokens = 24)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -64,4 +64,65 @@ object Layout {
       .sortWithinPartitions(col("z"))
       .drop("z")
       .write.mode("overwrite").parquet(path)
+
+  /** Token-balanced training shards: assign every row a shard id in
+    * [0, nShards) such that (1) shards are CONTIGUOUS in a
+    * deterministic, data-defined order (md5(id) — the reproducible
+    * "epoch shuffle" of a pretraining run: same corpus → same order on
+    * any cluster, any partitioning), and (2) each shard carries ~equal
+    * TOKEN mass, not row count — what keeps every trainer rank fed at
+    * the same rate when document lengths are skewed.
+    *
+    * The scale problem is the exact global WEIGHTED prefix sum: the
+    * classic `sum(n) over (order by h)` is a single-partition window —
+    * the canonical 100 TB scale-killer. Shape here (the
+    * [[Stats.distributedNtile]] idiom, made weighted, with one
+    * improvement): rows are range-bucketed by the first md5 byte —
+    * uniform BY CONSTRUCTION, so unlike value-bucketed ntile there is
+    * no skew caveat at all — per-bucket token totals collapse into a
+    * bounded 256-row array whose prefix sums are array folds (no
+    * WindowExec), and the within-bucket cumulative sum is a keyed
+    * window. Global cumulative = bucket offset + within-bucket sum;
+    * a document straddling a boundary belongs to the shard where its
+    * FIRST token lands (the [[TextAnalysis.packSequences]] rule), in
+    * exact integer arithmetic (`(cum−n)·nShards div total` — bigint
+    * headroom: 2^44 tokens × 2^10 shards < 2^63).
+    *
+    * Output: `id`, `n_tokens`, `shard`. Write with
+    * `.repartition(col("shard")).write.partitionBy("shard")` (or
+    * [[graft.sources.Sinks]]) to materialize one directory per rank. */
+  def tokenBalancedShards(df: DataFrame, idCol: String,
+      nTokensCol: Column, nShards: Int, epochSalt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "need nShards > 0")
+    // epoch e of a multi-epoch run passes a distinct salt (e.g. "e1"):
+    // md5(salt‖id) is an independent deterministic permutation per
+    // epoch — reshuffled data order without materializing anything
+    val base = df
+      .select(col(idCol).as("id"), nTokensCol.cast("long").as("n_tokens"))
+      .withColumn("__h",
+        md5(concat(lit(epochSalt), col("id").cast("string")).cast("binary")))
+      .withColumn("__bkt",
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    // bounded 256-row bucket table → offsets + grand total via array
+    // folds (the distributedNtile meta idiom — no WindowExec)
+    val meta = base.groupBy(col("__bkt")).agg(sum(col("n_tokens")).as("__bt"))
+      .agg(sort_array(collect_list(struct(col("__bkt"), col("__bt")))).as("__arr"))
+      .select(explode(expr(
+        "transform(__arr, (x, i) -> named_struct(" +
+          "'__bkt', x.__bkt, " +
+          "'__off', aggregate(slice(__arr, 1, i), 0L, (a, y) -> a + y.__bt), " +
+          "'__tot', aggregate(__arr, 0L, (a, y) -> a + y.__bt)))")).as("__m"))
+      .select(col("__m.__bkt").as("__bkt"), col("__m.__off").as("__off"),
+        col("__m.__tot").as("__tot"))
+    val wB = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__h").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(meta), Seq("__bkt"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wB) + col("__off"))
+      .withColumn("shard",
+        expr(s"((__cum - n_tokens) * ${nShards}L) div greatest(1L, __tot)")
+          .cast("int"))
+      .select(col("id"), col("n_tokens"), col("shard"))
+  }
 }

@@ -592,6 +592,62 @@ object TextAnalysis {
           .cast("bigint").as("n_tokens"))
   }
 
+  /** Sentence-boundary-aware chunking — the RAG/embedding chunker that
+    * never splits a sentence: consecutive sentences pack greedily into
+    * chunks of at most `maxTokens` whitespace tokens; a sentence longer
+    * than the cap becomes its own oversized chunk (truncating it is the
+    * embedder's decision, not the chunker's). Sentence boundary =
+    * terminal punctuation followed by whitespace, marked with a \u0001
+    * sentinel via a capture-group replace — RE2 (the oracle's regex
+    * engine) has no lookbehind, so the sentinel split is the portable
+    * form. Inter-sentence whitespace collapses to a single space in the
+    * rebuilt chunk (both engines replay the same split+join).
+    *
+    * The greedy capacity-reset recurrence is NOT window-expressible
+    * (each boundary depends on the running remainder), but it IS a
+    * sequential fold over one document's sentences: a single
+    * `aggregate` higher-order function whose accumulator carries the
+    * open chunk — zero shuffles, zero self-joins, pure projection.
+    * Chunks merge in-place (`slice` + rebuild of the last element:
+    * O(chunks²) array copying per doc, bounded by doc length — the
+    * same trade [[duplicateSpans]]' island fold accepts). At 100 TB
+    * this is scan-bound and embarrassingly parallel; the DuckDB oracle
+    * replays the identical recurrence as a recursive CTE. Output:
+    * `doc_id`, `chunk_id` (0-based), `n_tokens`, `chunk_text`. */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "need maxTokens > 0")
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    df.select(col(idCol).as("doc_id"), split(marked, "\u0001").as("__sents"))
+      .withColumn("__zs", expr(
+        "filter(transform(__sents, s -> named_struct(" +
+          "'s', s, " +
+          "'n', cast(size(filter(split(s, '\\\\s+'), t -> t <> '')) as bigint)))," +
+          " x -> x.n > 0)"))
+      .withColumn("__chunks", expr(s"""
+        aggregate(
+          __zs,
+          named_struct(
+            'out', cast(array() as array<struct<ck:int,txt:string,ntok:bigint>>),
+            'cur', cast(0 as bigint)),
+          (acc, x) -> if(size(acc.out) = 0 or acc.cur + x.n > ${maxTokens}L,
+            named_struct(
+              'out', concat(acc.out, array(named_struct(
+                'ck', size(acc.out), 'txt', x.s, 'ntok', x.n))),
+              'cur', x.n),
+            named_struct(
+              'out', concat(slice(acc.out, 1, size(acc.out) - 1),
+                array(named_struct(
+                  'ck', size(acc.out) - 1,
+                  'txt', concat(element_at(acc.out, -1).txt, ' ', x.s),
+                  'ntok', element_at(acc.out, -1).ntok + x.n))),
+              'cur', acc.cur + x.n)),
+          acc -> acc.out)"""))
+      .select(col("doc_id"), explode(col("__chunks")).as("__c"))
+      .select(col("doc_id"), col("__c.ck").as("chunk_id"),
+        col("__c.ntok").as("n_tokens"), col("__c.txt").as("chunk_text"))
+  }
+
   /** Vocabulary coverage: build the top-`topN` corpus vocabulary
     * (count desc, word asc — deterministic at ties) and report each
     * doc's out-of-vocabulary token count/rate — the tokenizer-coverage

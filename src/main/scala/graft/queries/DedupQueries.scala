@@ -147,6 +147,30 @@ object DedupQueries {
       Dedup.minHashLshPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
     },
+    // MinHash-LSH recall/precision audit against the exact-Jaccard
+    // truth set, in ONE plan — the b/r S-curve acceptance gate before
+    // trusting the sketch at scale (the q_ann_recall pattern applied
+    // to dedup). Both legs are independently-oracled operators; this
+    // query pins their RELATIONSHIP: how many true ≥0.8 pairs the
+    // banding+estimate path returns, and how many of its returns are
+    // true. Three bounded one-row aggregates crossJoined (the
+    // scalar-broadcast idiom).
+    "q_minhash_recall" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a"), col("b"))
+      val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a"), col("b"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nH = exact.join(lsh, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
+      nE.crossJoin(broadcast(nL)).crossJoin(broadcast(nH))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            greatest(col("n_exact"), lit(1L)), 6).as("recall"),
+          round(col("n_hit").cast("double") /
+            greatest(col("n_lsh"), lit(1L)), 6).as("lsh_precision"))
+    },
     "q_neardup_simhash" -> { (s, dir) =>
       Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, maxHamming = 8)
@@ -471,6 +495,61 @@ object DedupQueries {
        |WHERE est >= $threshold""".stripMargin
   }
 
+  /** Recall/precision audit oracle: the [[minHashLshOracle]] chain and
+    * the exact-Jaccard pair chain side by side, intersected. Both legs
+    * are verbatim the independently-green oracles, so a mismatch here
+    * can only be the RELATIONSHIP (the counts/ratios), never the legs. */
+  private def minHashRecallOracle(k: Int, bands: Int,
+      threshold: Double): String = {
+    import graft.functions.MinHashAgg
+    val p = MinHashAgg.P
+    val r = k / bands
+    val bandCond = (0 until bands).map { bi =>
+      val lo = bi * r + 1
+      s"sa.sig[$lo:${lo + r - 1}] = sb.sig[$lo:${lo + r - 1}]"
+    }.mkString("(", "\n      OR ", ")")
+    s"""WITH $shingleCtes,
+       |hb AS (SELECT doc_id,
+       |         ('0x' || substring(md5(s), 1, 15))::BIGINT % $p AS hm
+       |       FROM e),
+       |co AS (SELECT ${MinHashAgg.coeffsSqlA(k)} AS ca,
+       |              ${MinHashAgg.coeffsSqlB(k)} AS cb),
+       |sr AS (
+       |  SELECT doc_id, r.i, min((co.ca[r.i + 1] * hm + co.cb[r.i + 1]) % $p) AS v
+       |  FROM hb CROSS JOIN co
+       |       CROSS JOIN (SELECT unnest(range(0, $k)) AS i) r
+       |  GROUP BY doc_id, r.i),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sr GROUP BY doc_id),
+       |cand AS (
+       |  SELECT sa.doc_id AS a, sb.doc_id AS b
+       |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND $bandCond),
+       |lsh AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c
+       |  JOIN sig sa ON c.a = sa.doc_id
+       |  JOIN sig sb ON c.b = sb.doc_id
+       |  WHERE len(list_filter(range(1, ${k + 1}),
+       |      i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $k >= $threshold),
+       |pr AS (SELECT ea.doc_id AS a, eb.doc_id AS b, count(1) AS inter
+       |       FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+       |exact AS (
+       |  SELECT pr.a, pr.b FROM pr
+       |  JOIN sz ca ON pr.a = ca.doc_id
+       |  JOIN sz cb ON pr.b = cb.doc_id
+       |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= $threshold),
+       |m AS (SELECT
+       |  (SELECT count(1) FROM exact)::BIGINT AS n_exact,
+       |  (SELECT count(1) FROM lsh)::BIGINT AS n_lsh,
+       |  (SELECT count(1) FROM exact JOIN lsh
+       |     ON exact.a = lsh.a AND exact.b = lsh.b)::BIGINT AS n_hit)
+       |SELECT n_exact, n_lsh, n_hit,
+       |  round(n_hit::DOUBLE / greatest(n_exact, 1), 6) AS recall,
+       |  round(n_hit::DOUBLE / greatest(n_lsh, 1), 6) AS lsh_precision
+       |FROM m""".stripMargin
+  }
+
   /** DuckDB replay of [[Dedup.simHashPairs]]: same 60-bit md5 base
     * hash, same majority-vote signature; pairs brute-forced (the
     * engine's pigeonhole banding is lossless, so brute force over the
@@ -602,6 +681,8 @@ object DedupQueries {
         |WHERE levenshtein(a.s, b.s) <= 4""".stripMargin,
     "q_neardup_minhash_lsh" ->
       minHashLshOracle(k = 128, bands = 32, threshold = 0.8),
+    "q_minhash_recall" ->
+      minHashRecallOracle(k = 128, bands = 32, threshold = 0.8),
     "q_neardup_simhash" -> simHashOracle(maxHamming = 8),
     "q_minhash_incremental_persisted" ->
       minHashLshCrossOracle(k = 128, bands = 32, threshold = 0.8),

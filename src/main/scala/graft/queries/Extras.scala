@@ -297,6 +297,34 @@ object Extras {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     },
 
+    // temperature-α=½ domain mixing: surviving token shares ∝ √(natural
+    // share) — flattens the head language without equalizing outright;
+    // id_sum pins WHICH rows survived (membership is md5-deterministic)
+    "q_temperature_mix" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.temperatureMix(docs, col("doc_id"), col("lang"), col("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+
+    // token-balanced training shards: deterministic md5 "epoch shuffle"
+    // order, 8 contiguous shards of ~equal token mass via the
+    // distributed weighted prefix sum (no global window anywhere);
+    // id_sum pins the exact shard membership
+    "q_token_shards" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      graft.operators.Layout
+        .tokenBalancedShards(docs, "doc_id", col("n_tokens"), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("id")).as("id_sum"))
+    },
+
     "q_hash_split" -> { (s, dir) =>
       Sampling.split(table(s, dir, "documents"), col("doc_id"),
         train16 = 12, valid16 = 2)
@@ -895,6 +923,52 @@ object Extras {
         |SELECT lang, count(1) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM s GROUP BY lang""".stripMargin,
+    // √-temperature keep rate: floor(256·√(tmin/tot)) — sqrt and / are
+    // IEEE-correctly-rounded in both engines, so the floor cannot
+    // straddle an integer across engines (pow would carry libm slack)
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot FROM d GROUP BY 1),
+        |m AS (SELECT min(tot) AS tmin FROM t),
+        |r AS (SELECT lang,
+        |        CAST(greatest(floor(256 * sqrt(CAST(tmin AS DOUBLE) /
+        |               CAST(tot AS DOUBLE))), 1) AS INTEGER) AS keep256
+        |      FROM t CROSS JOIN m),
+        |s AS (
+        |  SELECT d.* FROM d JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+        |        < keep256)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY lang""".stripMargin,
+    // the oracle's global running sum IS the semantics; the engine
+    // computes it without a global window (md5-byte range buckets +
+    // bounded offset folds) — same rows, scale-safe plan
+    "q_token_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n_tokens) OVER () AS tot
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(((cum - n_tokens) * 8) // greatest(1, tot) AS INTEGER) AS shard
+        |  FROM c)
+        |SELECT shard, count(1) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY shard""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket

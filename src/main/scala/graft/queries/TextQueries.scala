@@ -142,6 +142,15 @@ object TextQueries {
       TextAnalysis.vocabCoverage(table(s, dir, "documents"),
         "doc_id", "text", topN = 20)
     },
+    // sentence-boundary-aware RAG chunker: greedy ≤24-token packs that
+    // never split a sentence (the synthetic docs are single-sentence-ish,
+    // so a small cap exercises both merge and reset paths)
+    "q_chunk_sentences" -> { (s, dir) =>
+      val sentenced = table(s, dir, "documents").withColumn("text_s",
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. "))
+      TextAnalysis.chunkBySentences(sentenced, "doc_id", "text_s",
+        maxTokens = 24)
+    },
     // PII scrub audit over the one table with digit-bearing payloads
     // (events.props JSON) — per-type redaction counts + masked shape
     // URL canonicalization: synthetic-but-messy URLs (case noise,
@@ -571,6 +580,40 @@ object TextQueries {
         |  array_to_string(toks[chunk_id*32+1 : chunk_id*32+64], ' ') AS chunk_text,
         |  LEAST(64, nt - chunk_id*32)::BIGINT AS n_tokens
         |FROM c""".stripMargin,
+    // identical sentence injection (5-word groups), identical greedy
+    // capacity-reset recurrence — replayed sequentially per doc as a
+    // recursive CTE (DuckDB has no fold with a struct accumulator);
+    // the engine's aggregate() fold and this recursion walk the same
+    // sentence list with the same reset rule, so rows match exactly
+    "q_chunk_sentences" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        string_split(
+        |          regexp_replace(
+        |            regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ', '\1. ', 'g'),
+        |            '([.!?])\s+', '\1' || chr(1), 'g'),
+        |          chr(1)),
+        |        s -> struct_pack(s := s,
+        |          n := len(list_filter(string_split_regex(s, '\s+'),
+        |                 t -> t <> ''))::BIGINT)),
+        |      x -> x.n > 0) AS zs
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 1 AS i, zs[1].n AS cur, 0 AS ck, zs[1].s AS txt,
+        |    zs[1].n AS n
+        |  FROM s WHERE len(zs) >= 1
+        |  UNION ALL
+        |  SELECT r.doc_id, i + 1,
+        |    CASE WHEN cur + s.zs[i+1].n > 24 THEN s.zs[i+1].n
+        |         ELSE cur + s.zs[i+1].n END,
+        |    CASE WHEN cur + s.zs[i+1].n > 24 THEN ck + 1 ELSE ck END,
+        |    s.zs[i+1].s, s.zs[i+1].n
+        |  FROM r JOIN s USING (doc_id) WHERE i < len(s.zs))
+        |SELECT doc_id, ck AS chunk_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  string_agg(txt, ' ' ORDER BY i) AS chunk_text
+        |FROM r GROUP BY doc_id, ck""".stripMargin,
     "q_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -153,18 +153,22 @@ object DedupQueries {
     // to dedup). Both legs are independently-oracled operators; this
     // query pins their RELATIONSHIP: how many true ≥0.8 pairs the
     // banding+estimate path returns, and how many of its returns are
-    // true. Three bounded one-row aggregates crossJoined (the
-    // scalar-broadcast idiom).
+    // true. One full-outer join on the pair key + one bounded
+    // aggregate, so each leg's (expensive) pair computation runs
+    // exactly ONCE — the three-scalar-subquery form would recompute
+    // both legs for the intersection count.
     "q_minhash_recall" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val exact = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
-        n = 3, threshold = 0.8).select(col("a"), col("b"))
+          n = 3, threshold = 0.8)
+        .select(col("a"), col("b"), lit(1).as("__e"))
       val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8).select(col("a"), col("b"))
-      val nE = exact.agg(count(lit(1)).as("n_exact"))
-      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
-      val nH = exact.join(lsh, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
-      nE.crossJoin(broadcast(nL)).crossJoin(broadcast(nH))
+          n = 3, threshold = 0.8)
+        .select(col("a"), col("b"), lit(1).as("__l"))
+      exact.join(lsh, Seq("a", "b"), "full_outer")
+        .agg(count(col("__e")).as("n_exact"), count(col("__l")).as("n_lsh"),
+          count(when(col("__e").isNotNull && col("__l").isNotNull, 1))
+            .as("n_hit"))
         .select(col("n_exact"), col("n_lsh"), col("n_hit"),
           round(col("n_hit").cast("double") /
             greatest(col("n_exact"), lit(1L)), 6).as("recall"),

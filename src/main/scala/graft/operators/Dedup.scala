@@ -812,6 +812,41 @@ object Dedup {
         coalesce(col("label"), col("id")).as("cluster_rep"))
   }
 
+  /** Incremental cluster maintenance: absorb a new batch into a STORED
+    * `(doc_id, cluster_rep)` labeling without re-running components
+    * over the corpus's full pair set — the append half of the
+    * clustering lifecycle (the banded dedup indexes' append≡rebuild
+    * discipline, applied to the clustering itself).
+    *
+    * Why it is EXACT: a stored component collapses to a star around its
+    * representative, and a star is connectivity-equivalent to the pair
+    * subgraph it replaced. So components of
+    * star edges ∪ batch-internal pairs ∪ batch↔corpus cross pairs
+    * equal components of the full pair set over corpus ∪ batch — and
+    * the canonical min-id label is a pure function of the component,
+    * so the output is IDENTICAL to a from-scratch rebuild (one oracle
+    * serves both; a batch doc bridging two stored clusters correctly
+    * merges them under the global min label).
+    *
+    * Why it is the 100 TB shape: the corpus contributes one edge per
+    * non-singleton doc (singletons contribute none and rejoin at the
+    * end via [[connectedComponents]]' left join), not its pair set;
+    * stars have depth 1, so propagation rounds are bounded by the NEW
+    * chain depth, not the corpus diameter; and the expensive pair
+    * generation runs only on batch-internal and batch-cross candidates
+    * (bucket-keyed, linear in the batch). */
+  def incrementalClusters(storedLabels: DataFrame, batchIds: DataFrame,
+      newPairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val starEdges = storedLabels
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("a"), col("cluster_rep").as("b"))
+    val allIds = storedLabels.select(col("doc_id").as("id"))
+      .union(batchIds.select(col("id")))
+      .distinct()
+    connectedComponents(allIds,
+      starEdges.union(newPairs.select(col("a"), col("b"))), maxIters)
+  }
+
   /** MinHash signatures: for each id, `numHashes` minima of a derived
     * universal-hash family over its shingle set — one shuffle
     * (groupBy id), all k minima in a single buffer pass via the native

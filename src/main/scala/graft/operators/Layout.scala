@@ -125,4 +125,18 @@ object Layout {
           .cast("int"))
       .select(col("id"), col("n_tokens"), col("shard"))
   }
+
+  /** Materialize [[tokenBalancedShards]]: the full rows land in one
+    * directory per shard (`shard=K/`), each carrying ~equal token mass
+    * — the trainer-rank data layout. One id-keyed join back onto the
+    * source (the assignment frame carries only id + shard) and the
+    * [[graft.sources.Sinks.writePartitioned]] small-files discipline
+    * (repartition on the partition column before the write). */
+  def writeTokenShards(df: DataFrame, path: String, idCol: String,
+      nTokensCol: Column, nShards: Int, epochSalt: String = ""): Unit = {
+    val shards = tokenBalancedShards(df, idCol, nTokensCol, nShards, epochSalt)
+      .select(col("id").as(idCol), col("shard"))
+    graft.sources.Sinks.writePartitioned(
+      df.join(shards, Seq(idCol)), path, Seq("shard"))
+  }
 }

@@ -77,6 +77,32 @@ object DedupQueries {
         n = 3, threshold = 0.8)
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     },
+    // append≡rebuild for the clustering itself: the corpus's STORED
+    // labels collapse to star edges (connectivity-equivalent to the
+    // corpus pair set), so stored stars + batch-internal pairs +
+    // batch↔corpus cross pairs re-cluster to labels IDENTICAL to a
+    // from-scratch run over everything — shares q_dedup_clusters'
+    // oracle, which is exactly that from-scratch semantics. The corpus
+    // never re-pays its own pair generation.
+    "q_dedup_clusters_incremental" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val corpus = docs.filter(col("split") =!= "test")
+      val batch = docs.filter(col("split") === "test")
+      val stored = Dedup.connectedComponents(
+        corpus.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
+          n = 3, threshold = 0.8))
+      val batchPairs = Dedup.ngramJaccardPairsPrefix(batch, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a"), col("b"))
+      val crossPairs = Dedup.crossJaccardPairs(batch, corpus,
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("left_id").as("a"), col("right_id").as("b"))
+      Dedup.incrementalClusters(stored,
+        batch.select(col("doc_id").as("id")),
+        batchPairs.union(crossPairs))
+    },
     // the SAME clustering through the O(log n)-round alternating-star
     // algorithm (Graph.connectedComponentsAlternating) — the deep-chain
     // topology where min-label propagation stalls at O(diameter); both
@@ -1333,6 +1359,9 @@ object DedupQueries {
         |      FROM comp)
         |GROUP BY 1""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
+    // append≡rebuild: the incremental maintenance path must reproduce
+    // the from-scratch clustering bit-for-bit — same oracle
+    "q_dedup_clusters_incremental" -> clustersOracle,
     // identical semantics by contract: the log-round algorithm must
     // produce exactly the propagation algorithm's labels
     "q_dedup_clusters_logstar" -> clustersOracle,

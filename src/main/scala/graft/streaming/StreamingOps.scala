@@ -493,6 +493,18 @@ object StreamingOps {
     graft.operators.Pca.project(newVecs, idCol, vecCol, tc)
   }
 
+  /** Streaming sentence chunking: arriving documents become RAG chunks
+    * in-flight. [[graft.operators.TextAnalysis.chunkBySentences]] is a
+    * per-document pure projection (the greedy fold closes over one
+    * row's sentence array — no state store, no join, no watermark), so
+    * the batch operator IS the streaming operator and any
+    * micro-batching yields the same rows (the incrementalPcaProject
+    * stateless pattern; StreamingSpec pins stream == batch). */
+  def chunkSentencesStream(stream: DataFrame, idCol: String,
+      textCol: String, maxTokens: Int): DataFrame =
+    graft.operators.TextAnalysis.chunkBySentences(stream, idCol, textCol,
+      maxTokens)
+
   /** Streaming twin of [[graft.operators.Upsert.aggState]]: because the
     * state row is a mergeable monoid (count/sum/min/max), the batch
     * operator IS the streaming operator — applied to a streaming frame

@@ -147,6 +147,68 @@ class Round7cSpec extends SparkSpec {
     assert(!plan.contains("No Partition Defined"), plan)
   }
 
+  test("writeTokenShards: one directory per shard, rows round-trip, " +
+      "per-shard token mass matches the assignment") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    tmp.deleteOnExit()
+    Layout.writeTokenShards(shardDocs, tmp.getAbsolutePath, "doc_id",
+      col("n_tokens"), nShards = 4)
+    val dirs = tmp.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === (0 until 4).map(i => s"shard=$i"))
+    val back = spark.read.parquet(tmp.getAbsolutePath)
+    assert(back.count() === shardDocs.count())
+    val wrote = back.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val assigned = Layout.tokenBalancedShards(shardDocs, "doc_id",
+        col("n_tokens"), 4)
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(wrote === assigned)
+  }
+
+  // ---- incrementalClusters ----
+
+  test("incrementalClusters: a batch doc bridging two stored clusters " +
+      "merges them under the global min label, identical to rebuild") {
+    val stored = Seq((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L), (50L, 50L))
+      .toDF("doc_id", "cluster_rep")
+    val batch = Seq(1L, 99L).toDF("id")
+    val newPairs = Seq((1L, 3L), (1L, 11L)).toDF("a", "b")
+    val inc = Dedup.incrementalClusters(stored, batch, newPairs)
+      .as[(Long, Long)].collect().toMap
+    // {1,2,3,10,11} merge under min id 1; 50 and 99 stay singletons
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      11L -> 1L, 50L -> 50L, 99L -> 99L))
+    val scratch = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 10L, 11L, 50L, 99L).toDF("id"),
+      Seq((2L, 3L), (10L, 11L), (1L, 3L), (1L, 11L)).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === scratch)
+  }
+
+  test("incrementalClusters == from-scratch connectedComponents on the " +
+      "real corpus (append == rebuild)") {
+    val docs = Sampling.split(
+      graft.sources.Sources.table(spark, sf0001, "documents"),
+      col("doc_id"), 12, 2)
+    val corpus = docs.filter(col("split") =!= "test")
+    val batch = docs.filter(col("split") === "test")
+    val stored = Dedup.connectedComponents(
+      corpus.select(col("doc_id").as("id")),
+      Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.8))
+    val inc = Dedup.incrementalClusters(stored,
+      batch.select(col("doc_id").as("id")),
+      Dedup.ngramJaccardPairsPrefix(batch, "doc_id", "text", 3, 0.8)
+        .select(col("a"), col("b"))
+        .union(Dedup.crossJaccardPairs(batch, corpus, "doc_id", "text", 3, 0.8)
+          .select(col("left_id").as("a"), col("right_id").as("b"))))
+    val scratch = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8))
+    assert(inc.except(scratch).isEmpty && scratch.except(inc).isEmpty)
+    assert(inc.count() === docs.count())
+  }
+
   // ---- chunkBySentences ----
 
   test("chunkBySentences: greedy packs that never split a sentence; " +

@@ -878,4 +878,32 @@ class StreamingSpec extends SparkSpec {
       deltas.foreach(_.unpersist())
     }
   }
+
+  test("streaming sentence chunking == batch (stateless per-doc fold, " +
+      "micro-batching invariant)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), regexp_replace(col("text"),
+        "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ").as("text_s"))
+    val tmp = Files.createTempDirectory("graft_chunk_stream").toFile
+    tmp.deleteOnExit()
+    docs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.chunkSentencesStream(stream, "doc_id", "text_s", 24)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val batch = graft.operators.TextAnalysis
+        .chunkBySentences(docs, "doc_id", "text_s", 24).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

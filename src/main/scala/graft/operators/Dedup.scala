@@ -105,6 +105,47 @@ object Dedup {
         sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Boilerplate line stripping — the CCNet/RefinedWeb rule that is NOT
+    * dedup: a line appearing in more than `maxDocFreq` DISTINCT
+    * documents (nav menus, cookie banners, terms-of-service footers) is
+    * template machinery, not content, and is removed from EVERY
+    * document — including the first occurrence, which is what separates
+    * this from [[lineLevelDedup]] (where the first occurrence is
+    * legitimate content that survives). Lines shorter than `minChars`
+    * pass through untouched (the [[lineLevelDedup]] guard: structural
+    * markers aren't boilerplate evidence).
+    *
+    * Shape: one explode, one distinct-doc count per line hash (a single
+    * distinct aggregate — two-phase hash aggregation, no Expand), one
+    * hash join of the lines against the bounded offender set (no
+    * broadcast hint — at web scale the offender table can be large;
+    * AQE broadcasts when it fits), one id-keyed reassembly. Output:
+    * `id`, `text_clean`, `n_lines`, `n_removed`. */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, minChars: Int = 10): DataFrame = {
+    require(maxDocFreq >= 1, "need maxDocFreq >= 1")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val tagged = lines.withColumn("__h",
+      when(length(col("line")) >= minChars, md5(col("line").cast("binary"))))
+    val boiler = tagged.where(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__h"), lit(1).as("__b"))
+    tagged.join(boiler, Seq("__h"), "left")
+      .withColumn("__kept", col("__b").isNull)
+      .groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(
+              when(col("__kept"), struct(col("pos"), col("line"))))),
+            x => x("line"))).as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Distinct line-hash index of a corpus — the persistable side of
     * incremental line dedup: one `(h)` row per distinct dedupable line
     * (md5, `minChars`+ chars). Write it bucketed on `h`

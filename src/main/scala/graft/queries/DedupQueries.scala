@@ -413,6 +413,16 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("text_dedup"),
           col("n_lines"), col("n_removed"))
     },
+    // boilerplate stripping (NOT dedup): a reflowed line present in
+    // more than 20 distinct docs is template machinery and is removed
+    // from EVERY doc — including the first occurrence, which
+    // q_line_dedup would keep
+    "q_strip_boilerplate" -> { (s, dir) =>
+      Dedup.stripBoilerplateLines(reflowLines(table(s, dir, "documents")),
+          "doc_id", "text_lines", maxDocFreq = 20, minChars = 10)
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_lines"), col("n_removed"))
+    },
     // incremental line dedup against a PERSISTED line-hash index: the
     // corpus pays its explode once (distinct hashes stored bucketed on
     // h), each ingest batch removes corpus-seen lines + within-doc
@@ -1084,6 +1094,28 @@ object DedupQueries {
         |SELECT doc_id,
         |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
         |    '') AS text_dedup,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+        |FROM fl GROUP BY doc_id""".stripMargin),
+    // same reflow, then: distinct-doc frequency per line hash, lines
+    // over the cap removed EVERYWHERE (no first-occurrence survivor —
+    // that's the dedup semantics, not the boilerplate rule)
+    "q_strip_boilerplate" -> (reflowCtes +
+      """,
+        |tg AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN length(line) >= 10 THEN md5(line) END AS h
+        |  FROM ln),
+        |bo AS (
+        |  SELECT h FROM tg WHERE h IS NOT NULL
+        |  GROUP BY h HAVING count(DISTINCT doc_id) > 20),
+        |fl AS (
+        |  SELECT tg.doc_id, tg.pos, tg.line,
+        |    (tg.h IS NULL OR bo.h IS NULL) AS keep
+        |  FROM tg LEFT JOIN bo ON tg.h = bo.h)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+        |    '') AS text_clean,
         |  count(*)::BIGINT AS n_lines,
         |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
         |FROM fl GROUP BY doc_id""".stripMargin),

@@ -166,6 +166,26 @@ class Round7cSpec extends SparkSpec {
     assert(wrote === assigned)
   }
 
+  // ---- stripBoilerplateLines ----
+
+  test("stripBoilerplateLines removes over-cap lines EVERYWHERE " +
+      "(no first-occurrence survivor) and leaves under-cap lines alone") {
+    // "cookie banner text here" in 4 docs (> cap 3), "unique content"
+    // lines under cap, short line passes the minChars guard untouched
+    val docs = (1 to 4).map { i =>
+      (i.toLong, s"cookie banner text here\nunique content line $i\nok")
+    }.toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text",
+        maxDocFreq = 3, minChars = 10)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === (1 to 4).map(i =>
+      (i.toLong, s"unique content line $i\nok", 3L, 1L)))
+    // contrast: line DEDUP keeps the banner's first occurrence
+    val dedup = Dedup.lineLevelDedup(docs, "doc_id", "text", minChars = 10)
+      .filter(col("id") === 1L).select("text_dedup").as[String].head()
+    assert(dedup.startsWith("cookie banner text here"))
+  }
+
   // ---- incrementalClusters ----
 
   test("incrementalClusters: a batch doc bridging two stored clusters " +

@@ -560,6 +560,46 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming near-dup CLUSTER maintenance — the clustering face of
+    * the incremental-dedup lifecycle: each micro-batch of documents is
+    * pair-joined against itself and against the corpus-so-far, then
+    * absorbed into the STORED `(doc_id, cluster_rep)` labeling via
+    * [[graft.operators.Dedup.incrementalClusters]] (stored components
+    * collapse to star edges; result is label-IDENTICAL to a
+    * from-scratch rebuild). The caller owns state: `loadState` returns
+    * the current labels + the corpus-so-far (documents the batch must
+    * be cross-paired against), `sink` persists the new labels and
+    * appends the batch to the corpus. Micro-batching invariant BY
+    * INDUCTION: each trigger's append≡rebuild exactness means labels
+    * after any trigger decomposition equal the one-shot clustering of
+    * everything seen (StreamingSpec folds two triggers and compares to
+    * from-scratch). Per-trigger cost is the batch's own pair
+    * generation + a star-depth-1 CC loop — the corpus never re-pays
+    * its pairs. */
+  def incrementalClustersStream(newDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double)(
+      loadState: () => (DataFrame, DataFrame),
+      sink: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val (labels, corpus) = loadState()
+        val batchPairs = graft.operators.Dedup
+          .ngramJaccardPairsPrefix(b, idCol, textCol, n, threshold)
+          .select(col("a"), col("b"))
+        val crossPairs = graft.operators.Dedup
+          .crossJaccardPairs(b, corpus, idCol, textCol, n, threshold)
+          .select(col("left_id").as("a"), col("right_id").as("b"))
+        val next = graft.operators.Dedup.incrementalClusters(labels,
+          b.select(col(idCol).as("id")), batchPairs.union(crossPairs))
+        sink(next, b, batchId)
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming incremental char-span screening — the sixth
     * incremental-dedup modality, the [[incrementalLineDedup]] contract
     * at gram granularity: each micro-batch of ingested documents is

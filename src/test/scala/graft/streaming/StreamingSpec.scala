@@ -879,6 +879,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental clusters across micro-batches == " +
+      "from-scratch clustering (append == rebuild by induction)") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Sampling.split(
+      spark.read.parquet(s"$sf0001/documents.parquet"), col("doc_id"), 12, 2)
+    val corpus0 = docs.filter(col("split") =!= "test")
+      .select("doc_id", "text")
+    val batchDocs = docs.filter(col("split") === "test")
+      .select("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_cc_stream").toFile
+    tmp.deleteOnExit()
+    batchDocs.repartition(2).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    var labels = Dedup.connectedComponents(
+        corpus0.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardPairsPrefix(corpus0, "doc_id", "text", 3, 0.8))
+      .localCheckpoint(true)
+    var corpus = corpus0.localCheckpoint(true)
+    var triggers = 0
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.incrementalClustersStream(
+      stream, "doc_id", "text", 3, 0.8)(
+      () => (labels, corpus),
+      (next, b, _) => {
+        labels = next.localCheckpoint(true)
+        corpus = corpus.union(b.select("doc_id", "text")).localCheckpoint(true)
+        triggers += 1
+      })
+    try {
+      q.processAllAvailable()
+      assert(triggers > 1, "expected multiple micro-batches")
+      val scratch = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8))
+      assert(labels.except(scratch).isEmpty &&
+        scratch.except(labels).isEmpty)
+      assert(labels.count() === docs.count())
+    } finally q.stop()
+  }
+
   test("streaming sentence chunking == batch (stateless per-doc fold, " +
       "micro-batching invariant)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

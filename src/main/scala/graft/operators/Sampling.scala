@@ -191,6 +191,51 @@ object Sampling {
     * would extend the same way. Same null-stratum exclusion and
     * plan shape as [[rebalanceByTokens]]: two bounded aggregations,
     * one broadcast join, membership a pure function of the key. */
+  /** Target-share mixing: downsample so surviving token shares hit an
+    * EXPLICIT mixture (integer `parts`, e.g. en→2, zh→1 = 2:1) at the
+    * maximum achievable total — the third mixing primitive alongside
+    * equal-share ([[rebalanceByTokens]]) and temperature
+    * ([[temperatureMix]]), and the one an actual training-mix spec
+    * compiles to ("50% web, 30% code, 20% books").
+    *
+    * The achievable total is bounded per stratum by kept_d ≤ t_d: with
+    * scaled capacity S_d = (t_d·P) div p_d (P = Σ parts), the binding
+    * stratum sets T* = min_d S_d and every stratum keeps
+    * (256·T*) div S_d buckets (≤ 256; the binding stratum keeps all
+    * 256) — ALL exact integer arithmetic (`div`), so the oracle replays
+    * membership bit-for-bit, and the factored form keeps every
+    * intermediate under 2^63 at 100 TB (S ~ tokens·P ≤ 2^54, 256·T* ≤
+    * 2^62 — the naive 256·p·T* crosses 2^63). Strata not in `parts`
+    * are excluded (part 0 — the mix spec IS the filter). Same plan
+    * shape as the siblings: one bounded aggregation, a broadcast rate
+    * join, a hash filter. 100 TB cost: one stratum-keyed pass + a
+    * scan-bound filter. */
+  def targetMix(df: DataFrame, key: Column, strataCol: Column,
+      nTokensCol: Column, parts: Map[String, Int]): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      "parts must be positive")
+    val total = parts.values.sum
+    val partExpr = parts.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, p)) => when(col("__stratum") === stratum, p.toLong)
+        .otherwise(acc)
+    }
+    val rows = df.withColumn("__stratum", strataCol)
+      .withColumn("__n_tokens", nTokensCol.cast("long"))
+      .withColumn("__p", partExpr)
+      .filter(col("__p").isNotNull)
+    val capacities = rows.groupBy(col("__stratum"), col("__p"))
+      .agg(sum(col("__n_tokens")).as("__t"))
+      .withColumn("__s", expr(s"(__t * ${total}L) div __p"))
+    val tstar = capacities.agg(min(col("__s")).as("__tstar"))
+    val rates = capacities.crossJoin(broadcast(tstar))
+      .select(col("__stratum"),
+        greatest(expr("(256L * __tstar) div __s"), lit(1L))
+          .cast("int").as("__keep256"))
+    rows.join(broadcast(rates), Seq("__stratum"))
+      .filter(hashBucket256(key) < col("__keep256"))
+      .drop("__stratum", "__n_tokens", "__p", "__keep256")
+  }
+
   def temperatureMix(df: DataFrame, key: Column, strataCol: Column,
       nTokensCol: Column): DataFrame = {
     val rows = df.withColumn("__stratum", strataCol)

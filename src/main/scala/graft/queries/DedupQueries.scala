@@ -90,10 +90,14 @@ object DedupQueries {
         table(s, dir, "documents"), col("doc_id"), 12, 2)
       val corpus = docs.filter(col("split") =!= "test")
       val batch = docs.filter(col("split") === "test")
+      // eager checkpoint: incrementalClusters consumes the stored
+      // labeling twice (star edges + id universe) — in production it's
+      // a table read, here it's a whole CC computation (the
+      // winnowCrossPairs compute-once pattern; ContextCleaner frees it)
       val stored = Dedup.connectedComponents(
         corpus.select(col("doc_id").as("id")),
         Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
-          n = 3, threshold = 0.8))
+          n = 3, threshold = 0.8)).localCheckpoint(true)
       val batchPairs = Dedup.ngramJaccardPairsPrefix(batch, "doc_id", "text",
         n = 3, threshold = 0.8).select(col("a"), col("b"))
       val crossPairs = Dedup.crossJaccardPairs(batch, corpus,

@@ -310,6 +310,20 @@ object Extras {
           sum(col("doc_id")).as("id_sum"))
     },
 
+    // explicit target mixture 4:2:1 over en/zh/de at the max achievable
+    // total (zh binds: 4143·7//2 < the others' scaled capacities);
+    // fr/es excluded by the spec — the mix IS the filter
+    "q_target_mix" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.targetMix(docs, col("doc_id"), col("lang"), col("n_tokens"),
+          parts = Map("en" -> 4, "zh" -> 2, "de" -> 1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+
     // token-balanced training shards: deterministic md5 "epoch shuffle"
     // order, 8 contiguous shards of ~equal token mass via the
     // distributed weighted prefix sum (no global window anywhere);
@@ -946,6 +960,32 @@ object Extras {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY lang""".stripMargin,
+    // integer replay of the factored target-mix rates: scaled capacity
+    // S = (t·P) // p per stratum, T* = min S, keep256 = (256·T*) // S
+    "q_target_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+        |      AS n_tokens,
+        |    CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 2 WHEN 'de' THEN 1 END
+        |      AS p
+        |  FROM documents),
+        |dd AS (SELECT * FROM d WHERE p IS NOT NULL),
+        |t AS (SELECT lang, p, CAST(sum(n_tokens) AS BIGINT) AS tot
+        |      FROM dd GROUP BY 1, 2),
+        |c AS (SELECT lang, (tot * 7) // p AS s FROM t),
+        |m AS (SELECT min(s) AS tstar FROM c),
+        |r AS (SELECT lang,
+        |        CAST(greatest((256 * tstar) // s, 1) AS INTEGER) AS keep256
+        |      FROM c CROSS JOIN m),
+        |kept AS (
+        |  SELECT dd.* FROM dd JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+        |        < keep256)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY lang""".stripMargin,
     // the oracle's global running sum IS the semantics; the engine
     // computes it without a global window (md5-byte range buckets +
     // bounded offset folds) — same rows, scale-safe plan

@@ -64,6 +64,39 @@ class Round7cSpec extends SparkSpec {
     assert(kept > 100 && kept < 500, s"expected ~234 (1/256), got $kept")
   }
 
+  test("targetMix: surviving token shares track the requested parts; " +
+      "binding stratum keeps everything; unlisted strata excluded") {
+    // strata token masses 1 : 4 : 16 (uniform 10-token docs), target
+    // parts 1:1:1 -> "rare" binds (it can only fund an equal three-way
+    // total of 3x its own mass); mid and big shave to ~rare's mass
+    val out = Sampling.targetMix(mixDocs, col("id"), col("lang"),
+      col("n_tokens"), parts = Map("rare" -> 1, "mid" -> 1, "big" -> 1))
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") === 1000L) // binding stratum: keep256 = 256
+    assert(math.abs(kept("mid") / 1000.0 - 1.0) < 0.15, kept.toString)
+    assert(math.abs(kept("big") / 1000.0 - 1.0) < 0.15, kept.toString)
+    // 4:2:1 over the same strata: big (16x tokens, 4 parts) no longer
+    // binds; rare (1x tokens, 1 part) binds -> kept masses ~4:2:1
+    val out2 = Sampling.targetMix(mixDocs, col("id"), col("lang"),
+      col("n_tokens"), parts = Map("big" -> 4, "mid" -> 2, "rare" -> 1))
+    val kept2 = out2.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept2("rare") === 1000L)
+    assert(math.abs(kept2("mid") / 2000.0 - 1.0) < 0.15, kept2.toString)
+    assert(math.abs(kept2("big") / 4000.0 - 1.0) < 0.15, kept2.toString)
+    // spec-as-filter: a stratum without a part vanishes
+    val out3 = Sampling.targetMix(mixDocs, col("id"), col("lang"),
+      col("n_tokens"), parts = Map("rare" -> 1, "mid" -> 1))
+    assert(out3.filter(col("lang") === "big").count() === 0L)
+    // determinism under repartitioning
+    val again = Sampling.targetMix(mixDocs.repartition(9), col("id"),
+      col("lang"), col("n_tokens"),
+      parts = Map("big" -> 4, "mid" -> 2, "rare" -> 1))
+    assert(again.select("id").except(out2.select("id")).isEmpty &&
+      out2.select("id").except(again.select("id")).isEmpty)
+  }
+
   // ---- tokenBalancedShards ----
 
   private def shardDocs = {

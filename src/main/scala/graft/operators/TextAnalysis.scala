@@ -128,6 +128,34 @@ object TextAnalysis {
       }.toDF("doc_id", "comp_ratio")
   }
 
+  /** HTML → text extraction (trafilatura-lite): drop script/style
+    * blocks and comments wholesale (their CONTENT is code, not prose),
+    * strip remaining tags, decode the six entities that dominate web
+    * text (`&amp;` decoded LAST so `&amp;lt;` cannot double-decode),
+    * collapse whitespace. The boilerplate-ingest step that runs before
+    * every quality/dedup operator on a crawl.
+    *
+    * Deliberately regex-chain + literal-replace only: one codegen'd
+    * projection, scan-bound at 100 TB, and portable to the oracle —
+    * RE2 and Java both support `(?is)` inline flags and lazy
+    * quantifiers, and `replace` is literal in both engines. A full
+    * HTML5 parser is NOT this operator's job (malformed-markup
+    * recovery, DOM pruning, main-content detection are model-shaped
+    * problems); this is the deterministic 99% path. */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — exact-dedup grade. */
   def md5Fingerprint(c: Column): Column =

@@ -142,6 +142,24 @@ object TextQueries {
       TextAnalysis.vocabCoverage(table(s, dir, "documents"),
         "doc_id", "text", topN = 20)
     },
+    // HTML text extraction over deterministically-synthesized markup
+    // (the synthUrls pattern): script/style/comment blocks dropped
+    // wholesale, tags stripped, entities decoded — one codegen'd
+    // projection
+    "q_strip_html" -> { (s, dir) =>
+      val html = table(s, dir, "documents").withColumn("html",
+        concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 && 2;</script>"),
+          lit("<style>p { color: red }</style></head><body><!-- nav bar -->"),
+          lit("<h1 class=\"t\">"), upper(col("lang")), lit("</h1><p id=\"m\">"),
+          col("text"),
+          lit(" &amp; more &lt;tokens&gt;&nbsp;end.</p><div>src: "),
+          col("source"), lit("</div></body></html>")))
+      html.select(col("doc_id"),
+          TextAnalysis.stripHtml(col("html")).as("text_extracted"))
+        .withColumn("n_chars_extracted",
+          length(col("text_extracted")).cast("long"))
+    },
     // sentence-boundary-aware RAG chunker: greedy ≤24-token packs that
     // never split a sentence (the synthetic docs are single-sentence-ish,
     // so a small cap exercises both merge and reset paths)
@@ -580,6 +598,34 @@ object TextQueries {
         |  array_to_string(toks[chunk_id*32+1 : chunk_id*32+64], ' ') AS chunk_text,
         |  LEAST(64, nt - chunk_id*32)::BIGINT AS n_tokens
         |FROM c""".stripMargin,
+    // identical markup synthesis, identical strip chain — RE2 supports
+    // the same (?is)/(?s) inline flags and lazy quantifiers, replace()
+    // is literal in both engines, &amp; decoded last on both sides
+    "q_strip_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 && 2;</script>' ||
+        |    '<style>p { color: red }</style></head><body><!-- nav bar -->' ||
+        |    '<h1 class="t">' || upper(lang) || '</h1><p id="m">' || text ||
+        |    ' &amp; more &lt;tokens&gt;&nbsp;end.</p><div>src: ' || source ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
+        |  FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s3)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_extracted,
+        |  CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_extracted
+        |FROM s4""".stripMargin,
     // identical sentence injection (5-word groups), identical greedy
     // capacity-reset recurrence — replayed sequentially per doc as a
     // recursive CTE (DuckDB has no fold with a struct accumulator);

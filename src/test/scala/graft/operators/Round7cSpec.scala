@@ -199,6 +199,27 @@ class Round7cSpec extends SparkSpec {
     assert(wrote === assigned)
   }
 
+  // ---- stripHtml ----
+
+  test("stripHtml: script/style CONTENT removed, tag text kept, " +
+      "entities decoded once, whitespace collapsed") {
+    val cases = Seq(
+      ("<p>Hello <b>world</b></p>", "Hello world"),
+      ("<script>var hidden = 'secret';</script>visible", "visible"),
+      ("<style media=\"all\">p{}</style>shown", "shown"),
+      ("a<!-- comment with <tags> inside -->b", "a b"),
+      // &amp;lt; decodes to the LITERAL &lt; (one pass, amp last)
+      ("x &amp;lt; y", "x &lt; y"),
+      ("5 &lt; 6 &amp;&amp; 7 &gt; 2", "5 < 6 && 7 > 2"),
+      ("<SCRIPT>UPPER.case()</SCRIPT>kept", "kept"),
+      ("multi\n\n  spaces\tand <br/> tags", "multi spaces and tags"),
+      ("", ""))
+    val out = cases.map(_._1).toDF("html")
+      .select(TextAnalysis.stripHtml(col("html")).as("t"))
+      .as[String].collect().toSeq
+    assert(out === cases.map(_._2))
+  }
+
   // ---- stripBoilerplateLines ----
 
   test("stripBoilerplateLines removes over-cap lines EVERYWHERE " +

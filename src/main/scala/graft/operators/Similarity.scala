@@ -240,9 +240,15 @@ object Similarity {
     * recovers more true neighbors than the same probe budget over a
     * sampled quantizer (SimilaritySpec pins the recall ordering). */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nprobe: Int = 4,
-      every: Long = 50L, trainIters: Int = 2): DataFrame = {
-    val centroids = Clustering.trainCentroids(emb, nCells, trainIters)
-    ivfTopKWithCentroids(emb, k, centroids, nprobe, every)
+      every: Long = 50L, trainIters: Int = 2,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    // hybrid (filtered) search trains the quantizer on the SEARCHABLE
+    // subset — cells model the distribution being probed, not the
+    // whole table (a predicate-skewed corpus would otherwise waste
+    // probe budget on cells holding only filtered-out vectors)
+    val centroids =
+      Clustering.trainCentroids(emb.filter(corpusFilter), nCells, trainIters)
+    ivfTopKWithCentroids(emb, k, centroids, nprobe, every, corpusFilter)
   }
 
   /** IVF-style top-k over a GIVEN coarse-centroid set (trained offline
@@ -251,10 +257,46 @@ object Similarity {
     * k-means criterion, ties toward the lower cell id); each query
     * probes the `nprobe` nearest cells and ranks only vectors in them —
     * scoring ~nprobe/nCells of the corpus instead of all of it. */
+  /** `corpusFilter` restricts the NEIGHBOR side only (hybrid /
+    * metadata-filtered search: "top-k among label=2 vectors"): queries
+    * still come from the full table, and the predicate is applied
+    * BEFORE cell assignment, so it reaches the parquet scan as a
+    * pushed filter — the corpus side reads and scores only matching
+    * rows. Default `lit(true)` is folded away by the optimizer. */
   def ivfTopKWithCentroids(emb: DataFrame, k: Int,
       centroids: Seq[(Int, Seq[Double])], nprobe: Int = 4,
-      every: Long = 50L): DataFrame = {
-    val spark = emb.sparkSession
+      every: Long = 50L, corpusFilter: Column = lit(true)): DataFrame =
+    knnJoinWithCentroids(emb.filter(col("vec_id") % every === 0L),
+      emb.filter(corpusFilter), k, centroids, nprobe, excludeSameId = true)
+
+  /** Cross-TABLE approximate kNN join — retrieve the top-k corpus
+    * neighbors for EVERY row of a separate query table (the
+    * eval-retrieval / RAG / cross-corpus-linkage shape, where
+    * [[ivfTopK]] is the self-join special case). The quantizer is
+    * trained on the corpus (the side being searched); queries are a
+    * different table and never influence the cells.
+    *
+    * Scale shape: identical to [[ivfTopKWithCentroids]] — the corpus is
+    * assigned once (one scan, no shuffle beyond the ranking window on
+    * surviving pairs) and the query batch is broadcast into every
+    * corpus cell it probes. The broadcast is the right plan when
+    * |queries| is a retrieval batch (10³–10⁶ rows); for a full
+    * corpus-vs-corpus join, call this per query-shard so each broadcast
+    * stays executor-memory-bounded. `excludeSameId` is off by default:
+    * ids from two different tables are unrelated namespaces. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, trainIters: Int = 2): DataFrame = {
+    val centroids = Clustering.trainCentroids(corpus, nCells, trainIters)
+    knnJoinWithCentroids(queries, corpus, k, centroids, nprobe,
+      excludeSameId = false)
+  }
+
+  /** [[knnJoin]] against a PRE-TRAINED quantizer (the persisted-model
+    * form: train once offline, retrieve for every incoming batch). */
+  def knnJoinWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int = 4,
+      excludeSameId: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     if (centroids.isEmpty) {
       // empty corpus: no cells — return an empty, correctly-typed result
@@ -304,19 +346,21 @@ object Similarity {
           .select(col("vec_id"), col("__m.emb_d").as("emb_d"),
             col("__m.nrm").as("nrm"), col("__cells"))
       }
-    val prepped = emb.select(col("vec_id"),
+    def prep(df: DataFrame): DataFrame = df.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb_d"))
       .withColumn("__xx", graft.functions.VectorDot(col("emb_d"), col("emb_d")))
       .withColumn("nrm", sqrt(dot(col("emb_d"), col("emb_d"))))
-    val assigned = withCells(prepped, 1)
+    // prep AFTER any caller-side filter so predicates (on any metadata
+    // column) are still resolvable and reach the scan
+    val assigned = withCells(prep(corpus), 1)
       .select(col("vec_id"), col("emb_d"), col("nrm"),
         element_at(col("__cells"), 1).getField("cell").as("cell"))
-    val queries = withCells(prepped.filter(col("vec_id") % every === 0L), nprobe)
+    val probes = withCells(prep(queries), nprobe)
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(transform(col("__cells"), s => s.getField("cell"))).as("cell"))
-    val scored = assigned.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSameId) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cos", dot(col("q_emb"), col("emb_d")) / (col("q_nrm") * col("nrm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))

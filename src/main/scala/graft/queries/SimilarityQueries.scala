@@ -41,6 +41,22 @@ object SimilarityQueries {
     "q_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5)
     },
+    // hybrid (metadata-filtered) search: top-k among label=2 vectors
+    // only, queries from the full table; the quantizer is trained on
+    // the searchable subset and the predicate reaches the corpus scan
+    "q_ann_filtered_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5,
+        corpusFilter = col("label") === 2)
+    },
+    // cross-table kNN join: every label=0 vector retrieves its top-5
+    // neighbors from the label<>0 corpus — the eval-retrieval / RAG
+    // shape; quantizer trained on the corpus side only, no
+    // self-exclusion (disjoint id namespaces by construction here)
+    "q_knn_join" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.knnJoin(emb.filter(col("label") === 0),
+        emb.filter(col("label") =!= 0), k = 5)
+    },
     // realistic cell count: 64 cells exceeds Clustering.LiteralArgminMax
     // (32), so BOTH the trainer and the probe run the broadcast-join
     // assignment path end-to-end — the shape that scales to thousands
@@ -491,6 +507,94 @@ object SimilarityQueries {
         |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
         |  FROM probes p
         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the filtered variant: Lloyd trajectory + assignment over the
+    // label=2 subset only; probe distances for the FULL query sample
+    // against the same trained cells; neighbors restricted by assignment
+    "q_ann_filtered_topk" ->
+      s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |embf AS (SELECT m.vec_id, m.e, m.xx
+        |         FROM emb m JOIN embeddings r ON m.vec_id = r.vec_id
+        |         WHERE r.label = 2),
+        |${lloyd2Ctes("embf", 16)},
+        |dotsa AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM embf m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dotsa) WHERE rn = 1),
+        |dotsq AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c WHERE m.vec_id % 50 = 0),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dotsq) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // cross-table kNN join: Lloyd trajectory + assignment over the
+    // label<>0 corpus; EVERY label=0 vector probes; no self-exclusion
+    "q_knn_join" ->
+      s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |embc AS (SELECT m.vec_id, m.e, m.xx
+        |         FROM emb m JOIN embeddings r ON m.vec_id = r.vec_id
+        |         WHERE r.label <> 0),
+        |embq AS (SELECT m.vec_id, m.e, m.xx
+        |         FROM emb m JOIN embeddings r ON m.vec_id = r.vec_id
+        |         WHERE r.label = 0),
+        |${lloyd2Ctes("embc", 16)},
+        |dotsa AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM embc m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dotsa) WHERE rn = 1),
+        |dotsq AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM embq m CROSS JOIN c1cc c),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dotsq) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell
         |  JOIN emb0 eq ON eq.vec_id = p.query_id
         |  JOIN emb0 en ON en.vec_id = a.vec_id)
         |SELECT query_id, neighbor_id, rank::INTEGER AS rank, round(cos, 6) AS cos

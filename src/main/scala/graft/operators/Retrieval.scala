@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: lexical (TF-IDF cosine) and semantic (embedding
+  * cosine) rankings fused by reciprocal-rank fusion — the standard
+  * two-tower retrieval stack (RRF per Cormack/Clarke/Büttcher, SIGIR
+  * 2009: score(d) = Σ_lists 1/(c + rank_list(d)), c = 60), used both to
+  * serve search and to mine higher-recall candidates for dedup /
+  * decontamination than either signal alone.
+  *
+  * Scale shape: each leg emits ≤ legK rows per query, so the fusion
+  * join is keyed on (query_id, neighbor_id) over bounded inputs —
+  * cost is the LEGS, not the fusion. The lexical leg is the
+  * [[TextAnalysis.tfidfCosinePairs]] integer-exact machinery with a
+  * query-side filter (Σ df_q·df_c term fanout, capped by `maxTermDf`
+  * at corpus scale); the semantic leg is [[Similarity.ivfTopK]] (cell
+  * bucketed, never all-pairs). Rank arithmetic is integer and the RRF
+  * sum is two IEEE doubles added in a fixed order — bit-identical
+  * cross-engine, so the whole fusion is value-oracled. */
+object Retrieval {
+
+  /** Lexical top-k: rank every OTHER document against each query doc
+    * (`id % every == 0`) by TF-IDF cosine over integer-scaled weights
+    * (`round(tfidf·10⁶)`, decimal-exact dot/norm sums — engine-portable
+    * cosines, see [[TextAnalysis.tfidfCosinePairs]]). Output one row
+    * per (query_id, neighbor_id) with dense `rank` 1..k (cos desc, id
+    * asc — a unique total order).
+    *
+    * `maxTermDf` (0 = off) is the stopword fanout cap: terms in more
+    * than that many documents leave the vectors before the join — at
+    * web scale the ubiquitous-term join fanout is quadratic while its
+    * idf weight is ~zero, so production configs set it. The oracled
+    * query runs uncapped (the synthetic corpus is join-bounded). */
+  def lexicalTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      every: Long = 50L, maxTermDf: Long = 0L): DataFrame = {
+    val w0 = TextAnalysis.tfIdf(docs, idCol, textCol)
+      .select(col("id"), col("term"), col("df"),
+        round(col("tfidf") * 1e6).cast("long").as("w"))
+    // weight table feeds norms + both join sides — cache the projection
+    // (lifecycle: pinned until session end / LRU; repeated callers
+    // should clearCache, the tfidfCosinePairs note)
+    val w = (if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf))
+      .cache()
+    val norms = w.groupBy("id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val q = w.filter(col("id") % every === 0L)
+      .select(col("term"), col("id").as("query_id"), col("w").as("wq"))
+    val prods = q
+      .join(w.select(col("term"), col("id").as("neighbor_id"),
+        col("w").as("wn")), Seq("term"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("wq") * col("wn")).cast("decimal(38,0)")).as("dot"))
+    val scored = prods
+      .join(norms.select(col("id").as("query_id"), col("n2").as("nq2")),
+        Seq("query_id"))
+      .join(norms.select(col("id").as("neighbor_id"), col("n2").as("nn2")),
+        Seq("neighbor_id"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nq2").cast("double") * col("nn2").cast("double")))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (columns `query_id,
+    * neighbor_id, rank`): rrf = Σ 1/(c + rank), a doc absent from a
+    * list contributes 0 from it. Re-ranked 1..k by (rrf desc, id asc).
+    * One full-outer join on the pair key over ≤ legK rows per query
+    * per side — bounded by construction, no skew possible beyond k. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    val aa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("rank_a"))
+    val bb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("rank_b"))
+    val fused = aa.join(bb, Seq("query_id", "neighbor_id"), "full_outer")
+      // fixed evaluation order (a-term first) — the oracle mirrors it,
+      // so the double sum is bit-identical cross-engine
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf"), asc("neighbor_id"))
+    fused.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
+  /** The composed hybrid stack: lexical leg over `docs` (id col
+    * `doc_id`) + semantic leg over `emb` (id col `vec_id`, the SAME id
+    * namespace — the usual one-row-per-document layout with text and
+    * embedding in separate tables), each ranked to `legK`, RRF-fused
+    * to `k`. The semantic leg is [[Similarity.ivfTopK]] — the
+    * cell-bucketed scale path, not the brute-force baseline. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, k: Int, legK: Int = 10,
+      every: Long = 50L, c: Int = 60, nCells: Int = 16, nprobe: Int = 4,
+      maxTermDf: Long = 0L): DataFrame =
+    rrfFuse(
+      lexicalTopK(docs, "doc_id", "text", legK, every, maxTermDf),
+      Similarity.ivfTopK(emb, legK, nCells, nprobe, every),
+      k, c)
+}

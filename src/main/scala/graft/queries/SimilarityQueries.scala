@@ -48,6 +48,13 @@ object SimilarityQueries {
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5,
         corpusFilter = col("label") === 2)
     },
+    // hybrid retrieval: TF-IDF-cosine lexical leg + IVF semantic leg,
+    // each top-10, reciprocal-rank-fused to top-5 — documents and
+    // embeddings share the id namespace (one row per document)
+    "q_hybrid_rrf" -> { (s, dir) =>
+      graft.operators.Retrieval.hybridTopK(
+        table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5)
+    },
     // cross-table kNN join: every label=0 vector retrieves its top-5
     // neighbors from the label<>0 corpus — the eval-retrieval / RAG
     // shape; quantizer trained on the corpus side only, no
@@ -558,6 +565,86 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // hybrid RRF: the lexical integer-weight chain (q_tfidf's stats →
+    // round(round(tfidf,6)*1e6) weights → exact integer dot/norms) and
+    // the PROVEN q_ann_ivf_topk chain, each ranked to 10, fused by
+    // 1/(60+rank) sums in the engine's evaluation order
+    "q_hybrid_rrf" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, term, count(1) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+        |          x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(1)::DOUBLE AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        round(round(tf.tf * ln(nn.n / dfx.df), 6) * 1e6)::BIGINT AS w
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+        |lprods AS (
+        |  SELECT wq.doc_id AS query_id, wn.doc_id AS neighbor_id,
+        |    sum(wq.w * wn.w) AS dot
+        |  FROM w wq JOIN w wn ON wq.term = wn.term
+        |    AND wq.doc_id % 50 = 0 AND wn.doc_id <> wq.doc_id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT p.query_id, p.neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE)
+        |          DESC, p.neighbor_id) AS rank
+        |    FROM lprods p
+        |    JOIN norms nq ON p.query_id = nq.doc_id
+        |    JOIN norms nb ON p.neighbor_id = nb.doc_id)
+        |  WHERE rank <= 10),
+        |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 16)},
+        |dots AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |sscored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id),
+        |sem AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM sscored) WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+        |    coalesce(1.0 / (60 + l.rank), 0.0)
+        |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf
+        |  FROM lex l FULL JOIN sem s
+        |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+        |  round(rrf, 6) AS rrf
+        |FROM (
+        |  SELECT query_id, neighbor_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, neighbor_id) AS rank
+        |  FROM fused) WHERE rank <= 5""".stripMargin,
     // cross-table kNN join: Lloyd trajectory + assignment over the
     // label<>0 corpus; EVERY label=0 vector probes; no self-exclusion
     "q_knn_join" ->

@@ -40,6 +40,48 @@ class Round7dSpec extends SparkSpec {
     assert(viaIvf.except(viaKnn).isEmpty && viaKnn.except(viaIvf).isEmpty)
   }
 
+  // ---- rrfFuse / hybridTopK ----
+
+  test("rrfFuse: hand-computed fusion — both-list docs outrank " +
+      "single-list docs at the same ranks; absent list contributes 0") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 4)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    // 11: 1/62 + 1/61 = .032524; 10: 1/61 = .016393; 13: 1/62 = .016129;
+    // 12: 1/63 = .015873
+    assert(got.map(_._2).toSeq === Seq(11L, 10L, 13L, 12L))
+    assert(math.abs(got.head._4 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+  }
+
+  test("rrfFuse: symmetric-rank ties break by neighbor id, " +
+      "deterministically") {
+    val a = Seq((1L, 20L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 7L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 2)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(got.map(_._2).toSeq === Seq(7L, 20L)) // equal rrf -> lower id
+  }
+
+  test("hybridTopK: k rows per query ranked 1..k; every fused pair " +
+      "appears in at least one leg") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val lex = Retrieval.lexicalTopK(docs, "doc_id", "text", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sem = Similarity.ivfTopK(emb, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fused = Retrieval.hybridTopK(docs, emb, k = 5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(fused.nonEmpty)
+    assert(fused.forall { case (q, n, _, _) =>
+      lex.contains((q, n)) || sem.contains((q, n)) })
+    val perQ = fused.groupBy(_._1).values
+    assert(perQ.forall(rows => rows.map(_._3).sorted.toSeq == (1 to rows.size)))
+  }
+
   test("knnJoin: empty corpus yields an empty, correctly-typed result") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
     val out = Similarity.knnJoin(emb.limit(3), emb.filter(lit(false)), k = 5)

@@ -370,6 +370,20 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Matryoshka-style dimension truncation: keep the first `d`
+    * coordinates of `vecCol` (MRL-trained embeddings front-load
+    * information, so the prefix is itself a usable lower-cost
+    * embedding — Kusupati et al., NeurIPS 2022). Pure codegen'd
+    * projection; downstream cosine needs no re-normalization because
+    * it normalizes by the truncated norm. The serving decision this
+    * enables — how much recall d dims give up vs the full vector — is
+    * measured by the q_matryoshka_recall audit, the [[quantizeInt8]]
+    * `recon_err` twin for the OTHER axis of embedding compression
+    * (fewer dims vs fewer bits). */
+  def truncateDims(emb: DataFrame, d: Int,
+      vecCol: String = "embedding"): DataFrame =
+    emb.withColumn(vecCol, slice(col(vecCol), 1, d))
+
   /** Per-vector symmetric int8 quantization — the storage/serving
     * compression step of an embedding pipeline (4x smaller than float32,
     * 8x smaller than the double working form). scale = 127/max|x| (1.0

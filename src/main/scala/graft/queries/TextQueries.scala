@@ -92,6 +92,13 @@ object TextQueries {
     // df~5% -> high idf) and ubiquitous terms — per-doc scores, fully
     // value-compared (per-doc term sums fold in sorted term order, so
     // the floats are engine-portable)
+    // C4-style word-blocklist screen: whole-token, case-insensitive,
+    // reported as a hit fraction so any-hit (maxFrac=0) and
+    // threshold policies are both one filter away
+    "q_blocklist_filter" -> { (s, dir) =>
+      TextAnalysis.blocklistStats(table(s, dir, "documents"), "doc_id",
+        "text", Seq("dup", "noise", "Vector"), maxFrac = 0.05)
+    },
     "q_bm25_score" -> { (s, dir) =>
       TextAnalysis.bm25Scores(table(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("vector", "hash", "stream", "dup"))
@@ -467,6 +474,25 @@ object TextQueries {
         |  CAST(sum(tf) AS BIGINT) AS total_tf, min(doc_id) AS first_id
         |FROM tf GROUP BY term""".stripMargin,
     // same statistics and float expression order as the engine:
+    "q_blocklist_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['dup', 'noise', 'vector'], lower(x))))::BIGINT
+        |      AS n_blocked
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_tokens, n_blocked,
+        |    round(n_blocked::DOUBLE / greatest(n_tokens, 1), 6) AS blocked_frac
+        |  FROM s)
+        |SELECT doc_id, n_tokens, n_blocked, blocked_frac,
+        |  (blocked_frac <= 0.05)::INTEGER AS keep
+        |FROM f""".stripMargin,
     // idf = ln((N - df + 0.5)/(df + 0.5) + 1), per-doc sum in sorted
     // term order (list(s ORDER BY w) -> sequential list_sum)
     "q_bm25_score" ->

@@ -100,6 +100,26 @@ class Round7dSpec extends SparkSpec {
       emb.select("vec_id", "embedding")).isEmpty)
   }
 
+  // ---- blocklistStats ----
+
+  test("blocklistStats: whole-token case-insensitive hits, no substring " +
+      "matches; maxFrac=0 is the C4 any-hit drop; empty text safe") {
+    val docs = Seq(
+      (1L, "the Dup class has a dup field"), // 2 hits of 'dup' (not 'class')
+      (2L, "harmless words only here"),
+      (3L, "superduper reduplication"), // substrings must NOT hit
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistStats(docs, "doc_id", "text",
+      Seq("DUP", "missing"), maxFrac = 0.0)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_blocked", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out(0) === ((1L, 7L, 2L, 0)))
+    assert(out(1) === ((2L, 4L, 0L, 1)))
+    assert(out(2) === ((3L, 2L, 0L, 1))) // Scunthorpe-safe
+    assert(out(3) === ((4L, 0L, 0L, 1)))
+  }
+
   test("knnJoin: empty corpus yields an empty, correctly-typed result") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
     val out = Similarity.knnJoin(emb.limit(3), emb.filter(lit(false)), k = 5)

@@ -294,6 +294,31 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming retrieval — the online twin of
+    * [[graft.operators.Similarity.knnJoin]]: each micro-batch of query
+    * vectors retrieves its top-k corpus neighbors through the
+    * offline-trained quantizer
+    * ([[graft.operators.Similarity.knnJoinWithCentroids]]) — the
+    * streaming RAG-ingest / online-entity-linkage shape. Stateless per
+    * trigger (the centroid model rides as broadcast literals, no state
+    * store, no watermark) and per-QUERY pure: a query row's top-k
+    * depends only on that row and the static corpus, so results are
+    * micro-batching invariant by construction — union over triggers ==
+    * the one-shot batch join (pinned in StreamingSpec). The corpus
+    * side's cell assignment is plan-canonical across triggers, so one
+    * caller-side persist serves every trigger. */
+  def streamingKnn(queryStream: DataFrame, corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], k: Int, nprobe: Int = 4)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Similarity.knnJoinWithCentroids(
+          batch.toDF(), corpus, k, centroids, nprobe), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming SEMANTIC incremental dedup: each micro-batch of new
     * embeddings is scored against the corpus within the cells of a
     * batch-trained quantizer

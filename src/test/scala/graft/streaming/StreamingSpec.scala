@@ -380,6 +380,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming knn retrieval: union over micro-batches == one-shot " +
+      "knnJoinWithCentroids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = graft.operators.Clustering
+      .trainCentroids(corpus, k = 8, iters = 2)
+    val tmp = Files.createTempDirectory("graft_knn_stream").toFile
+    tmp.deleteOnExit()
+    queries.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.streamingKnn(stream, corpus, centroids,
+      k = 3) { (topk, id) =>
+      collected.synchronized {
+        batches += id
+        collected ++= topk.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Similarity
+        .knnJoinWithCentroids(queries, corpus, k = 3, centroids)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty)
+    } finally q.stop()
+  }
+
   test("minhash incremental dedup stream vs persisted index == one-shot batch") {
     import graft.operators.Dedup
     val docs = Sources.table(spark, sf0001, "documents")

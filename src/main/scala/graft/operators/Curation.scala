@@ -200,4 +200,67 @@ object Curation {
       .select(col("id"), col("n_tokens"), col("avg_logratio"),
         round(col("__gk"), 6).as("gumbel_key"))
   }
+
+  /** Greedy LEADER (diversity) selection within quantizer cells — the
+    * coreset-flavored complement of SemDeDup ([[Dedup.semanticPairs]]):
+    * instead of flagging near-duplicate PAIRS, it emits a subset that
+    * is mutually diverse BY CONSTRUCTION — scanning each cell in
+    * vec_id order, a vector is selected iff its cosine to every
+    * already-selected vector in that cell is < `threshold` (so any two
+    * selected vectors in a cell are < threshold apart, and every
+    * rejected vector has a selected representative ≥ threshold — the
+    * classic greedy facility-location/leader guarantee, used to cap
+    * embedding-space redundancy in a training mix). Output one row per
+    * SELECTED vector: (vec_id, cell, sel_rank) with sel_rank the
+    * 1-based selection order within the cell.
+    *
+    * Scale shape: cells process in parallel; WITHIN a cell the greedy
+    * scan is inherently sequential (selection is order-defined — that
+    * determinism is what makes the result reproducible and oracled),
+    * so each cell collapses into one bounded aggregation buffer
+    * (sorted members, one higher-order fold — no window, no join). The
+    * SemDeDup cell policy bounds the buffer: k ≈ √n cells keeps cells
+    * ~√n rows; `maxCellRows` (0 = off) refuses a degenerate cell
+    * instead of building an executor-OOM plan, same contract as
+    * semanticPairs' maxCellPairs guard. */
+  def diversitySelect(emb: DataFrame, threshold: Double, nClusters: Int = 8,
+      trainIters: Int = 2, maxCellRows: Long = 100000L): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = Clustering.trainCentroids(emb, nClusters, trainIters)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Int)].toDF("vec_id", "cell", "sel_rank")
+    }
+    val assigned = Clustering.assign(emb, centroids)
+      .select(col("vec_id"), col("cluster"))
+    if (maxCellRows > 0) {
+      val maxCell = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+      require(maxCell <= maxCellRows,
+        s"diversitySelect largest cell is $maxCell rows, over the " +
+        s"$maxCellRows guard: raise nClusters (k should grow ~sqrt(n)) " +
+        "or raise maxCellRows for a deliberate oversized run")
+    }
+    val prepped = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb_d"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("emb_d"), col("emb_d"))))
+      .join(assigned, Seq("vec_id"))
+    val selType = "array<struct<vec_id:bigint,emb_d:array<double>,nrm:double>>"
+    val cells = prepped.groupBy(col("cluster"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("emb_d"), col("nrm")))).as("__ms"))
+    cells.select(col("cluster").as("cell"),
+        aggregate(col("__ms"), expr(s"cast(array() as $selType)"),
+          (acc, x) => when(
+            forall(acc, s =>
+              graft.functions.VectorDot(s.getField("emb_d"),
+                x.getField("emb_d")) /
+                (s.getField("nrm") * x.getField("nrm")) < threshold),
+            concat(acc, array(x))).otherwise(acc)).as("__sel"))
+      .select(col("cell"), posexplode(col("__sel")).as(Seq("__i", "__s")))
+      .select(col("__s.vec_id").as("vec_id"), col("cell"),
+        (col("__i") + 1).cast("int").as("sel_rank"))
+  }
 }

@@ -125,6 +125,13 @@ object SimilarityQueries {
       graft.operators.Dedup.semanticPairs(table(s, dir, "embeddings"),
         threshold = 0.4, nClusters = 8, trainIters = 2)
     },
+    // greedy leader (diversity) selection within the same k=8 cells:
+    // the selected subset is mutually < 0.4-cosine by construction —
+    // SemDeDup's coreset-flavored complement
+    "q_diversity_select" -> { (s, dir) =>
+      graft.operators.Curation.diversitySelect(table(s, dir, "embeddings"),
+        threshold = 0.4, nClusters = 8, trainIters = 2)
+    },
     // incremental-ingest semantic dedup: quantizer trained on the
     // CORPUS split only; the batch (test split) is scored within its
     // cells — batch-linear, and the shape the streaming twin reuses
@@ -762,6 +769,53 @@ object SimilarityQueries {
         |SELECT corp.vec_id,
         |  CASE WHEN cont.vec_id IS NULL THEN 0 ELSE 1 END AS contaminated
         |FROM corp LEFT JOIN cont ON corp.vec_id = cont.vec_id""".stripMargin,
+    // DuckDB replay of Curation.diversitySelect: the same k=8 Lloyd
+    // assignment, then the greedy per-cell leader scan unrolled as a
+    // RECURSIVE CTE carrying the selected set (ids + embeddings +
+    // norms) as a struct-list accumulator — one recursion step per
+    // cell member, exactly the engine's per-cell fold
+    "q_diversity_select" ->
+      s"""WITH emb0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 8)},
+        |s2 AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |rows AS (
+        |  SELECT a.cluster AS cell, a.vec_id, e.e,
+        |    sqrt(list_sum(list_transform(e.e, x -> x * x))) AS nrm,
+        |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS rn
+        |  FROM assigned a JOIN emb0 e ON a.vec_id = e.vec_id),
+        |cmax AS (SELECT cell, max(rn) AS mx FROM rows GROUP BY cell),
+        |st AS (
+        |  WITH RECURSIVE rec AS (
+        |    SELECT cell, 0::BIGINT AS rn,
+        |      CAST([] AS STRUCT(vec_id BIGINT, e DOUBLE[], nrm DOUBLE)[]) AS sel
+        |    FROM (SELECT DISTINCT cell FROM rows)
+        |    UNION ALL
+        |    SELECT r.cell, r.rn,
+        |      CASE WHEN len(list_filter(rec.sel,
+        |          s -> list_sum(list_transform(range(1, 65), i -> s.e[i] * r.e[i]))
+        |               / (s.nrm * r.nrm) >= 0.4)) = 0
+        |        THEN list_append(rec.sel,
+        |               {'vec_id': r.vec_id, 'e': r.e, 'nrm': r.nrm})
+        |        ELSE rec.sel END
+        |    FROM rec JOIN rows r ON r.cell = rec.cell AND r.rn = rec.rn + 1)
+        |  SELECT * FROM rec),
+        |fin AS (
+        |  SELECT st.cell, st.sel
+        |  FROM st JOIN cmax ON st.cell = cmax.cell AND st.rn = cmax.mx)
+        |SELECT u.s.vec_id AS vec_id, cell, u.i::INTEGER AS sel_rank
+        |FROM fin,
+        |  unnest(list_transform(fin.sel, (s, i) -> {'s': s, 'i': i})) AS t(u)""".stripMargin,
     // DuckDB replay of Dedup.semanticPairs: the q_kmeans_assign Lloyd
     // trajectory (k=8, 2 rounds, 6-decimal anchors) up to the final
     // assignment, then exact cosine within each cluster only

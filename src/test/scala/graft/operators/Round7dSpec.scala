@@ -120,6 +120,55 @@ class Round7dSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 0L, 1)))
   }
 
+  // ---- diversitySelect ----
+
+  test("diversitySelect: selected set is mutually diverse, every " +
+      "rejected vector has a selected representative in its cell") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val th = 0.4
+    val sel = Curation.diversitySelect(emb, th, nClusters = 4).cache()
+    val withEmb = sel.join(emb, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        col("embedding").cast("array<double>").as("e"))
+    // guarantee 1: any two SELECTED vectors in a cell are < th apart
+    val a = withEmb.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"))
+    val b = withEmb.select(col("cell"), col("vec_id").as("b"), col("e").as("eb"))
+    val close = a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .filter(Similarity.cosine(col("ea"), col("eb")) >= th)
+    assert(close.count() === 0L)
+    // guarantee 2: every NON-selected vector is >= th-close to some
+    // selected vector in its cell that precedes it in scan order
+    val cents = Clustering.trainCentroids(emb, 4, 2)
+    val assigned = Clustering.assign(emb, cents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val rejected = assigned.join(sel.select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      .join(emb, "vec_id")
+      .select(col("cell"), col("vec_id").as("r"),
+        col("embedding").cast("array<double>").as("er"))
+    val uncovered = rejected.join(
+        withEmb.select(col("cell"), col("vec_id").as("s"), col("e").as("es")),
+        Seq("cell"))
+      .filter(col("s") < col("r"))
+      .groupBy(col("cell"), col("r"))
+      .agg(max(when(Similarity.cosine(col("er"), col("es")) >= th, 1)
+        .otherwise(0)).as("covered"))
+      .filter(col("covered") === 0)
+    assert(uncovered.count() === 0L)
+    sel.unpersist()
+  }
+
+  test("diversitySelect: threshold > 1 keeps everything with sel_rank " +
+      "= scan order; cell-size guard refuses a degenerate cell") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val all = Curation.diversitySelect(emb, threshold = 1.1, nClusters = 4)
+    assert(all.count() === emb.count())
+    val err = intercept[IllegalArgumentException] {
+      Curation.diversitySelect(emb, 0.4, nClusters = 1, maxCellRows = 10L)
+    }
+    assert(err.getMessage.contains("guard"))
+  }
+
   test("knnJoin: empty corpus yields an empty, correctly-typed result") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
     val out = Similarity.knnJoin(emb.limit(3), emb.filter(lit(false)), k = 5)

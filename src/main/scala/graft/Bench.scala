@@ -87,6 +87,8 @@ object Bench {
       // round-8: the composed curate→dedup→split→pack pipeline and the
       // approx-distinct profiler
       "q_pipeline_e2e", "q_profile_lineitem",
+      // round-7d retrieval/diversity families
+      "q_knn_join", "q_hybrid_rrf", "q_diversity_select",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
     val runsJson = allRuns

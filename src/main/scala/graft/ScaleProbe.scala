@@ -297,6 +297,25 @@ object ScaleProbe {
           nprobe = 4, every = 50L)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"knn_join_${n}x") {
+        // production retrieval shape: FIXED query batch (the base 500
+        // vectors), growing corpus, cells scaling with the corpus at
+        // fixed nprobe — per-query scored fraction nprobe/nCells holds
+        // per-query cost flat, so the slope is the corpus assignment
+        // scan (linear), not |queries|·|corpus|
+        operators.Similarity.knnJoin(emb, embN, k = 5, nCells = 16 * n,
+            nprobe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"diversity_select_${n}x") {
+        // the k~sqrt(n) SemDeDup cell policy: cells grow 4x per 16x
+        // corpus, keeping the per-cell sequential fold ~4x — total work
+        // Σ|cell|² stays ~linear-ish in the corpus; the probe measures
+        // that policy, not a fixed-cell quadratic
+        operators.Curation.diversitySelect(embN, threshold = 0.4,
+            nClusters = 32 * n)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"pq_encode_${n}x") {
         // pure scan-shaped projection through the native kernel: slope
         // must be linear in the corpus (the index-build cost)

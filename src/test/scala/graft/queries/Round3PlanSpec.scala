@@ -94,6 +94,13 @@ class Round3PlanSpec extends SparkSpec {
       // recall audit composes the allowlisted brute-force baseline as
       // its exact side (bounded query sample by guardSize)
       "q_ann_recall",
+      // round-7d: the Matryoshka audit composes TWO brute-force
+      // baselines (full-dim and prefix-dim), both guardSize-bounded
+      "q_matryoshka_recall",
+      // round-7d: the lexical leg reuses tfIdf's one-row corpus-count
+      // cross join (the scalar-broadcast idiom — BuildRight over a
+      // 1-row aggregate, same as q_tfidf)
+      "q_hybrid_rrf",
       // calibration runs distributedNtile — 1-row global bounds (the
       // q_decile_stats pattern)
       "q_lr_calibration",

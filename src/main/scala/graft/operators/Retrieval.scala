@@ -29,21 +29,37 @@ object Retrieval {
     * per (query_id, neighbor_id) with dense `rank` 1..k (cos desc, id
     * asc — a unique total order).
     *
-    * `maxTermDf` (0 = off) is the stopword fanout cap: terms in more
-    * than that many documents leave the vectors before the join — at
-    * web scale the ubiquitous-term join fanout is quadratic while its
-    * idf weight is ~zero, so production configs set it. The oracled
-    * query runs uncapped (the synthetic corpus is join-bounded). */
+    * `maxTermDf` (absolute) and `maxTermDfFrac` (fraction of the
+    * corpus count, resolved in-plan — no driver job) are the stopword
+    * fanout caps: terms in more documents than the cap leave the
+    * vectors before the join — at web scale the ubiquitous-term join
+    * fanout is quadratic while its idf weight is ~zero, so production
+    * configs set one (the [[TextAnalysis.tfidfCorpusModel]] contract;
+    * the oracled query runs frac=0.5, the q_tfidf_cosine_incremental
+    * configuration — the synthetic corpus's 31-word vocabulary makes
+    * the uncapped self-join degenerate toward n²). A doc whose every
+    * term is capped away has no vector and appears in no ranking. */
   def lexicalTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      every: Long = 50L, maxTermDf: Long = 0L): DataFrame = {
+      every: Long = 50L, maxTermDf: Long = 0L,
+      maxTermDfFrac: Double = 0.0): DataFrame = {
     val w0 = TextAnalysis.tfIdf(docs, idCol, textCol)
       .select(col("id"), col("term"), col("df"),
         round(col("tfidf") * 1e6).cast("long").as("w"))
+    val w1 = if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf)
+    val w2 =
+      if (maxTermDfFrac <= 0) w1
+      else {
+        // N rides as a one-row broadcast aggregate; floor(N·frac) is
+        // exact integer arithmetic for any corpus below 2^52 docs
+        val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+        w1.crossJoin(broadcast(n))
+          .filter(col("df") <= floor(col("__n") * maxTermDfFrac).cast("long"))
+          .drop("__n")
+      }
     // weight table feeds norms + both join sides — cache the projection
     // (lifecycle: pinned until session end / LRU; repeated callers
     // should clearCache, the tfidfCosinePairs note)
-    val w = (if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf))
-      .cache()
+    val w = w2.cache()
     val norms = w.groupBy("id")
       .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
     val q = w.filter(col("id") % every === 0L)
@@ -101,9 +117,10 @@ object Retrieval {
     * cell-bucketed scale path, not the brute-force baseline. */
   def hybridTopK(docs: DataFrame, emb: DataFrame, k: Int, legK: Int = 10,
       every: Long = 50L, c: Int = 60, nCells: Int = 16, nprobe: Int = 4,
-      maxTermDf: Long = 0L): DataFrame =
+      maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0): DataFrame =
     rrfFuse(
-      lexicalTopK(docs, "doc_id", "text", legK, every, maxTermDf),
+      lexicalTopK(docs, "doc_id", "text", legK, every, maxTermDf,
+        maxTermDfFrac),
       Similarity.ivfTopK(emb, legK, nCells, nprobe, every),
       k, c)
 }

@@ -69,10 +69,15 @@ object SimilarityQueries {
     },
     // hybrid retrieval: TF-IDF-cosine lexical leg + IVF semantic leg,
     // each top-10, reciprocal-rank-fused to top-5 — documents and
-    // embeddings share the id namespace (one row per document)
+    // embeddings share the id namespace (one row per document). The
+    // lexical leg runs the PRODUCTION df cap (frac 0.5, resolved
+    // in-plan — the q_tfidf_cosine_incremental configuration): the
+    // synthetic corpus's 31-word vocabulary makes the uncapped term
+    // join degenerate toward n², exactly the case the cap exists for
     "q_hybrid_rrf" -> { (s, dir) =>
       graft.operators.Retrieval.hybridTopK(
-        table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5)
+        table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5,
+        maxTermDfFrac = 0.5)
     },
     // cross-table kNN join: every label=0 vector retrieves its top-5
     // neighbors from the label<>0 corpus — the eval-retrieval / RAG
@@ -606,7 +611,8 @@ object SimilarityQueries {
         |nn AS (SELECT count(1)::DOUBLE AS n FROM documents),
         |w AS (SELECT tf.doc_id, tf.term,
         |        round(round(tf.tf * ln(nn.n / dfx.df), 6) * 1e6)::BIGINT AS w
-        |      FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN nn
+        |      WHERE dfx.df <= (SELECT count(1) FROM documents) // 2),
         |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
         |lprods AS (
         |  SELECT wq.doc_id AS query_id, wn.doc_id AS neighbor_id,

@@ -68,6 +68,57 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over an undirected simple graph — the community detector between
+    * [[connectedComponentsAlternating]] (pure connectivity) and
+    * modularity methods: every node starts labeled with its own id;
+    * each round EVERY node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by the LOWEST label — a
+    * unique total order, so each round is a deterministic function of
+    * the last and an oracle can replay the trajectory. Isolated nodes
+    * keep their own label. Runs a FIXED `rounds` count: synchronous
+    * LPA is not guaranteed to converge (two-coloring oscillation on
+    * bipartite structure is the textbook case), so fixed-round
+    * determinism IS the reproducible contract, same reasoning as
+    * [[pageRank]]'s fixed iters.
+    *
+    * Scale shape per round: one equi-join of the symmetrized edge list
+    * against the label table + two keyed aggregations (neighbor-label
+    * counts, per-node argmax via one min(struct) — no window); rounds
+    * are localCheckpoint-separated like every iterative loop here
+    * (SCALE.md "Iterative loops"). Edges compress to distinct pairs
+    * once, so a round costs |E| join rows regardless of raw
+    * multiplicity. */
+  def labelPropagation(rawEdges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0)
+    val und = rawEdges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("a").as("id")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax (count desc, label asc) without a window: min over the
+      // (-count, label) struct, the bounded-agg idiom
+      val best = counts
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("best"))
+      labels = nodes.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("best"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected simple graph (raw (src, dst) rows are canonicalized and
     * de-duplicated first).

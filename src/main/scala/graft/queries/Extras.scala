@@ -183,6 +183,26 @@ object Extras {
         .select(col("id").as("nation"), round(col("rank"), 6).as("rank"))
     },
 
+    // synchronous label-propagation communities over the same nation
+    // trade graph, 4 deterministic rounds (most-frequent neighbor
+    // label, ties to the lowest) — oracled by an unrolled round replay
+    "q_label_propagation" -> { (s, dir) =>
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
+      val edges = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.labelPropagation(edges, rounds = 4)
+        .select(col("id").as("nation"), col("label").as("community"))
+    },
+
     // exact triangle census on the nation trade graph, thresholded to
     // above-average edge weight so it isn't near-complete; the operator
     // uses degree orientation (out-degree bounded O(sqrt m)) — see
@@ -670,7 +690,44 @@ object Extras {
     base + steps + s"\nSELECT id AS nation, round(pr, 6) AS rank FROM r$iters"
   }
 
+  /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over
+    * the nation trade graph: canonicalize + symmetrize the edge set,
+    * then `rounds` unrolled CTEs, each the deterministic
+    * (count desc, label asc) argmax over neighbor labels. */
+  private def labelPropNationsOracle(rounds: Int): String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name <> n2.n_name),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE least(src, dst) <> greatest(src, dst)),
+        |sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+        |nodes AS (SELECT DISTINCT a AS id FROM sym),
+        |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |l$i AS (
+         |  SELECT n.id, coalesce(bst.l, n.id) AS label
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT id, l FROM (
+         |      SELECT id, l,
+         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, l) AS rn
+         |      FROM (SELECT s.a AS id, p.label AS l, count(1) AS c
+         |            FROM sym s JOIN l${i - 1} p ON s.b = p.id
+         |            GROUP BY 1, 2) t) rt WHERE rn = 1) bst ON n.id = bst.id)""".stripMargin
+    }.mkString
+    base + steps +
+      s"\nSELECT id AS nation, label AS community FROM l$rounds"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_label_propagation" -> labelPropNationsOracle(4),
     "q_validate_lineitem" ->
       """WITH m AS (SELECT
         |  count(1)::BIGINT AS m_nonempty,

@@ -78,4 +78,35 @@ class GraphSpec extends SparkSpec {
     val r = Graph.triangleStats(edges).head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((7L, 6L, 0L)))
   }
+
+  test("labelPropagation: two cliques bridged by one edge resolve to " +
+      "two communities labeled by their lowest member") {
+    // K4 on a1..a4, K4 on b1..b4, bridge a4-b1
+    def clique(ids: Seq[String]) =
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    val edges = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a4", "b1")).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a1", "a2", "a3", "a4").forall(got(_) == "a1"), got.toString)
+    assert(Seq("b1", "b2", "b3", "b4").forall(got(_) == "b1"), got.toString)
+  }
+
+  test("labelPropagation: deterministic — repeated runs and perturbed " +
+      "input partitioning give identical labels; isolated pair adopts " +
+      "lower id; parallel/reversed edges collapse") {
+    val edges = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("p", "q"))
+      .toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, rounds = 3)
+      .as[(String, String)].collect().toMap
+    val b = Graph.labelPropagation(edges.repartition(5), rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert(a === b)
+    // the documented synchronous-LPA oscillation, deterministically: a
+    // 2-node component swaps labels every round, so after 3 (odd)
+    // rounds each holds the OTHER's id — fixed-round determinism is
+    // the contract, not convergence
+    assert(a("p") === "q" && a("q") === "p", a.toString)
+    assert(a("x") === "y" && a("y") === "x", a.toString)
+  }
 }

@@ -224,10 +224,19 @@ object Curation {
     * instead of building an executor-OOM plan, same contract as
     * semanticPairs' maxCellPairs guard. */
   def diversitySelect(emb: DataFrame, threshold: Double, nClusters: Int = 8,
-      trainIters: Int = 2, maxCellRows: Long = 100000L): DataFrame = {
+      trainIters: Int = 2, maxCellRows: Long = 100000L): DataFrame =
+    diversitySelectWithCentroids(emb,
+      Clustering.trainCentroids(emb, nClusters, trainIters), threshold,
+      maxCellRows)
+
+  /** [[diversitySelect]] against a PRE-TRAINED quantizer — the
+    * persisted-model form, and the primitive the incremental twin
+    * ([[diversitySelectAgainst]]) shares cells with. */
+  def diversitySelectWithCentroids(emb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double,
+      maxCellRows: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val centroids = Clustering.trainCentroids(emb, nClusters, trainIters)
     if (centroids.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Int, Int)].toDF("vec_id", "cell", "sel_rank")
@@ -262,5 +271,82 @@ object Curation {
       .select(col("cell"), posexplode(col("__sel")).as(Seq("__i", "__s")))
       .select(col("__s.vec_id").as("vec_id"), col("cell"),
         (col("__i") + 1).cast("int").as("sel_rank"))
+  }
+
+  /** Incremental diversity selection: continue the greedy leader scan
+    * over a NEW batch against a STORED selected set — the ingest form
+    * where the corpus never re-pays its own scan. `selectedStore` is
+    * [[diversitySelect]]'s output (vec_id, cell, sel_rank); vectors are
+    * re-fetched from `corpusEmb` by id (the store stays the small
+    * all-integer artifact). Each batch member (in vec_id order within
+    * its cell, cells from the SAME pre-trained quantizer) is selected
+    * iff its cosine to every stored AND every earlier-accepted batch
+    * vector in the cell stays < `threshold`; output is the NEW
+    * selections only, sel_rank continuing the stored numbering.
+    *
+    * Append ≡ rebuild EXACTLY when batch ids follow corpus ids (the
+    * monotone-ingest invariant — ids assigned by arrival, the same
+    * precondition [[Dedup.incrementalClusters]] documents): the
+    * concatenated scan order equals the from-scratch scan order, so
+    * stored ∪ new == `diversitySelectWithCentroids` over the union
+    * (spec-pinned). Interleaved ids still yield a valid mutually-
+    * diverse covering set, just not the rebuild's exact one. */
+  def diversitySelectAgainst(batch: DataFrame, selectedStore: DataFrame,
+      corpusEmb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      threshold: Double, maxCellRows: Long = 100000L): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Int)].toDF("vec_id", "cell", "sel_rank")
+    }
+    def prep(df: DataFrame): DataFrame = df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb_d"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("emb_d"), col("emb_d"))))
+    val assignedBatch = Clustering.assign(batch, centroids)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    if (maxCellRows > 0) {
+      val maxCell = assignedBatch.select(col("cell"))
+        .union(selectedStore.select(col("cell")))
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+      require(maxCell <= maxCellRows,
+        s"diversitySelectAgainst largest cell (stored+batch) is $maxCell " +
+        s"rows, over the $maxCellRows guard: raise nClusters on the next " +
+        "rebuild (k should grow ~sqrt(n)) or raise maxCellRows")
+    }
+    val selType = "array<struct<vec_id:bigint,emb_d:array<double>,nrm:double>>"
+    val storedCells = selectedStore
+      .join(prep(corpusEmb), Seq("vec_id"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("sel_rank"), col("vec_id"),
+        col("emb_d"), col("nrm")))).as("__st"))
+    val batchCells = assignedBatch.join(prep(batch), Seq("vec_id"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("emb_d"), col("nrm")))).as("__ms"))
+    batchCells
+      .join(storedCells, Seq("cell"), "left_outer")
+      // stored entries (ordered by sel_rank) seed the accumulator; a
+      // cell with no stored selections starts empty
+      .withColumn("__init", coalesce(
+        transform(col("__st"), s => struct(s.getField("vec_id").as("vec_id"),
+          s.getField("emb_d").as("emb_d"), s.getField("nrm").as("nrm"))),
+        expr(s"cast(array() as $selType)")))
+      .withColumn("__all",
+        aggregate(col("__ms"), col("__init"),
+          (acc, x) => when(
+            forall(acc, s =>
+              graft.functions.VectorDot(s.getField("emb_d"),
+                x.getField("emb_d")) /
+                (s.getField("nrm") * x.getField("nrm")) < threshold),
+            concat(acc, array(x))).otherwise(acc)))
+      .withColumn("__new",
+        expr("slice(__all, size(__init) + 1, size(__all) - size(__init))"))
+      .withColumn("__base", size(col("__init")))
+      .select(col("cell"), col("__base"),
+        posexplode(col("__new")).as(Seq("__i", "__s")))
+      .select(col("__s.vec_id").as("vec_id"), col("cell"),
+        (col("__base") + col("__i") + 1).cast("int").as("sel_rank"))
   }
 }

@@ -137,6 +137,21 @@ object SimilarityQueries {
       graft.operators.Curation.diversitySelect(table(s, dir, "embeddings"),
         threshold = 0.4, nClusters = 8, trainIters = 2)
     },
+    // the incremental-ingest form: quantizer + stored selections built
+    // on the vec_id<250 corpus, the batch continues the scan — under
+    // monotone ids append == rebuild exactly, so the oracle replays
+    // the from-scratch recursion with corpus-trained cells and keeps
+    // only the batch's new selections
+    "q_diversity_select_incremental" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") < 250)
+      val cents = graft.operators.Clustering.trainCentroids(corpus, 8, 2)
+      val stored = graft.operators.Curation
+        .diversitySelectWithCentroids(corpus, cents, threshold = 0.4)
+      graft.operators.Curation.diversitySelectAgainst(
+        emb.filter(col("vec_id") >= 250), stored, corpus, cents,
+        threshold = 0.4)
+    },
     // incremental-ingest semantic dedup: quantizer trained on the
     // CORPUS split only; the batch (test split) is scored within its
     // cells — batch-linear, and the shape the streaming twin reuses
@@ -822,6 +837,55 @@ object SimilarityQueries {
         |SELECT u.s.vec_id AS vec_id, cell, u.i::INTEGER AS sel_rank
         |FROM fin,
         |  unnest(list_transform(fin.sel, (s, i) -> {'s': s, 'i': i})) AS t(u)""".stripMargin,
+    // incremental leader selection: the SAME recursive replay but the
+    // Lloyd trajectory trains on the vec_id<250 corpus, ALL vectors
+    // assign to those cells, and only batch-side selections emit —
+    // append==rebuild under monotone ids makes these identical
+    "q_diversity_select_incremental" ->
+      s"""WITH emb0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |embc AS (SELECT vec_id, e, xx FROM emb WHERE vec_id < 250),
+        |${lloyd2Ctes("embc", 8)},
+        |s2 AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |rows AS (
+        |  SELECT a.cluster AS cell, a.vec_id, e.e,
+        |    sqrt(list_sum(list_transform(e.e, x -> x * x))) AS nrm,
+        |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS rn
+        |  FROM assigned a JOIN emb0 e ON a.vec_id = e.vec_id),
+        |cmax AS (SELECT cell, max(rn) AS mx FROM rows GROUP BY cell),
+        |st AS (
+        |  WITH RECURSIVE rec AS (
+        |    SELECT cell, 0::BIGINT AS rn,
+        |      CAST([] AS STRUCT(vec_id BIGINT, e DOUBLE[], nrm DOUBLE)[]) AS sel
+        |    FROM (SELECT DISTINCT cell FROM rows)
+        |    UNION ALL
+        |    SELECT r.cell, r.rn,
+        |      CASE WHEN len(list_filter(rec.sel,
+        |          s -> list_sum(list_transform(range(1, 65), i -> s.e[i] * r.e[i]))
+        |               / (s.nrm * r.nrm) >= 0.4)) = 0
+        |        THEN list_append(rec.sel,
+        |               {'vec_id': r.vec_id, 'e': r.e, 'nrm': r.nrm})
+        |        ELSE rec.sel END
+        |    FROM rec JOIN rows r ON r.cell = rec.cell AND r.rn = rec.rn + 1)
+        |  SELECT * FROM rec),
+        |fin AS (
+        |  SELECT st.cell, st.sel
+        |  FROM st JOIN cmax ON st.cell = cmax.cell AND st.rn = cmax.mx)
+        |SELECT vec_id, cell, sel_rank FROM (
+        |  SELECT u.s.vec_id AS vec_id, cell, u.i::INTEGER AS sel_rank
+        |  FROM fin,
+        |    unnest(list_transform(fin.sel, (s, i) -> {'s': s, 'i': i})) AS t(u))
+        |WHERE vec_id >= 250""".stripMargin,
     // DuckDB replay of Dedup.semanticPairs: the q_kmeans_assign Lloyd
     // trajectory (k=8, 2 rounds, 6-decimal anchors) up to the final
     // assignment, then exact cosine within each cluster only

@@ -158,6 +158,26 @@ class Round7dSpec extends SparkSpec {
     sel.unpersist()
   }
 
+  test("diversitySelectAgainst: append == rebuild under monotone ids; " +
+      "new selections continue the stored sel_rank numbering") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 250)
+    val batch = emb.filter(col("vec_id") >= 250)
+    val cents = Clustering.trainCentroids(corpus, 8, 2)
+    val stored = Curation.diversitySelectWithCentroids(corpus, cents, 0.4)
+      .cache()
+    val fresh = Curation.diversitySelectAgainst(batch, stored, corpus,
+      cents, threshold = 0.4)
+    val together = stored.union(fresh)
+    val rebuild = Curation.diversitySelectWithCentroids(emb, cents, 0.4)
+    assert(together.except(rebuild).isEmpty &&
+      rebuild.except(together).isEmpty)
+    assert(fresh.count() > 0)
+    // new selections never re-emit stored rows
+    assert(fresh.join(stored, Seq("vec_id")).count() === 0L)
+    stored.unpersist()
+  }
+
   test("diversitySelect: threshold > 1 keeps everything with sel_rank " +
       "= scan order; cell-size guard refuses a degenerate cell") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")

@@ -85,6 +85,96 @@ object Retrieval {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Cross-TABLE lexical top-k: rank every CORPUS document against
+    * each row of a separate query table by TF-IDF cosine — the lexical
+    * twin of [[Similarity.knnJoin]], sharing its contract: the corpus
+    * is the model (idf and document frequencies come from the corpus
+    * only, via [[TextAnalysis.tfidfCorpusModel]]; query terms unseen
+    * in the corpus carry no weight — standard OOV handling, so a
+    * query of pure novel vocabulary ranks nothing). Same integer-exact
+    * weight arithmetic as [[lexicalTopK]]; same `maxTermDf`/
+    * `maxTermDfFrac` stopword fanout caps. A query or corpus doc whose
+    * every term is capped/OOV has no vector and appears in no ranking.
+    *
+    * Scale shape: the term join is Σ df_q·df_c — linear in the query
+    * batch at a capped vocabulary; the ranking window sees ≤ the
+    * surviving pair rows per query. Model and weight tables are
+    * plan-canonical across calls, so a streaming caller persists them
+    * once (the [[TextAnalysis.tfidfCosineCrossPairs]] lifecycle). */
+  def lexicalCrossTopK(queryDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int, maxTermDf: Long = 0L,
+      maxTermDfFrac: Double = 0.0): DataFrame = {
+    val model = TextAnalysis.tfidfCorpusModel(corpus, idCol, textCol,
+      maxTermDf, maxTermDfFrac)
+    val wc = TextAnalysis.tfidfWeights(
+      TextAnalysis.termFrequencies(corpus, idCol, textCol), model).cache()
+    val wq = TextAnalysis.tfidfWeights(
+      TextAnalysis.termFrequencies(queryDocs, idCol, textCol), model).cache()
+    lexicalCrossTopKFromWeights(wq, wc, k)
+  }
+
+  /** [[lexicalCrossTopK]] over PRE-WEIGHTED `(id, term, w)` sides —
+    * the caller owns caching/lifecycle (each side feeds its norm and
+    * the dot join; uncached inputs compute twice). The streaming twin
+    * composes this to unpersist the batch side per trigger, the
+    * [[graft.streaming.StreamingOps.incrementalTfidfCosine]] rule. */
+  def lexicalCrossTopKFromWeights(wq: DataFrame, wc: DataFrame,
+      k: Int): DataFrame = {
+    def norms(w: DataFrame): DataFrame = w.groupBy("id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val prods = wq.select(col("term"), col("id").as("query_id"),
+        col("w").as("wq"))
+      .join(wc.select(col("term"), col("id").as("neighbor_id"),
+        col("w").as("wn")), Seq("term"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("wq") * col("wn")).cast("decimal(38,0)")).as("dot"))
+    val scored = prods
+      .join(norms(wq).select(col("id").as("query_id"), col("n2").as("nq2")),
+        Seq("query_id"))
+      .join(norms(wc).select(col("id").as("neighbor_id"), col("n2").as("nn2")),
+        Seq("neighbor_id"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nq2").cast("double") * col("nn2").cast("double")))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Cross-table HYBRID retrieval — the production form of
+    * [[hybridTopK]]: a query table (docs + aligned embeddings)
+    * retrieves from a separate corpus (docs + aligned embeddings),
+    * lexical leg [[lexicalCrossTopK]] (corpus-model TF-IDF), semantic
+    * leg [[Similarity.knnJoin]] (corpus-trained quantizer), RRF-fused.
+    * Both legs are corpus-model-driven and batch-linear, which is what
+    * makes the per-trigger streaming use stateless. */
+  def hybridCrossTopK(queryDocs: DataFrame, queryEmb: DataFrame,
+      corpusDocs: DataFrame, corpusEmb: DataFrame, k: Int, legK: Int = 10,
+      c: Int = 60, nCells: Int = 16, nprobe: Int = 4,
+      maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0): DataFrame =
+    hybridCrossTopKWithCentroids(queryDocs, queryEmb, corpusDocs, corpusEmb,
+      Clustering.trainCentroids(corpusEmb, nCells, 2), k, legK, c, nprobe,
+      maxTermDf, maxTermDfFrac)
+
+  /** [[hybridCrossTopK]] against a PRE-TRAINED quantizer — the
+    * persisted-model form the streaming twin
+    * ([[graft.streaming.StreamingOps.streamingHybridRetrieval]]) calls
+    * per trigger: both legs are corpus-model-driven and per-query
+    * pure, so per-trigger results are micro-batching invariant. */
+  def hybridCrossTopKWithCentroids(queryDocs: DataFrame, queryEmb: DataFrame,
+      corpusDocs: DataFrame, corpusEmb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], k: Int, legK: Int = 10,
+      c: Int = 60, nprobe: Int = 4, maxTermDf: Long = 0L,
+      maxTermDfFrac: Double = 0.0): DataFrame =
+    rrfFuse(
+      lexicalCrossTopK(queryDocs, corpusDocs, "doc_id", "text", legK,
+        maxTermDf, maxTermDfFrac),
+      Similarity.knnJoinWithCentroids(queryEmb, corpusEmb, legK, centroids,
+        nprobe),
+      k, c)
+
   /** Reciprocal-rank fusion of two ranked lists (columns `query_id,
     * neighbor_id, rank`): rrf = Σ 1/(c + rank), a doc absent from a
     * list contributes 0 from it. Re-ranked 1..k by (rrf desc, id asc).

@@ -79,6 +79,22 @@ object SimilarityQueries {
         table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5,
         maxTermDfFrac = 0.5)
     },
+    // cross-table HYBRID retrieval: the md5-split test docs retrieve
+    // from the train corpus — corpus-model TF-IDF lexical leg (frac
+    // 0.5 cap) + corpus-trained-quantizer kNN semantic leg, RRF-fused;
+    // the production eval-retrieval shape end to end
+    "q_hybrid_cross_rrf" -> { (s, dir) =>
+      val dsplit = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val esplit = graft.operators.Sampling
+        .split(table(s, dir, "embeddings"), col("vec_id"), 12, 2)
+      graft.operators.Retrieval.hybridCrossTopK(
+        dsplit.filter(col("split") === "test"),
+        esplit.filter(col("split") === "test"),
+        dsplit.filter(col("split") =!= "test"),
+        esplit.filter(col("split") =!= "test"),
+        k = 5, maxTermDfFrac = 0.5)
+    },
     // cross-table kNN join: every label=0 vector retrieves its top-5
     // neighbors from the label<>0 corpus — the eval-retrieval / RAG
     // shape; quantizer trained on the corpus side only, no
@@ -670,6 +686,102 @@ object SimilarityQueries {
         |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
         |  FROM probes p
         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id),
+        |sem AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM sscored) WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+        |    coalesce(1.0 / (60 + l.rank), 0.0)
+        |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf
+        |  FROM lex l FULL JOIN sem s
+        |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+        |  round(rrf, 6) AS rrf
+        |FROM (
+        |  SELECT query_id, neighbor_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, neighbor_id) AS rank
+        |  FROM fused) WHERE rank <= 5""".stripMargin,
+    // cross-table hybrid RRF: the q_tfidf_cosine_incremental split +
+    // corpus-stats weight chain ranked to 10, the q_knn_join chain
+    // over the same md5 split ranked to 10, fused by 1/(60+rank)
+    "q_hybrid_cross_rrf" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, bkt, term, count(1) AS tf
+        |  FROM (SELECT doc_id, bkt,
+        |          unnest(list_filter(string_split_regex(text, '\\s+'),
+        |            x -> x <> '')) AS term
+        |        FROM b)
+        |  GROUP BY 1, 2, 3),
+        |nc AS (SELECT count(1)::DOUBLE AS n FROM b WHERE bkt < 14),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        |        WHERE bkt < 14 GROUP BY term
+        |        HAVING count(DISTINCT doc_id) <=
+        |          (SELECT count(1) FROM b WHERE bkt < 14) // 2),
+        |w AS (SELECT tf.doc_id, tf.bkt, tf.term,
+        |        round(round(tf.tf * ln(nc.n / dfx.df), 6) * 1e6)::BIGINT AS w
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN nc),
+        |nq AS (SELECT doc_id, sum(w * w) AS n2 FROM w WHERE bkt >= 14
+        |       GROUP BY doc_id),
+        |ncorp AS (SELECT doc_id, sum(w * w) AS n2 FROM w WHERE bkt < 14
+        |          GROUP BY doc_id),
+        |lprods AS (SELECT wq.doc_id AS query_id, wn.doc_id AS neighbor_id,
+        |             sum(wq.w * wn.w) AS dot
+        |           FROM w wq JOIN w wn ON wq.term = wn.term
+        |             AND wq.bkt >= 14 AND wn.bkt < 14
+        |           GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT p.query_id, p.neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY p.dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE)
+        |          DESC, p.neighbor_id) AS rank
+        |    FROM lprods p
+        |    JOIN nq na ON p.query_id = na.doc_id
+        |    JOIN ncorp nb ON p.neighbor_id = nb.doc_id)
+        |  WHERE rank <= 10),
+        |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
+        |  FROM embeddings),
+        |emb AS (SELECT vec_id, e, bkt,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |embc AS (SELECT vec_id, e, xx FROM emb WHERE bkt < 14),
+        |embq AS (SELECT vec_id, e, xx FROM emb WHERE bkt >= 14),
+        |${lloyd2Ctes("embc", 16)},
+        |dotsa AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM embc m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dotsa) WHERE rn = 1),
+        |dotsq AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM embq m CROSS JOIN c1cc c),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dotsq) WHERE rn <= 4),
+        |sscored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell
         |  JOIN emb0 eq ON eq.vec_id = p.query_id
         |  JOIN emb0 en ON en.vec_id = a.vec_id),
         |sem AS (

@@ -319,6 +319,50 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming HYBRID retrieval — the online form of
+    * [[graft.operators.Retrieval.hybridCrossTopK]]: each micro-batch
+    * of query documents (one row per doc carrying BOTH `text` and its
+    * aligned `embedding` — the natural ingest layout) retrieves its
+    * fused top-k from the static corpus through the offline-trained
+    * quantizer and the corpus-side TF-IDF model. Both legs are
+    * corpus-model-driven and per-query pure, so per-trigger results
+    * union to the one-shot batch result (micro-batching invariant,
+    * pinned in StreamingSpec). Stateless per trigger; the corpus-side
+    * model/weight plans are canonical across triggers (one CacheManager
+    * entry if the caller persists them). */
+  def streamingHybridRetrieval(queryStream: DataFrame, corpusDocs: DataFrame,
+      corpusEmb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
+      legK: Int = 10, c: Int = 60, nprobe: Int = 4, maxTermDf: Long = 0L,
+      maxTermDfFrac: Double = 0.0)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Retrieval, Similarity, TextAnalysis}
+    // corpus-side artifacts built ONCE, cached across triggers; the
+    // batch-side weight table is unpersisted per trigger (the
+    // incrementalTfidfCosine lifecycle rule — a per-trigger cache that
+    // outlives its trigger leaks one entry per micro-batch)
+    val model = TextAnalysis.tfidfCorpusModel(corpusDocs, "doc_id", "text",
+      maxTermDf, maxTermDfFrac)
+    val wc = TextAnalysis.tfidfWeights(
+      TextAnalysis.termFrequencies(corpusDocs, "doc_id", "text"), model)
+      .cache()
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val wq = TextAnalysis.tfidfWeights(
+          TextAnalysis.termFrequencies(b.select(col("doc_id"), col("text")),
+            "doc_id", "text"), model).cache()
+        try sink(Retrieval.rrfFuse(
+          Retrieval.lexicalCrossTopKFromWeights(wq, wc, legK),
+          Similarity.knnJoinWithCentroids(
+            b.select(col("doc_id").as("vec_id"), col("embedding")),
+            corpusEmb, legK, centroids, nprobe),
+          k, c), batchId)
+        finally wq.unpersist()
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming SEMANTIC incremental dedup: each micro-batch of new
     * embeddings is scored against the corpus within the cells of a
     * batch-trained quantizer

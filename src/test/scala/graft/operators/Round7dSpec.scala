@@ -82,6 +82,58 @@ class Round7dSpec extends SparkSpec {
     assert(perQ.forall(rows => rows.map(_._3).sorted.toSeq == (1 to rows.size)))
   }
 
+  // ---- lexicalCrossTopK / hybridCrossTopK ----
+
+  test("lexicalCrossTopK: corpus is the model — OOV-only queries rank " +
+      "nothing, neighbors come only from the corpus, ranks are 1..n") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "alpha gamma"), (11L, "zeta theta"), (12L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.lexicalCrossTopK(queries, corpus, "doc_id", "text",
+      k = 2).orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(!byQ.contains(11L)) // pure-OOV query absent
+    assert(got.forall { case (_, n, _, _) => Set(1L, 2L, 3L).contains(n) })
+    // query 12 "delta": only doc 3 shares a term -> single result
+    assert(byQ(12L).map(_._2).toSeq === Seq(3L))
+    // "alpha" (df 2) + "gamma" (df 1): doc 1 shares both -> rank 1
+    assert(byQ(10L).head._2 === 1L)
+    assert(byQ.values.forall(rs => rs.map(_._3).sorted.toSeq == (1 to rs.size)))
+  }
+
+  test("hybridCrossTopK: every fused pair appears in a leg; queries " +
+      "from the query split, neighbors from the corpus split") {
+    val dsplit = Sampling.split(
+      graft.sources.Sources.table(spark, sf0001, "documents"),
+      col("doc_id"), 12, 2)
+    val esplit = Sampling.split(
+      graft.sources.Sources.table(spark, sf0001, "embeddings"),
+      col("vec_id"), 12, 2)
+    val (qd, cd) = (dsplit.filter(col("split") === "test"),
+      dsplit.filter(col("split") =!= "test"))
+    val (qe, ce) = (esplit.filter(col("split") === "test"),
+      esplit.filter(col("split") =!= "test"))
+    val lex = Retrieval.lexicalCrossTopK(qd, cd, "doc_id", "text", 10,
+      maxTermDfFrac = 0.5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sem = Similarity.knnJoin(qe, ce, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fused = Retrieval.hybridCrossTopK(qd, qe, cd, ce, k = 5,
+        maxTermDfFrac = 0.5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(fused.nonEmpty)
+    assert(fused.forall { case (q, n, _, _) =>
+      lex.contains((q, n)) || sem.contains((q, n)) })
+    val qids = qd.select("doc_id").as[Long].collect().toSet
+    val cids = cd.select("doc_id").as[Long].collect().toSet
+    assert(fused.forall { case (q, n, _, _) =>
+      qids.contains(q) && cids.contains(n) })
+  }
+
   // ---- truncateDims ----
 
   test("truncateDims: prefix slice of the vector; full-dim truncation " +

@@ -418,6 +418,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hybrid retrieval: union over micro-batches == " +
+      "one-shot hybridCrossTopKWithCentroids") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpusDocs = docs.filter(col("doc_id") % 2 === 0)
+    val corpusEmb = emb.filter(col("vec_id") % 2 === 0)
+    val queries = docs.filter(col("doc_id") % 2 === 1)
+      .join(emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val centroids = graft.operators.Clustering
+      .trainCentroids(corpusEmb, k = 8, iters = 2)
+    val tmp = Files.createTempDirectory("graft_hyb_stream").toFile
+    tmp.deleteOnExit()
+    queries.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.streamingHybridRetrieval(stream, corpusDocs,
+      corpusEmb, centroids, k = 3, maxTermDfFrac = 0.5) { (topk, id) =>
+      collected.synchronized {
+        batches += id
+        collected ++= topk.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.operators.Retrieval.hybridCrossTopKWithCentroids(
+          queries.select(col("doc_id"), col("text")),
+          queries.select(col("doc_id").as("vec_id"), col("embedding")),
+          corpusDocs, corpusEmb, centroids, k = 3, maxTermDfFrac = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty)
+    } finally q.stop()
+  }
+
   test("minhash incremental dedup stream vs persisted index == one-shot batch") {
     import graft.operators.Dedup
     val docs = Sources.table(spark, sf0001, "documents")

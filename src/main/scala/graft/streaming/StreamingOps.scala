@@ -669,6 +669,34 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming incremental diversity selection — the eighth
+    * incremental-dedup-family modality: each micro-batch of new
+    * embeddings continues the greedy leader scan
+    * ([[graft.operators.Curation.diversitySelectAgainst]]) against the
+    * caller-stored selected set within FIXED pre-trained cells;
+    * `loadState` supplies (selectedStore, corpusEmbSoFar) and `sink`
+    * receives the batch's NEW selections (store append) plus the batch
+    * (corpus append). Under monotone ingest ids the folded store after
+    * any trigger sequence equals the from-scratch rebuild — by
+    * induction on the batch operator's append≡rebuild guarantee
+    * (pinned in StreamingSpec with ordered triggers); out-of-order
+    * batches still yield a valid mutually-diverse covering set, just
+    * not the rebuild's exact one (the batch scaladoc contract). */
+  def incrementalDiversityStream(newVecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double)(
+      loadState: () => (DataFrame, DataFrame),
+      sink: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val (store, embSoFar) = loadState()
+        sink(graft.operators.Curation.diversitySelectAgainst(
+          b, store, embSoFar, centroids, threshold), b, batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming incremental char-span screening — the sixth
     * incremental-dedup modality, the [[incrementalLineDedup]] contract
     * at gram granularity: each micro-batch of ingested documents is

@@ -418,6 +418,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental diversity: fold over ORDERED triggers == " +
+      "from-scratch rebuild (monotone-id induction)") {
+    import graft.operators.{Clustering, Curation}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus0 = emb.filter(col("vec_id") < 250)
+    val cents = Clustering.trainCentroids(corpus0, k = 8, iters = 2)
+    var store = Curation.diversitySelectWithCentroids(corpus0, cents, 0.4)
+      .localCheckpoint(true)
+    var embSoFar = corpus0.localCheckpoint(true)
+    val tmp = Files.createTempDirectory("graft_div_stream").toFile
+    tmp.deleteOnExit()
+    // two files written SEQUENTIALLY in id order: FileStreamSource
+    // processes by (modTime, path), so triggers arrive monotone —
+    // the precondition for exact rebuild equality
+    emb.filter(col("vec_id") >= 250 && col("vec_id") < 375).coalesce(1)
+      .write.mode("append").parquet(tmp.getAbsolutePath)
+    Thread.sleep(1100)
+    emb.filter(col("vec_id") >= 375).coalesce(1)
+      .write.mode("append").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(tmp.getAbsolutePath)
+    var triggers = 0
+    val q = StreamingOps.incrementalDiversityStream(stream, cents, 0.4)(
+      () => (store, embSoFar),
+      (fresh, b, _) => {
+        store = store.union(fresh).localCheckpoint(true)
+        embSoFar = embSoFar.union(b).localCheckpoint(true)
+        triggers += 1
+      })
+    try {
+      q.processAllAvailable()
+      assert(triggers > 1, "expected multiple micro-batches")
+      val rebuild = Curation.diversitySelectWithCentroids(emb, cents, 0.4)
+      assert(store.except(rebuild).isEmpty && rebuild.except(store).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hybrid retrieval: union over micro-batches == " +
       "one-shot hybridCrossTopKWithCentroids") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -97,10 +97,10 @@ class Round3PlanSpec extends SparkSpec {
       // round-7d: the Matryoshka audit composes TWO brute-force
       // baselines (full-dim and prefix-dim), both guardSize-bounded
       "q_matryoshka_recall",
-      // round-7d: the lexical leg reuses tfIdf's one-row corpus-count
-      // cross join (the scalar-broadcast idiom — BuildRight over a
-      // 1-row aggregate, same as q_tfidf)
-      "q_hybrid_rrf",
+      // round-7d: the lexical legs reuse tfIdf's / tfidfCorpusModel's
+      // one-row corpus-count cross join (the scalar-broadcast idiom —
+      // BuildRight over a 1-row aggregate, same as q_tfidf)
+      "q_hybrid_rrf", "q_hybrid_cross_rrf",
       // calibration runs distributedNtile — 1-row global bounds (the
       // q_decile_stats pattern)
       "q_lr_calibration",

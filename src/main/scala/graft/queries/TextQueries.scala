@@ -131,6 +131,25 @@ object TextQueries {
           col("n_bigrams"))
     },
 
+    // CCNet's head/middle/tail: the held-out docs bucketed into
+    // perplexity terciles of the corpus-trained bigram LM (head = most
+    // fluent third — the split CCNet keeps preferentially). Composes
+    // the oracled bigram chain with the no-global-window ntile
+    "q_ccnet_buckets" -> { (s, dir) =>
+      val docs = graft.operators.Sampling
+        .split(table(s, dir, "documents"), col("doc_id"), 12, 2)
+      val scored = TextAnalysis.bigramLogProb(
+        docs.filter(col("split") === "test"),
+        docs.filter(col("split") =!= "test"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("avg_neg_logprob"))
+      graft.operators.Stats
+        .distributedNtile(scored, "avg_neg_logprob", "doc_id", 3)
+        .withColumn("ppl_bucket",
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("avg_neg_logprob"), col("ppl_bucket"))
+    },
+
     "q_unigram_logprob" -> { (s, dir) =>
       TextAnalysis.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("avg_neg_logprob"), col("n_tokens"))
@@ -587,6 +606,49 @@ object TextQueries {
         |SELECT doc_id, round(avg(nlp), 6) AS avg_neg_logprob,
         |  count(1)::BIGINT AS n_bigrams
         |FROM j GROUP BY doc_id""".stripMargin,
+    // the bigram chain + SQL ntile(3): DuckDB ntile and the engine's
+    // distributedNtile share the first-(n mod k)-tiles-larger formula,
+    // and ranking is on the 6dp-ROUNDED score with doc_id ties — a
+    // unique total order both engines reproduce
+    "q_ccnet_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                x -> x <> '') AS t,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |         AS INTEGER) AS bkt
+        |  FROM documents),
+        |cp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        |  FROM d WHERE bkt < 14 AND len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(1) AS c2 FROM cp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(1) AS c1 FROM cp GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM
+        |        (SELECT unnest(t) AS w FROM d WHERE bkt < 14)),
+        |tp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        |  FROM d WHERE bkt >= 14 AND len(t) >= 2),
+        |j AS (
+        |  SELECT tp.doc_id,
+        |    -ln((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v))
+        |      AS nlp
+        |  FROM tp LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v),
+        |sc AS (
+        |  SELECT doc_id, round(avg(nlp), 6) AS avg_neg_logprob
+        |  FROM j GROUP BY doc_id),
+        |nt AS (
+        |  SELECT doc_id, avg_neg_logprob,
+        |    ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS tile
+        |  FROM sc)
+        |SELECT doc_id, avg_neg_logprob,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS ppl_bucket
+        |FROM nt""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -402,6 +402,17 @@ object ScaleProbe {
         operators.Graph.triangleStats(e)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"label_prop_${n}x") {
+        // the triangle probe's co-purchase graph, 3 fixed LPA rounds:
+        // per-round cost is one |E| join + two keyed aggs, so the
+        // slope should track the edge count linearly (node-id label
+        // domain grows with n, no dense hot key)
+        val e = ordN.select(
+            pmod(col("o_orderkey"), lit(200 * n)).as("src"),
+            pmod(col("o_orderkey") * 31 + 7, lit(200 * n)).as("dst"))
+        operators.Graph.labelPropagation(e, rounds = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"cc_logstar_chain_${n}x") {
         // pathological diameter: a single chain of 2000·n links —
         // propagation would need 2000·n rounds; expect ~log growth in

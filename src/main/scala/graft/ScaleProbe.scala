@@ -308,12 +308,13 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       time(s"diversity_select_${n}x") {
-        // the k~sqrt(n) SemDeDup cell policy: cells grow 4x per 16x
-        // corpus, keeping the per-cell sequential fold ~4x — total work
-        // Σ|cell|² stays ~linear-ish in the corpus; the probe measures
-        // that policy, not a fixed-cell quadratic
+        // the k~sqrt(n) SemDeDup cell policy, actually exercised:
+        // cells grow ~sqrt(n)x for an n-times corpus (32 -> 91 at 8x),
+        // so per-cell size ALSO grows ~sqrt(n)x and total fold work
+        // Σ|cell|·|selected| grows ~n·sqrt(n)/cells-parallelism — the
+        // policy's real slope, not a constant-cell-size idealization
         operators.Curation.diversitySelect(embN, threshold = 0.4,
-            nClusters = 32 * n)
+            nClusters = (32 * math.sqrt(n.toDouble)).round.toInt)
           .write.format("noop").mode("overwrite").save()
       }
       time(s"pq_encode_${n}x") {

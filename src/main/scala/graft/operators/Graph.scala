@@ -75,8 +75,14 @@ object Graph {
     * each round EVERY node simultaneously adopts the most frequent
     * label among its neighbors, ties broken by the LOWEST label — a
     * unique total order, so each round is a deterministic function of
-    * the last and an oracle can replay the trajectory. Isolated nodes
-    * keep their own label. Runs a FIXED `rounds` count: synchronous
+    * the last and an oracle can replay the trajectory. The node
+    * universe is the ENDPOINTS of the canonicalized simple graph:
+    * vertices with no surviving edge (never mentioned, or appearing
+    * only in self-loops, which canonicalization drops) are absent from
+    * the output — union them back labeled with their own id if the
+    * caller needs the full vertex set, the
+    * [[connectedComponentsAlternating]] `allIds` pattern. Runs a FIXED
+    * `rounds` count: synchronous
     * LPA is not guaranteed to converge (two-coloring oscillation on
     * bipartite structure is the textbook case), so fixed-round
     * determinism IS the reproducible contract, same reasoning as

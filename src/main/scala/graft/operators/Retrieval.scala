@@ -42,47 +42,20 @@ object Retrieval {
   def lexicalTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
       every: Long = 50L, maxTermDf: Long = 0L,
       maxTermDfFrac: Double = 0.0): DataFrame = {
-    val w0 = TextAnalysis.tfIdf(docs, idCol, textCol)
-      .select(col("id"), col("term"), col("df"),
-        round(col("tfidf") * 1e6).cast("long").as("w"))
-    val w1 = if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf)
-    val w2 =
-      if (maxTermDfFrac <= 0) w1
-      else {
-        // N rides as a one-row broadcast aggregate; floor(N·frac) is
-        // exact integer arithmetic for any corpus below 2^52 docs
-        val n = docs.agg(count(lit(1)).cast("double").as("__n"))
-        w1.crossJoin(broadcast(n))
-          .filter(col("df") <= floor(col("__n") * maxTermDfFrac).cast("long"))
-          .drop("__n")
-      }
+    // the self-retrieval special case of the cross-table machinery:
+    // the corpus is its own model, queries are the id-sampled subset
+    // of the one shared weight table, self-pairs excluded — one
+    // implementation of the cap/weight/ranking arithmetic, not two
+    // (model caps + in-plan N per TextAnalysis.tfidfCorpusModel)
+    val model = TextAnalysis.tfidfCorpusModel(docs, idCol, textCol,
+      maxTermDf, maxTermDfFrac)
     // weight table feeds norms + both join sides — cache the projection
     // (lifecycle: pinned until session end / LRU; repeated callers
     // should clearCache, the tfidfCosinePairs note)
-    val w = w2.cache()
-    val norms = w.groupBy("id")
-      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
-    val q = w.filter(col("id") % every === 0L)
-      .select(col("term"), col("id").as("query_id"), col("w").as("wq"))
-    val prods = q
-      .join(w.select(col("term"), col("id").as("neighbor_id"),
-        col("w").as("wn")), Seq("term"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum((col("wq") * col("wn")).cast("decimal(38,0)")).as("dot"))
-    val scored = prods
-      .join(norms.select(col("id").as("query_id"), col("n2").as("nq2")),
-        Seq("query_id"))
-      .join(norms.select(col("id").as("neighbor_id"), col("n2").as("nn2")),
-        Seq("neighbor_id"))
-      .withColumn("cos", col("dot").cast("double") /
-        sqrt(col("nq2").cast("double") * col("nn2").cast("double")))
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos"))
+    val w = TextAnalysis.tfidfWeights(
+      TextAnalysis.termFrequencies(docs, idCol, textCol), model).cache()
+    lexicalCrossTopKFromWeights(w.filter(col("id") % every === 0L), w, k,
+      excludeSameId = true)
   }
 
   /** Cross-TABLE lexical top-k: rank every CORPUS document against
@@ -119,13 +92,15 @@ object Retrieval {
     * composes this to unpersist the batch side per trigger, the
     * [[graft.streaming.StreamingOps.incrementalTfidfCosine]] rule. */
   def lexicalCrossTopKFromWeights(wq: DataFrame, wc: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSameId: Boolean = false): DataFrame = {
     def norms(w: DataFrame): DataFrame = w.groupBy("id")
       .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
     val prods = wq.select(col("term"), col("id").as("query_id"),
         col("w").as("wq"))
       .join(wc.select(col("term"), col("id").as("neighbor_id"),
         col("w").as("wn")), Seq("term"))
+      .filter(if (excludeSameId) col("neighbor_id") =!= col("query_id")
+        else lit(true))
       .groupBy("query_id", "neighbor_id")
       .agg(sum((col("wq") * col("wn")).cast("decimal(38,0)")).as("dot"))
     val scored = prods

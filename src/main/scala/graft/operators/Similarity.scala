@@ -292,7 +292,13 @@ object Similarity {
   }
 
   /** [[knnJoin]] against a PRE-TRAINED quantizer (the persisted-model
-    * form: train once offline, retrieve for every incoming batch). */
+    * form: train once offline, retrieve for every incoming batch).
+    *
+    * CONTRACT: `vec_id` is the row's IDENTITY and must be unique per
+    * row on both sides — rank tie-breaks, self-exclusion, and the
+    * >[[Clustering.LiteralArgminMax]] broadcast-assignment path (which
+    * aggregates per id) all key on it; rows sharing an id would
+    * collapse into one pseudo-vector there. */
   def knnJoinWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[(Int, Seq[Double])], nprobe: Int = 4,
       excludeSameId: Boolean = false): DataFrame = {

@@ -804,7 +804,10 @@ object TextAnalysis {
     * [[BloomPrune]]. */
   def blocklistStats(df: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String], maxFrac: Double = 0.0): DataFrame = {
-    val bl = typedLit(blocklist.map(_.toLowerCase))
+    // Locale.ROOT: Spark's lower() is locale-independent, so the
+    // driver-side fold must be too (a tr-TR JVM would otherwise map
+    // I -> dotless ı and silently never match)
+    val bl = typedLit(blocklist.map(_.toLowerCase(java.util.Locale.ROOT)))
     df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
       .withColumn("__toks", tokens(col("__t")))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))

@@ -328,8 +328,13 @@ object StreamingOps {
     * corpus-model-driven and per-query pure, so per-trigger results
     * union to the one-shot batch result (micro-batching invariant,
     * pinned in StreamingSpec). Stateless per trigger; the corpus-side
-    * model/weight plans are canonical across triggers (one CacheManager
-    * entry if the caller persists them). */
+    * weight table is cached HERE once per stream start and stays
+    * pinned after the query stops (foreachBatch offers no stop hook) —
+    * a session that restarts this stream repeatedly should
+    * `spark.catalog.clearCache()` between starts, or own the lifecycle
+    * outright by composing `lexicalCrossTopKFromWeights` +
+    * `knnJoinWithCentroids` + `rrfFuse` in its own foreachBatch
+    * (every piece is public). */
   def streamingHybridRetrieval(queryStream: DataFrame, corpusDocs: DataFrame,
       corpusEmb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
       legK: Int = 10, c: Int = 60, nprobe: Int = 4, maxTermDf: Long = 0L,

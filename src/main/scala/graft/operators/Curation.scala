@@ -316,8 +316,21 @@ object Curation {
         "rebuild (k should grow ~sqrt(n)) or raise maxCellRows")
     }
     val selType = "array<struct<vec_id:bigint,emb_d:array<double>,nrm:double>>"
-    val storedCells = selectedStore
-      .join(prep(corpusEmb), Seq("vec_id"))
+    // Contract guard: every stored selection MUST re-fetch its vector
+    // from corpusEmb — a store row whose vec_id is missing would
+    // silently vanish from the accumulator seed, weakening the
+    // mutual-diversity guarantee and shifting sel_rank continuation.
+    // Fail fast instead (the maxCellRows style); the store is a small
+    // bounded artifact, so the two counts are cheap.
+    val storedJoined = selectedStore.join(prep(corpusEmb), Seq("vec_id"))
+    val nStore = selectedStore.count()
+    val nJoined = storedJoined.count()
+    require(nJoined == nStore,
+      s"diversitySelectAgainst: ${nStore - nJoined} of $nStore stored " +
+      "selections have no vector in corpusEmb — the store and the corpus " +
+      "embedding table are out of sync; pass the corpus the store was " +
+      "selected from (or re-run the full rebuild)")
+    val storedCells = storedJoined
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("sel_rank"), col("vec_id"),
         col("emb_d"), col("nrm")))).as("__st"))

@@ -49,11 +49,17 @@ object Retrieval {
     // (model caps + in-plan N per TextAnalysis.tfidfCorpusModel)
     val model = TextAnalysis.tfidfCorpusModel(docs, idCol, textCol,
       maxTermDf, maxTermDfFrac)
-    // weight table feeds norms + both join sides — cache the projection
-    // (lifecycle: pinned until session end / LRU; repeated callers
-    // should clearCache, the tfidfCosinePairs note)
+    // weight table feeds norms + both join sides — eager localCheckpoint
+    // (NOT cache(): the result is consumed lazily, so an internal cache
+    // could never be unpersisted and each call would pin one cached
+    // frame until session end; checkpoint blocks are freed by the
+    // ContextCleaner when the frame becomes unreachable, so per-batch /
+    // notebook callers don't accumulate storage — the winnowCrossPairs
+    // lifecycle rule). Callers who want to own the lifecycle use
+    // [[lexicalCrossTopKFromWeights]] directly.
     val w = TextAnalysis.tfidfWeights(
-      TextAnalysis.termFrequencies(docs, idCol, textCol), model).cache()
+      TextAnalysis.termFrequencies(docs, idCol, textCol), model)
+      .localCheckpoint(true)
     lexicalCrossTopKFromWeights(w.filter(col("id") % every === 0L), w, k,
       excludeSameId = true)
   }
@@ -79,10 +85,14 @@ object Retrieval {
       maxTermDfFrac: Double = 0.0): DataFrame = {
     val model = TextAnalysis.tfidfCorpusModel(corpus, idCol, textCol,
       maxTermDf, maxTermDfFrac)
+    // eager localCheckpoint, not cache() — see the lexicalTopK
+    // lifecycle note (blocks freed on GC, no session-lifetime pin)
     val wc = TextAnalysis.tfidfWeights(
-      TextAnalysis.termFrequencies(corpus, idCol, textCol), model).cache()
+      TextAnalysis.termFrequencies(corpus, idCol, textCol), model)
+      .localCheckpoint(true)
     val wq = TextAnalysis.tfidfWeights(
-      TextAnalysis.termFrequencies(queryDocs, idCol, textCol), model).cache()
+      TextAnalysis.termFrequencies(queryDocs, idCol, textCol), model)
+      .localCheckpoint(true)
     lexicalCrossTopKFromWeights(wq, wc, k)
   }
 

@@ -171,26 +171,6 @@ object Sampling {
       .drop("__stratum", "__n_tokens", "__keep256")
   }
 
-  /** Temperature-based domain mixing at α = ½: downsample each stratum
-    * so the surviving token shares are ∝ (natural share)^α — the
-    * mixture-reweighting rule of the large-LM pretraining recipes
-    * (sample domains proportionally to p^α, α < 1 flattens the mix so
-    * the head domain stops drowning the tail without equalizing shares
-    * outright the way [[rebalanceByTokens]] does). Keep rate per
-    * stratum is √(t_min/t) — the rarest stratum keeps everything, a
-    * stratum with 100× its tokens keeps ~1/10 — clamped to ≥ 1/256 so
-    * no stratum is silently dropped.
-    *
-    * α is FIXED at ½ because the rate must be a pure function both
-    * engines compute bit-identically: IEEE-754 requires `sqrt` (like
-    * `/`) to be correctly rounded, so `floor(256·√(t_min/t))` cannot
-    * straddle an integer across engines — whereas `pow(x, α)` for
-    * general α carries a ≥1-ulp libm tolerance (Java Math.pow vs
-    * DuckDB's C pow) that could flip the floor and silently change the
-    * sample. Other temperatures that are dyadic sqrt-chains (¼, ¾)
-    * would extend the same way. Same null-stratum exclusion and
-    * plan shape as [[rebalanceByTokens]]: two bounded aggregations,
-    * one broadcast join, membership a pure function of the key. */
   /** Target-share mixing: downsample so surviving token shares hit an
     * EXPLICIT mixture (integer `parts`, e.g. en→2, zh→1 = 2:1) at the
     * maximum achievable total — the third mixing primitive alongside
@@ -236,6 +216,26 @@ object Sampling {
       .drop("__stratum", "__n_tokens", "__p", "__keep256")
   }
 
+  /** Temperature-based domain mixing at α = ½: downsample each stratum
+    * so the surviving token shares are ∝ (natural share)^α — the
+    * mixture-reweighting rule of the large-LM pretraining recipes
+    * (sample domains proportionally to p^α, α < 1 flattens the mix so
+    * the head domain stops drowning the tail without equalizing shares
+    * outright the way [[rebalanceByTokens]] does). Keep rate per
+    * stratum is √(t_min/t) — the rarest stratum keeps everything, a
+    * stratum with 100× its tokens keeps ~1/10 — clamped to ≥ 1/256 so
+    * no stratum is silently dropped.
+    *
+    * α is FIXED at ½ because the rate must be a pure function both
+    * engines compute bit-identically: IEEE-754 requires `sqrt` (like
+    * `/`) to be correctly rounded, so `floor(256·√(t_min/t))` cannot
+    * straddle an integer across engines — whereas `pow(x, α)` for
+    * general α carries a ≥1-ulp libm tolerance (Java Math.pow vs
+    * DuckDB's C pow) that could flip the floor and silently change the
+    * sample. Other temperatures that are dyadic sqrt-chains (¼, ¾)
+    * would extend the same way. Same null-stratum exclusion and
+    * plan shape as [[rebalanceByTokens]]: two bounded aggregations,
+    * one broadcast join, membership a pure function of the key. */
   def temperatureMix(df: DataFrame, key: Column, strataCol: Column,
       nTokensCol: Column): DataFrame = {
     val rows = df.withColumn("__stratum", strataCol)

@@ -143,8 +143,14 @@ object TextAnalysis {
     * recovery, DOM pruning, main-content detection are model-shaped
     * problems); this is the deterministic 99% path. */
   def stripHtml(c: Column): Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    // Two separate passes so the close tag must MATCH the open tag
+    // (a single alternation regex would swallow `<script>…</style>…`
+    // as one block and drop the content after the mismatched close);
+    // still backref-free, so RE2/DuckDB-portable
+    val noScript = regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "<[^>]+>", " ")
     val decoded = Seq(
@@ -793,8 +799,10 @@ object TextAnalysis {
     * case-insensitive whole-token (no substring matches — "class"
     * must not hit an "ass" entry, the documented Scunthorpe failure of
     * substring blocklists). Appends `n_tokens`, `n_blocked`,
-    * `blocked_frac` (6dp) and `keep` (1 iff blocked_frac ≤ maxFrac —
-    * maxFrac = 0.0 is exactly C4's any-hit drop).
+    * `blocked_frac` (6dp, reporting only) and `keep` (1 iff the
+    * UNROUNDED hit ratio ≤ maxFrac — maxFrac = 0.0 is exactly C4's
+    * any-hit drop, including on docs long enough that the rounded
+    * fraction would be 0.000000).
     *
     * Scale shape: the blocklist is a bounded curated artifact (10²–10³
     * words), folded into the plan as an array literal probed per token
@@ -814,11 +822,15 @@ object TextAnalysis {
       .withColumn("n_blocked",
         size(filter(col("__toks"), t => array_contains(bl, lower(t))))
           .cast("long"))
-      .withColumn("blocked_frac",
-        round(col("n_blocked").cast("double") /
-          greatest(col("n_tokens"), lit(1L)), 6))
-      .withColumn("keep", (col("blocked_frac") <= maxFrac).cast("int"))
-      .drop("__t", "__toks")
+      .withColumn("__frac",
+        col("n_blocked").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      // keep derives from the UNROUNDED ratio: with maxFrac = 0.0 a
+      // multi-million-token doc with one hit must still drop (the
+      // 6dp-rounded frac would be 0.000000 and wrongly pass); the
+      // rounded column is for reporting only
+      .withColumn("blocked_frac", round(col("__frac"), 6))
+      .withColumn("keep", (col("__frac") <= maxFrac).cast("int"))
+      .drop("__t", "__toks", "__frac")
   }
 
   /** Text canonicalization battery — the step every exact-dedup

@@ -507,10 +507,11 @@ object TextQueries {
         |  FROM t),
         |f AS (
         |  SELECT doc_id, n_tokens, n_blocked,
-        |    round(n_blocked::DOUBLE / greatest(n_tokens, 1), 6) AS blocked_frac
+        |    n_blocked::DOUBLE / greatest(n_tokens, 1) AS raw_frac
         |  FROM s)
-        |SELECT doc_id, n_tokens, n_blocked, blocked_frac,
-        |  (blocked_frac <= 0.05)::INTEGER AS keep
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  round(raw_frac, 6) AS blocked_frac,
+        |  (raw_frac <= 0.05)::INTEGER AS keep
         |FROM f""".stripMargin,
     // idf = ln((N - df + 0.5)/(df + 0.5) + 1), per-doc sum in sorted
     // term order (list(s ORDER BY w) -> sequential list_sum)
@@ -698,8 +699,9 @@ object TextQueries {
         |    ' &amp; more &lt;tokens&gt;&nbsp;end.</p><div>src: ' || source ||
         |    '</div></body></html>' AS html
         |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html,
-        |  '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS t
         |  FROM h),
         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
         |  FROM s1),

@@ -20,7 +20,16 @@ import org.apache.spark.sql.SparkSession
   * label loops), and CacheManager substitutes those cached plans into
   * any later canonically-equal query — without the clear, an earlier
   * run would pre-materialize them and later runs would measure
-  * cached-table scans instead of real work.
+  * cached-table scans instead of real work. Leftover localCheckpoint
+  * blocks are likewise dropped and a GC is forced before each timer
+  * start (see `exec`), so accumulated JVM state can't be attributed to
+  * an innocent query.
+  *
+  * Per-query regression gate: `bench_full.json` (every query's median)
+  * is diffed against the committed `bench_baseline.json` by
+  * `tools/bench_regress.py` — the driver only compares totals, so a
+  * single-query slowdown needs its own gate. Refresh the baseline with
+  * `--update` after an accepted run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +46,19 @@ object Bench {
 
     def exec(name: String): Double = {
       spark.catalog.clearCache() // no cross-query or warm-up cache reuse
+      // Leftover persisted blocks — several operators localCheckpoint
+      // intermediates (weight tables, fingerprint indexes); the blocks
+      // are ContextCleaner-freed on GC in production, but in a 239-query
+      // bench JVM they accumulate faster than GC runs and their eviction
+      // churn + GC debt get attributed to whichever LIGHT query runs
+      // when old-gen fills (q_chunk_documents r7: 0.24s -> 1.58s at
+      // identical code, unreproducible on any <=37-query prefix —
+      // full-JVM accumulated state, not the query). Drop them and
+      // collect BEFORE the timer so each query starts from a clean
+      // block manager and a settled heap.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -81,8 +81,9 @@ object CharEntropy {
     h
   }
 
-  /** Register `char_entropy(str)` for SQL/expr use on a session. */
+  /** Register `char_entropy(str)` for SQL/expr use on a session.
+    * Delegates to the once-per-session [[GraftFunctions.register]] —
+    * the same WARN-spam rationale as [[RollingHash.register]]. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_entropy", exprs => CharEntropy(exprs.head), "scala_udf")
+    GraftFunctions.register(spark)
 }

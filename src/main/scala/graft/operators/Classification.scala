@@ -105,6 +105,109 @@ object Classification {
     }
   }
 
+  /** Train MULTICLASS (softmax / multinomial) logistic regression by
+    * `steps` full-batch GD updates — the actual fastText-style
+    * classifier core, and the calibrated form one-vs-rest binary
+    * models cannot give (independently-trained sigmoid scores are not
+    * comparable across classes: a class whose feature mass concentrates
+    * in fewer buckets learns systematically larger margins and wins
+    * every argmax; softmax normalizes all classes through one shared
+    * denominator per step, so scores ARE the class posteriors).
+    * Returns the per-class weight vectors in `classes` order (index 0
+    * of each = bias).
+    *
+    * One job per STEP (not per class per step): all K margins are
+    * codegen'd [[graft.functions.VectorDot]] literals in one
+    * projection, the shared softmax denominator folds exp(m_k) in
+    * fixed class order, and one posexplode feeds a (dim+1)-key
+    * aggregation carrying K residual sums — map-side combined to
+    * (dim+1) rows per partition, K·(dim+1) doubles to the driver.
+    * Same determinism contract as [[trainLogReg]]: zero init,
+    * 6-decimal weight anchor per step, fixed fold order — DuckDB
+    * replays the exact trajectory with unrolled CTEs. */
+  def trainSoftmax(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: Column, classes: Seq[String], steps: Int,
+      lr: Double): Seq[Seq[Double]] = {
+    require(steps > 0, "steps must be positive")
+    require(lr > 0, "lr must be positive")
+    require(classes.nonEmpty, "need at least one class")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val prepped = df.select(col(idCol).as("id"),
+        augmented(col(vecCol)).as("__xa"), labelCol.as("__lbl"))
+      .cache() // scanned `steps` times; unpersisted below
+    try {
+      val dimRow = prepped.select(size(col("__xa"))).limit(1).collect()
+      if (dimRow.isEmpty) return classes.map(_ => Nil)
+      val dim = dimRow.head.getInt(0)
+      var ws: Seq[Seq[Double]] = classes.map(_ => Seq.fill(dim)(0.0))
+      for (_ <- 1 to steps) {
+        val margins = ws.map(w =>
+          graft.functions.VectorDot(col("__xa"), typedlit(w)))
+        // shared denominator folded in fixed class order — the oracle
+        // mirrors the exact exp/add sequence
+        val denom = margins.map(exp).reduce(_ + _)
+        val resid = classes.zip(margins).map { case (c, m) =>
+          (exp(m) / denom -
+            when(col("__lbl") === c, lit(1.0)).otherwise(lit(0.0)))
+            .as(s"__d_$c")
+        }
+        val grads = prepped
+          .select(col("__xa") +: resid: _*)
+          .select(posexplode(col("__xa")).as(Seq("i", "v")) +:
+            classes.map(c => col(s"__d_$c")): _*)
+          .groupBy(col("i"))
+          .agg(sum(col(s"__d_${classes.head}") * col("v"))
+              .as(s"g_${classes.head}"),
+            (classes.tail.map(c =>
+              sum(col(s"__d_$c") * col("v")).as(s"g_$c")) :+
+              count(lit(1)).as("n")): _*)
+          .collect()
+        val n = grads.head.getLong(grads.head.length - 1)
+        val byIdx: Map[Int, Seq[Double]] = grads.map { r =>
+          r.getInt(0) -> classes.indices.map(k => r.getDouble(k + 1) / n)
+        }.toMap
+        ws = ws.zipWithIndex.map { case (w, k) =>
+          w.zipWithIndex.map { case (wi, i) =>
+            round6(wi - lr * byIdx(i)(k))
+          }
+        }
+      }
+      ws
+    } finally {
+      prepped.unpersist()
+    }
+  }
+
+  /** Score rows against [[trainSoftmax]] weights: (id, one `p_<class>`
+    * posterior per class rounded to 6 decimals, `pred` = argmax with
+    * ties to the earlier class in `classes`). Stateless codegen'd
+    * projection — batch/streaming identical, scan-bound at 100 TB. */
+  def scoreSoftmax(df: DataFrame, idCol: String, vecCol: String,
+      classes: Seq[String], ws: Seq[Seq[Double]],
+      predCol: String = "pred"): DataFrame = {
+    require(classes.size == ws.size && ws.forall(_.nonEmpty),
+      "need one non-empty weight vector per class")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val xa = augmented(col(vecCol))
+    val margins = ws.map(w => graft.functions.VectorDot(xa, typedlit(w)))
+    val denom = margins.map(exp).reduce(_ + _)
+    val scored = classes.zip(margins).foldLeft(
+      df.select(col(idCol).as("id"), xa.as("__xa"))) {
+      case (acc, (c, _)) => acc // placeholder, replaced below
+    }
+    // compute against the original frame so the margin exprs bind
+    val out = df.select(col(idCol).as("id") +:
+      classes.zip(margins).map { case (c, m) =>
+        round(exp(m) / denom, 6).as(s"p_$c")
+      }: _*)
+    val pred = classes.zipWithIndex.init.foldRight(lit(classes.last)) {
+      case ((c, i), acc) =>
+        when(classes.drop(i + 1).map(m => col(s"p_$c") >= col(s"p_$m"))
+          .reduce(_ && _), lit(c)).otherwise(acc)
+    }
+    out.withColumn(predCol, pred)
+  }
+
   /** Score rows against a trained weight vector: (id, lr_score) with
     * lr_score = σ(w·[1.0 ++ vec]) rounded to 6 decimals. Stateless
     * codegen'd projection — applies unchanged to a streaming DataFrame,

@@ -184,6 +184,72 @@ object Retrieval {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Rerank stage — the final scoring pass of the standard retrieval
+    * stack (retrieve legs → fuse candidates → rerank): re-score the
+    * fused candidate set with a weighted blend of the legs' own
+    * similarity evidence, score = wLex·lex_cos + wSem·sem_cos +
+    * wRrf·rrf (a candidate absent from a leg contributes 0 from it),
+    * re-ranked 1..k by (score desc, neighbor_id asc). RRF alone is
+    * rank-only — it forgets HOW similar the legs found a candidate;
+    * the blend restores that magnitude signal over the bounded
+    * candidate pool, which is exactly where production stacks put a
+    * cross-encoder. The fixed default weights are the classic
+    * hand-tuned blend; a TRAINED reranker drops in by replacing the
+    * linear blend with [[Classification.trainLogReg]] weights over the
+    * same three features — same plan shape, trained coefficients.
+    *
+    * Scale shape: two left joins on the (query_id, neighbor_id) pair
+    * key over ≤ legK rows per query per side, then a window over ≤
+    * candidateK rows per query — everything downstream of the legs is
+    * bounded by construction; cost remains the LEGS ([[rrfFuse]]'s
+    * contract). Blend arithmetic: the legs' 6dp-rounded outputs
+    * combined in a fixed multiply/add order — bit-identical
+    * cross-engine, fully value-oracled. */
+  def rerankFused(lex: DataFrame, sem: DataFrame, fused: DataFrame,
+      k: Int, wLex: Double = 0.5, wSem: Double = 0.4,
+      wRrf: Double = 0.1): DataFrame = {
+    val l = lex.select(col("query_id"), col("neighbor_id"),
+      col("cos").as("__lc"))
+    val s = sem.select(col("query_id"), col("neighbor_id"),
+      col("cos").as("__sc"))
+    val scored = fused
+      .select(col("query_id"), col("neighbor_id"), col("rrf"))
+      .join(l, Seq("query_id", "neighbor_id"), "left_outer")
+      .join(s, Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("lex_cos", coalesce(col("__lc"), lit(0.0)))
+      .withColumn("sem_cos", coalesce(col("__sc"), lit(0.0)))
+      // fixed evaluation order ((wLex·l + wSem·s) + wRrf·r) — the
+      // oracle mirrors it, so the double blend is bit-identical
+      .withColumn("score",
+        lit(wLex) * col("lex_cos") + lit(wSem) * col("sem_cos") +
+          lit(wRrf) * col("rrf"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"),
+        col("lex_cos"), col("sem_cos"))
+  }
+
+  /** The composed retrieve→fuse→rerank stack over the [[hybridTopK]]
+    * layout: both legs ranked to `legK`, RRF-fused to a `candidateK`
+    * candidate pool (default legK — the fused top-legK), reranked to
+    * `k` by the [[rerankFused]] blend. The legs are built once and
+    * feed both the fusion and the rerank joins (identical subplans —
+    * Spark's exchange reuse materializes each leg once per query). */
+  def hybridRerankTopK(docs: DataFrame, emb: DataFrame, k: Int,
+      legK: Int = 10, every: Long = 50L, c: Int = 60, nCells: Int = 16,
+      nprobe: Int = 4, maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0,
+      wLex: Double = 0.5, wSem: Double = 0.4, wRrf: Double = 0.1,
+      candidateK: Int = 0): DataFrame = {
+    val lex = lexicalTopK(docs, "doc_id", "text", legK, every, maxTermDf,
+      maxTermDfFrac)
+    val sem = Similarity.ivfTopK(emb, legK, nCells, nprobe, every)
+    val fused = rrfFuse(lex, sem, if (candidateK > 0) candidateK else legK, c)
+    rerankFused(lex, sem, fused, k, wLex, wSem, wRrf)
+  }
+
   /** The composed hybrid stack: lexical leg over `docs` (id col
     * `doc_id`) + semantic leg over `emb` (id col `vec_id`, the SAME id
     * namespace — the usual one-row-per-document layout with text and

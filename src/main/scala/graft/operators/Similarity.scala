@@ -29,6 +29,13 @@ object Similarity {
     * "deliberate baseline run" and far below any corpus-scale table. */
   val DefaultBruteForceMaxRows = 100000L
 
+  /** Default ceiling for the BROADCAST query batch of
+    * [[knnJoinWithCentroids]]: 10⁶ rows ≈ tens–hundreds of MB of
+    * double vectors — the top of the documented retrieval-batch range
+    * (10³–10⁶) and still executor-memory-safe; a corpus-scale query
+    * table must be sharded instead. */
+  val DefaultKnnQueryBatchMaxRows = 1000000L
+
   /** Refuse to build an all-pairs plan over a table larger than
     * `maxRows` — the brute-force entry points are ORACLE BASELINES for
     * recall measurement, and an accidental run against a corpus-scale
@@ -298,10 +305,18 @@ object Similarity {
     * row on both sides — rank tie-breaks, self-exclusion, and the
     * >[[Clustering.LiteralArgminMax]] broadcast-assignment path (which
     * aggregates per id) all key on it; rows sharing an id would
-    * collapse into one pseudo-vector there. */
+    * collapse into one pseudo-vector there.
+    *
+    * The query batch is BROADCAST into every probed corpus cell, so it
+    * must stay executor-memory-bounded: batches above `maxQueryRows`
+    * (default [[DefaultKnnQueryBatchMaxRows]]) are refused at
+    * plan-build time with the shard guidance — a `limit`-capped
+    * partial count, the [[guardSize]] costing — instead of OOMing an
+    * executor mid-job. Batch-sized callers are unaffected. */
   def knnJoinWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[(Int, Seq[Double])], nprobe: Int = 4,
-      excludeSameId: Boolean = false): DataFrame = {
+      excludeSameId: Boolean = false,
+      maxQueryRows: Long = DefaultKnnQueryBatchMaxRows): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     if (centroids.isEmpty) {
@@ -310,6 +325,14 @@ object Similarity {
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "neighbor_id", "rank", "cos")
     }
+    val qCap = math.min(maxQueryRows + 1, Int.MaxValue.toLong).toInt
+    require(queries.limit(qCap).count() <= maxQueryRows,
+      s"knnJoinWithCentroids broadcasts the query batch into every " +
+      s"probed corpus cell; this batch exceeds $maxQueryRows rows and " +
+      "would not stay executor-memory-bounded. Shard the query table " +
+      "(e.g. by vec_id range or hash bucket) and call once per shard — " +
+      "per-shard results are independent and concatenate — or raise " +
+      "maxQueryRows deliberately for a cluster with the memory headroom.")
     // squared L2 to each cell via the algebraic identity
     // x·x − 2·x·c + ‖c‖² (clamped at 0): x·x computed once per row,
     // each cell one fused native VectorDot — fully codegen'd (the

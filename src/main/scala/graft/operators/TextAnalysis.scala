@@ -86,6 +86,89 @@ object TextAnalysis {
       .otherwise("es")
   }
 
+  /** Hashed character-n-gram count features — the fastText-style
+    * featurizer (Joulin et al. 2016: language ID and text
+    * classification over hashed char-ngram bags): every char n-gram of
+    * the lowercased text hashes into one of `dim` buckets
+    * (md5-derived, the [[Dedup.md5Hash60]] family DuckDB replays
+    * exactly), bucket counts normalize by the doc's total n-gram count
+    * and round to 6 decimals — a dense `array<double>` feature vector
+    * ready for [[Classification.trainLogReg]]. Output: `id`, any
+    * `carry` columns verbatim, `features`.
+    *
+    * Pure projection — no explode, no shuffle, scan-bound: the
+    * per-doc cost is O(chars + dim·ngrams) comparisons (bucket
+    * counting by `filter` per bucket keeps the whole vector build
+    * inside one codegen'd HOF chain; at dim ≤ 64 that constant is
+    * small and the portable form — a mutable histogram needs a UDF).
+    * Multibyte-safe: both engines index substrings by code point and
+    * md5 the UTF-8 bytes, so CJK text hashes identically. */
+  def charNgramHashFeatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, dim: Int = 32, carry: Seq[String] = Nil): DataFrame = {
+    require(n > 0 && dim > 0, "need n > 0 and dim > 0")
+    df.select((col(idCol).as("id") +: carry.map(col)) :+
+        lower(coalesce(col(textCol), lit(""))).as("__t"): _*)
+      .withColumn("__buckets", expr(s"""
+        case when length(__t) < $n then cast(array() as array<bigint>)
+        else transform(sequence(1, length(__t) - ${n - 1}),
+          i -> cast(conv(substring(md5(cast(substring(__t, i, $n) as binary)),
+            1, 15), 16, 10) as bigint) % ${dim}L) end"""))
+      .withColumn("features", expr(s"""
+        transform(sequence(0, ${dim - 1}),
+          b -> round(cast(size(filter(__buckets, x -> x = b)) as double)
+            / greatest(size(__buckets), 1), 6))"""))
+      .drop("__t", "__buckets")
+  }
+
+  /** TRAINED language ID — the upgrade path from the [[langId]]
+    * stopword screen: one-vs-rest logistic regression per language
+    * over [[charNgramHashFeatures]] hashed char-bigram features (the
+    * fastText recipe at its linear core), trained in-plan by
+    * [[Classification.trainLogReg]] against the labeled `langCol`,
+    * prediction = argmax of the per-language sigmoid scores (ties
+    * break to the earlier language in `langs` — a fixed total order).
+    * Output: `id`, one `s_<lang>` score column (6dp) per language,
+    * `lang_pred`.
+    *
+    * Fully value-oracled: the features are md5/round-portable and the
+    * GD trajectory is 6-decimal-anchored per step, so DuckDB replays
+    * every model's weights exactly (the q_lr_train_score recipe ×
+    * |langs|). Scale shape: training cost is |langs| × steps bounded
+    * aggregation jobs over the feature table (at 100 TB you train on
+    * a labeled SAMPLE — the standard fastText recipe — and the
+    * feature build is a pure projection); scoring is one stateless
+    * codegen'd projection, identical for batch and streaming. The
+    * feature table is eagerly localCheckpoint'ed so the |langs| ×
+    * (steps+1) training scans don't recompute the featurization
+    * (winnowCrossPairs lifecycle — blocks freed on GC, no
+    * session-lifetime pin). */
+  def langIdTrained(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, langs: Seq[String], steps: Int = 2,
+      lr: Double = 10.0, n: Int = 2, dim: Int = 32): DataFrame = {
+    require(langs.nonEmpty, "need at least one language")
+    val feats = charNgramHashFeatures(df, idCol, textCol, n, dim,
+      carry = Seq(langCol)).localCheckpoint(true)
+    val models: Seq[(String, Seq[Double])] = langs.map { l =>
+      l -> Classification.trainLogReg(feats, "id", "features",
+        col(langCol) === l, steps, lr)
+    }
+    val scored = models.foldLeft(feats) { case (acc, (l, w)) =>
+      acc.withColumn(s"s_$l",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-graft.functions.VectorDot(
+            concat(array(lit(1.0)), col("features")), typedlit(w)))), 6))
+    }
+    // argmax with ties to the earlier language in `langs`
+    val pred = langs.zipWithIndex.init.foldRight(lit(langs.last)) {
+      case ((l, i), acc) =>
+        when(langs.drop(i + 1).map(m => col(s"s_$l") >= col(s"s_$m"))
+          .reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+      .select(col("id") +: langs.map(l => col(s"s_$l")) :+
+        col("lang_pred"): _*)
+  }
+
   /** Per-document character Shannon entropy (bits/char) — the standard
     * gibberish/boilerplate signal (low entropy = repeated chars or
     * padding, high = random noise). Native Catalyst expression
@@ -639,15 +722,20 @@ object TextAnalysis {
     *
     * The greedy capacity-reset recurrence is NOT window-expressible
     * (each boundary depends on the running remainder), but it IS a
-    * sequential fold over one document's sentences: a single
-    * `aggregate` higher-order function whose accumulator carries the
-    * open chunk — zero shuffles, zero self-joins, pure projection.
-    * Chunks merge in-place (`slice` + rebuild of the last element:
-    * O(chunks²) array copying per doc, bounded by doc length — the
-    * same trade [[duplicateSpans]]' island fold accepts). At 100 TB
-    * this is scan-bound and embarrassingly parallel; the DuckDB oracle
-    * replays the identical recurrence as a recursive CTE. Output:
-    * `doc_id`, `chunk_id` (0-based), `n_tokens`, `chunk_text`. */
+    * sequential fold over one document's sentences — and it only
+    * needs to carry CHUNK IDS, not chunk text. Two zero-shuffle
+    * passes: (1) an `aggregate` fold assigns each sentence its chunk
+    * id (the accumulator is an int array + the open chunk's running
+    * token count — integer work only); (2) the boundary positions
+    * (where the id changes) slice the sentence array per chunk and
+    * `array_join` builds each chunk's text exactly ONCE — O(total
+    * chars), replacing the earlier in-place merge whose repeated
+    * `concat` of the growing last chunk was O(chunks²) char copying
+    * per doc. Zero shuffles, zero self-joins, pure projection. At
+    * 100 TB this is scan-bound and embarrassingly parallel; the
+    * DuckDB oracle replays the identical recurrence as a recursive
+    * CTE. Output: `doc_id`, `chunk_id` (0-based), `n_tokens`,
+    * `chunk_text`. */
   def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, "need maxTokens > 0")
@@ -658,25 +746,40 @@ object TextAnalysis {
           "'s', s, " +
           "'n', cast(size(filter(split(s, '\\\\s+'), t -> t <> '')) as bigint)))," +
           " x -> x.n > 0)"))
-      .withColumn("__chunks", expr(s"""
+      // pass 1: greedy capacity-reset fold over token counts only —
+      // each sentence gets its 0-based chunk id (no string copying)
+      .withColumn("__ids", expr(s"""
         aggregate(
           __zs,
-          named_struct(
-            'out', cast(array() as array<struct<ck:int,txt:string,ntok:bigint>>),
+          named_struct('ids', cast(array() as array<int>),
             'cur', cast(0 as bigint)),
-          (acc, x) -> if(size(acc.out) = 0 or acc.cur + x.n > ${maxTokens}L,
+          (acc, x) -> if(size(acc.ids) = 0 or acc.cur + x.n > ${maxTokens}L,
             named_struct(
-              'out', concat(acc.out, array(named_struct(
-                'ck', size(acc.out), 'txt', x.s, 'ntok', x.n))),
+              'ids', concat(acc.ids,
+                array(coalesce(try_element_at(acc.ids, -1), -1) + 1)),
               'cur', x.n),
             named_struct(
-              'out', concat(slice(acc.out, 1, size(acc.out) - 1),
-                array(named_struct(
-                  'ck', size(acc.out) - 1,
-                  'txt', concat(element_at(acc.out, -1).txt, ' ', x.s),
-                  'ntok', element_at(acc.out, -1).ntok + x.n))),
+              'ids', concat(acc.ids, array(try_element_at(acc.ids, -1))),
               'cur', acc.cur + x.n)),
-          acc -> acc.out)"""))
+          acc -> acc.ids)"""))
+      // pass 2: boundary starts (1-based positions where the id
+      // changes); transform's index IS the chunk id, each chunk's
+      // sentences sliced + joined exactly once
+      .withColumn("__starts", expr(
+        "case when size(__ids) = 0 then cast(array() as array<int>) " +
+          "else filter(sequence(1, size(__ids)), " +
+          "i -> i = 1 or element_at(__ids, i) != element_at(__ids, i - 1)) end"))
+      .withColumn("__spans", expr(
+        "transform(__starts, (st, c) -> named_struct('st', st, 'len', " +
+          "if(c + 2 <= size(__starts), element_at(__starts, c + 2), " +
+          "size(__zs) + 1) - st))"))
+      .withColumn("__chunks", expr("""
+        transform(__spans, (sp, c) -> named_struct(
+          'ck', c,
+          'txt', array_join(
+            transform(slice(__zs, sp.st, sp.len), z -> z.s), ' '),
+          'ntok', aggregate(slice(__zs, sp.st, sp.len),
+            cast(0 as bigint), (a, z) -> a + z.n)))"""))
       .select(col("doc_id"), explode(col("__chunks")).as("__c"))
       .select(col("doc_id"), col("__c.ck").as("chunk_id"),
         col("__c.ntok").as("n_tokens"), col("__c.txt").as("chunk_text"))

@@ -79,6 +79,15 @@ object SimilarityQueries {
         table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5,
         maxTermDfFrac = 0.5)
     },
+    // retrieve→fuse→RERANK: the full three-stage retrieval stack —
+    // same legs/fusion as q_hybrid_rrf, then the fused top-10
+    // candidate pool re-scored by the weighted leg-evidence blend
+    // (0.5·lex_cos + 0.4·sem_cos + 0.1·rrf) and cut to 5
+    "q_hybrid_rerank" -> { (s, dir) =>
+      graft.operators.Retrieval.hybridRerankTopK(
+        table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5,
+        maxTermDfFrac = 0.5)
+    },
     // cross-table HYBRID retrieval: the md5-split test docs retrieve
     // from the train corpus — corpus-model TF-IDF lexical leg (frac
     // 0.5 cap) + corpus-trained-quantizer kNN semantic leg, RRF-fused;
@@ -708,6 +717,103 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY rrf DESC, neighbor_id) AS rank
         |  FROM fused) WHERE rank <= 5""".stripMargin,
+    // q_hybrid_rrf's leg chains with each leg's 6dp cos carried
+    // through fusion; candidates = fused top-10, rerank score =
+    // ((0.5*lex_cos + 0.4*sem_cos) + 0.1*rrf6) in the engine's exact
+    // multiply/add order over the 6dp leg values — bit-identical
+    "q_hybrid_rerank" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, term, count(1) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+        |          x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(1)::DOUBLE AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        round(round(tf.tf * ln(nn.n / dfx.df), 6) * 1e6)::BIGINT AS w
+        |      FROM tf JOIN dfx USING (term) CROSS JOIN nn
+        |      WHERE dfx.df <= (SELECT count(1) FROM documents) // 2),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+        |lprods AS (
+        |  SELECT wq.doc_id AS query_id, wn.doc_id AS neighbor_id,
+        |    sum(wq.w * wn.w) AS dot
+        |  FROM w wq JOIN w wn ON wq.term = wn.term
+        |    AND wq.doc_id % 50 = 0 AND wn.doc_id <> wq.doc_id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, neighbor_id, rank, cos FROM (
+        |    SELECT p.query_id, p.neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE)
+        |          DESC, p.neighbor_id) AS rank,
+        |      round(p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE), 6)
+        |        AS cos
+        |    FROM lprods p
+        |    JOIN norms nq ON p.query_id = nq.doc_id
+        |    JOIN norms nb ON p.neighbor_id = nb.doc_id)
+        |  WHERE rank <= 10),
+        |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |emb AS (SELECT vec_id, e,
+        |          list_sum(list_transform(e, x -> x * x)) AS xx
+        |        FROM emb0),
+        |${lloyd2Ctes("emb", 16)},
+        |dots AS (
+        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |  FROM emb m CROSS JOIN c1cc c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |sscored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN emb0 eq ON eq.vec_id = p.query_id
+        |  JOIN emb0 en ON en.vec_id = a.vec_id),
+        |sem AS (
+        |  SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+        |    SELECT query_id, neighbor_id, cos,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM sscored) WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+        |    coalesce(1.0 / (60 + l.rank), 0.0)
+        |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf,
+        |    coalesce(l.cos, 0.0) AS lex_cos,
+        |    coalesce(s.cos, 0.0) AS sem_cos
+        |  FROM lex l FULL JOIN sem s
+        |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
+        |cands AS (
+        |  SELECT query_id, neighbor_id, round(rrf, 6) AS rrf6,
+        |    lex_cos, sem_cos
+        |  FROM (
+        |    SELECT query_id, neighbor_id, rrf, lex_cos, sem_cos,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY rrf DESC, neighbor_id) AS frank
+        |    FROM fused) WHERE frank <= 10),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, lex_cos, sem_cos,
+        |    (0.5 * lex_cos + 0.4 * sem_cos) + 0.1 * rrf6 AS score
+        |  FROM cands)
+        |SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+        |  round(score, 6) AS score, lex_cos, sem_cos
+        |FROM (
+        |  SELECT query_id, neighbor_id, score, lex_cos, sem_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     // cross-table hybrid RRF: the q_tfidf_cosine_incremental split +
     // corpus-stats weight chain ranked to 10, the q_knn_join chain
     // over the same md5 split ranked to 10, fused by 1/(60+rank)

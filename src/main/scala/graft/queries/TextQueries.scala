@@ -14,6 +14,72 @@ object TextQueries {
   private val stopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Languages for the trained language-ID query — the synthetic
+    * corpus's label set, in tie-break priority order. */
+  private val LangIdLangs = Seq("en", "de", "zh", "fr", "es")
+
+  /** DuckDB replay of [[TextAnalysis.langIdTrained]]: the hashed
+    * char-bigram feature CTE (md5-bucket idiom) + one unrolled
+    * 6dp-anchored GD trajectory per language + the argmax CASE in
+    * tie-break order — the q_lr_train_score recipe × |langs|. */
+  private def langIdTrainedOracle(langs: Seq[String], steps: Int,
+      lr: Double, dim: Int): String = {
+    val hi = dim + 2 // exclusive bound over the augmented vector
+    def margin(w: String): String =
+      s"list_sum(list_transform(range(1, $hi), i -> $w[i] * xa[i]))"
+    val chains = langs.map { l =>
+      val y = s"CASE WHEN lang = '$l' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
+      val steps_ = (1 to steps).map { k =>
+        s"""p${k}_$l AS (
+           |  SELECT doc_id, xa, $y AS y,
+           |    1.0 / (1.0 + exp(-(${margin(s"w${k - 1}_$l.w")}))) AS p
+           |  FROM emb CROSS JOIN w${k - 1}_$l),
+           |g${k}_$l AS (
+           |  SELECT i, avg((p - y) * v) AS g
+           |  FROM (SELECT y, p, unnest(xa) AS v,
+           |               unnest(range(len(xa))) AS i FROM p${k}_$l) u
+           |  GROUP BY i),
+           |w${k}_$l AS (
+           |  SELECT list(round(wp.w[i + 1] - $lr * g, 6) ORDER BY i) AS w
+           |  FROM g${k}_$l CROSS JOIN w${k - 1}_$l wp)""".stripMargin
+      }.mkString(",\n")
+      s"""w0_$l AS (SELECT list_transform(range(1, $hi), i -> 0.0::DOUBLE) AS w),
+         |$steps_""".stripMargin
+    }.mkString(",\n")
+    val scoreCols = langs.map { l =>
+      s"round(1.0 / (1.0 + exp(-(${margin(s"w${steps}_$l.w")}))), 6) AS s_$l"
+    }.mkString(",\n  ")
+    val crossW = langs.map(l => s"CROSS JOIN w${steps}_$l").mkString(" ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(t) < 2 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(range(1, length(t)), i ->
+       |           ('0x' || substring(md5(substring(t, i, 2)), 1, 15))::BIGINT
+       |             % $dim) END AS bks
+       |  FROM t),
+       |emb AS (
+       |  SELECT doc_id, lang,
+       |    [1.0::DOUBLE] || list_transform(range(0, $dim), b ->
+       |      round(len(list_filter(bks, x -> x = b))::DOUBLE
+       |        / greatest(len(bks), 1), 6)) AS xa
+       |  FROM f),
+       |$chains,
+       |scored AS (
+       |  SELECT doc_id,
+       |  $scoreCols
+       |  FROM emb $crossW)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $pred
+       |    ELSE '${langs.last}' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> { (s, dir) =>
       table(s, dir, "documents").select(
@@ -40,6 +106,18 @@ object TextQueries {
       table(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    // TRAINED language ID (the fastText-recipe upgrade of the q_lang_id
+    // stopword screen): one-vs-rest in-plan logistic regression per
+    // language over hashed char-bigram features, labels from the
+    // ground-truth lang column, argmax prediction — GD trajectory and
+    // md5 feature hashing both replayed exactly by DuckDB
+    "q_lang_id_trained" -> { (s, dir) =>
+      TextAnalysis.langIdTrained(table(s, dir, "documents"),
+          "doc_id", "text", "lang", LangIdLangs, steps = 2, lr = 10.0,
+          n = 2, dim = 32)
+        .withColumnRenamed("id", "doc_id")
     },
 
     "q_fingerprint" -> { (s, dir) =>
@@ -405,6 +483,10 @@ object TextQueries {
          |  round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
          |        / greatest(length(text), 1), 6) AS alnum_ratio
          |FROM t""".stripMargin,
+    // features + |langs| unrolled GD trajectories + argmax, generated
+    // by langIdTrainedOracle — parameters must match the query exactly
+    "q_lang_id_trained" ->
+      langIdTrainedOracle(LangIdLangs, steps = 2, lr = 10.0, dim = 32),
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -59,6 +59,63 @@ class Round8Spec extends SparkSpec {
     assert(got === "A B C")
   }
 
+  // ---- trained language ID ----
+
+  test("langIdTrained: separable languages are learned (not the " +
+      "majority class) — scores order correctly and both predict") {
+    // two synthetic 'languages' with disjoint character distributions;
+    // NOTE the driver corpus's lang labels are random relative to its
+    // text, so accuracy there is capped at the majority share — this
+    // spec is where actual learning is demonstrated
+    val aWords = Seq("mera", "tilo", "sana", "vire", "lumo")
+    val bWords = Seq("grukz", "bortz", "knapf", "zwirg", "pfunk")
+    def doc(ws: Seq[String], seed: Int): String =
+      (0 until 30).map(i => ws((i * (seed + 3) + seed) % ws.size)).mkString(" ")
+    val docs = ((1 to 40).map(i => (i.toLong, doc(aWords, i), "aa")) ++
+      (41 to 80).map(i => (i.toLong, doc(bWords, i), "bb")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdTrained(docs, "doc_id", "text", "lang",
+      Seq("aa", "bb"), steps = 4, lr = 50.0, n = 2, dim = 32)
+    val joined = out.join(docs.select(col("doc_id").as("id"), col("lang")),
+      Seq("id"))
+    val acc = joined.agg(avg((col("lang_pred") === col("lang"))
+      .cast("double"))).head().getDouble(0)
+    assert(acc === 1.0)
+    // both classes actually predicted (not a constant classifier)
+    assert(joined.select("lang_pred").distinct().count() === 2L)
+  }
+
+  test("charNgramHashFeatures: normalized counts sum to ~1, empty and " +
+      "sub-n texts get all-zero vectors, carry columns pass through") {
+    val df = Seq((1L, "abcab", "x"), (2L, "", "y"), (3L, "a", "z"))
+      .toDF("doc_id", "text", "tag")
+    val out = TextAnalysis.charNgramHashFeatures(df, "doc_id", "text",
+      n = 2, dim = 8, carry = Seq("tag"))
+    assert(out.columns.toSeq === Seq("id", "tag", "features"))
+    val rows = out.orderBy("id")
+      .select(col("id"), expr("aggregate(features, 0.0d, (a, x) -> a + x)"))
+      .as[(Long, Double)].collect()
+    assert(math.abs(rows(0)._2 - 1.0) < 1e-4) // 4 bigrams, rounding noise
+    assert(rows(1)._2 === 0.0 && rows(2)._2 === 0.0)
+  }
+
+  // ---- knnJoinWithCentroids: broadcast query-batch guard ----
+
+  test("knnJoinWithCentroids: a query batch over maxQueryRows is " +
+      "refused with the shard guidance; batch-sized callers unaffected") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val cents = Clustering.trainCentroids(emb, 4, 1)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnJoinWithCentroids(emb, emb, 3, cents,
+        maxQueryRows = 10L)
+    }
+    assert(err.getMessage.contains("Shard the query table"))
+    // a batch inside the bound behaves exactly as before
+    val ok = Similarity.knnJoinWithCentroids(
+      emb.filter(col("vec_id") < 20), emb, 3, cents)
+    assert(ok.count() > 0)
+  }
+
   // ---- diversitySelectAgainst: store/corpus sync contract ----
 
   test("diversitySelectAgainst: a stored selection missing from " +

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Standing per-query bench-regression gate.
+
+The round driver compares bench TOTALS only, so a single-query 6x
+regression (q_chunk_documents, r6->r7) can hide inside a faster total.
+This tool diffs a fresh bench_full.json against the committed
+bench_baseline.json and fails on any per-query slowdown above the
+threshold.
+
+Usage:
+    python3 tools/bench_regress.py [bench_full.json] [bench_baseline.json]
+    python3 tools/bench_regress.py --update   # accept current as baseline
+
+Policy:
+  - ratio = current_median / baseline_median, per query.
+  - FAIL if ratio > THRESHOLD (default 2.0) AND the absolute delta is
+    over ABS_FLOOR seconds (0.4s) -- sub-half-second queries swing with
+    box noise (mr_wordcount 0.26->0.70 across rounds at identical code;
+    the Bench scaladoc's rationale for medians-of-three).
+  - Queries new since the baseline PASS (no history) but are listed so
+    the baseline gets refreshed.
+  - After an accepted full run, refresh with --update and commit the
+    new baseline alongside the code that changed the numbers.
+
+Exit codes: 0 ok, 1 regression found, 2 usage/IO error.
+"""
+import json
+import sys
+import os
+
+THRESHOLD = float(os.environ.get("BENCH_REGRESS_THRESHOLD", "2.0"))
+ABS_FLOOR = float(os.environ.get("BENCH_REGRESS_ABS_FLOOR", "0.4"))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CUR_DEFAULT = os.path.join(ROOT, "bench_full.json")
+BASE_DEFAULT = os.path.join(ROOT, "bench_baseline.json")
+
+
+def load_queries(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = d.get("queries", {})
+    return {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
+
+
+def main(argv):
+    if argv and argv[0] == "--update":
+        cur = load_queries(CUR_DEFAULT)
+        with open(BASE_DEFAULT, "w") as f:
+            json.dump({"queries": dict(sorted(cur.items())),
+                       "source": "bench_full.json medians; see tools/bench_regress.py"},
+                      f, indent=1)
+        print(f"baseline refreshed: {len(cur)} queries -> {BASE_DEFAULT}")
+        return 0
+
+    cur_path = argv[0] if len(argv) > 0 else CUR_DEFAULT
+    base_path = argv[1] if len(argv) > 1 else BASE_DEFAULT
+    try:
+        cur = load_queries(cur_path)
+        base = load_queries(base_path)
+    except (OSError, ValueError) as e:
+        print(f"bench_regress: cannot load inputs: {e}", file=sys.stderr)
+        return 2
+
+    regressions = []
+    improvements = 0
+    for q, t in sorted(cur.items()):
+        b = base.get(q)
+        if b is None or b <= 0:
+            continue
+        ratio = t / b
+        if ratio > THRESHOLD and (t - b) > ABS_FLOOR:
+            regressions.append((q, b, t, ratio))
+        elif ratio < 1 / THRESHOLD:
+            improvements += 1
+
+    new = sorted(set(cur) - set(base))
+    gone = sorted(set(base) - set(cur))
+    if new:
+        print(f"note: {len(new)} queries not in baseline (pass, refresh "
+              f"with --update): {', '.join(new[:8])}{'...' if len(new) > 8 else ''}")
+    if gone:
+        print(f"note: {len(gone)} baseline queries missing from this run: "
+              f"{', '.join(gone[:8])}{'...' if len(gone) > 8 else ''}")
+
+    if regressions:
+        print(f"FAIL: {len(regressions)} per-query regression(s) > "
+              f"{THRESHOLD}x (+{ABS_FLOOR}s floor):")
+        for q, b, t, r in sorted(regressions, key=lambda x: -x[3]):
+            print(f"  {q:40s} {b:7.3f}s -> {t:7.3f}s  ({r:.2f}x)")
+        return 1
+    print(f"ok: {len(cur)} queries vs baseline of {len(base)}; "
+          f"0 regressions, {improvements} >2x improvements")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

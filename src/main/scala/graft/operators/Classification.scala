@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   * per-partition gradient sums).
   *
   * Determinism (the oracle contract): weights init at zero (no seed),
-  * every updated weight is rounded to 6 decimals between steps — the
-  * inter-iteration anchor of `Clustering.round6` — so DuckDB can replay
-  * the exact trajectory with unrolled CTEs. The margin folds
-  * left-to-right over the SAME augmented vector (`[1.0] ++ x`, bias as
-  * feature 0) in both engines, so the floats agree to the ulp and the
-  * anchor absorbs the per-step sum-order noise of the distributed
-  * gradient.
+  * each per-index AVERAGED gradient is rounded to 9 decimals before
+  * the update (see [[round9]] — this is what makes the trajectory
+  * partition-count-invariant at ANY lr), and every updated weight is
+  * rounded to 6 decimals between steps — the inter-iteration anchor of
+  * `Clustering.round6` — so DuckDB can replay the exact trajectory
+  * with unrolled CTEs. The margin folds left-to-right over the SAME
+  * augmented vector (`[1.0] ++ x`, bias as feature 0) in both engines,
+  * so the floats agree to the ulp and the anchors absorb the per-step
+  * sum-order noise of the distributed gradient.
   *
   * Reference scope note: kaylee has no model training — this is
   * north-star extension work (`/root/reference/README.md:4-8` scopes
@@ -39,6 +41,18 @@ object Classification {
     * DuckDB's `round(x, 6)`, shared with `Clustering.round6`. */
   private def round6(x: Double): Double =
     (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+
+  /** 9-decimal gradient anchor. The distributed per-index gradient sum
+    * is float-order-sensitive (partition boundaries decide the add
+    * order); its noise is ~1e-15 relative, so rounding the AVERAGED
+    * gradient to 9 decimals before the weight update makes the
+    * trajectory partition-count-invariant while keeping three orders
+    * of magnitude more gradient precision than the 6dp weight anchor
+    * consumes. Without it, an aggressive lr (the Round8Spec lr=50
+    * regime) amplifies sub-anchor sum noise straight past the weight
+    * anchor. Mirrored verbatim by the oracles' `round(avg(...), 9)`. */
+  private def round9(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e9 + 0.5) else math.ceil(x * 1e9 - 0.5)) / 1e9
 
   /** `[1.0] ++ vec` as array<double> — bias rides as feature 0, so the
     * margin is ONE fold and the gradient is ONE explode in both the
@@ -66,7 +80,17 @@ object Classification {
     * per-index gradient sum (map-side combined to dim+1 rows per task)
     * → collect dim+1 rows. The input is cached across steps and
     * unpersisted before returning (the [[Clustering.trainCentroids]]
-    * cache lifecycle). */
+    * cache lifecycle).
+    *
+    * Safe-lr contract: the trajectory is DETERMINISTIC at any lr (the
+    * 9dp gradient + 6dp weight anchors), but full-batch GD itself
+    * diverges when lr exceeds the loss's curvature bound — weights
+    * oscillate and a runaway bias can classify everything as one
+    * class. That is a property of GD, not of this engine; no `require`
+    * can know the bound (it depends on the feature scale). For
+    * normalized features (rows summing to ~1, e.g.
+    * [[TextAnalysis.charNgramHashFeatures]]) lr in [0.5, 10] is the
+    * empirically stable band. */
   def trainLogReg(df: DataFrame, idCol: String, vecCol: String,
       targetCol: Column, steps: Int, lr: Double): Seq[Double] = {
     require(steps > 0, "steps must be positive")
@@ -82,8 +106,9 @@ object Classification {
       var w: Seq[Double] = Seq.fill(dimRow.head.getInt(0))(0.0)
       for (_ <- 1 to steps) {
         // Σ (p − y)·xa_i and the row count per index: dim+1 rows back.
-        // Every index has the same n (fixed-dim vectors), so avg =
-        // s/n per index — the oracle's avg() — without a second agg.
+        // avg = s/n PER INDEX — the oracle's avg() — without a second
+        // agg, and correct even for ragged vectors (each index
+        // averages over exactly the rows long enough to carry it).
         // residual computed BELOW the explode: ExtractGenerator puts
         // same-select expressions in the Project above the Generate,
         // which would re-fold the O(dim) dot product once per exploded
@@ -96,8 +121,15 @@ object Classification {
           .groupBy(col("i"))
           .agg(sum(col("__d") * col("v")).as("g"), count(lit(1)).as("n"))
           .collect()
-        val byIdx = grads.map(r => r.getInt(0) -> (r.getDouble(1) / r.getLong(2))).toMap
-        w = w.zipWithIndex.map { case (wi, i) => round6(wi - lr * byIdx(i)) }
+        // per-index n (not one shared count): rows shorter than the
+        // first row contribute to fewer indices, so each index's avg
+        // runs over exactly the rows that HAVE it — the ragged-vector
+        // contract. An index absent from `grads` entirely (no row that
+        // long) keeps its weight: gradient 0 by definition.
+        val byIdx = grads.map(r => r.getInt(0) -> round9(r.getDouble(1) / r.getLong(2))).toMap
+        w = w.zipWithIndex.map { case (wi, i) =>
+          round6(wi - lr * byIdx.getOrElse(i, 0.0))
+        }
       }
       w
     } finally {
@@ -162,13 +194,18 @@ object Classification {
               sum(col(s"__d_$c") * col("v")).as(s"g_$c")) :+
               count(lit(1)).as("n")): _*)
           .collect()
-        val n = grads.head.getLong(grads.head.length - 1)
+        // per-ROW n, not one shared count from the head row: for
+        // ragged vectors each index averages over exactly the rows
+        // that carry it (the trainLogReg ragged contract); an index
+        // with no rows keeps its weights (gradient 0 by definition)
         val byIdx: Map[Int, Seq[Double]] = grads.map { r =>
-          r.getInt(0) -> classes.indices.map(k => r.getDouble(k + 1) / n)
+          val n = r.getLong(r.length - 1)
+          r.getInt(0) ->
+            classes.indices.map(k => round9(r.getDouble(k + 1) / n))
         }.toMap
         ws = ws.zipWithIndex.map { case (w, k) =>
           w.zipWithIndex.map { case (wi, i) =>
-            round6(wi - lr * byIdx(i)(k))
+            round6(wi - lr * byIdx.get(i).map(_(k)).getOrElse(0.0))
           }
         }
       }
@@ -191,21 +228,23 @@ object Classification {
     val xa = augmented(col(vecCol))
     val margins = ws.map(w => graft.functions.VectorDot(xa, typedlit(w)))
     val denom = margins.map(exp).reduce(_ + _)
-    val scored = classes.zip(margins).foldLeft(
-      df.select(col(idCol).as("id"), xa.as("__xa"))) {
-      case (acc, (c, _)) => acc // placeholder, replaced below
-    }
-    // compute against the original frame so the margin exprs bind
-    val out = df.select(col(idCol).as("id") +:
+    // argmax on the UNROUNDED margins (monotone in the posteriors —
+    // same shared denominator): posteriors saturate to 1.000000 at 6dp
+    // under confident models, where a rounded-score argmax collapses
+    // to the tie-break (the Round8Spec constant-classifier failure);
+    // margins never saturate and their left-to-right VectorDot fold is
+    // bit-identical to the oracle's list_sum(list_transform(...))
+    val out = df.select((col(idCol).as("id") +:
       classes.zip(margins).map { case (c, m) =>
         round(exp(m) / denom, 6).as(s"p_$c")
-      }: _*)
+      }) ++ classes.zip(margins).map { case (c, m) => m.as(s"__m_$c") }: _*)
     val pred = classes.zipWithIndex.init.foldRight(lit(classes.last)) {
       case ((c, i), acc) =>
-        when(classes.drop(i + 1).map(m => col(s"p_$c") >= col(s"p_$m"))
+        when(classes.drop(i + 1).map(m => col(s"__m_$c") >= col(s"__m_$m"))
           .reduce(_ && _), lit(c)).otherwise(acc)
     }
     out.withColumn(predCol, pred)
+      .drop(classes.map(c => s"__m_$c"): _*)
   }
 
   /** Score rows against a trained weight vector: (id, lr_score) with

@@ -125,8 +125,10 @@ object TextAnalysis {
     * over [[charNgramHashFeatures]] hashed char-bigram features (the
     * fastText recipe at its linear core), trained in-plan by
     * [[Classification.trainLogReg]] against the labeled `langCol`,
-    * prediction = argmax of the per-language sigmoid scores (ties
-    * break to the earlier language in `langs` — a fixed total order).
+    * prediction = argmax of the per-language UNROUNDED margins —
+    * monotone-equivalent to the sigmoid argmax but immune to 6dp
+    * sigmoid saturation (ties break to the earlier language in
+    * `langs` — a fixed total order).
     * Output: `id`, one `s_<lang>` score column (6dp) per language,
     * `lang_pred`.
     *
@@ -153,15 +155,21 @@ object TextAnalysis {
         col(langCol) === l, steps, lr)
     }
     val scored = models.foldLeft(feats) { case (acc, (l, w)) =>
-      acc.withColumn(s"s_$l",
-        round(lit(1.0) / (lit(1.0) +
-          exp(-graft.functions.VectorDot(
-            concat(array(lit(1.0)), col("features")), typedlit(w)))), 6))
+      acc.withColumn(s"__m_$l", graft.functions.VectorDot(
+          concat(array(lit(1.0)), col("features")), typedlit(w)))
+        .withColumn(s"s_$l",
+          round(lit(1.0) / (lit(1.0) + exp(-col(s"__m_$l"))), 6))
     }
-    // argmax with ties to the earlier language in `langs`
+    // argmax on the UNROUNDED margins (monotone in the sigmoids), ties
+    // to the earlier language in `langs`: confident models saturate
+    // every sigmoid to 1.000000 at 6dp, where a rounded-score argmax
+    // collapses to the tie-break — the constant-classifier failure
+    // Round8Spec pins. The margin's left-to-right VectorDot fold is
+    // bit-identical to the oracle's list_sum(list_transform(...)), so
+    // the margin comparison stays exactly replayable.
     val pred = langs.zipWithIndex.init.foldRight(lit(langs.last)) {
       case ((l, i), acc) =>
-        when(langs.drop(i + 1).map(m => col(s"s_$l") >= col(s"s_$m"))
+        when(langs.drop(i + 1).map(m => col(s"__m_$l") >= col(s"__m_$m"))
           .reduce(_ && _), lit(l)).otherwise(acc)
     }
     scored.withColumn("lang_pred", pred)

@@ -1462,8 +1462,9 @@ object SimilarityQueries {
 
   /** DuckDB replay of `Classification.logRegScores`: the GD trajectory
     * unrolled step by step — sigmoid against the previous weights, the
-    * per-index gradient avg, the 6-decimal weight anchor — over the
-    * same augmented `[1.0] || e` vector and the same left-to-right
+    * per-index gradient avg 9dp-anchored (Classification.round9's
+    * partition-invariance anchor), the 6-decimal weight anchor — over
+    * the same augmented `[1.0] || e` vector and the same left-to-right
     * margin fold the engine's VectorDot uses. `w0` is the zero vector,
     * so step 1's margin is exactly 0.0 in both engines. */
   private def logRegOracle(steps: Int, lr: Double, dim: Int): String = {
@@ -1476,7 +1477,7 @@ object SimilarityQueries {
          |    1.0 / (1.0 + exp(-(${margin(s"w${k - 1}.w")}))) AS p
          |  FROM emb CROSS JOIN w${k - 1}),
          |g$k AS (
-         |  SELECT i, avg((p - y) * v) AS g
+         |  SELECT i, round(avg((p - y) * v), 9) AS g
          |  FROM (SELECT y, p, unnest(xa) AS v,
          |               unnest(range(len(xa))) AS i FROM p$k) u
          |  GROUP BY i),

@@ -35,7 +35,7 @@ object TextQueries {
            |    1.0 / (1.0 + exp(-(${margin(s"w${k - 1}_$l.w")}))) AS p
            |  FROM emb CROSS JOIN w${k - 1}_$l),
            |g${k}_$l AS (
-           |  SELECT i, avg((p - y) * v) AS g
+           |  SELECT i, round(avg((p - y) * v), 9) AS g
            |  FROM (SELECT y, p, unnest(xa) AS v,
            |               unnest(range(len(xa))) AS i FROM p${k}_$l) u
            |  GROUP BY i),
@@ -46,12 +46,17 @@ object TextQueries {
       s"""w0_$l AS (SELECT list_transform(range(1, $hi), i -> 0.0::DOUBLE) AS w),
          |$steps_""".stripMargin
     }.mkString(",\n")
+    // unrounded margin per language alongside the 6dp sigmoid: the
+    // argmax runs on margins (the engine's saturation-proof order —
+    // same left-to-right fold, bit-identical doubles), the output
+    // carries the rounded scores
     val scoreCols = langs.map { l =>
-      s"round(1.0 / (1.0 + exp(-(${margin(s"w${steps}_$l.w")}))), 6) AS s_$l"
+      s"""round(1.0 / (1.0 + exp(-(${margin(s"w${steps}_$l.w")}))), 6) AS s_$l,
+         |  ${margin(s"w${steps}_$l.w")} AS m_$l""".stripMargin
     }.mkString(",\n  ")
     val crossW = langs.map(l => s"CROSS JOIN w${steps}_$l").mkString(" ")
     val pred = langs.init.zipWithIndex.map { case (l, i) =>
-      val conds = langs.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ")
+      val conds = langs.drop(i + 1).map(m => s"m_$l >= m_$m").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("\n    ")
     s"""WITH t AS (

@@ -9,9 +9,12 @@ class ClassificationSpec extends SparkSpec {
   private def round6(x: Double): Double =
     (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
 
+  private def round9(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e9 + 0.5) else math.ceil(x * 1e9 - 0.5)) / 1e9
+
   /** Driver-side replay of the documented trajectory: zero init,
     * σ(w·[1.0 ++ x]) with a left-to-right fold, full-batch avg
-    * gradient, 6-decimal anchor per step. */
+    * gradient 9dp-anchored, 6-decimal weight anchor per step. */
   private def referenceLogReg(rows: Seq[(Seq[Double], Double)], steps: Int,
       lr: Double): Seq[Double] = {
     val xs = rows.map { case (x, y) => (1.0 +: x, y) }
@@ -24,7 +27,7 @@ class ClassificationSpec extends SparkSpec {
         xa.zipWithIndex.foreach { case (v, i) => grads(i) += d * v }
       }
       w = w.zipWithIndex.map { case (wi, i) =>
-        round6(wi - lr * grads(i) / xs.size)
+        round6(wi - lr * round9(grads(i) / xs.size))
       }
     }
     w
@@ -61,13 +64,21 @@ class ClassificationSpec extends SparkSpec {
       s"positives ${pos.toSeq} must outscore negatives ${neg.toSeq}")
   }
 
-  test("weights invariant to input partitioning (6-decimal anchor)") {
+  test("weights invariant to input partitioning at 2/8/32 partitions, " +
+      "including the aggressive-lr regime (9dp gradient anchor)") {
     val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val a = Classification.trainLogReg(base, "vec_id", "embedding",
-      col("label") === 1, steps = 2, lr = 1.0)
-    val b = Classification.trainLogReg(base.repartition(13), "vec_id",
-      "embedding", col("label") === 1, steps = 2, lr = 1.0)
-    assert(a === b)
+    // lr=1 (the oracled regime) and lr=50 (far past convergence — the
+    // regime where un-anchored sum-order noise amplifies straight past
+    // the 6dp weight anchor; determinism must hold even where GD
+    // itself diverges)
+    for (lr <- Seq(1.0, 50.0)) {
+      val runs = Seq(2, 8, 32).map { p =>
+        Classification.trainLogReg(base.repartition(p), "vec_id",
+          "embedding", col("label") === 1, steps = 3, lr = lr)
+      }
+      assert(runs.distinct.size === 1,
+        s"lr=$lr trajectories differ across partitionings: $runs")
+    }
   }
 
   test("empty input: Nil weights, empty scored frame with correct schema") {

@@ -74,15 +74,28 @@ class Round8Spec extends SparkSpec {
     val docs = ((1 to 40).map(i => (i.toLong, doc(aWords, i), "aa")) ++
       (41 to 80).map(i => (i.toLong, doc(bWords, i), "bb")))
       .toDF("doc_id", "text", "lang")
-    val out = TextAnalysis.langIdTrained(docs, "doc_id", "text", "lang",
-      Seq("aa", "bb"), steps = 4, lr = 50.0, n = 2, dim = 32)
-    val joined = out.join(docs.select(col("doc_id").as("id"), col("lang")),
-      Seq("id"))
-    val acc = joined.agg(avg((col("lang_pred") === col("lang"))
-      .cast("double"))).head().getDouble(0)
-    assert(acc === 1.0)
-    // both classes actually predicted (not a constant classifier)
-    assert(joined.select("lang_pred").distinct().count() === 2L)
+    // lr=10 (the q_lang_id_trained production regime): full-batch GD
+    // diverges above ~lr=20 on this corpus — oscillating weights and a
+    // runaway bias classify everything as one class, which is a GD
+    // property, not an engine defect (empirical sweep: lr ≤ 10 learns
+    // acc 1.0 at 4 and 8 steps; lr=50, the regime this spec originally
+    // used, diverges at any step count). Prediction is margin-argmax,
+    // so 6dp sigmoid saturation cannot collapse to the tie-break.
+    def accAt(input: org.apache.spark.sql.DataFrame): Double = {
+      val out = TextAnalysis.langIdTrained(input, "doc_id", "text", "lang",
+        Seq("aa", "bb"), steps = 4, lr = 10.0, n = 2, dim = 32)
+      val joined = out.join(docs.select(col("doc_id").as("id"), col("lang")),
+        Seq("id"))
+      // both classes actually predicted (not a constant classifier)
+      assert(joined.select("lang_pred").distinct().count() === 2L)
+      joined.agg(avg((col("lang_pred") === col("lang"))
+        .cast("double"))).head().getDouble(0)
+    }
+    assert(accAt(docs) === 1.0)
+    // partition-count invariance: the 9dp gradient anchor makes the GD
+    // trajectory identical at any input layout (the kMeans/BPE/PCA
+    // invariance pattern), so a 2-partition run must score identically
+    assert(accAt(docs.repartition(2)) === 1.0)
   }
 
   test("charNgramHashFeatures: normalized counts sum to ~1, empty and " +

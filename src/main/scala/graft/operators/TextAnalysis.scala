@@ -177,6 +177,43 @@ object TextAnalysis {
         col("lang_pred"): _*)
   }
 
+  /** SOFTMAX language ID — the calibrated multiclass form of
+    * [[langIdTrained]], and the actual fastText recipe: ONE multinomial
+    * model ([[Classification.trainSoftmax]]) over the same hashed
+    * char-ngram features instead of |langs| independent one-vs-rest
+    * sigmoids. The difference matters for the scores, not just
+    * elegance: independently-trained sigmoid scores are not comparable
+    * across classes (a class whose feature mass concentrates in fewer
+    * buckets learns systematically larger margins), while softmax
+    * posteriors share one denominator per row and sum to 1 — `p_<lang>`
+    * IS the class posterior a downstream mixer can threshold on.
+    * Output: `id`, one `p_<lang>` (6dp) per language, `lang_pred` =
+    * argmax on the unrounded margins (saturation-proof, ties to the
+    * earlier language in `langs`).
+    *
+    * Fully value-oracled: md5/round-portable features + the
+    * 9dp-gradient/6dp-weight anchored trajectory of
+    * [[Classification.trainSoftmax]] — DuckDB replays every step with
+    * unrolled CTEs sharing one softmax denominator per row. Scale
+    * shape: training is `steps` bounded aggregation jobs (K·(dim+1)
+    * doubles to the driver per step — ONE job per step, not one per
+    * class per step, the concrete win over [[langIdTrained]]'s |langs|
+    * separate trainings); scoring is one stateless codegen'd
+    * projection, batch/streaming identical. */
+  def langIdSoftmax(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, langs: Seq[String], steps: Int = 2,
+      lr: Double = 10.0, n: Int = 2, dim: Int = 32): DataFrame = {
+    require(langs.nonEmpty, "need at least one language")
+    // scanned steps (training) + 1 (scoring) times — eager
+    // localCheckpoint, blocks freed on GC (the langIdTrained lifecycle)
+    val feats = charNgramHashFeatures(df, idCol, textCol, n, dim,
+      carry = Seq(langCol)).localCheckpoint(true)
+    val ws = Classification.trainSoftmax(feats, "id", "features",
+      col(langCol), langs, steps, lr)
+    Classification.scoreSoftmax(feats, "id", "features", langs, ws,
+      predCol = "lang_pred")
+  }
+
   /** Per-document character Shannon entropy (bits/char) — the standard
     * gibberish/boilerplate signal (low entropy = repeated chars or
     * padding, high = random noise). Native Catalyst expression

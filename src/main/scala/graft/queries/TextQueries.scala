@@ -85,6 +85,96 @@ object TextQueries {
        |FROM scored""".stripMargin
   }
 
+  /** DuckDB replay of [[TextAnalysis.langIdSoftmax]]: the hashed
+    * char-bigram feature CTE, then ONE unrolled multinomial GD chain —
+    * per step, all |langs| margins against the previous weights, the
+    * shared softmax denominator folded in fixed class order
+    * (left-assoc `+`, exactly `margins.map(exp).reduce(_ + _)`), the
+    * per-class residuals, one per-index gradient CTE carrying all K
+    * 9dp-anchored averages, and K 6dp-anchored weight lists — then the
+    * 6dp posterior projection with the margin-argmax CASE. */
+  private def langIdSoftmaxOracle(langs: Seq[String], steps: Int,
+      lr: Double, dim: Int): String = {
+    val hi = dim + 2 // exclusive bound over the augmented vector
+    def margin(w: String): String =
+      s"list_sum(list_transform(range(1, $hi), i -> $w[i] * xa[i]))"
+    def den(src: String): String =
+      langs.map(l => s"exp($src" + s"m_$l)").mkString(" + ")
+    val stepCtes = (1 to steps).map { k =>
+      val crossPrev = langs.map(l => s"CROSS JOIN w${k - 1}_$l").mkString(" ")
+      val marginCols = langs.map { l =>
+        s"${margin(s"w${k - 1}_$l.w")} AS m_$l"
+      }.mkString(",\n    ")
+      val residCols = langs.map { l =>
+        s"""exp(m_$l) / (${den("")}) -
+           |      CASE WHEN lang = '$l' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+           |      AS d_$l""".stripMargin
+      }.mkString(",\n    ")
+      val gradCols = langs.map { l =>
+        s"round(avg(d_$l * v), 9) AS g_$l"
+      }.mkString(", ")
+      val wCtes = langs.map { l =>
+        s"""w${k}_$l AS (
+           |  SELECT list(round(wp.w[i + 1] - $lr * g_$l, 6) ORDER BY i) AS w
+           |  FROM g$k CROSS JOIN w${k - 1}_$l wp)""".stripMargin
+      }.mkString(",\n")
+      s"""p$k AS (
+         |  SELECT doc_id, lang, xa,
+         |    $marginCols
+         |  FROM emb $crossPrev),
+         |r$k AS (
+         |  SELECT xa,
+         |    $residCols
+         |  FROM p$k),
+         |g$k AS (
+         |  SELECT i, $gradCols
+         |  FROM (SELECT unnest(xa) AS v, unnest(range(len(xa))) AS i,
+         |          ${langs.map(l => s"d_$l").mkString(", ")} FROM r$k) u
+         |  GROUP BY i),
+         |$wCtes""".stripMargin
+    }.mkString(",\n")
+    val w0Ctes = langs.map { l =>
+      s"w0_$l AS (SELECT list_transform(range(1, $hi), i -> 0.0::DOUBLE) AS w)"
+    }.mkString(",\n")
+    val finalMargins = langs.map { l =>
+      s"${margin(s"w${steps}_$l.w")} AS m_$l"
+    }.mkString(",\n    ")
+    val crossFinal = langs.map(l => s"CROSS JOIN w${steps}_$l").mkString(" ")
+    val pCols = langs.map { l =>
+      s"round(exp(m_$l) / (${den("")}), 6) AS p_$l"
+    }.mkString(",\n  ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(m => s"m_$l >= m_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(t) < 2 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(range(1, length(t)), i ->
+       |           ('0x' || substring(md5(substring(t, i, 2)), 1, 15))::BIGINT
+       |             % $dim) END AS bks
+       |  FROM t),
+       |emb AS (
+       |  SELECT doc_id, lang,
+       |    [1.0::DOUBLE] || list_transform(range(0, $dim), b ->
+       |      round(len(list_filter(bks, x -> x = b))::DOUBLE
+       |        / greatest(len(bks), 1), 6)) AS xa
+       |  FROM f),
+       |$w0Ctes,
+       |$stepCtes,
+       |scoredf AS (
+       |  SELECT doc_id,
+       |    $finalMargins
+       |  FROM emb $crossFinal)
+       |SELECT doc_id,
+       |  $pCols,
+       |  CASE $pred
+       |    ELSE '${langs.last}' END AS lang_pred
+       |FROM scoredf""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> { (s, dir) =>
       table(s, dir, "documents").select(
@@ -120,6 +210,20 @@ object TextQueries {
     // md5 feature hashing both replayed exactly by DuckDB
     "q_lang_id_trained" -> { (s, dir) =>
       TextAnalysis.langIdTrained(table(s, dir, "documents"),
+          "doc_id", "text", "lang", LangIdLangs, steps = 2, lr = 10.0,
+          n = 2, dim = 32)
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // SOFTMAX (multinomial) language ID — ONE multiclass model over
+    // the same hashed char-bigram features instead of q_lang_id_trained's
+    // |langs| one-vs-rest sigmoids: per-row posteriors share one
+    // softmax denominator and sum to 1 (calibrated across classes),
+    // and training is one job per step instead of one per class per
+    // step. DuckDB replays the multinomial GD trajectory exactly —
+    // shared-denominator residuals, 9dp gradient + 6dp weight anchors
+    "q_lang_id_softmax" -> { (s, dir) =>
+      TextAnalysis.langIdSoftmax(table(s, dir, "documents"),
           "doc_id", "text", "lang", LangIdLangs, steps = 2, lr = 10.0,
           n = 2, dim = 32)
         .withColumnRenamed("id", "doc_id")
@@ -492,6 +596,10 @@ object TextQueries {
     // by langIdTrainedOracle — parameters must match the query exactly
     "q_lang_id_trained" ->
       langIdTrainedOracle(LangIdLangs, steps = 2, lr = 10.0, dim = 32),
+    // the multinomial trajectory unrolled with one shared softmax
+    // denominator per row per step — parameters must match the query
+    "q_lang_id_softmax" ->
+      langIdSoftmaxOracle(LangIdLangs, steps = 2, lr = 10.0, dim = 32),
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id,

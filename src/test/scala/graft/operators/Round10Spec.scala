@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 wave: softmax language ID wired to the query surface
+  * (learning quality + determinism), and the trained-reranker /
+  * composition additions' behavioral pins. */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- softmax language ID: learning quality ----
+
+  private val aWords = Seq("mera", "tilo", "sana", "vire", "lumo")
+  private val bWords = Seq("grukz", "bortz", "knapf", "zwirg", "pfunk")
+  private val cWords = Seq("chyx", "qwyx", "xylch", "chqy", "yxqch")
+  private def doc(ws: Seq[String], seed: Int): String =
+    (0 until 30).map(i => ws((i * (seed + 3) + seed) % ws.size)).mkString(" ")
+  private def triDocs: DataFrame =
+    ((1 to 30).map(i => (i.toLong, doc(aWords, i), "aa")) ++
+      (31 to 60).map(i => (i.toLong, doc(bWords, i), "bb")) ++
+      (61 to 90).map(i => (i.toLong, doc(cWords, i), "cc")))
+      .toDF("doc_id", "text", "lang")
+
+  test("langIdSoftmax: three separable languages are learned — acc 1.0, " +
+      "every class predicted, posteriors sum to 1 per row") {
+    val docs = triDocs
+    val out = TextAnalysis.langIdSoftmax(docs, "doc_id", "text", "lang",
+      Seq("aa", "bb", "cc"), steps = 4, lr = 10.0, n = 2, dim = 32)
+    val joined = out.join(docs.select(col("doc_id").as("id"), col("lang")),
+      Seq("id"))
+    assert(joined.select("lang_pred").distinct().count() === 3L)
+    val acc = joined.agg(avg((col("lang_pred") === col("lang"))
+      .cast("double"))).head().getDouble(0)
+    assert(acc === 1.0)
+    // softmax posteriors are calibrated across classes: each row's
+    // p_aa + p_bb + p_cc == 1 up to the 6dp output rounding
+    val sums = out.select(
+      (col("p_aa") + col("p_bb") + col("p_cc")).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 3e-6)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 3e-6)
+  }
+
+  test("trainSoftmax: weights invariant to input partitioning at " +
+      "2/8/32 partitions (9dp gradient anchor)") {
+    val docs = triDocs
+    def weightsAt(p: Int): Seq[Seq[Double]] = {
+      val feats = TextAnalysis.charNgramHashFeatures(
+        docs.repartition(p), "doc_id", "text", 2, 32, carry = Seq("lang"))
+      Classification.trainSoftmax(feats, "id", "features", col("lang"),
+        Seq("aa", "bb", "cc"), steps = 3, lr = 10.0)
+    }
+    val runs = Seq(2, 8, 32).map(weightsAt)
+    assert(runs.distinct.size === 1,
+      "softmax trajectories differ across partitionings")
+  }
+
+  test("trainSoftmax: one job per STEP — the per-step gradient plan " +
+      "aggregates all K classes in one (dim+1)-key map-side-combined agg") {
+    // mirror one step's gradient frame (3 classes) without collecting:
+    // the groupBy(i) must carry all residual sums in ONE aggregate
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xa = concat(array(lit(1.0)), col("embedding").cast("array<double>"))
+    val step = emb.select(xa.as("__xa"), lit(0.1).as("d_a"),
+        lit(0.2).as("d_b"), lit(0.3).as("d_c"))
+      .select(posexplode(col("__xa")).as(Seq("i", "v")),
+        col("d_a"), col("d_b"), col("d_c"))
+      .groupBy(col("i"))
+      .agg(sum(col("d_a") * col("v")).as("g_a"),
+        sum(col("d_b") * col("v")).as("g_b"),
+        sum(col("d_c") * col("v")).as("g_c"),
+        count(lit(1)).as("n"))
+    val plan = step.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan) // map-side combine present
+  }
+
+  test("scoreSoftmax: ragged vectors — rows shorter than the head row " +
+      "train without shared-count skew (per-index n)") {
+    // two indices exist only on the first two rows; with the old
+    // head-row shared n the short rows' indices would divide by the
+    // wrong count — here we just pin that training completes and the
+    // per-index averaging uses each index's own row count
+    val ragged = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), "x"), (2L, Seq(0.5, 1.0, 2.0), "x"),
+      (3L, Seq(-1.0, -2.0), "y"), (4L, Seq(-0.5, -1.5), "y"))
+      .toDF("id", "vec", "lbl")
+    val ws = Classification.trainSoftmax(ragged, "id", "vec", col("lbl"),
+      Seq("x", "y"), steps = 1, lr = 1.0)
+    assert(ws.size === 2 && ws.forall(_.size === 4)) // dim from head row
+    // index 3 (the head-row-only feature) averaged over 2 rows, not 4:
+    // replay index 3's step-1 gradient by hand — at w0=0 both softmax
+    // posteriors are 0.5, so d_x = 0.5 - 1[lbl=x]; only rows 1,2
+    // (class x, v = 3.0 and 2.0) carry index 3:
+    // g = ((3.0 + 2.0) * -0.5) / 2 = -1.25 → w = -(1.0 * -1.25)
+    assert(ws.head(3) === 1.25)
+    // with the old head-row shared count (n=4) it would be 0.625
+  }
+}

@@ -232,6 +232,84 @@ object Retrieval {
         col("lex_cos"), col("sem_cos"))
   }
 
+  /** TRAINED rerank stage — [[rerankFused]]'s scaladoc promise
+    * delivered: instead of the hand-tuned 0.5/0.4/0.1 blend, a
+    * [[Classification.trainLogReg]] model learns the blend weights
+    * over the SAME three features (lex_cos, sem_cos, rrf), with labels
+    * mined from `truth` — the exact brute-force top-k pairs (the
+    * q_ann_recall truth set): a candidate is positive iff the exact
+    * scan would have retrieved it. Same plan shape as the hand blend
+    * (two bounded pair-key joins + a per-query window), trained
+    * coefficients.
+    *
+    * The labeled candidate table is eagerly localCheckpoint'ed ONCE
+    * and feeds both the `steps` training scans and the scoring scan —
+    * the legs never recompute (blocks freed on GC, the langIdTrained
+    * lifecycle). Ranking orders by the UNROUNDED margin (monotone in
+    * the sigmoid score, saturation-proof, and a bit-exact left-to-right
+    * VectorDot fold the oracle replays); the output `score` is the 6dp
+    * sigmoid. Scale shape: candidates are ≤ candidateK rows per query
+    * by construction, so training cost is `steps` bounded aggregation
+    * jobs over an already-bounded table — at 100 TB you mine labels on
+    * a bounded query SAMPLE (exactly what `truth`'s `every`-th-doc
+    * sampling is) and score the full corpus with the persisted
+    * 4-double weight vector. */
+  def rerankTrainedFused(lex: DataFrame, sem: DataFrame, fused: DataFrame,
+      truth: DataFrame, k: Int, steps: Int = 8, lr: Double = 5.0): DataFrame = {
+    val l = lex.select(col("query_id"), col("neighbor_id"),
+      col("cos").as("__lc"))
+    val s = sem.select(col("query_id"), col("neighbor_id"),
+      col("cos").as("__sc"))
+    val t = truth.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("__hit"))
+    val labeled = fused
+      .select(col("query_id"), col("neighbor_id"), col("rrf"))
+      .join(l, Seq("query_id", "neighbor_id"), "left_outer")
+      .join(s, Seq("query_id", "neighbor_id"), "left_outer")
+      .join(t, Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("lex_cos", coalesce(col("__lc"), lit(0.0)))
+      .withColumn("sem_cos", coalesce(col("__sc"), lit(0.0)))
+      // the legs' 6dp outputs ARE the features — engine-portable by
+      // the same contract that value-oracles the hand blend
+      .withColumn("__feat",
+        array(col("lex_cos"), col("sem_cos"), col("rrf")))
+      .select(col("query_id"), col("neighbor_id"), col("rrf"),
+        col("lex_cos"), col("sem_cos"), col("__feat"), col("__hit"))
+      .localCheckpoint(true)
+    val w = Classification.trainLogReg(labeled, "query_id", "__feat",
+      col("__hit") === 1, steps, lr)
+    val xa = concat(array(lit(1.0)), col("__feat"))
+    val margin = graft.functions.VectorDot(xa, typedlit(w))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__m"), asc("neighbor_id"))
+    labeled
+      .withColumn("__m", margin)
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score"), col("lex_cos"), col("sem_cos"))
+  }
+
+  /** The composed retrieve→fuse→TRAINED-rerank stack: same legs and
+    * fusion as [[hybridRerankTopK]], labels from the exact brute-force
+    * top-k over the same query sample, reranked by the trained model
+    * instead of the hand blend. The exact scan rides the same
+    * [[Similarity.bruteForceTopK]] guardSize contract — label mining
+    * is a bounded-sample operation by construction. */
+  def hybridRerankTrainedTopK(docs: DataFrame, emb: DataFrame, k: Int,
+      legK: Int = 10, every: Long = 50L, c: Int = 60, nCells: Int = 16,
+      nprobe: Int = 4, maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0,
+      steps: Int = 8, lr: Double = 5.0, candidateK: Int = 0): DataFrame = {
+    val lex = lexicalTopK(docs, "doc_id", "text", legK, every, maxTermDf,
+      maxTermDfFrac)
+    val sem = Similarity.ivfTopK(emb, legK, nCells, nprobe, every)
+    val fused = rrfFuse(lex, sem, if (candidateK > 0) candidateK else legK, c)
+    val truth = Similarity.bruteForceTopK(emb, k, every)
+    rerankTrainedFused(lex, sem, fused, truth, k, steps, lr)
+  }
+
   /** The composed retrieve→fuse→rerank stack over the [[hybridTopK]]
     * layout: both legs ranked to `legK`, RRF-fused to a `candidateK`
     * candidate pool (default legK — the fused top-legK), reranked to

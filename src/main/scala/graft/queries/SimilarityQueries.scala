@@ -88,6 +88,17 @@ object SimilarityQueries {
         table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5,
         maxTermDfFrac = 0.5)
     },
+    // retrieve→fuse→TRAINED rerank: same legs/fusion/candidates as
+    // q_hybrid_rerank, but the blend weights are LEARNED — in-plan
+    // logistic regression over (lex_cos, sem_cos, rrf) with labels
+    // mined from the exact brute-force top-5 (the q_ann_recall truth
+    // set); candidates re-ranked by the trained margin. DuckDB replays
+    // legs + fusion + label mining + the full GD trajectory
+    "q_hybrid_rerank_trained" -> { (s, dir) =>
+      graft.operators.Retrieval.hybridRerankTrainedTopK(
+        table(s, dir, "documents"), table(s, dir, "embeddings"), k = 5,
+        maxTermDfFrac = 0.5)
+    },
     // cross-table HYBRID retrieval: the md5-split test docs retrieve
     // from the train corpus — corpus-model TF-IDF lexical leg (frac
     // 0.5 cap) + corpus-trained-quantizer kNN semantic leg, RRF-fused;
@@ -722,87 +733,7 @@ object SimilarityQueries {
     // ((0.5*lex_cos + 0.4*sem_cos) + 0.1*rrf6) in the engine's exact
     // multiply/add order over the 6dp leg values — bit-identical
     "q_hybrid_rerank" ->
-      s"""WITH tf AS (
-        |  SELECT doc_id, term, count(1) AS tf
-        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
-        |          x -> x <> '')) AS term
-        |        FROM documents)
-        |  GROUP BY 1, 2),
-        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-        |nn AS (SELECT count(1)::DOUBLE AS n FROM documents),
-        |w AS (SELECT tf.doc_id, tf.term,
-        |        round(round(tf.tf * ln(nn.n / dfx.df), 6) * 1e6)::BIGINT AS w
-        |      FROM tf JOIN dfx USING (term) CROSS JOIN nn
-        |      WHERE dfx.df <= (SELECT count(1) FROM documents) // 2),
-        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
-        |lprods AS (
-        |  SELECT wq.doc_id AS query_id, wn.doc_id AS neighbor_id,
-        |    sum(wq.w * wn.w) AS dot
-        |  FROM w wq JOIN w wn ON wq.term = wn.term
-        |    AND wq.doc_id % 50 = 0 AND wn.doc_id <> wq.doc_id
-        |  GROUP BY 1, 2),
-        |lex AS (
-        |  SELECT query_id, neighbor_id, rank, cos FROM (
-        |    SELECT p.query_id, p.neighbor_id,
-        |      row_number() OVER (PARTITION BY p.query_id
-        |        ORDER BY p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE)
-        |          DESC, p.neighbor_id) AS rank,
-        |      round(p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE), 6)
-        |        AS cos
-        |    FROM lprods p
-        |    JOIN norms nq ON p.query_id = nq.doc_id
-        |    JOIN norms nb ON p.neighbor_id = nb.doc_id)
-        |  WHERE rank <= 10),
-        |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |emb AS (SELECT vec_id, e,
-        |          list_sum(list_transform(e, x -> x * x)) AS xx
-        |        FROM emb0),
-        |${lloyd2Ctes("emb", 16)},
-        |dots AS (
-        |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
-        |  FROM emb m CROSS JOIN c1cc c),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM dots) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
-        |sscored AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
-        |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
-        |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
-        |  FROM probes p
-        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
-        |  JOIN emb0 eq ON eq.vec_id = p.query_id
-        |  JOIN emb0 en ON en.vec_id = a.vec_id),
-        |sem AS (
-        |  SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
-        |    SELECT query_id, neighbor_id, cos,
-        |      row_number() OVER (PARTITION BY query_id
-        |                         ORDER BY cos DESC, neighbor_id) AS rank
-        |    FROM sscored) WHERE rank <= 10),
-        |fused AS (
-        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
-        |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
-        |    coalesce(1.0 / (60 + l.rank), 0.0)
-        |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf,
-        |    coalesce(l.cos, 0.0) AS lex_cos,
-        |    coalesce(s.cos, 0.0) AS sem_cos
-        |  FROM lex l FULL JOIN sem s
-        |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
-        |cands AS (
-        |  SELECT query_id, neighbor_id, round(rrf, 6) AS rrf6,
-        |    lex_cos, sem_cos
-        |  FROM (
-        |    SELECT query_id, neighbor_id, rrf, lex_cos, sem_cos,
-        |      row_number() OVER (PARTITION BY query_id
-        |                         ORDER BY rrf DESC, neighbor_id) AS frank
-        |    FROM fused) WHERE frank <= 10),
+      s"""$hybridCandsPrefix,
         |scored AS (
         |  SELECT query_id, neighbor_id, lex_cos, sem_cos,
         |    (0.5 * lex_cos + 0.4 * sem_cos) + 0.1 * rrf6 AS score
@@ -814,6 +745,13 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY score DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the TRAINED reranker: the same candidate chain, labels from the
+    // exact brute-force top-5 (the q_ann_bruteforce_topk chain), the
+    // q_lr_train_score GD recipe over xa = [1, lex_cos, sem_cos, rrf6]
+    // (9dp gradient + 6dp weight anchors), rank by the unrounded
+    // margin (the engine's saturation-proof order)
+    "q_hybrid_rerank_trained" -> rerankTrainedOracle(steps = 8, lr = 5.0,
+      k = 5),
     // cross-table hybrid RRF: the q_tfidf_cosine_incremental split +
     // corpus-stats weight chain ranked to 10, the q_knn_join chain
     // over the same md5 split ranked to 10, fused by 1/(60+rank)
@@ -1270,6 +1208,153 @@ object SimilarityQueries {
       qsDef = "SELECT vec_id AS query_id, e0 AS q FROM emb0 WHERE bkt >= 14",
       dim = 64, subspaces = 8, kCodes = 16, k = 3, nCells = 8, nprobe = 2),
   )
+
+  /** Shared CTE chain of the hybrid rerank oracles: both leg chains
+    * (the q_tfidf integer-weight lexical chain and the proven IVF
+    * chain) ranked to 10 with each leg's 6dp cos carried through RRF
+    * fusion, cut to the fused top-10 candidate pool with
+    * rrf6/lex_cos/sem_cos — q_hybrid_rerank applies the hand blend on
+    * top, q_hybrid_rerank_trained the trained logreg reranker. */
+  private def hybridCandsPrefix: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(1) AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |          x -> x <> '')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |nn AS (SELECT count(1)::DOUBLE AS n FROM documents),
+       |w AS (SELECT tf.doc_id, tf.term,
+       |        round(round(tf.tf * ln(nn.n / dfx.df), 6) * 1e6)::BIGINT AS w
+       |      FROM tf JOIN dfx USING (term) CROSS JOIN nn
+       |      WHERE dfx.df <= (SELECT count(1) FROM documents) // 2),
+       |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+       |lprods AS (
+       |  SELECT wq.doc_id AS query_id, wn.doc_id AS neighbor_id,
+       |    sum(wq.w * wn.w) AS dot
+       |  FROM w wq JOIN w wn ON wq.term = wn.term
+       |    AND wq.doc_id % 50 = 0 AND wn.doc_id <> wq.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, neighbor_id, rank, cos FROM (
+       |    SELECT p.query_id, p.neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE)
+       |          DESC, p.neighbor_id) AS rank,
+       |      round(p.dot::DOUBLE / sqrt(nq.n2::DOUBLE * nb.n2::DOUBLE), 6)
+       |        AS cos
+       |    FROM lprods p
+       |    JOIN norms nq ON p.query_id = nq.doc_id
+       |    JOIN norms nb ON p.neighbor_id = nb.doc_id)
+       |  WHERE rank <= 10),
+       |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |emb AS (SELECT vec_id, e,
+       |          list_sum(list_transform(e, x -> x * x)) AS xx
+       |        FROM emb0),
+       |${lloyd2Ctes("emb", 16)},
+       |dots AS (
+       |  SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+       |  FROM emb m CROSS JOIN c1cc c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dots) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dots WHERE vec_id % 50 = 0) WHERE rn <= 4),
+       |sscored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+       |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN emb0 eq ON eq.vec_id = p.query_id
+       |  JOIN emb0 en ON en.vec_id = a.vec_id),
+       |sem AS (
+       |  SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM sscored) WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+       |    coalesce(1.0 / (60 + l.rank), 0.0)
+       |      + coalesce(1.0 / (60 + s.rank), 0.0) AS rrf,
+       |    coalesce(l.cos, 0.0) AS lex_cos,
+       |    coalesce(s.cos, 0.0) AS sem_cos
+       |  FROM lex l FULL JOIN sem s
+       |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
+       |cands AS (
+       |  SELECT query_id, neighbor_id, round(rrf, 6) AS rrf6,
+       |    lex_cos, sem_cos
+       |  FROM (
+       |    SELECT query_id, neighbor_id, rrf, lex_cos, sem_cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY rrf DESC, neighbor_id) AS frank
+       |    FROM fused) WHERE frank <= 10)""".stripMargin
+
+  /** DuckDB replay of `Retrieval.hybridRerankTrainedTopK`: the shared
+    * candidate chain ([[hybridCandsPrefix]]), the exact brute-force
+    * top-k truth pairs over the same `% 50` query sample, a LEFT JOIN
+    * label, then the logRegOracle GD recipe unrolled over the 4-dim
+    * augmented feature `[1, lex_cos, sem_cos, rrf6]` and the final
+    * margin-ranked 6dp sigmoid scores. */
+  private def rerankTrainedOracle(steps: Int, lr: Double, k: Int): String = {
+    def margin(w: String): String =
+      s"list_sum(list_transform(range(1, 5), i -> $w[i] * xa[i]))"
+    val stepCtes = (1 to steps).map { s =>
+      s"""rp$s AS (
+         |  SELECT xa, y,
+         |    1.0 / (1.0 + exp(-(${margin(s"rw${s - 1}.w")}))) AS p
+         |  FROM lab CROSS JOIN rw${s - 1}),
+         |rg$s AS (
+         |  SELECT i, round(avg((p - y) * v), 9) AS g
+         |  FROM (SELECT y, p, unnest(xa) AS v,
+         |               unnest(range(len(xa))) AS i FROM rp$s) u
+         |  GROUP BY i),
+         |rw$s AS (
+         |  SELECT list(round(wp.w[i + 1] - $lr * g, 6) ORDER BY i) AS w
+         |  FROM rg$s CROSS JOIN rw${s - 1} wp)""".stripMargin
+    }.mkString(",\n")
+    s"""$hybridCandsPrefix,
+       |truthq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |tscored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> q.q_emb[i] * e.embedding[i]::DOUBLE))
+       |    / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))) AS cos
+       |  FROM truthq q, embeddings e WHERE e.vec_id <> q.query_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS trank
+       |    FROM tscored) WHERE trank <= $k),
+       |lab AS (
+       |  SELECT c.query_id, c.neighbor_id, c.lex_cos, c.sem_cos,
+       |    [1.0::DOUBLE, c.lex_cos, c.sem_cos, c.rrf6] AS xa,
+       |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1.0::DOUBLE
+       |         ELSE 0.0::DOUBLE END AS y
+       |  FROM cands c LEFT JOIN truth t
+       |    ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id),
+       |rw0 AS (SELECT list_transform(range(1, 5), i -> 0.0::DOUBLE) AS w),
+       |$stepCtes
+       |SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       |  round(1.0 / (1.0 + exp(-m)), 6) AS score, lex_cos, sem_cos
+       |FROM (
+       |  SELECT l.query_id, l.neighbor_id, l.lex_cos, l.sem_cos,
+       |    ${margin(s"rw$steps.w")} AS m,
+       |    row_number() OVER (PARTITION BY l.query_id
+       |      ORDER BY ${margin(s"rw$steps.w")} DESC, l.neighbor_id) AS rank
+       |  FROM lab l CROSS JOIN rw$steps) WHERE rank <= $k""".stripMargin
+  }
 
   /** The recall audit composes the two ANN oracles verbatim as nested
     * CTE subqueries (DuckDB allows WITH inside a CTE body), so the

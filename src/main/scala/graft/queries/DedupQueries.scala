@@ -407,6 +407,71 @@ object DedupQueries {
           countDistinct(col("chunk_id")).as("n_chunks"),
           sum(col("n_tokens")).as("n_tokens"))
     },
+    // the SECOND product composition, over the other half of the
+    // operator inventory: gopher quality → blocklist screen → line
+    // dedup → SEMANTIC dedup (trained k-means cells + within-cell
+    // cosine, drop the higher id of each >= 0.4 pair) → √-temperature
+    // language mix → token-balanced training shards. Stages chain
+    // lazily except the two documented model boundaries (the Lloyd
+    // trainer collects O(k·dim) centroids; the survivors' embedding
+    // projection is localCheckpoint'ed once so the 3 training scans
+    // don't re-run the doc-filter chain — at 100 TB that projection is
+    // a persisted table feeding the trainer). Exchange budget pinned
+    // in Round10Spec. Output: the per-shard corpus accounting row.
+    "q_curation_v2" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      // 1. Gopher battery (minStopHits=1 — the q_pipeline_e2e bar)
+      val gophered = docs.join(
+        graft.operators.TextAnalysis.gopherQualityFilter(docs, "doc_id",
+            "text", minStopHits = 1L)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      // 2. C4-style blocklist screen (the q_blocklist_filter config)
+      val screened = gophered.join(
+        graft.operators.TextAnalysis.blocklistStats(docs, "doc_id",
+            "text", Seq("dup", "noise", "Vector"), maxFrac = 0.05)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      // 3. corpus-level line dedup over the 8-word reflow of survivors
+      val deduped = Dedup.lineLevelDedup(reflowLines(screened),
+          "doc_id", "text_lines", minChars = 10)
+        .select(col("id").as("doc_id"), col("text_dedup"))
+      // 4. SemDeDup over the SURVIVORS' embeddings (id namespace is
+      //    shared with documents): keep the lowest id of each >= 0.4
+      //    within-cell pair — the greedy-by-pairs representative rule
+      val embSurv = emb
+        .join(deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true) // model boundary: feeds 3 Lloyd scans
+      val drops = Dedup.semanticPairs(embSurv, threshold = 0.4,
+          nClusters = 8, trainIters = 2)
+        .select(col("b").as("doc_id")).distinct()
+      val kept = deduped.join(drops, Seq("doc_id"), "left_anti")
+      // 5. √-temperature mix on the DEDUPED token mass per language.
+      //    The curated accounting table (doc_id, lang, n_tokens) is
+      //    localCheckpoint'ed ONCE here — the persisted-curated-corpus
+      //    boundary every production pipeline has: the mix needs two
+      //    scans (stratum totals + row keep) and the sharder two more
+      //    (bucket meta + assignment), and without the boundary each
+      //    branch would re-execute the whole filter/dedup chain
+      //    (measured: 67 exchanges fully lazy vs 7 with the boundary;
+      //    Round10Spec pins both halves)
+      val tokened = kept
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("n_tokens", graft.operators.TextAnalysis
+          .tokenCount(col("text_dedup")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .localCheckpoint(true)
+      val mixed = graft.operators.Sampling.temperatureMix(tokened,
+        col("doc_id"), col("lang"), col("n_tokens"))
+      // 6. deterministic token-balanced shards over the final corpus
+      graft.operators.Layout
+        .tokenBalancedShards(mixed, "doc_id", col("n_tokens"), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("id")).as("id_sum"))
+    },
     // C4/RefinedWeb line-level dedup: corpus-duplicated lines survive
     // only at their first occurrence, docs reassembled. The synthetic
     // docs are single-line, so the query first reflows each into
@@ -1054,6 +1119,149 @@ object DedupQueries {
          |  count(DISTINCT chunk_id)::BIGINT AS n_chunks,
          |  sum(n_tokens)::BIGINT AS n_tokens
          |FROM ch GROUP BY split""".stripMargin
+    },
+    // q_curation_v2: the gopher CTEs (minStopHits=1) + the blocklist
+    // screen over the same lowercased tokens, line dedup over the
+    // SURVIVOR corpus, the q_semantic_neardup Lloyd replay over the
+    // survivors' embeddings with drop-the-higher-id, the
+    // q_temperature_mix keep-rate replay on deduped token mass, and
+    // the q_token_shards running-sum shard assignment
+    "q_curation_v2" -> {
+      val stopHits = graft.operators.TextAnalysis.GopherStopwords
+        .map(w => s"CASE WHEN list_contains(lt, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g0 AS (
+         |  SELECT doc_id, coalesce(text, '') AS txt,
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |      x -> x <> '') AS toks,
+         |    list_filter(string_split(coalesce(text, ''), chr(10)),
+         |      x -> x <> '') AS lns
+         |  FROM documents),
+         |g1 AS (
+         |  SELECT doc_id, txt, toks, lns,
+         |    list_transform(toks, x -> lower(x)) AS lt,
+         |    len(toks)::BIGINT AS n_words,
+         |    greatest(len(toks), 1) AS nw, greatest(len(lns), 1) AS nl
+         |  FROM g0),
+         |g2 AS (
+         |  SELECT doc_id, toks,
+         |    round(coalesce(list_sum(list_transform(toks, x -> length(x))),
+         |      0)::DOUBLE / nw, 6) AS mean_word_len,
+         |    round(len(list_filter(toks,
+         |      x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nw, 6)
+         |      AS frac_alpha_words,
+         |    round(((length(txt) - length(replace(txt, '#', ''))) +
+         |      len(regexp_extract_all(txt, '\\.\\.\\.|…')))::DOUBLE / nw, 6)
+         |      AS symbol_ratio,
+         |    round(len(list_filter(lns, x -> x LIKE '- %' OR x LIKE '* %'
+         |      OR x LIKE '• %'))::DOUBLE / nl, 6) AS frac_bullet_lines,
+         |    round(len(list_filter(lns, x -> x LIKE '%...'
+         |      OR x LIKE '%…'))::DOUBLE / nl, 6) AS frac_ellipsis_lines,
+         |    ($stopHits)::BIGINT AS n_stop_hits, n_words
+         |  FROM g1),
+         |cur AS (
+         |  SELECT doc_id, toks FROM g2
+         |  WHERE n_words >= 10 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND frac_alpha_words >= 0.8 AND symbol_ratio <= 0.1
+         |    AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+         |    AND n_stop_hits >= 1),
+         |bl AS (
+         |  SELECT doc_id FROM g1
+         |  WHERE len(list_filter(lt,
+         |      x -> list_contains(['dup', 'noise', 'vector'], x)))::DOUBLE
+         |    / greatest(len(toks), 1) <= 0.05),
+         |cur2 AS (SELECT cur.doc_id, cur.toks FROM cur JOIN bl USING (doc_id)),
+         |rf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN ''
+         |         ELSE array_to_string(
+         |           list_transform(range(0, (len(toks) + 7) // 8),
+         |             i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+         |           chr(10)) END AS text
+         |  FROM cur2),
+         |ln AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    unnest(range(len(string_split(text, chr(10))))) AS pos
+         |  FROM rf),
+         |tg AS (
+         |  SELECT doc_id, pos, line,
+         |    CASE WHEN length(line) >= 10 THEN md5(line) END AS h
+         |  FROM ln),
+         |st AS (
+         |  SELECT doc_id, pos, line,
+         |    count(*) OVER (PARTITION BY h) AS c,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM tg WHERE h IS NOT NULL),
+         |fl AS (
+         |  SELECT doc_id, pos, line, true AS keep FROM tg WHERE h IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, pos, line, (c = 1 OR rn = 1) AS keep FROM st),
+         |dd AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+         |      '') AS text_dedup
+         |  FROM fl GROUP BY doc_id),
+         |semb0 AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS e
+         |  FROM embeddings e JOIN dd ON e.vec_id = dd.doc_id),
+         |sembx AS (SELECT vec_id, e,
+         |            list_sum(list_transform(e, x -> x * x)) AS xx
+         |          FROM semb0),
+         |${SimilarityQueries.lloyd2Ctes("sembx", 8, sfx = "sd")},
+         |sd2 AS (
+         |  SELECT m.vec_id, c.cid, ${SimilarityQueries.d2Sql("m", "c")} AS d
+         |  FROM sembx m CROSS JOIN c1ccsd c),
+         |sassigned AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM sd2) WHERE rn = 1),
+         |sdrop AS (
+         |  SELECT DISTINCT ab.vec_id AS doc_id
+         |  FROM sassigned aa
+         |  JOIN sassigned ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+         |  JOIN semb0 ea ON aa.vec_id = ea.vec_id
+         |  JOIN semb0 eb ON ab.vec_id = eb.vec_id
+         |  WHERE list_sum(list_transform(range(1, 65), i -> ea.e[i] * eb.e[i]))
+         |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) >= 0.4),
+         |kept AS (SELECT dd.doc_id, dd.text_dedup
+         |         FROM dd ANTI JOIN sdrop USING (doc_id)),
+         |mixd AS (
+         |  SELECT k.doc_id, d.lang,
+         |    len(list_filter(string_split_regex(k.text_dedup, '\\s+'),
+         |      x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM kept k JOIN documents d USING (doc_id)
+         |  WHERE d.lang IS NOT NULL),
+         |mt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+         |       FROM mixd GROUP BY 1),
+         |mm AS (SELECT min(tot) AS tmin FROM mt),
+         |mr AS (SELECT lang,
+         |         CAST(greatest(floor(256 * sqrt(CAST(tmin AS DOUBLE) /
+         |                CAST(tot AS DOUBLE))), 1) AS INTEGER) AS keep256
+         |       FROM mt CROSS JOIN mm),
+         |msel AS (
+         |  SELECT mixd.* FROM mixd JOIN mr USING (lang)
+         |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+         |        < keep256),
+         |shd AS (SELECT doc_id, n_tokens,
+         |          md5(CAST(doc_id AS VARCHAR)) AS h FROM msel),
+         |shc AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n_tokens) OVER () AS tot
+         |  FROM shd),
+         |shs AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(((cum - n_tokens) * 8) // greatest(1, tot) AS INTEGER) AS shard
+         |  FROM shc)
+         |SELECT shard, count(1) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM shs GROUP BY shard""".stripMargin
     },
     "q_line_dedup_incremental" -> (reflowCtes +
       """,

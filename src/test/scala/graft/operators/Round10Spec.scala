@@ -127,4 +127,24 @@ class Round10Spec extends SparkSpec {
     assert(trained > hand,
       s"trained recall@5 $trained must beat hand blend $hand")
   }
+
+  // ---- curation_v2: exchange budget of the composed plan ----
+
+  test("curation_v2: post-boundary plan stays within the mix+shard " +
+      "exchange budget — the curated corpus is scanned, never rebuilt") {
+    val p = graft.SparkEntry.queries("q_curation_v2")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // component budget after the curated-corpus checkpoint boundary:
+    // temperature mix 1 (stratum-totals agg; rate join is broadcast),
+    // sharder 3 (bucket-meta agg + the bucketed prefix-sum window's
+    // partition exchange + assignment join), final shard agg 1, plus
+    // the two checkpoint-scan repartitions — 7 total measured; any
+    // growth means a stage started rebuilding the corpus inline
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 7, s"expected <= 7 exchanges, got $exchanges:\n$p")
+    // exactly one window, and it is bucket-partitioned (the sharder's
+    // prefix sum — no global window anywhere in the composition)
+    assert(p.linesIterator.count(_.contains("Window")) === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -50,6 +50,7 @@ class Round3PlanSpec extends SparkSpec {
       "q_cooccurrence_lift", // broadcast 1-row user count
       "q_mix_rebalance",     // broadcast 1-row token target
       "q_temperature_mix",   // broadcast 1-row token target (same shape)
+      "q_curation_v2",       // same 1-row token target inside its mix stage
       "q_target_mix",        // broadcast 1-row achievable-total (same shape)
       "q_market_share",      // broadcast 1-row denominator
       "q_promo_revenue",     // broadcast 1-row denominator

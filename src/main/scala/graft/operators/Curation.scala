@@ -32,7 +32,7 @@ object Curation {
       .filter(size(col("__toks")) >= minTokens &&
         TextAnalysis.langIdFromTokens(transform(col("__toks"), t => lower(t))) =!= "und")
       .drop("__toks")
-      .cache()
+      .localCheckpoint(false) // freed on GC — the lexicalTopK lifecycle
     val pairs = Dedup.ngramJaccardPairsPrefix(quality, "doc_id", "text",
       n = 3, threshold = jaccardThreshold)
     // maxIters is exposed because connectedComponents THROWS on

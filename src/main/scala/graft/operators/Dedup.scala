@@ -522,9 +522,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
-    // shingles feed three consumers (counts + both join sides); cache so
-    // the tokenize/explode scan runs once, not three times
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // shingles feed three consumers (counts + both join sides); lazy
+    // localCheckpoint so the tokenize/explode scan runs once, not three
+    // times — blocks freed on GC, no session-lifetime CacheManager pin
+    // (the lexicalTopK lifecycle rule, swept by CacheLifecycleSpec)
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val capped =
       if (maxShingleFreq <= 0) sh
       else {
@@ -571,9 +573,10 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // shingles feed the frequency count, the prefix ranking, and both
-    // sides of the exact-intersection join — cache so the
-    // tokenize/explode scan of the corpus runs once, not four times
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // sides of the exact-intersection join — lazy localCheckpoint so
+    // the tokenize/explode scan of the corpus runs once, not four
+    // times; freed on GC (the lexicalTopK lifecycle rule)
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
     val wDoc = Window.partitionBy(col("id"))
     val wRank = wDoc.orderBy(col("df_freq").asc, col("shingle").asc)
@@ -588,7 +591,7 @@ object Dedup {
       .filter(col("rn") <=
         (floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("n_sh"), col("shingle"))
-      .cache() // both sides of the candidate self-join
+      .localCheckpoint(false) // both sides of the candidate self-join
     val cands = prefix.select(col("id").as("a"), col("n_sh").as("na"), col("shingle"))
       .join(prefix.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle")),
         Seq("shingle"))
@@ -629,8 +632,8 @@ object Dedup {
   def crossJaccardPairs(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double): DataFrame =
     crossJaccardPairsFromShingles(
-      shingles(left, idCol, textCol, n).cache(),
-      shingles(right, idCol, textCol, n).cache(),
+      shingles(left, idCol, textCol, n).localCheckpoint(false),
+      shingles(right, idCol, textCol, n).localCheckpoint(false),
       threshold)
 
   /** [[crossJaccardPairs]] over PRE-SHINGLED (id, shingle) sides — the
@@ -695,7 +698,7 @@ object Dedup {
     * profile and 100 TB behavior are identical. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("a"), col("shingle"))
     val b = sh.select(col("id").as("b"), col("shingle"))
@@ -726,7 +729,7 @@ object Dedup {
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(false)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
     val wDoc = Window.partitionBy(col("id"))
     val wRank = wDoc.orderBy(col("df_freq").asc, col("shingle").asc)
@@ -944,7 +947,15 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes).cache()
+    // UNPERSISTED: all four consumers' subtrees (both banded join
+    // sides, both verification joins) end in minHashSignatures'
+    // groupBy(id) exchange, so ReuseExchange materializes the
+    // shingle+hash scan ONCE — no CacheManager pin (the lexicalTopK
+    // leak), no localCheckpoint (measured ~2x slower here: the lazy
+    // checkpoint stores 128-long signature rows as deserialized
+    // objects and re-reads them per consumer, where the shared shuffle
+    // write is compressed and the post-shuffle agg is trivial)
+    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes)
     val banded = bandedSignatures(sigs, numHashes, bands)
     val cands = banded.select(col("id").as("a"), col("band"), col("band_key"))
       .join(banded.select(col("id").as("b"), col("band"), col("band_key")),
@@ -1162,7 +1173,8 @@ object Dedup {
     * maxHamming. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(shingles(df, idCol, textCol, n)).cache()
+    val sigs = simHashSignatures(shingles(df, idCol, textCol, n))
+      .localCheckpoint(false)
     val banded = simHashBlocks(sigs, maxHamming)
     val cands = banded.select(col("id").as("a"), col("simhash").as("sh_a"),
         col("block"), col("block_val"))
@@ -1400,7 +1412,7 @@ object Dedup {
     // the scan itself ~100x on top.
     val fp = TextAnalysis.winnowFingerprintsFast(df, idCol, textCol, k, window)
       .select(col("id"), explode(col("fps")).as("fp"))
-      .cache()
+      .localCheckpoint(false)
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("fp")

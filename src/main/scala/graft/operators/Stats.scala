@@ -73,14 +73,15 @@ object Stats {
       nTiles: Int, nRangeBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nTiles > 0 && nRangeBuckets > 0)
-    // three consumers (bounds, bucket counts, ranking): cache so the
-    // source scans once. Lifecycle: the result is consumed lazily, so
-    // this call cannot unpersist — the entry stays pinned until session
-    // end / LRU eviction. One-shot queries don't care; probe loops and
-    // long-lived sessions should spark.catalog.clearCache() between
-    // invocations (the same documented trade as
-    // TextAnalysis.tfidfCosinePairs' weight cache).
-    val base = df.withColumn("__v", col(valueCol).cast("double")).cache()
+    // three consumers (bounds, bucket counts, ranking): lazy
+    // localCheckpoint so the source scans once. NOT cache(): the result
+    // is consumed lazily, so an internal cache could never be
+    // unpersisted and would pin one CacheManager entry per call for the
+    // session's lifetime; checkpoint blocks are freed by the
+    // ContextCleaner once the frame is unreachable (the lexicalTopK
+    // lifecycle rule, swept by CacheLifecycleSpec).
+    val base = df.withColumn("__v", col(valueCol).cast("double"))
+      .localCheckpoint(false)
     val bounds = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
     val bucketed = base.crossJoin(broadcast(bounds))
       .withColumn("__bkt",
@@ -139,9 +140,10 @@ object Stats {
       lo: Double = 0.05, hi: Double = 0.95,
       sketchAccuracy: Option[Int] = None): DataFrame = {
     // two consumers of the projected columns (bounds pass + clamp pass):
-    // cache the 2-column projection so the source scans once
+    // lazy localCheckpoint of the 2-column projection so the source
+    // scans once, freed on GC (the lexicalTopK lifecycle rule)
     val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .cache()
+      .localCheckpoint(false)
     // ONE percentile aggregation for both bounds: per-quantile calls
     // would each buffer every group value in their own aggregation
     // state (the exact form's state is the whole group — duplicating
@@ -233,9 +235,10 @@ object Stats {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0, sketchAccuracy: Option[Int] = None): DataFrame = {
     // three consumers of the projected columns (median pass, MAD pass,
-    // final filter): cache so the source scans once
+    // final filter): lazy localCheckpoint so the source scans once,
+    // freed on GC (the lexicalTopK lifecycle rule)
     val proj = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .cache()
+      .localCheckpoint(false)
     val median = sketchAccuracy match {
       case Some(acc) => (c: String) => expr(s"approx_percentile($c, 0.5, $acc)")
       case None => (c: String) => expr(s"percentile($c, 0.5)")

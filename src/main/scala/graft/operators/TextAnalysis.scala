@@ -415,17 +415,22 @@ object TextAnalysis {
     * weight anyway. The oracle-checked query runs uncapped. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTermDf: Long = 0L): DataFrame = {
-    // weight table feeds norms + both join sides: cache the projection.
-    // Lifecycle: the entry stays pinned until session end / LRU (the
-    // result is consumed lazily, so this call can't unpersist it);
-    // repeated callers should clear it via catalog.clearCache() or
-    // compose the FromWeights form and own caching — see
-    // tfidfCosineCrossPairs' lifecycle note
+    // weight table feeds norms + both join sides UNPERSISTED: the
+    // weight subtree ends in the term-frequency aggregation's exchange,
+    // and identical subtrees below an exchange are materialized ONCE by
+    // Spark's ReuseExchange — the expensive tokenize/explode scan is
+    // shared across all consumers with no persistence at all. NOT
+    // cache() (un-unpersistable here — the result is consumed lazily —
+    // so it would pin a CacheManager entry per call until session end:
+    // the historical lexicalTopK leak, swept by CacheLifecycleSpec) and
+    // NOT localCheckpoint (under AQE, building the checkpoint RDD
+    // materializes every shuffle stage — plan building would run jobs,
+    // the Round5PlanSpec pin). Callers who want an explicitly
+    // materialized weight table compose the FromWeights form.
     val w0 = tfIdf(df, idCol, textCol)
       .select(col("id"), col("term"), col("df"),
         round(col("tfidf") * 1e6).cast("long").as("w"))
-    val w = (if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf))
-      .cache()
+    val w = if (maxTermDf <= 0) w0 else w0.filter(col("df") <= maxTermDf)
     val norms = w.groupBy("id")
       .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
     val prods = w.select(col("term"), col("id").as("a"), col("w").as("wa"))
@@ -456,17 +461,20 @@ object TextAnalysis {
       idCol: String, textCol: String, threshold: Double,
       maxTermDf: Long = 0L, maxTermDfFrac: Double = 0.0): DataFrame = {
     val model = tfidfCorpusModel(corpus, idCol, textCol, maxTermDf, maxTermDfFrac)
-    // the weight tables feed norms + the dot-product join: cached so
-    // the tokenize/weigh pass runs once per side. Lifecycle: entries
-    // stay pinned until session end / LRU — fine for one-shot queries;
-    // REPEATED callers (probe loops, streaming triggers, long sessions)
-    // should compose tfidfWeights + tfidfCosineCrossFromWeights and
-    // own the cache/unpersist themselves (the streaming twin
+    // the weight tables feed norms + the dot-product join UNPERSISTED:
+    // each side's subtree ends in the term-frequency aggregation's
+    // exchange, so ReuseExchange materializes the expensive
+    // tokenize/explode scan once per side — no CacheManager pin (the
+    // lexicalTopK leak, swept by CacheLifecycleSpec) and no
+    // localCheckpoint (under AQE the checkpoint RDD's construction
+    // materializes every shuffle stage, so plan building would run
+    // jobs — the Round5PlanSpec pin). REPEATED callers (probe loops,
+    // streaming triggers) own materialization by composing
+    // tfidfWeights + tfidfCosineCrossFromWeights (the streaming twin
     // graft.streaming.StreamingOps.incrementalTfidfCosine unpersists
-    // its batch side per trigger; the corpus side's plan is canonical
-    // across triggers, so CacheManager holds exactly one entry for it).
-    val wc = tfidfWeights(termFrequencies(corpus, idCol, textCol), model).cache()
-    val wb = tfidfWeights(termFrequencies(batch, idCol, textCol), model).cache()
+    // its cached batch side per trigger).
+    val wc = tfidfWeights(termFrequencies(corpus, idCol, textCol), model)
+    val wb = tfidfWeights(termFrequencies(batch, idCol, textCol), model)
     tfidfCosineCrossFromWeights(wb, wc, threshold)
   }
 

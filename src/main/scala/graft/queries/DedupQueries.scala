@@ -220,9 +220,9 @@ object DedupQueries {
       // below verifies the pruned operator end-to-end
       Dedup.crossJaccardPairsBloomPruned(
         Dedup.shingles(docs.filter(col("split") === "test"),
-          "doc_id", "text", 3).cache(),
+          "doc_id", "text", 3).localCheckpoint(false),
         Dedup.shingles(docs.filter(col("split") =!= "test"),
-          "doc_id", "text", 3).cache(),
+          "doc_id", "text", 3).localCheckpoint(false),
         threshold = 0.8)
     },
     // the PERSISTED-corpus form of q_dedup_incremental — executes the
@@ -240,7 +240,7 @@ object DedupQueries {
         bucketCols = Seq("shingle"), numBuckets = 8)
       Dedup.crossJaccardPairsBloomPruned(
         Dedup.shingles(docs.filter(col("split") === "test"),
-          "doc_id", "text", 3).cache(),
+          "doc_id", "text", 3).localCheckpoint(false),
         s.table("graft_corpus_shingles"),
         threshold = 0.8)
     },
@@ -262,12 +262,13 @@ object DedupQueries {
         Dedup.bandedSignatures(storedSigs, numHashes = 128, bands = 32),
         "graft_corpus_minhash_bands", bucketCols = Seq("band_key"),
         numBuckets = 8)
-      // cached: the batch signatures feed both band generation and the
-      // verification join (the operator leaves cache lifecycle to the
-      // caller, as the streaming path must unpersist per trigger)
+      // lazily checkpointed: the batch signatures feed both band
+      // generation and the verification join (the operator leaves
+      // materialization lifecycle to the caller, as the streaming path
+      // caches and unpersists per trigger); blocks freed on GC
       val batchSigs = Dedup.minHashSignatures(
         Dedup.shingles(docs.filter(col("split") === "test"),
-          "doc_id", "text", 3), numHashes = 128).cache()
+          "doc_id", "text", 3), numHashes = 128).localCheckpoint(false)
       Dedup.minHashLshCrossPairs(batchSigs,
         s.table("graft_corpus_minhash_bands"), storedSigs, threshold = 0.8)
     },

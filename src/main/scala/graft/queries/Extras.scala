@@ -548,9 +548,11 @@ object Extras {
     // association mining: event-type co-occurrence lift per user
     "q_cooccurrence_lift" -> { (s, dir) =>
       // ut feeds four consumers (both self-join sides, totals, nUsers):
-      // cache so the events scan + distinct shuffle runs once
+      // lazy localCheckpoint so the events scan + distinct shuffle
+      // runs once, freed on GC (the lexicalTopK lifecycle rule)
       val ut = graft.sources.Sources.events(s, dir)
-        .select(col("user_id"), col("event_type")).distinct().cache()
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(false)
       val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
       val nUsers = ut.select(col("user_id")).distinct()
         .agg(count(lit(1)).cast("double").as("nu"))

@@ -777,14 +777,14 @@ object TextAnalysis {
     * (each boundary depends on the running remainder), but it IS a
     * sequential fold over one document's sentences — and it only
     * needs to carry CHUNK IDS, not chunk text. Two zero-shuffle
-    * passes: (1) an `aggregate` fold assigns each sentence its chunk
-    * id (the accumulator is an int array + the open chunk's running
-    * token count — integer work only); (2) the boundary positions
-    * (where the id changes) slice the sentence array per chunk and
-    * `array_join` builds each chunk's text exactly ONCE — O(total
-    * chars), replacing the earlier in-place merge whose repeated
-    * `concat` of the growing last chunk was O(chunks²) char copying
-    * per doc. Zero shuffles, zero self-joins, pure projection. At
+    * passes: (1) the native [[graft.functions.ChunkIdsExpr]] assigns
+    * each sentence its chunk id in one codegen'd O(sentences) loop
+    * (the earlier `aggregate`-HOF fold appended to an accumulator
+    * array per element — each concat copies the whole ids array,
+    * O(sentences²) copying per doc, measured as 50s of the 300s
+    * sf0.1 bench total); (2) the boundary positions (where the id
+    * changes) slice the sentence array per chunk and `array_join`
+    * builds each chunk's text exactly ONCE — O(total chars). Zero shuffles, zero self-joins, pure projection. At
     * 100 TB this is scan-bound and embarrassingly parallel; the
     * DuckDB oracle replays the identical recurrence as a recursive
     * CTE. Output: `doc_id`, `chunk_id` (0-based), `n_tokens`,
@@ -792,6 +792,7 @@ object TextAnalysis {
   def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, "need maxTokens > 0")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
     df.select(col(idCol).as("doc_id"), split(marked, "\u0001").as("__sents"))
       .withColumn("__zs", expr(
@@ -801,20 +802,8 @@ object TextAnalysis {
           " x -> x.n > 0)"))
       // pass 1: greedy capacity-reset fold over token counts only —
       // each sentence gets its 0-based chunk id (no string copying)
-      .withColumn("__ids", expr(s"""
-        aggregate(
-          __zs,
-          named_struct('ids', cast(array() as array<int>),
-            'cur', cast(0 as bigint)),
-          (acc, x) -> if(size(acc.ids) = 0 or acc.cur + x.n > ${maxTokens}L,
-            named_struct(
-              'ids', concat(acc.ids,
-                array(coalesce(try_element_at(acc.ids, -1), -1) + 1)),
-              'cur', x.n),
-            named_struct(
-              'ids', concat(acc.ids, array(try_element_at(acc.ids, -1))),
-              'cur', acc.cur + x.n)),
-          acc -> acc.ids)"""))
+      .withColumn("__ids", expr(
+        s"chunk_ids(transform(__zs, x -> x.n), ${maxTokens}L)"))
       // pass 2: boundary starts (1-based positions where the id
       // changes); transform's index IS the chunk id, each chunk's
       // sentences sliced + joined exactly once

@@ -128,6 +128,49 @@ class Round10Spec extends SparkSpec {
       s"trained recall@5 $trained must beat hand blend $hand")
   }
 
+  // ---- README: the advertised query count is generated, not guessed ----
+
+  test("README's oracle_check line states SparkEntry.queries.size") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val want = s"# ${graft.SparkEntry.queries.size} queries"
+    assert(readme.contains(want),
+      s"README.md must contain '$want' (stale count?)")
+  }
+
+  // ---- chunk_ids: the native fold matches the HOF form it replaced ----
+
+  test("ChunkIdsExpr: bit-identical to the aggregate-HOF greedy fold " +
+      "on random count arrays, empty arrays, and oversized sentences") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (0 until 200).map { i =>
+      // deterministic pseudo-random token counts incl. zeros and values
+      // far above the cap (oversized sentences open their own chunk)
+      val len = i % 13
+      (i.toLong, (0 until len).map(j => ((i * 31 + j * 17) % 29).toLong))
+    }
+    val df = rows.toDF("id", "counts")
+    val cap = 10L
+    val both = df.selectExpr("id", s"chunk_ids(counts, ${cap}L) as native",
+      s"""aggregate(
+        counts,
+        named_struct('ids', cast(array() as array<int>),
+          'cur', cast(0 as bigint)),
+        (acc, x) -> if(size(acc.ids) = 0 or acc.cur + x > ${cap}L,
+          named_struct(
+            'ids', concat(acc.ids,
+              array(coalesce(try_element_at(acc.ids, -1), -1) + 1)),
+            'cur', x),
+          named_struct(
+            'ids', concat(acc.ids, array(try_element_at(acc.ids, -1))),
+            'cur', acc.cur + x)),
+        acc -> acc.ids) as hof""")
+    assert(both.filter(not(col("native") <=> col("hof"))).count() === 0L)
+    // null array propagates null (nullSafeEval contract)
+    val nulled = spark.sql(s"select chunk_ids(cast(null as array<bigint>), ${cap}L) as v")
+    assert(nulled.head().isNullAt(0))
+  }
+
   // ---- curation_v2: exchange budget of the composed plan ----
 
   test("curation_v2: post-boundary plan stays within the mix+shard " +

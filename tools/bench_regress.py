@@ -45,10 +45,23 @@ def load_queries(path):
 
 def main(argv):
     if argv and argv[0] == "--update":
-        cur = load_queries(CUR_DEFAULT)
+        src = argv[1] if len(argv) > 1 else CUR_DEFAULT
+        try:
+            cur = load_queries(src)
+        except (OSError, ValueError) as e:
+            print(f"bench_regress --update: cannot load {src}: {e}\n"
+                  f"run the full bench first (graft.Bench writes bench_full.json)",
+                  file=sys.stderr)
+            return 2
+        if not cur:
+            print(f"bench_regress --update: {src} has no per-query medians",
+                  file=sys.stderr)
+            return 2
         with open(BASE_DEFAULT, "w") as f:
             json.dump({"queries": dict(sorted(cur.items())),
-                       "source": "bench_full.json medians; see tools/bench_regress.py"},
+                       "source": f"{os.path.basename(src)} medians under the "
+                                 "per-query unpersist+GC harness; refresh with "
+                                 "tools/bench_regress.py --update"},
                       f, indent=1)
         print(f"baseline refreshed: {len(cur)} queries -> {BASE_DEFAULT}")
         return 0

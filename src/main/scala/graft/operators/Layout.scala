@@ -139,4 +139,36 @@ object Layout {
     graft.sources.Sinks.writePartitioned(
       df.join(shards, Seq(idCol)), path, Seq("shard"))
   }
+
+  /** Reproducible seeded corpus shuffle into `numShards` training
+    * shards: each row's shard AND its position within the shard are
+    * pure functions of (seed, id) — the epoch-reshuffle primitive
+    * (epoch 3 = `seed="epoch3"`; same seed reproduces the exact order
+    * on any cluster, any partitioning, any rerun; a new seed is a
+    * statistically independent order, no re-materialization of the
+    * corpus needed).
+    *
+    * Scale shape: NO global sort and no single-partition window — the
+    * trap in the naive `row_number() over (order by rand())` (one
+    * partition ranks all 100 TB, and rand() isn't reproducible across
+    * retries). Shard = first 16 md5 bits mod numShards (uniform up to
+    * a <= 1/65536 bias per shard, irrelevant next to content skew);
+    * position = row_number over a SHARD-partitioned window ordered by
+    * the full md5 hex (id tiebreak), so each window ranks ~n/numShards
+    * rows in parallel. Consumers read shard k in pos order — a
+    * partition-pruned scan when written `partitionBy("shard")`. */
+  def seededShuffleShards(df: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "need numShards > 0")
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+      .cast("binary"))
+    df.withColumn("__k", k)
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 4), 16, 10).cast("long")
+          % numShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))))
+      .drop("__k")
+  }
 }

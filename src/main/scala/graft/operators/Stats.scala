@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution / robust statistics over a (grouped) numeric column —
@@ -282,5 +282,57 @@ object Stats {
         round(when(col("join_rows") > 0,
           col("max_key_rows").cast("double") / col("join_rows"))
           .otherwise(lit(0.0)), 6).as("top_key_share"))
+  }
+
+  /** EXACT heavy hitters — every distinct `itemCol` value occurring in
+    * more than `phi` of all (non-null) rows, with its exact count —
+    * via the sketch-candidates + exact-recount two-pass, the 100 TB
+    * shape for "most frequent tokens / domains / boilerplate n-grams":
+    *
+    *  1. Candidate pass: one scan folds into a frequent-items sketch
+    *     (Spark's `approx_top_k_accumulate`, a DataSketches
+    *     ItemsSketch) — mergeable map-side state, so the only shuffle
+    *     is one sketch per partition, never the data. The sketch
+    *     guarantees NO false negatives for items with true share above
+    *     ~3.5/maxMapSize, so `tracked * phi >= 4` makes the candidate
+    *     set a provable superset of the answer.
+    *  2. Exact pass: the candidates (<= tracked rows — broadcastable by
+    *     construction) come back onto a second scan as a broadcast
+    *     join, and only matching rows reach the count aggregation —
+    *     whose key cardinality is <= tracked, so the shuffle is
+    *     partitions x candidates rows after map-side combine. The
+    *     HAVING against the in-plan total discards the sketch's false
+    *     positives.
+    *
+    * The output is EXACT and deterministic — partitioning/merge order
+    * only widens the candidate set, never changes the answer (the
+    * DuckDB oracle is a plain GROUP BY ... HAVING) — but the
+    * full-cardinality shuffle of a naive global group-by (every
+    * distinct token at 100 TB) never happens. Total in-plan via the
+    * same single-row aggregate (no `.count()` driver job). */
+  def exactHeavyHitters(df: DataFrame, itemCol: Column, phi: Double,
+      maxItemsTracked: Int = 0): DataFrame = {
+    require(phi > 0 && phi < 1, "need 0 < phi < 1")
+    val tracked =
+      if (maxItemsTracked > 0) maxItemsTracked
+      else math.max(64, math.ceil(8.0 / phi).toInt)
+    require(tracked * phi >= 4.0,
+      s"maxItemsTracked=$tracked too small for phi=$phi: the sketch's " +
+        "no-false-negative bound (~3.5/maxItemsTracked) must cover phi — " +
+        "need maxItemsTracked >= 4/phi")
+    val items = df.select(itemCol.as("item")).filter(col("item").isNotNull)
+    // one row: (candidate array, exact total) — a single scan
+    val sketch = items.agg(
+      expr(s"approx_top_k_estimate(" +
+        s"approx_top_k_accumulate(item, $tracked), $tracked)").as("tk"),
+      count(lit(1)).as("__n"))
+    val cands = sketch
+      .select(explode(col("tk")).as("c"), col("__n"))
+      .select(col("c.item").as("item"), col("__n"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("__n").cast("double") * lit(phi))
+      .select(col("item"), col("cnt"))
   }
 }

@@ -359,6 +359,17 @@ object Extras {
           sum(col("id")).as("id_sum"))
     },
 
+    // reproducible seeded epoch shuffle: every row's shard AND its
+    // position within the shard are pure functions of (seed, doc_id) —
+    // identical on any partitioning/rerun, independent order per seed,
+    // ranked by SHARD-partitioned windows (never a global sort). The
+    // full per-row (shard, pos) mapping is the verified output.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      graft.operators.Layout.seededShuffleShards(
+        table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "epoch0", numShards = 8)
+    },
+
     "q_hash_split" -> { (s, dir) =>
       Sampling.split(table(s, dir, "documents"), col("doc_id"),
         train16 = 12, valid16 = 2)
@@ -1068,6 +1079,16 @@ object Extras {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY shard""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 8)::INT AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 8
+        |    ORDER BY k, doc_id)::INT AS pos
+        |FROM s""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bucket

@@ -122,6 +122,21 @@ object StatsQueries {
         .orderBy(desc("cnt"), asc("word")).limit(10)
     },
 
+    // EXACT heavy hitters (tokens in > 1% of all token occurrences) via
+    // the sketch-candidates + exact-recount two-pass: candidates from
+    // one approx_top_k sketch scan (no data shuffle), broadcast back as
+    // a join filter, exact counts + in-plan-total HAVING — exact output
+    // with a candidates-bounded aggregation where the naive groupBy
+    // must shuffle the full 100 TB vocabulary. Complements
+    // q_approx_top_words (rank-k, approximate) with the share-phi,
+    // exact form.
+    "q_heavy_hitters" -> { (s, dir) =>
+      Stats.exactHeavyHitters(
+        table(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+        col("w"), phi = 0.01)
+    },
+
     // deflate compression-ratio quality signal, contract form: the
     // zlib byte stream isn't DuckDB-expressible (exact golden values
     // are pinned by unit test), but its CONTRACT is — compressed size
@@ -191,6 +206,18 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the two-pass operator's output is EXACT, so the oracle is the
+    // naive form it replaces at scale: plain GROUP BY ... HAVING
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS item
+        |  FROM documents),
+        |tot AS (SELECT count(1) AS n FROM toks)
+        |SELECT item, count(1)::BIGINT AS cnt
+        |FROM toks CROSS JOIN tot
+        |GROUP BY item, tot.n
+        |HAVING count(1) > 0.01 * tot.n""".stripMargin,
     // contract form (see q_approx_distinct): exact recomputed, bound
     // column literal TRUE, Spark computes the actual check
     "q_compression_ratio" ->

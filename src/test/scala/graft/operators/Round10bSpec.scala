@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 second wave: exact heavy hitters (sketch-candidates +
+  * exact-recount) and the seeded epoch shuffle. */
+class Round10bSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- exactHeavyHitters ----
+
+  /** Zipf-ish corpus: item i repeated ceil(1000/i) times — a heavy head
+    * over a long tail. */
+  private def zipfItems: DataFrame =
+    (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"w$i")).toDF("item")
+
+  private def naiveHitters(df: DataFrame, phi: Double): Set[(String, Long)] = {
+    val n = df.count()
+    df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n.toDouble * phi))
+      .as[(String, Long)].collect().toSet
+  }
+
+  test("exactHeavyHitters == naive groupBy-HAVING on a zipf corpus, " +
+      "invariant to partitioning and to sketch capacity") {
+    val df = zipfItems
+    val want = naiveHitters(df, 0.02)
+    assert(want.nonEmpty && want.size < 200, s"bad fixture: ${want.size}")
+    for (parts <- Seq(2, 32); tracked <- Seq(0, 512)) {
+      val got = Stats
+        .exactHeavyHitters(df.repartition(parts), col("item"), 0.02, tracked)
+        .as[(String, Long)].collect().toSet
+      assert(got === want, s"parts=$parts tracked=$tracked")
+    }
+  }
+
+  test("exactHeavyHitters: nulls ignored, empty input yields empty " +
+      "output, undersized sketch refused") {
+    val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("item")
+    val got = Stats.exactHeavyHitters(withNulls, col("item"), 0.5)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 2L))) // 2 of 3 non-null rows > 0.5
+    assert(Stats.exactHeavyHitters(
+      Seq.empty[String].toDF("item"), col("item"), 0.1).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Stats.exactHeavyHitters(withNulls, col("item"), 0.001,
+        maxItemsTracked = 100) // 100 * 0.001 < 4: no-false-negative bound broken
+    }
+  }
+
+  test("exactHeavyHitters plan: the recount join broadcasts the " +
+      "candidates — never a sort-merge join or full-vocabulary shuffle") {
+    val p = Stats.exactHeavyHitters(zipfItems, col("item"), 0.02)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  // ---- seededShuffleShards ----
+
+  private def docs100: DataFrame = (1L to 100L).toDF("doc_id")
+
+  test("seededShuffleShards: pure function of (seed, id) — identical at " +
+      "2 and 32 partitions; a different seed produces a different order") {
+    def run(parts: Int, seed: String): Seq[(Long, Int, Int)] =
+      Layout.seededShuffleShards(docs100.repartition(parts), "doc_id", seed, 8)
+        .as[(Long, Int, Int)].collect().toSeq.sorted
+    val a = run(2, "epoch0")
+    assert(a === run(32, "epoch0"))
+    assert(a !== run(2, "epoch1"))
+  }
+
+  test("seededShuffleShards: every shard in [0, k); positions dense " +
+      "1..n_shard within each shard") {
+    val out = Layout.seededShuffleShards(docs100, "doc_id", "s", 8)
+    assert(out.filter(col("shard") < 0 || col("shard") >= 8).count() === 0L)
+    // per shard, positions are exactly 1..count (sum + max pin both)
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        sum(col("pos")).as("sm"))
+      .filter(col("mx") =!= col("n") ||
+        col("sm") =!= col("n") * (col("n") + 1) / 2)
+    assert(bad.count() === 0L)
+    assert(out.count() === 100L)
+  }
+
+  test("seededShuffleShards plan: the ranking window is shard-" +
+      "partitioned — no single-partition global window") {
+    val p = Layout.seededShuffleShards(docs100, "doc_id", "s", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+}

@@ -335,4 +335,41 @@ object Stats {
       .filter(col("cnt") > col("__n").cast("double") * lit(phi))
       .select(col("item"), col("cnt"))
   }
+
+  /** The exact-recount bridge from MERGEABLE sketch state to exact
+    * heavy hitters — [[exactHeavyHitters]] decomposed for incremental
+    * deployment. `state` is one row holding a frequent-items sketch in
+    * `topk_sk` (built per ingest batch with
+    * `graft.streaming.StreamingOps.topKState(batch, Seq.empty, …)` and
+    * folded with `mergeTopKStates` — the sketch union is associative
+    * and commutative, so merged split states ARE the state of the
+    * union, spec-pinned). Candidates are estimated from the state and
+    * recounted exactly over the stored corpus.
+    *
+    * Why this shape at 100 TB: the per-batch state update is O(batch)
+    * with NO corpus rescan; the corpus pays its candidate-filtered
+    * recount scan only when the answer is actually read. Exactness is
+    * inherited from [[exactHeavyHitters]]'s argument — the sketch's
+    * no-false-negative bound (enforced against phi via
+    * `maxItemsTracked`, which must be the accumulate-time capacity)
+    * guarantees candidates ⊇ answer, and the exact HAVING discards the
+    * rest — PROVIDED the state saw exactly the corpus's rows. */
+  def heavyHittersFromState(state: DataFrame, corpus: DataFrame,
+      itemCol: Column, phi: Double, maxItemsTracked: Int): DataFrame = {
+    require(phi > 0 && phi < 1, "need 0 < phi < 1")
+    require(maxItemsTracked * phi >= 4.0,
+      s"maxItemsTracked=$maxItemsTracked too small for phi=$phi: need >= 4/phi")
+    val items = corpus.select(itemCol.as("item")).filter(col("item").isNotNull)
+    val cands = state
+      .select(explode(
+        expr(s"approx_top_k_estimate(topk_sk, $maxItemsTracked)")).as("c"))
+      .select(col("c.item").as("item"))
+    val totals = items.agg(count(lit(1)).as("__n"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") > col("__n").cast("double") * lit(phi))
+      .select(col("item"), col("cnt"))
+  }
 }

@@ -137,6 +137,26 @@ object StatsQueries {
         col("w"), phi = 0.01)
     },
 
+    // the INCREMENTAL deployment of q_heavy_hitters: per-ingest-half
+    // sketch states (StreamingOps.topKState), folded with the
+    // associative/commutative sketch merge, exact-recounted over the
+    // stored corpus — the same exact output as the one-shot operator
+    // (the oracle IS the same GROUP BY HAVING), with per-batch state
+    // updates that never rescan the corpus
+    "q_heavy_hitters_incremental" -> { (s, dir) =>
+      import graft.streaming.StreamingOps
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      def half(even: Boolean) =
+        toks.filter((col("doc_id") % 2 === 0) === even).select("w")
+      val merged = StreamingOps.mergeTopKStates(
+        StreamingOps.topKState(half(even = true), Seq.empty, "w", 1024),
+        StreamingOps.topKState(half(even = false), Seq.empty, "w", 1024),
+        Seq.empty)
+      Stats.heavyHittersFromState(merged, toks.select("w"), col("w"),
+        phi = 0.01, maxItemsTracked = 1024)
+    },
+
     // deflate compression-ratio quality signal, contract form: the
     // zlib byte stream isn't DuckDB-expressible (exact golden values
     // are pinned by unit test), but its CONTRACT is — compressed size
@@ -209,6 +229,18 @@ object StatsQueries {
     // the two-pass operator's output is EXACT, so the oracle is the
     // naive form it replaces at scale: plain GROUP BY ... HAVING
     "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS item
+        |  FROM documents),
+        |tot AS (SELECT count(1) AS n FROM toks)
+        |SELECT item, count(1)::BIGINT AS cnt
+        |FROM toks CROSS JOIN tot
+        |GROUP BY item, tot.n
+        |HAVING count(1) > 0.01 * tot.n""".stripMargin,
+    // exactness of the state-merge + recount chain is the claim: the
+    // incremental form must reproduce the one-shot answer bit-for-bit
+    "q_heavy_hitters_incremental" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
         |    x -> x <> '')) AS item

@@ -59,6 +59,25 @@ class Round10bSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("heavyHittersFromState: merged split states reproduce the " +
+      "one-shot exactHeavyHitters answer exactly") {
+    import graft.streaming.StreamingOps
+    val df = zipfItems.withColumn("i", monotonically_increasing_id())
+    val a = df.filter(col("i") % 2 === 0).select("item")
+    val b = df.filter(col("i") % 2 === 1).select("item")
+    val merged = StreamingOps.mergeTopKStates(
+      StreamingOps.topKState(a, Seq.empty, "item", 512),
+      StreamingOps.topKState(b, Seq.empty, "item", 512), Seq.empty)
+    val incremental = Stats
+      .heavyHittersFromState(merged, df.select("item"), col("item"), 0.02, 512)
+      .as[(String, Long)].collect().toSet
+    val oneShot = Stats
+      .exactHeavyHitters(df.select("item"), col("item"), 0.02, 512)
+      .as[(String, Long)].collect().toSet
+    assert(incremental === oneShot)
+    assert(incremental === naiveHitters(df.select("item"), 0.02))
+  }
+
   // ---- seededShuffleShards ----
 
   private def docs100: DataFrame = (1L to 100L).toDF("doc_id")

@@ -107,7 +107,12 @@ class Round3PlanSpec extends SparkSpec {
       "q_lr_calibration", "q_ccnet_buckets",
       // bounded 64-row negative pool broadcast with an inequality
       // condition (anchors × pool, pool size fixed by TakeOrdered)
-      "q_negative_pool")
+      "q_negative_pool",
+      // round-10: heavyHittersFromState joins the 1-row exact total
+      // onto the ≤tracked-row candidate counts (the scalar-broadcast
+      // idiom — the one-shot q_heavy_hitters instead threads the total
+      // through its own sketch aggregate, no cross join)
+      "q_heavy_hitters_incremental")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -822,7 +822,18 @@ object TextAnalysis {
             transform(slice(__zs, sp.st, sp.len), z -> z.s), ' '),
           'ntok', aggregate(slice(__zs, sp.st, sp.len),
             cast(0 as bigint), (a, z) -> a + z.n)))"""))
-      .select(col("doc_id"), explode(col("__chunks")).as("__c"))
+      // explode_OUTER + a post-filter on the generated column, NOT
+      // explode: InferFiltersFromGenerate synthesizes `size(e) > 0`
+      // under a non-outer explode, and pushing that filter below the
+      // alias chain INLINES the whole HOF pipeline into one giant
+      // interpreted expression (chunk_ids appeared 26x in the plan,
+      // re-evaluated per row in the scan's DataFilters AND the Filter
+      // node — measured 33s -> 0.4s at sf0.1 for this one change).
+      // The rule skips outer explodes; empty/null chunk arrays emit
+      // one null row that the cheap generated-column filter drops —
+      // row-identical to the non-outer form.
+      .select(col("doc_id"), explode_outer(col("__chunks")).as("__c"))
+      .filter(col("__c").isNotNull)
       .select(col("doc_id"), col("__c.ck").as("chunk_id"),
         col("__c.ntok").as("n_tokens"), col("__c.txt").as("chunk_text"))
   }

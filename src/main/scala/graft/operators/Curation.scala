@@ -268,7 +268,15 @@ object Curation {
                 x.getField("emb_d")) /
                 (s.getField("nrm") * x.getField("nrm")) < threshold),
             concat(acc, array(x))).otherwise(acc)).as("__sel"))
-      .select(col("cell"), posexplode(col("__sel")).as(Seq("__i", "__s")))
+      // posexplode_OUTER + generated-column filter, NOT posexplode:
+      // InferFiltersFromGenerate would synthesize size(__sel) > 0 and
+      // inline the whole greedy fold (vector_dot forall — the
+      // operator's core cost) into a Filter that re-evaluates it per
+      // cell (the q_chunk_sentences blowup). The rule skips outer
+      // generators; an empty selection emits one null row the cheap
+      // filter drops — row-identical.
+      .select(col("cell"), posexplode_outer(col("__sel")).as(Seq("__i", "__s")))
+      .filter(col("__s").isNotNull)
       .select(col("__s.vec_id").as("vec_id"), col("cell"),
         (col("__i") + 1).cast("int").as("sel_rank"))
   }
@@ -357,8 +365,12 @@ object Curation {
       .withColumn("__new",
         expr("slice(__all, size(__init) + 1, size(__all) - size(__init))"))
       .withColumn("__base", size(col("__init")))
+      // posexplode_outer + filter: see diversitySelect — the inferred
+      // size(__new) > 0 filter would inline and re-evaluate the
+      // continuation fold per cell
       .select(col("cell"), col("__base"),
-        posexplode(col("__new")).as(Seq("__i", "__s")))
+        posexplode_outer(col("__new")).as(Seq("__i", "__s")))
+      .filter(col("__s").isNotNull)
       .select(col("__s.vec_id").as("vec_id"), col("cell"),
         (col("__base") + col("__i") + 1).cast("int").as("sel_rank"))
   }

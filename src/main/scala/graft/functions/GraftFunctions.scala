@@ -49,6 +49,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_ids", exprs => ChunkIdsExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngram_features", CharNgramFeatures.build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps", WinnowFps.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_hashes", WinnowFps.buildKgramHashes, "scala_udf")

@@ -127,6 +127,31 @@ object ScaleProbe {
           operators.TextAnalysis.charEntropy(col("text")).as("h"))
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"heavy_hitters_${n}x") {
+        // token text repeats across copies, so the ANSWER stays the
+        // same head set while the data scales — exactly the shape the
+        // two-pass sketch+recount must stay linear on
+        operators.Stats.exactHeavyHitters(
+          docsN.select(explode(operators.TextAnalysis.tokens(col("text")))
+            .as("w")), col("w"), phi = 0.01)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"epoch_shuffle_${n}x") {
+        operators.Layout.seededShuffleShards(
+          docsN.select("doc_id"), "doc_id", s"probe$n", numShards = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"chunk_sentences_${n}x") {
+        operators.TextAnalysis.chunkBySentences(
+          docsN.withColumn("text_s", regexp_replace(col("text"),
+            "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")),
+          "doc_id", "text_s", maxTokens = 24)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"char_ngram_features_${n}x") {
+        operators.TextAnalysis.charNgramHashFeatures(docsN, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"upsert_latest_${n}x") {
         val snap = docsN.withColumn("version", lit(1))
         val upd = docsN.filter(col("doc_id") % 7 === 0)

@@ -141,13 +141,6 @@ object ScaleProbe {
           docsN.select("doc_id"), "doc_id", s"probe$n", numShards = 64)
           .write.format("noop").mode("overwrite").save()
       }
-      time(s"chunk_sentences_${n}x") {
-        operators.TextAnalysis.chunkBySentences(
-          docsN.withColumn("text_s", regexp_replace(col("text"),
-            "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")),
-          "doc_id", "text_s", maxTokens = 24)
-          .write.format("noop").mode("overwrite").save()
-      }
       time(s"char_ngram_features_${n}x") {
         operators.TextAnalysis.charNgramHashFeatures(docsN, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()

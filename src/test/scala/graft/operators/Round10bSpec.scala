@@ -78,6 +78,41 @@ class Round10bSpec extends SparkSpec {
     assert(incremental === naiveHitters(df.select("item"), 0.02))
   }
 
+  // ---- char_ngram_features: native == the SQL chain it replaced ----
+
+  test("CharNgramFeaturesExpr: bit-identical to the transform/filter " +
+      "SQL chain on ascii, CJK, emoji, short, and empty inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "你好世界你好", // CJK
+      "café naïve résumé",
+      "😀😁😂 mixed 🎉", // surrogate pairs
+      "a", "", "ab", "  spaced   out  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").selectExpr("id", "lower(coalesce(t, '')) as __t")
+    val n = 2; val dim = 32
+    val both = df.selectExpr("id",
+      s"char_ngram_features(__t, $n, $dim) as native",
+      s"""transform(sequence(0, ${dim - 1}),
+        b -> round(cast(size(filter(
+          case when length(__t) < $n then cast(array() as array<bigint>)
+          else transform(sequence(1, length(__t) - ${n - 1}),
+            i -> cast(conv(substring(md5(cast(substring(__t, i, $n) as binary)),
+              1, 15), 16, 10) as bigint) % ${dim}L) end,
+          x -> x = b)) as double)
+          / greatest(size(case when length(__t) < $n
+              then cast(array() as array<bigint>)
+              else transform(sequence(1, length(__t) - ${n - 1}),
+                i -> cast(conv(substring(md5(cast(substring(__t, i, $n) as binary)),
+                  1, 15), 16, 10) as bigint) % ${dim}L) end), 1), 6)) as hof""")
+    assert(both.filter(not(col("native") <=> col("hof"))).count() === 0L)
+    val nulled = spark.sql(
+      s"select char_ngram_features(cast(null as string), $n, $dim) as v")
+    assert(nulled.head().isNullAt(0))
+  }
+
   // ---- seededShuffleShards ----
 
   private def docs100: DataFrame = (1L to 100L).toDF("doc_id")

@@ -372,4 +372,46 @@ object Stats {
       .filter(col("cnt") > col("__n").cast("double") * lit(phi))
       .select(col("item"), col("cnt"))
   }
+
+  /** PER-GROUP exact heavy hitters — for each `keyCol` group, every
+    * item with within-group share > phi and its exact count (the
+    * per-language / per-domain boilerplate-token report). Same
+    * sketch-candidates + exact-recount argument as
+    * [[exactHeavyHitters]], with the grouped scale shape:
+    *
+    *  - candidate pass: one grouped frequent-items sketch aggregation
+    *    (map-side combined — one sketch per partition per group
+    *    shuffles, never rows); candidates ≤ tracked per group.
+    *  - exact pass: groups × tracked can exceed broadcast budgets at
+    *    scale, so the recount joins on (key, item) as a plain
+    *    shuffle-capable equi-join (AQE broadcasts when it fits — the
+    *    Stats scaladoc's bounded-vs-high-cardinality group rule), and
+    *    per-group totals ride the same aggregation (no second scan:
+    *    count(*) over the group keys is sketch-row cheap).
+    *
+    * Exact and deterministic per group, same oracle form (GROUP BY
+    * key, item HAVING). */
+  def exactHeavyHittersByKey(df: DataFrame, keyCol: Column, itemCol: Column,
+      phi: Double, maxItemsTracked: Int = 0): DataFrame = {
+    require(phi > 0 && phi < 1, "need 0 < phi < 1")
+    val tracked =
+      if (maxItemsTracked > 0) maxItemsTracked
+      else math.max(64, math.ceil(8.0 / phi).toInt)
+    require(tracked * phi >= 4.0,
+      s"maxItemsTracked=$tracked too small for phi=$phi: need >= 4/phi")
+    val items = df.select(keyCol.as("key"), itemCol.as("item"))
+      .filter(col("item").isNotNull && col("key").isNotNull)
+    // one grouped scan: per-key sketch + per-key exact total together
+    val sk = items.groupBy(col("key")).agg(
+      expr(s"approx_top_k_estimate(" +
+        s"approx_top_k_accumulate(item, $tracked), $tracked)").as("tk"),
+      count(lit(1)).as("__n"))
+    val cands = sk.select(col("key"), explode(col("tk")).as("c"), col("__n"))
+      .select(col("key"), col("c.item").as("item"), col("__n"))
+    items.join(cands, Seq("key", "item"))
+      .groupBy(col("key"), col("item"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("__n").cast("double") * lit(phi))
+      .select(col("key"), col("item"), col("cnt"))
+  }
 }

@@ -137,6 +137,20 @@ object StatsQueries {
         col("w"), phi = 0.01)
     },
 
+    // PER-GROUP exact heavy hitters: each language's >2%-share tokens
+    // with exact within-group counts — the per-domain boilerplate
+    // report. Grouped sketch candidates + a shuffle-capable (key,item)
+    // recount join (groups x tracked can exceed broadcast budgets at
+    // scale, so no hint — AQE broadcasts when it fits)
+    "q_heavy_hitters_by_lang" -> { (s, dir) =>
+      Stats.exactHeavyHittersByKey(
+        table(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("w")),
+        col("lang"), col("w"), phi = 0.02)
+        .withColumnRenamed("key", "lang")
+    },
+
     // the INCREMENTAL deployment of q_heavy_hitters: per-ingest-half
     // sketch states (StreamingOps.topKState), folded with the
     // associative/commutative sketch merge, exact-recounted over the
@@ -238,6 +252,16 @@ object StatsQueries {
         |FROM toks CROSS JOIN tot
         |GROUP BY item, tot.n
         |HAVING count(1) > 0.01 * tot.n""".stripMargin,
+    "q_heavy_hitters_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS item
+        |  FROM documents),
+        |tot AS (SELECT lang, count(1) AS n FROM toks GROUP BY lang)
+        |SELECT toks.lang, item, count(1)::BIGINT AS cnt
+        |FROM toks JOIN tot ON toks.lang = tot.lang
+        |GROUP BY toks.lang, item, tot.n
+        |HAVING count(1) > 0.02 * tot.n""".stripMargin,
     // exactness of the state-merge + recount chain is the claim: the
     // incremental form must reproduce the one-shot answer bit-for-bit
     "q_heavy_hitters_incremental" ->

@@ -59,6 +59,26 @@ class Round10bSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("exactHeavyHittersByKey == per-group naive groupBy-HAVING; " +
+      "groups never bleed into each other") {
+    // two groups with DIFFERENT heavy heads: g0 is zipf over w1..w200,
+    // g1 is uniform over 5 items (all heavy)
+    val df = ((1 to 200).flatMap(i => Seq.fill(1000 / i)(("g0", s"w$i"))) ++
+      (0 until 500).map(i => ("g1", s"u${i % 5}"))).toDF("k", "item")
+    val want = df.groupBy("k", "item").agg(count(lit(1)).as("cnt"))
+      .join(df.groupBy("k").agg(count(lit(1)).as("n")), Seq("k"))
+      .filter(col("cnt") > col("n") * 0.02)
+      .select("k", "item", "cnt").as[(String, String, Long)].collect().toSet
+    val got = Stats
+      .exactHeavyHittersByKey(df.repartition(32), col("k"), col("item"), 0.02)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === want)
+    // g1's uniform items are exactly its 5 hitters; none leak into g0
+    assert(got.filter(_._1 == "g1").map(_._2) ===
+      Set("u0", "u1", "u2", "u3", "u4"))
+    assert(got.filter(_._1 == "g0").forall(r => r._2.startsWith("w")))
+  }
+
   test("heavyHittersFromState: merged split states reproduce the " +
       "one-shot exactHeavyHitters answer exactly") {
     import graft.streaming.StreamingOps

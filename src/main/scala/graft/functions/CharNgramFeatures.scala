@@ -52,6 +52,14 @@ case class CharNgramFeaturesExpr(child: Expression, n: Int, dim: Int)
 
 object CharNgramFeatures {
 
+  // one digest per executor thread: getInstance per ROW would pay a
+  // provider lookup + allocation that rivals the md5 itself on short
+  // docs (digest() resets the instance, so reuse is safe)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def compute(s: UTF8String, n: Int, dim: Int): GenericArrayData = {
     val str = s.toString
     val nCp = str.codePointCount(0, str.length)
@@ -69,7 +77,7 @@ object CharNgramFeatures {
         ci += 1
       }
       offs(nCp) = str.length
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5.get()
       var i = 0
       while (i + n <= nCp) {
         val d = md.digest(str.substring(offs(i), offs(i + n))

@@ -50,7 +50,12 @@ object ChunkIds {
   /** The greedy fold: start a chunk at element 0 and whenever the open
     * chunk's running count plus the next sentence would exceed
     * `maxTokens`. Mirrors the `aggregate` HOF form exactly (first
-    * element always opens chunk 0, even when oversized). */
+    * element always opens chunk 0, even when oversized). Null ELEMENTS
+    * are rejected loudly: the HOF form null-poisons its running count
+    * (every later capacity test is null → no chunk ever closes again),
+    * which is never the intent — fail fast rather than silently
+    * diverge from either reading. [[graft.operators.TextAnalysis
+    * .chunkBySentences]] feeds non-null counts by construction. */
   def compute(counts: ArrayData, maxTokens: Long): GenericArrayData = {
     val s = counts.numElements()
     val ids = new Array[Int](s)
@@ -58,6 +63,8 @@ object ChunkIds {
     var cur = 0L
     var i = 0
     while (i < s) {
+      if (counts.isNullAt(i)) throw new IllegalArgumentException(
+        s"chunk_ids: null token count at index $i — counts must be non-null")
       val n = counts.getLong(i)
       if (i == 0 || cur + n > maxTokens) { id += 1; cur = n }
       else cur += n
@@ -65,6 +72,15 @@ object ChunkIds {
       i += 1
     }
     new GenericArrayData(ids)
+  }
+
+  /** Registry builder: `chunk_ids(counts, maxTokens)` — arity-checked
+    * (a direct lambda would throw a bare IndexOutOfBoundsException on
+    * wrong-arity SQL calls). */
+  def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"chunk_ids(counts, maxTokens) takes 2 arguments, got ${exprs.length}")
+    ChunkIdsExpr(exprs.head, exprs(1))
   }
 
   /** Column API via the function registry (Column↔Expression bridges

@@ -47,7 +47,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_probe", buildBloomProbe, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "chunk_ids", exprs => ChunkIdsExpr(exprs(0), exprs(1)), "scala_udf")
+      "chunk_ids", ChunkIds.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngram_features", CharNgramFeatures.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -73,8 +73,13 @@ object Classification {
   /** Train binary logistic regression by `steps` full-batch GD updates
     * at learning rate `lr`, target `targetCol` (a boolean expression
     * over `df` rows). Returns the dim+1 weights (index 0 = bias),
-    * 6-decimal-anchored per step. Empty input returns the zero vector
-    * (dim read from the first row — an empty corpus yields Nil).
+    * 6-decimal-anchored per step. Empty input returns Nil. The model
+    * dimension is max(size(vec)) over the WHOLE input — one cheap agg
+    * over the cached frame, deterministic under any partitioning
+    * (reading the first row's length would make the weight-vector
+    * LENGTH partition-layout-dependent for ragged inputs and silently
+    * drop indices beyond it); rows shorter than the max contribute
+    * gradients only to the indices they carry (per-index n below).
     *
     * Each step is one job: scan → sigmoid → posexplode(augmented) →
     * per-index gradient sum (map-side combined to dim+1 rows per task)
@@ -101,8 +106,8 @@ object Classification {
         when(targetCol, lit(1.0)).otherwise(lit(0.0)).as("__y"))
       .cache() // scanned `steps` times; unpersisted below
     try {
-      val dimRow = prepped.select(size(col("__xa"))).limit(1).collect()
-      if (dimRow.isEmpty) return Nil
+      val dimRow = prepped.agg(max(size(col("__xa")))).collect()
+      if (dimRow.isEmpty || dimRow.head.isNullAt(0)) return Nil
       var w: Seq[Double] = Seq.fill(dimRow.head.getInt(0))(0.0)
       for (_ <- 1 to steps) {
         // Σ (p − y)·xa_i and the row count per index: dim+1 rows back.
@@ -168,8 +173,10 @@ object Classification {
         augmented(col(vecCol)).as("__xa"), labelCol.as("__lbl"))
       .cache() // scanned `steps` times; unpersisted below
     try {
-      val dimRow = prepped.select(size(col("__xa"))).limit(1).collect()
-      if (dimRow.isEmpty) return classes.map(_ => Nil)
+      // max over the whole input, not the first row's length — the
+      // trainLogReg ragged-dimension rule (deterministic model shape)
+      val dimRow = prepped.agg(max(size(col("__xa")))).collect()
+      if (dimRow.isEmpty || dimRow.head.isNullAt(0)) return classes.map(_ => Nil)
       val dim = dimRow.head.getInt(0)
       var ws: Seq[Seq[Double]] = classes.map(_ => Seq.fill(dim)(0.0))
       for (_ <- 1 to steps) {

@@ -591,7 +591,15 @@ object Dedup {
       .filter(col("rn") <=
         (floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("n_sh"), col("shingle"))
-      .localCheckpoint(false) // both sides of the candidate self-join
+      // both sides of the candidate self-join. Checkpoint (not
+      // ReuseExchange-unpersisted like minHash/simHash): the subtree
+      // ends in a ranking WINDOW, which would replay its sort per
+      // consumer. Known trades, deliberate: building this frame
+      // materializes the upstream stages (lazy checkpoint + AQE), and
+      // the truncated lineage means a lost executor fails the query
+      // for the caller to retry instead of recomputing — see
+      // CacheLifecycleSpec's contract note.
+      .localCheckpoint(false)
     val cands = prefix.select(col("id").as("a"), col("n_sh").as("na"), col("shingle"))
       .join(prefix.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle")),
         Seq("shingle"))
@@ -1173,8 +1181,13 @@ object Dedup {
     * maxHamming. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int = 3): DataFrame = {
+    // UNPERSISTED: both banded join sides end in simHashSignatures'
+    // groupBy(id) exchange, so ReuseExchange materializes the
+    // shingle+hash scan once (the minHashLshPairs rule) — and plan
+    // building stays job-free, where a lazy localCheckpoint of a
+    // shuffle-containing subtree materializes its stages at build
+    // under AQE
     val sigs = simHashSignatures(shingles(df, idCol, textCol, n))
-      .localCheckpoint(false)
     val banded = simHashBlocks(sigs, maxHamming)
     val cands = banded.select(col("id").as("a"), col("simhash").as("sh_a"),
         col("block"), col("block_val"))

@@ -558,12 +558,15 @@ object Extras {
 
     // association mining: event-type co-occurrence lift per user
     "q_cooccurrence_lift" -> { (s, dir) =>
-      // ut feeds four consumers (both self-join sides, totals, nUsers):
-      // lazy localCheckpoint so the events scan + distinct shuffle
-      // runs once, freed on GC (the lexicalTopK lifecycle rule)
+      // ut feeds four consumers (both self-join sides, totals, nUsers)
+      // UNPERSISTED: each consumer subtree ends in the same distinct()
+      // exchange, so ReuseExchange materializes the events scan once
+      // (and plan building stays job-free — a lazy localCheckpoint of
+      // a shuffle-containing subtree runs its stages at build under
+      // AQE; the post-exchange distinct-agg replays per consumer, but
+      // it folds already-distinct rows: cheap next to the shuffle)
       val ut = graft.sources.Sources.events(s, dir)
         .select(col("user_id"), col("event_type")).distinct()
-        .localCheckpoint(false)
       val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
       val nUsers = ut.select(col("user_id")).distinct()
         .agg(count(lit(1)).cast("double").as("nu"))

@@ -76,26 +76,44 @@ class Round10Spec extends SparkSpec {
     assert(plan.contains("partial"), plan) // map-side combine present
   }
 
-  test("scoreSoftmax: ragged vectors — rows shorter than the head row " +
-      "train without shared-count skew (per-index n)") {
-    // two indices exist only on the first two rows; with the old
-    // head-row shared n the short rows' indices would divide by the
-    // wrong count — here we just pin that training completes and the
-    // per-index averaging uses each index's own row count
-    val ragged = Seq(
+  test("trainSoftmax + scoreSoftmax on ragged vectors: model dim = " +
+      "max over the input (row-order invariant), per-index n, and " +
+      "short rows score over their prefix") {
+    // two indices exist only on the long rows; with a head-row-derived
+    // dim the model SHAPE depended on row order, and with a shared n
+    // the long-only indices would divide by the wrong count
+    val rows = Seq(
       (1L, Seq(1.0, 2.0, 3.0), "x"), (2L, Seq(0.5, 1.0, 2.0), "x"),
       (3L, Seq(-1.0, -2.0), "y"), (4L, Seq(-0.5, -1.5), "y"))
-      .toDF("id", "vec", "lbl")
+    val ragged = rows.toDF("id", "vec", "lbl")
+    // a SHORT row first: dim must still be max(size)+1 = 4
+    val shortFirst = Seq(rows(2), rows(0), rows(3), rows(1))
+      .toDF("id", "vec", "lbl").coalesce(1)
     val ws = Classification.trainSoftmax(ragged, "id", "vec", col("lbl"),
       Seq("x", "y"), steps = 1, lr = 1.0)
-    assert(ws.size === 2 && ws.forall(_.size === 4)) // dim from head row
-    // index 3 (the head-row-only feature) averaged over 2 rows, not 4:
+    assert(ws.size === 2 && ws.forall(_.size === 4)) // dim = max, not head
+    assert(ws === Classification.trainSoftmax(shortFirst, "id", "vec",
+      col("lbl"), Seq("x", "y"), steps = 1, lr = 1.0),
+      "weights must not depend on which row is read first")
+    // index 3 (the long-rows-only feature) averaged over 2 rows, not 4:
     // replay index 3's step-1 gradient by hand — at w0=0 both softmax
     // posteriors are 0.5, so d_x = 0.5 - 1[lbl=x]; only rows 1,2
     // (class x, v = 3.0 and 2.0) carry index 3:
     // g = ((3.0 + 2.0) * -0.5) / 2 = -1.25 → w = -(1.0 * -1.25)
     assert(ws.head(3) === 1.25)
     // with the old head-row shared count (n=4) it would be 0.625
+    // scoring path: short rows dot over their prefix (VectorDot mins
+    // lengths), posteriors still sum to 1 and every row classifies
+    val scored = Classification.scoreSoftmax(ragged, "id", "vec",
+      Seq("x", "y"), ws)
+    assert(scored.count() === 4L)
+    val sums = scored.select((col("p_x") + col("p_y")).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 2e-6 &&
+      math.abs(sums.getDouble(1) - 1.0) < 2e-6)
+    val preds = scored.orderBy("id").select("pred")
+      .as[String].collect().toSeq
+    assert(preds === Seq("x", "x", "y", "y"))
   }
 
   // ---- trained reranker: learned blend beats the hand blend ----

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, Literal, Size}
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 
 /** Standing sweep for the InferFiltersFromGenerate blowup: under a
   * non-outer explode, Spark synthesizes `size(e) > 0`, and predicate
@@ -18,8 +19,13 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan
   * Cheap generator inputs (a split/tokenize duplicated once into the
   * scan filter) are fine and common — the sweep only fails when the
   * size() argument's expression tree is large, the signature of an
-  * inlined alias chain. */
-class GenerateFilterSweepSpec extends SparkSpec {
+  * inlined alias chain.
+  *
+  * Traversal goes through [[AdaptiveSparkPlanHelper]]: under AQE the
+  * executed plan's root is an AdaptiveSparkPlanExec LEAF, so a plain
+  * `plan.collect` never descends into the real operators and the sweep
+  * would pass vacuously for every query containing an exchange. */
+class GenerateFilterSweepSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val maxInlinedSizeArg = 1000
 
@@ -32,16 +38,26 @@ class GenerateFilterSweepSpec extends SparkSpec {
 
   test("no query carries an inferred size(e) > 0 filter over a large " +
       "inlined expression (use explode_outer + isNotNull for computed arrays)") {
+    var filtersSeen = 0
     val dirty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val plan: SparkPlan = q(spark, sf0001).queryExecution.executedPlan
-        val conds = plan.collect {
+        val plan = q(spark, sf0001).queryExecution.executedPlan
+        // collect() from AdaptiveSparkPlanHelper descends through
+        // AdaptiveSparkPlanExec / QueryStageExec boundaries
+        val conds = collect(plan) {
           case f: FilterExec => Seq(f.condition)
           case sc: FileSourceScanExec => sc.dataFilters
         }.flatten
+        filtersSeen += conds.size
         val hits = conds.flatMap(offendingSizeArgs)
         if (hits.isEmpty) None else Some(s"$name: ${hits.head}")
     }
+    // the sweep must actually be LOOKING at filters — if the traversal
+    // ever goes blind (plan hierarchy change), fail loudly instead of
+    // passing vacuously
+    assert(filtersSeen > 100,
+      s"sweep inspected only $filtersSeen filter conditions across the " +
+        "whole registry — traversal is broken, not the queries")
     assert(dirty.isEmpty,
       s"inferred-generate filter blowups:\n${dirty.mkString("\n")}")
   }

@@ -205,8 +205,12 @@ object TextAnalysis {
     // localCheckpoint, blocks freed on GC (the langIdTrained lifecycle)
     val feats = charNgramHashFeatures(df, idCol, textCol, n, dim,
       carry = Seq(langCol)).localCheckpoint(true)
-    val ws = Classification.trainSoftmax(feats, "id", "features",
+    val ws0 = Classification.trainSoftmax(feats, "id", "features",
       col(langCol), langs, steps, lr)
+    // empty corpus: trainSoftmax returns Nil per class; score with the
+    // bias-only zero model so the (empty) output keeps its full schema
+    // instead of tripping scoreSoftmax's non-empty-weights require
+    val ws = if (ws0.exists(_.isEmpty)) ws0.map(_ => Seq(0.0)) else ws0
     Classification.scoreSoftmax(feats, "id", "features", langs, ws,
       predCol = "lang_pred")
   }

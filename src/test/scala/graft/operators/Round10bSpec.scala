@@ -98,6 +98,21 @@ class Round10bSpec extends SparkSpec {
     assert(incremental === naiveHitters(df.select("item"), 0.02))
   }
 
+  // ---- empty-corpus edge for the trained language IDs ----
+
+  test("langIdSoftmax and langIdTrained on an empty corpus: empty " +
+      "output with the full schema, no crash") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val sm = TextAnalysis.langIdSoftmax(empty, "doc_id", "text", "lang",
+      Seq("aa", "bb"), steps = 1, lr = 1.0)
+    assert(sm.count() === 0L)
+    assert(sm.columns.toSet === Set("id", "p_aa", "p_bb", "lang_pred"))
+    val tr = TextAnalysis.langIdTrained(empty, "doc_id", "text", "lang",
+      Seq("aa", "bb"), steps = 1, lr = 1.0)
+    assert(tr.count() === 0L)
+    assert(tr.columns.contains("lang_pred"))
+  }
+
   // ---- char_ngram_features: native == the SQL chain it replaced ----
 
   test("CharNgramFeaturesExpr: bit-identical to the transform/filter " +

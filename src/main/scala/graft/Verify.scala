@@ -19,14 +19,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query outcome for summary.json: rows written (or -1 on failure)
+    // and wall seconds — so an empty/absent driver-side CORRECTNESS file
+    // is diagnosable from the round snapshot alone (r10 postmortem).
+    val outcomes = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       // operators cache intermediates internally; clear between queries
       // so 100+ corpus-scale cached tables can't accumulate and spill
       spark.catalog.clearCache()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // row count from the written file's parquet footer — no recompute
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        outcomes(name) = (rows, (System.nanoTime() - t0) / 1e9)
+      }
       catch { case e: Throwable =>
         // A query that fails to run must NOT silently vanish from the
         // round's correctness results (it did in r5, masking a 20-query
@@ -36,6 +46,7 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: $msg")
         failures(name) = msg
+        outcomes(name) = (-1L, (System.nanoTime() - t0) / 1e9)
         try {
           import spark.implicits._
           Seq(msg).toDF("verify_error").coalesce(1)
@@ -63,6 +74,16 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Builder-owned per-query summary: rows + engine wall seconds per
+    // query, written even when the driver's own compare never lands
+    // (CORRECTNESS_r10.json came back empty while the engine was green —
+    // this file makes that failure mode diagnosable from the snapshot).
+    val summary = outcomes.map { case (k, (rows, sec)) =>
+      s"${q(k)}: {\"rows\": $rows, \"sec\": ${f"$sec%.2f"}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/summary.json"), summary)
+    System.err.println(
+      s"[verify] ${outcomes.size} queries dumped, ${failures.size} failed; summary.json written")
     if (failures.nonEmpty)
       System.err.println(
         s"[verify] ${failures.size} queries FAILED to run: ${failures.keys.mkString(", ")}")

@@ -1640,7 +1640,7 @@ object DedupQueries {
     // BOTH sides (batch-novel fps can't match the corpus — lossless)
     "q_winnow_incremental_persisted" ->
       s"""WITH ${graft.queries.TextQueries.winnowPolyCtes(24, 8)},
-        |fpall AS (
+        |fpall AS MATERIALIZED (
         |  SELECT doc_id, unnest(fps) AS fp,
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
         |  FROM f),
@@ -1665,7 +1665,7 @@ object DedupQueries {
     // then df-capped self-join on the fingerprint value
     "q_winnow_pairs" ->
       s"""WITH ${graft.queries.TextQueries.winnowPolyCtes(24, 8)},
-        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |fp AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM f),
         |rare AS (SELECT fp FROM (SELECT fp, count(1) AS c FROM fp GROUP BY 1)
         |         WHERE c <= 50),
         |p AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),

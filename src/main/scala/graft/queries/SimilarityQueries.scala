@@ -1289,7 +1289,7 @@ object SimilarityQueries {
        |    coalesce(s.cos, 0.0) AS sem_cos
        |  FROM lex l FULL JOIN sem s
        |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
-       |cands AS (
+       |cands AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, round(rrf, 6) AS rrf6,
        |    lex_cos, sem_cos
        |  FROM (
@@ -1331,13 +1331,13 @@ object SimilarityQueries {
        |    / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
        |       * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))) AS cos
        |  FROM truthq q, embeddings e WHERE e.vec_id <> q.query_id),
-       |truth AS (
+       |truth AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY cos DESC, neighbor_id) AS trank
        |    FROM tscored) WHERE trank <= $k),
-       |lab AS (
+       |lab AS MATERIALIZED (
        |  SELECT c.query_id, c.neighbor_id, c.lex_cos, c.sem_cos,
        |    [1.0::DOUBLE, c.lex_cos, c.sem_cos, c.rrf6] AS xa,
        |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1.0::DOUBLE

@@ -994,20 +994,32 @@ object TextQueries {
     }
     val pw1 = pows(31L, 2147483647L)
     val pw2 = pows(37L, 1000000007L)
+    // cs precomputes each char's code point ONCE (string_split is
+    // O(len); the previous substring(s, i+j, 1) indexing was an O(i)
+    // UTF-8 scan per access → O(len²·k) per doc, which made the three
+    // winnow/char-span oracles dominate the suite at 36-56s each —
+    // the r10 gate postmortem). h is MATERIALIZED because two oracles
+    // consume it twice (f + the span explosion) and DuckDB would
+    // otherwise inline — i.e. recompute — it per consumer. Values are
+    // bit-identical: same code points, same power sums.
     s"""d AS (
        |  SELECT doc_id,
        |    trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
        |  FROM documents),
-       |h AS (
+       |ccs AS (
        |  SELECT doc_id,
-       |    list_transform(range(1, length(s) - ${k - 2}), i ->
+       |    list_transform(string_split(s, ''), x -> unicode(x)::BIGINT) AS cs
+       |  FROM d WHERE length(s) >= ${k + w - 1}),
+       |h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(cs) - ${k - 2}), i ->
        |      (list_sum(list_transform(range(0, $k), j ->
-       |        unicode(substring(s, i + j, 1))::BIGINT * ($pw1)[j + 1]))
+       |        cs[i + j] * ($pw1)[j + 1]))
        |        % 2147483647)::BIGINT * 1000000007 +
        |      (list_sum(list_transform(range(0, $k), j ->
-       |        unicode(substring(s, i + j, 1))::BIGINT * ($pw2)[j + 1]))
+       |        cs[i + j] * ($pw2)[j + 1]))
        |        % 1000000007)::BIGINT) AS hs
-       |  FROM d WHERE length(s) >= ${k + w - 1}),
+       |  FROM ccs),
        |f AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(list_transform(range(1, len(hs) - ${w - 2}),

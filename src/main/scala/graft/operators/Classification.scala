@@ -234,7 +234,15 @@ object Classification {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val xa = augmented(col(vecCol))
     val margins = ws.map(w => graft.functions.VectorDot(xa, typedlit(w)))
-    val denom = margins.map(exp).reduce(_ + _)
+    // max-margin subtraction before exponentiation: a confident model
+    // with margins beyond ~709 overflows exp() to Infinity and turns
+    // every posterior into NaN; exp(m - max) keeps the largest term at
+    // exactly 1.0 for any margin range. The oracle applies the same
+    // transformation (greatest + shifted exps in the same class order),
+    // so the doubles stay bit-identical on both sides.
+    val mmax =
+      if (margins.size == 1) margins.head else greatest(margins: _*)
+    val denom = margins.map(m => exp(m - mmax)).reduce(_ + _)
     // argmax on the UNROUNDED margins (monotone in the posteriors —
     // same shared denominator): posteriors saturate to 1.000000 at 6dp
     // under confident models, where a rounded-score argmax collapses
@@ -243,7 +251,7 @@ object Classification {
     // bit-identical to the oracle's list_sum(list_transform(...))
     val out = df.select((col(idCol).as("id") +:
       classes.zip(margins).map { case (c, m) =>
-        round(exp(m) / denom, 6).as(s"p_$c")
+        round(exp(m - mmax) / denom, 6).as(s"p_$c")
       }) ++ classes.zip(margins).map { case (c, m) => m.as(s"__m_$c") }: _*)
     val pred = classes.zipWithIndex.init.foldRight(lit(classes.last)) {
       case ((c, i), acc) =>

@@ -140,8 +140,16 @@ object TextQueries {
       s"${margin(s"w${steps}_$l.w")} AS m_$l"
     }.mkString(",\n    ")
     val crossFinal = langs.map(l => s"CROSS JOIN w${steps}_$l").mkString(" ")
+    // max-margin subtraction mirrors Classification.scoreSoftmax: the
+    // shifted exps (same class order, same left-assoc sum) keep the
+    // posteriors finite for any margin range and bit-identical to the
+    // engine's greatest+shift
+    val mmaxExpr =
+      if (langs.size == 1) s"m_${langs.head}"
+      else s"greatest(${langs.map(l => s"m_$l").mkString(", ")})"
+    val denShift = langs.map(l => s"exp(m_$l - mmax)").mkString(" + ")
     val pCols = langs.map { l =>
-      s"round(exp(m_$l) / (${den("")}), 6) AS p_$l"
+      s"round(exp(m_$l - mmax) / ($denShift), 6) AS p_$l"
     }.mkString(",\n  ")
     val pred = langs.init.zipWithIndex.map { case (l, i) =>
       val conds = langs.drop(i + 1).map(m => s"m_$l >= m_$m").mkString(" AND ")
@@ -167,12 +175,14 @@ object TextQueries {
        |scoredf AS (
        |  SELECT doc_id,
        |    $finalMargins
-       |  FROM emb $crossFinal)
+       |  FROM emb $crossFinal),
+       |scoredm AS (
+       |  SELECT *, $mmaxExpr AS mmax FROM scoredf)
        |SELECT doc_id,
        |  $pCols,
        |  CASE $pred
        |    ELSE '${langs.last}' END AS lang_pred
-       |FROM scoredf""".stripMargin
+       |FROM scoredm""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

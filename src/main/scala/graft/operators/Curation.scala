@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Returns the curated corpus: one surviving doc per near-dup
-    * cluster among quality-passing docs, tagged with its split. */
+    * cluster among quality-passing docs, tagged with its split.
+    * Construction runs Spark jobs (lazy internal localCheckpoint —
+    * see Dedup's MATERIALIZATION POLICY scaladoc). */
   def curate(docs: DataFrame, minTokens: Long = 10L,
       jaccardThreshold: Double = 0.8, train16: Int = 12,
       valid16: Int = 2, maxIters: Int = 20): DataFrame = {

@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   *
   * The reference has no dedup operators (SURVEY.md §2: its only example
   * workload is word count); this is extension surface per the north star.
+  *
+  * MATERIALIZATION POLICY (applies to every operator below whose doc
+  * says "construction runs Spark jobs"): multi-consumer intermediates
+  * (shingle/fingerprint tables) are pinned with LAZY
+  * `localCheckpoint(false)` rather than `cache()`. Consequences
+  * callers must know: (1) under AQE, *building* the returned DataFrame
+  * already runs the upstream Spark jobs — this is not a plan-only
+  * constructor; (2) lineage is truncated onto unreplicated executor
+  * blocks, so a lost executor FAILS the query (caller retries) instead
+  * of recomputing — the deliberate trade for GC-freed blocks with no
+  * session-lifetime CacheManager pin (CacheLifecycleSpec enforces the
+  * pairing). Callers needing plan-only construction or executor-loss
+  * resilience should use the `*FromShingles` composed forms and manage
+  * caching themselves.
   */
 object Dedup {
 
@@ -518,7 +532,9 @@ object Dedup {
     * shingles and the cap only removes stopword-like ones, but this is
     * a heuristic, not a guarantee — for exactness run uncapped, or use
     * [[ngramJaccardPairsPrefix]] which is lossless by construction.
-    * (The oracle-checked query runs uncapped.)
+    * (The oracle-checked query runs uncapped.) Construction runs Spark jobs (lazy internal
+    * localCheckpoint — see the object scaladoc's MATERIALIZATION POLICY
+    * for the lineage/retry trade).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
@@ -567,7 +583,9 @@ object Dedup {
     * lexicographic order degenerates exactly there (measured 6x slower
     * than the naive join on the small-vocab test corpus; frequency
     * order is ~4x faster). Any fixed order is lossless; the order only
-    * changes pruning power.
+    * changes pruning power. Construction runs Spark jobs (lazy internal
+    * localCheckpoint — see the object scaladoc's MATERIALIZATION POLICY
+    * for the lineage/retry trade).
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
@@ -635,7 +653,9 @@ object Dedup {
     * corpus side's shingle table is the thing to persist between runs.
     * If an id appears on BOTH sides (a re-ingested batch overlapping
     * the corpus), its degenerate self-pair is filtered out — identity
-    * is not near-duplication.
+    * is not near-duplication. Construction runs Spark jobs (lazy internal
+    * localCheckpoint — see the object scaladoc's MATERIALIZATION POLICY
+    * for the lineage/retry trade).
     */
   def crossJaccardPairs(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double): DataFrame =
@@ -703,7 +723,9 @@ object Dedup {
     * fully contained in a 1000-shingle doc has J = 0.1 but
     * containment = 1.0. Same candidate-generation join as
     * [[ngramJaccardPairs]] (equi-join on the shingle), so the cost
-    * profile and 100 TB behavior are identical. */
+    * profile and 100 TB behavior are identical. Construction runs Spark jobs (lazy internal
+    * localCheckpoint — see the object scaladoc's MATERIALIZATION POLICY
+    * for the lineage/retry trade). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint(false)
@@ -733,7 +755,9 @@ object Dedup {
     * doc can be contained in a huge one), so prefixes join against the
     * FULL shingle table, not against other prefixes. The global order
     * is ascending document frequency, so prefixes hold each set's
-    * rarest shingles and join buckets stay small. */
+    * rarest shingles and join buckets stay small. Construction runs Spark jobs (lazy internal
+    * localCheckpoint — see the object scaladoc's MATERIALIZATION POLICY
+    * for the lineage/retry trade). */
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1412,6 +1436,12 @@ object Dedup {
         round(col("shared") / least(col("__nb"), col("__nc")), 6).as("overlap"))
   }
 
+  /** Winnowing (MOSS) shared-fingerprint near-dup join: pairs sharing
+    * >= minShared selected fingerprints, scored by shared /
+    * min(|fps_a|,|fps_b|). Candidates come from an equi-join on the
+    * fingerprint (df-capped at `maxDf`), never all-pairs. Construction
+    * runs Spark jobs (lazy internal localCheckpoint — see the object
+    * scaladoc's MATERIALIZATION POLICY for the lineage/retry trade). */
   def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4, minShared: Int = 2,
       maxDf: Int = 100): DataFrame = {

@@ -160,6 +160,13 @@ object Layout {
   def seededShuffleShards(df: DataFrame, idCol: String, seed: String,
       numShards: Int): DataFrame = {
     require(numShards > 0, "need numShards > 0")
+    // withColumn REPLACES same-named input columns — a frame already
+    // carrying a `shard` (e.g. from tokenBalancedShards) would be
+    // silently clobbered; make the clash an error the caller fixes
+    val clash = Seq("shard", "pos", "__k").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"seededShuffleShards writes columns ${clash.mkString(", ")} that " +
+        "already exist on the input — rename or drop them first")
     import org.apache.spark.sql.expressions.Window
     val k = md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
       .cast("binary"))

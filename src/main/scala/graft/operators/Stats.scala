@@ -68,7 +68,9 @@ object Stats {
     * `approx_percentile` boundaries) caps the largest bucket. Ties
     * across bucket boundaries are impossible: the tie-break column
     * only orders rows of equal value, which land in the same bucket.
-    * `valueCol` must be non-null. */
+    * `valueCol` must be non-null. Construction runs Spark jobs (lazy
+    * internal localCheckpoint — see Dedup's MATERIALIZATION POLICY
+    * scaladoc for the lineage/retry trade). */
   def distributedNtile(df: DataFrame, valueCol: String, tieCol: String,
       nTiles: Int, nRangeBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -135,7 +137,9 @@ object Stats {
     * QuantileSummaries, bounded state, rank error ≤ 1/acc): the
     * production setting; clamp bounds shift by at most the rank error,
     * which a winsorized mean is insensitive to by construction
-    * (StatsSpec pins exact-vs-approx agreement). */
+    * (StatsSpec pins exact-vs-approx agreement). Construction runs
+    * Spark jobs (lazy internal localCheckpoint — see Dedup's
+    * MATERIALIZATION POLICY scaladoc). */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double = 0.05, hi: Double = 0.95,
       sketchAccuracy: Option[Int] = None): DataFrame = {
@@ -231,7 +235,9 @@ object Stats {
     * `Some(acc)` bounds both median aggregations' state via
     * `approx_percentile`. An approximate median shifts which borderline
     * rows clear the k·MAD threshold, so the approx form is for
-    * profiling, not for hash-stable outputs. */
+    * profiling, not for hash-stable outputs. Construction runs Spark
+    * jobs (lazy internal localCheckpoint — see Dedup's MATERIALIZATION
+    * POLICY scaladoc). */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0, sketchAccuracy: Option[Int] = None): DataFrame = {
     // three consumers of the projected columns (median pass, MAD pass,
@@ -309,7 +315,14 @@ object Stats {
     * DuckDB oracle is a plain GROUP BY ... HAVING) — but the
     * full-cardinality shuffle of a naive global group-by (every
     * distinct token at 100 TB) never happens. Total in-plan via the
-    * same single-row aggregate (no `.count()` driver job). */
+    * same single-row aggregate (no `.count()` driver job).
+    *
+    * PRECONDITION (same as [[heavyHittersFromState]]): both passes
+    * must see IDENTICAL rows. `df` is scanned twice — once for the
+    * sketch, once for the recount — so a non-deterministic input
+    * (files mutated between actions, `rand()`-derived columns)
+    * silently breaks the no-false-negative guarantee. Materialize
+    * such inputs first (`localCheckpoint()`) before calling. */
   def exactHeavyHitters(df: DataFrame, itemCol: Column, phi: Double,
       maxItemsTracked: Int = 0): DataFrame = {
     require(phi > 0 && phi < 1, "need 0 < phi < 1")
@@ -390,7 +403,11 @@ object Stats {
     *    count(*) over the group keys is sketch-row cheap).
     *
     * Exact and deterministic per group, same oracle form (GROUP BY
-    * key, item HAVING). */
+    * key, item HAVING).
+    *
+    * PRECONDITION (same as [[exactHeavyHitters]]): the two scans of
+    * `df` must see identical rows — materialize non-deterministic
+    * inputs first. */
   def exactHeavyHittersByKey(df: DataFrame, keyCol: Column, itemCol: Column,
       phi: Double, maxItemsTracked: Int = 0): DataFrame = {
     require(phi > 0 && phi < 1, "need 0 < phi < 1")

@@ -473,6 +473,42 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
           sum(col("id")).as("id_sum"))
     },
+    // the THIRD product composition — the DATA-DERIVED boilerplate
+    // policy (v2's blocklist is hand-written; v3's is computed from the
+    // corpus itself): per-language exact heavy hitters (>3.5%
+    // within-language token share via Stats.exactHeavyHittersByKey —
+    // sketch candidates + exact recount, never a full-vocabulary
+    // shuffle) become each language's dynamic stopword/boilerplate
+    // list; each doc is scored by the fraction of its tokens on its
+    // OWN language's list, and boilerplate-heavy docs (ratio > 0.35)
+    // are dropped; √-temperature mix over the surviving token mass;
+    // per-language accounting (id_sum pins membership). The
+    // heavy-hitter list is bounded by construction (langs × tracked),
+    // so its join back onto the token stream is an explicit broadcast;
+    // the token stream shuffles only into bounded aggregations
+    // (per-doc counts, per-lang totals). Exchange budget pinned in
+    // Round11Spec.
+    "q_curation_v3" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").filter(col("lang").isNotNull)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+          .as("tok"))
+      val hh = graft.operators.Stats.exactHeavyHittersByKey(
+          toks, col("lang"), col("tok"), phi = 0.035)
+        .select(col("key").as("lang"), col("item").as("tok"))
+      val perDoc = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"))
+      val hits = toks.join(broadcast(hh), Seq("lang", "tok"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      val kept = perDoc.join(hits, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_toks").cast("double") <= 0.35)
+      val mixed = graft.operators.Sampling.temperatureMix(kept,
+        col("doc_id"), col("lang"), col("n_toks"))
+      mixed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    },
     // C4/RefinedWeb line-level dedup: corpus-duplicated lines survive
     // only at their first occurrence, docs reassembled. The synthetic
     // docs are single-line, so the query first reflows each into
@@ -1264,6 +1300,47 @@ object DedupQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM shs GROUP BY shard""".stripMargin
     },
+    // q_curation_v3: per-lang heavy hitters (plain GROUP BY HAVING —
+    // the two-pass operator is exact by construction), the per-doc
+    // dynamic-stopword ratio screen, and the q_temperature_mix
+    // keep-rate replay. All divisions are double/double with the same
+    // operands on both sides, so the 0.35 comparison is bit-identical.
+    "q_curation_v3" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE lang IS NOT NULL),
+        |tk AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+        |tot AS (SELECT lang, count(1) AS n FROM tk GROUP BY lang),
+        |hh AS (
+        |  SELECT tk.lang, tok FROM tk JOIN tot ON tk.lang = tot.lang
+        |  GROUP BY tk.lang, tok, tot.n
+        |  HAVING count(1) > 0.035 * tot.n),
+        |pd AS (SELECT doc_id, lang, count(1)::BIGINT AS n_toks
+        |       FROM tk GROUP BY 1, 2),
+        |ht AS (SELECT tk.doc_id, count(1)::BIGINT AS n_hits
+        |       FROM tk JOIN hh ON tk.lang = hh.lang AND tk.tok = hh.tok
+        |       GROUP BY 1),
+        |kept AS (
+        |  SELECT pd.doc_id, pd.lang, pd.n_toks
+        |  FROM pd LEFT JOIN ht USING (doc_id)
+        |  WHERE coalesce(ht.n_hits, 0)::DOUBLE / pd.n_toks::DOUBLE <= 0.35),
+        |t AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS tot
+        |      FROM kept GROUP BY 1),
+        |m AS (SELECT min(tot) AS tmin FROM t),
+        |r AS (SELECT lang,
+        |        CAST(greatest(floor(256 * sqrt(CAST(tmin AS DOUBLE) /
+        |               CAST(tot AS DOUBLE))), 1) AS INTEGER) AS keep256
+        |      FROM t CROSS JOIN m),
+        |s AS (
+        |  SELECT kept.* FROM kept JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |          AS INTEGER) < keep256)
+        |SELECT lang, count(1)::BIGINT AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY lang""".stripMargin,
     "q_line_dedup_incremental" -> (reflowCtes +
       """,
         |ch AS (

@@ -112,7 +112,12 @@ class Round3PlanSpec extends SparkSpec {
       // onto the ≤tracked-row candidate counts (the scalar-broadcast
       // idiom — the one-shot q_heavy_hitters instead threads the total
       // through its own sketch aggregate, no cross join)
-      "q_heavy_hitters_incremental")
+      "q_heavy_hitters_incremental",
+      // round-11: temperatureMix's 1-row tmin broadcast onto the
+      // per-lang totals (the q_temperature_mix scalar-broadcast idiom,
+      // reused by the v3 composition; Round11Spec pins the rest of the
+      // plan — bounded-frame broadcasts only, no token-stream shuffle)
+      "q_curation_v3")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

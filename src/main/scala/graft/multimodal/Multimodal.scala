@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * (`javax.sound.sampled`), so [[encodePcmWav]] / [[decodeAudioFeatures]]
   * run an actual PCM round trip through a genuine RIFF/WAVE stream.
   * COMPRESSED audio/video codecs (opus/h264) are NOT in this container,
-  * so the generic byte-level decode below remains a clearly-marked
-  * deterministic STUB —
+  * so the generic byte-level decode and the frame demux remain
+  * clearly-marked deterministic STAND-INS — but every decode path now
+  * routes through the [[MediaCodecs]] registry, so swapping in a real
+  * codec is a one-class change (see the MediaCodecs scaladoc example;
+  * MultimodalCodecSpec proves the PNG/WAV paths route through the
+  * registry with identical results) —
   * what is real throughout, and what this module exists to pin down, is
   * the Spark-side shape a production pipeline needs:
   *  - payloads travel as `BinaryType` columns (Tungsten keeps them
@@ -53,43 +57,28 @@ object Multimodal {
   }
 
   /** Decode + feature-extract for NON-image media, batched per
-    * partition.
-    *
-    * STUB: `decodeBytes` stands in for an audio/video codec (absent in
-    * this container). It is deterministic (byte statistics + a seeded
-    * byte-hash embedding) so results are reproducible and
-    * oracle-checkable; swap its body for e.g. JavaCV without touching
-    * the Spark plumbing around it. Images don't need this — use the
-    * real [[decodeImageFeatures]].
-    */
-  def decodeFeatures(media: Dataset[MediaRecord], embeddingDim: Int = 8): Dataset[MediaFeatures] = {
+    * partition, routed through the [[MediaCodecs]] feature registry
+    * (default: [[MediaCodecs.ByteStatsCodec]], the documented
+    * deterministic STAND-IN for the compressed codecs absent in this
+    * container — register a real opus/h264 feature codec for
+    * production media types; the plumbing here doesn't change).
+    * `codec` overrides the registry for this call. Images don't need
+    * this — use the real [[decodeImageFeatures]]. */
+  def decodeFeatures(media: Dataset[MediaRecord], embeddingDim: Int = 8,
+      codec: Option[MediaCodecs.MediaFeatureCodec] = None): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val snap = MediaCodecs.featureSnapshot // plan-build-time capture
     media.mapPartitions { it =>
-      // real impl: instantiate the (expensive) codec ONCE per partition here
+      // the codec strategy travels in the closure; a heavy native
+      // context belongs in a lazy per-JVM field inside the codec
       it.map { r =>
-        val (meanByte, emb) = decodeBytes(r.payload, embeddingDim)
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (meanByte, emb) = c.decode(r.payload, embeddingDim)
         MediaFeatures(r.id, r.media_type, r.payload.length.toLong,
           meanByte, emb)
       }
     }
-  }
-
-  /** STUB decode: byte statistics + deterministic hash-folded embedding.
-    * A real implementation decodes pixels/samples here. */
-  private def decodeBytes(payload: Array[Byte], dim: Int): (Double, Array[Float]) = {
-    var sum = 0L
-    val acc = new Array[Long](dim)
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      sum += b
-      acc(i % dim) += b.toLong * (i / dim + 1)
-      i += 1
-    }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    val emb = acc.map(v => (v % 1000L).toFloat / 1000.0f)
-    (math.round(mean * 10000.0) / 10000.0, emb)
   }
 
   /** REAL image encode: pack each payload's bytes row-major into a
@@ -105,47 +94,53 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        val h = math.max(1, (r.payload.length + width - 1) / width)
-        val img = new java.awt.image.BufferedImage(width, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var i = 0
-        val n = width * h
-        while (i < n) {
-          raster.setSample(i % width, i / width, 0,
-            if (i < r.payload.length) r.payload(i) & 0xff else 0)
-          i += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRecord(r.id, "image/png", bos.toByteArray)
-      }
+      it.map(r => MediaRecord(r.id, "image/png", grayPngBytes(r.payload, width)))
     }
   }
 
-  /** REAL image decode + feature extraction, batched per partition:
-    * `ImageIO.read` decompresses the actual PNG/JPEG/GIF/BMP bytes,
-    * then features come from the decoded raster — dimensions, mean
-    * luminance (band 0), and an `embeddingDim`-band embedding (mean
-    * luminance of `embeddingDim` horizontal stripes: a real, if tiny,
-    * pooled-pixel feature). Undecodable payloads fail loudly rather
-    * than degrade to byte statistics. */
+  /** The [[encodeGrayPng]] kernel as a plain function: payload bytes →
+    * genuine PNG bytes (row-major `width`-wide 8-bit gray, zero-padded
+    * to the last row) — reused by the AVI muxing pipeline, which packs
+    * per-frame PNGs into a real RIFF container ([[AviMjpeg]]). */
+  def grayPngBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+    val h = math.max(1, (payload.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(width, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    val n = width * h
+    while (i < n) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < payload.length) payload(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode + feature extraction, batched per partition,
+    * routed through the [[MediaCodecs]] image registry (default:
+    * [[MediaCodecs.ImageIoCodec]] — the JDK's actual PNG/JPEG/GIF/BMP
+    * decoder). Features come from the decoded pixels — dimensions,
+    * mean luminance (band 0), and an `embeddingDim`-band embedding
+    * (mean luminance of `embeddingDim` horizontal stripes: a real, if
+    * tiny, pooled-pixel feature). Undecodable payloads fail loudly
+    * rather than degrade to byte statistics. `codec` overrides the
+    * registry for this call. */
   def decodeImageFeatures(media: Dataset[MediaRecord],
-      embeddingDim: Int = 8): Dataset[ImageFeatures] = {
+      embeddingDim: Int = 8,
+      codec: Option[MediaCodecs.GrayImageCodec] = None): Dataset[ImageFeatures] = {
     require(embeddingDim >= 1)
     val spark = media.sparkSession
     import spark.implicits._
+    val snap = MediaCodecs.imageSnapshot // plan-build-time capture
     media.mapPartitions { it =>
-      // ImageIO scans for codec plugins on first use; per-partition reuse
-      // after that — the mapPartitions boundary is where a heavier codec
-      // (JavaCV etc.) would be instantiated once
+      // the mapPartitions boundary is where a heavier codec (JavaCV
+      // etc.) amortizes its per-JVM setup across the batch
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        require(img != null, s"payload of id=${r.id} is not a decodable image")
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = img.getRaster
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (w, h, px) = c.decodeGray(r.payload, r.id)
         var sum = 0L
         val bandSum = new Array[Long](embeddingDim)
         val bandN = new Array[Long](embeddingDim)
@@ -154,7 +149,7 @@ object Multimodal {
           val band = math.min(embeddingDim - 1, y * embeddingDim / h)
           var x = 0
           while (x < w) {
-            val v = raster.getSample(x, y, 0)
+            val v = px(y * w + x)
             sum += v
             bandSum(band) += v
             bandN(band) += 1
@@ -211,34 +206,30 @@ object Multimodal {
       sample_rate: Int, n_samples: Long, mean_amp: Double,
       zero_crossings: Long, embedding: Array[Float])
 
-  /** REAL audio decode + feature extraction, batched per partition:
-    * `AudioSystem.getAudioInputStream` parses the actual WAV container
-    * and yields the PCM stream (16-bit signed mono — anything else
-    * fails loudly rather than degrade to byte statistics). Features
-    * come from the decoded samples: count, mean |amplitude| (scaled to
-    * [0, 1]), zero-crossing count (exact integer — the classic
-    * voiced/unvoiced signal), and an `embeddingDim`-band embedding
-    * (mean |amplitude| of `embeddingDim` time stripes — the audio twin
-    * of [[decodeImageFeatures]]' luminance bands, and the same
-    * composable `array<float>` shape the similarity stack consumes). */
+  /** REAL audio decode + feature extraction, batched per partition,
+    * routed through the [[MediaCodecs]] audio registry (default:
+    * [[MediaCodecs.JavaSoundCodec]] — the JDK's actual WAV container
+    * parser; 16-bit signed mono PCM only, anything else fails loudly).
+    * Features come from the decoded samples: count, mean |amplitude|
+    * (scaled to [0, 1]), zero-crossing count (exact integer — the
+    * classic voiced/unvoiced signal), and an `embeddingDim`-band
+    * embedding (mean |amplitude| of `embeddingDim` time stripes — the
+    * audio twin of [[decodeImageFeatures]]' luminance bands, and the
+    * same composable `array<float>` shape the similarity stack
+    * consumes). `codec` overrides the registry for this call. */
   def decodeAudioFeatures(media: Dataset[MediaRecord],
-      embeddingDim: Int = 8): Dataset[AudioFeatures] = {
+      embeddingDim: Int = 8,
+      codec: Option[MediaCodecs.PcmAudioCodec] = None): Dataset[AudioFeatures] = {
     require(embeddingDim >= 1)
     val spark = media.sparkSession
     import spark.implicits._
+    val snap = MediaCodecs.audioSnapshot // plan-build-time capture
     media.mapPartitions { it =>
-      // the stream parser is per-payload; a heavier codec (opus etc.)
-      // would be instantiated ONCE here at the partition boundary
+      // a heavier codec (opus etc.) amortizes per-JVM setup here
       it.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          s"payload of id=${r.id} is not 16-bit signed mono PCM")
-        val pcm = ais.readAllBytes()
-        val n = pcm.length / 2
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (sampleRate, samples) = c.decodePcm(r.payload, r.id)
+        val n = samples.length
         var sumAbs = 0L
         var crossings = 0L
         val bandSum = new Array[Long](embeddingDim)
@@ -246,10 +237,7 @@ object Multimodal {
         var prevNeg = false
         var i = 0
         while (i < n) {
-          // first byte is high in big-endian WAVs; .toInt sign-extends
-          val s = if (fmt.isBigEndian)
-            (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
-          else (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          val s = samples(i)
           val neg = s < 0
           if (i > 0 && neg != prevNeg) crossings += 1
           prevNeg = neg
@@ -265,7 +253,7 @@ object Multimodal {
           if (bandN(j) == 0) 0.0f
           else (bandSum(j).toDouble / bandN(j) / 32768.0).toFloat)
         AudioFeatures(r.id, r.media_type, r.payload.length.toLong,
-          math.round(fmt.getSampleRate), n.toLong,
+          sampleRate, n.toLong,
           math.round(mean * 10000.0) / 10000.0, crossings, emb)
       }
     }
@@ -292,21 +280,24 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: split a payload into up to `maxFrames` fixed-size
-    * slices (stand-in for keyframe extraction), exploded to one row per
-    * frame. Row counts multiply here — exactly like real video pipelines —
-    * so this runs AFTER any payload-level filtering. */
+  /** Frame sampling, routed through the [[MediaCodecs]] demux registry
+    * (default: [[MediaCodecs.ByteSliceDemux]] — fixed-size byte slices,
+    * the documented deterministic stand-in for a real keyframe
+    * extractor; register an ffmpeg-backed demux for "video/…" types and
+    * this operator, and every query composed on it, runs unchanged).
+    * Exploded to one row per frame: row counts multiply here — exactly
+    * like real video pipelines — so this runs AFTER any payload-level
+    * filtering. `codec` overrides the registry for this call. */
   def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
-      maxFrames: Int): Dataset[Frame] = {
+      maxFrames: Int,
+      codec: Option[MediaCodecs.FrameDemuxCodec] = None): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val snap = MediaCodecs.demuxSnapshot // plan-build-time capture
     media.flatMap { r =>
-      val n = math.min(maxFrames,
-        (r.payload.length + frameSize - 1) / math.max(frameSize, 1))
-      (0 until n).iterator.map { fi =>
-        val off = fi.toLong * frameSize
-        val end = math.min(off + frameSize, r.payload.length.toLong).toInt
-        Frame(r.id, fi, off, java.util.Arrays.copyOfRange(r.payload, off.toInt, end))
+      val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+      c.demux(r.payload, frameSize, maxFrames).map { case (fi, off, b) =>
+        Frame(r.id, fi, off, b)
       }
     }
   }

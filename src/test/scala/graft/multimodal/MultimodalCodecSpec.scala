@@ -1,0 +1,212 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.Dataset
+
+/** Counting delegates used to prove registry ROUTING: each wraps the
+  * default codec unchanged (identical outputs) and bumps a JVM-wide
+  * counter on every decode. Top-level object so Spark serializes the
+  * module reference, not the test suite; counters are accurate in
+  * local mode (executors share this JVM), which is all the routing
+  * proof needs. */
+object CountingCodecs {
+  import java.util.concurrent.atomic.AtomicLong
+  val imageCalls = new AtomicLong(0)
+  val audioCalls = new AtomicLong(0)
+  val demuxCalls = new AtomicLong(0)
+
+  object Image extends MediaCodecs.GrayImageCodec {
+    val name = "counting-imageio"
+    def decodeGray(payload: Array[Byte], id: Long): (Int, Int, Array[Int]) = {
+      imageCalls.incrementAndGet()
+      MediaCodecs.ImageIoCodec.decodeGray(payload, id)
+    }
+  }
+  object Audio extends MediaCodecs.PcmAudioCodec {
+    val name = "counting-javasound"
+    def decodePcm(payload: Array[Byte], id: Long): (Int, Array[Int]) = {
+      audioCalls.incrementAndGet()
+      MediaCodecs.JavaSoundCodec.decodePcm(payload, id)
+    }
+  }
+  object Demux extends MediaCodecs.FrameDemuxCodec {
+    val name = "counting-byteslice"
+    def demux(payload: Array[Byte], frameSize: Int,
+        maxFrames: Int): Iterator[(Int, Long, Array[Byte])] = {
+      demuxCalls.incrementAndGet()
+      MediaCodecs.ByteSliceDemux.demux(payload, frameSize, maxFrames)
+    }
+  }
+  /** A trivially different feature codec — proves the registry decides. */
+  object Shifted extends MediaCodecs.MediaFeatureCodec {
+    val name = "shifted"
+    def decode(payload: Array[Byte], dim: Int): (Double, Array[Float]) = {
+      val (m0, e0) = MediaCodecs.ByteStatsCodec.decode(payload, dim)
+      (m0 + 1.0, e0)
+    }
+  }
+}
+
+/** The codec registry is the one-class swap point for real compressed
+  * codecs (VERDICT r10 #3): these tests prove the REAL PNG/WAV decode
+  * paths and the video-shaped pipeline all route through registered
+  * codecs with identical results — i.e. registering a production
+  * opus/h264 codec is a drop-in, no operator or query changes. */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: (Long, Array[Byte])*): Dataset[Multimodal.MediaRecord] =
+    Multimodal.asMedia(rows.toSeq.toDF("id", "payload"), "id", "payload", "raw")
+
+  private val payloads = (1L to 6L).map(i =>
+    i -> Array.tabulate(40 + i.toInt * 7)(j => ((j * 31 + i * 17) % 251).toByte))
+
+  test("resolve: longest registered media_type prefix wins; catch-all " +
+      "default matches unknown and null types") {
+    val snap = Map[String, String]("" -> "default", "video/" -> "any-video",
+      "video/h264" -> "h264")
+    assert(MediaCodecs.resolve(snap, "video/h264") === "h264")
+    assert(MediaCodecs.resolve(snap, "video/h264;profile=high") === "h264")
+    assert(MediaCodecs.resolve(snap, "video/vp9") === "any-video")
+    assert(MediaCodecs.resolve(snap, "image/png") === "default")
+    assert(MediaCodecs.resolve(snap, null) === "default")
+  }
+
+  test("image path: decodeImageFeatures routes through a codec " +
+      "registered for image/png — identical features, codec invoked") {
+    val png = Multimodal.encodeGrayPng(media(payloads: _*), width = 8)
+    def render(f: Multimodal.ImageFeatures): String =
+      s"${f.id}|${f.media_type}|${f.n_bytes}|${f.width}|${f.height}|" +
+        s"${f.mean_pixel}|${f.embedding.mkString(",")}"
+    val base = Multimodal.decodeImageFeatures(png, embeddingDim = 4)
+      .collect().sortBy(_.id).map(render)
+    CountingCodecs.imageCalls.set(0)
+    MediaCodecs.registerImage("image/png", CountingCodecs.Image)
+    try {
+      val routed = Multimodal.decodeImageFeatures(png, embeddingDim = 4)
+        .collect().sortBy(_.id).map(render)
+      assert(CountingCodecs.imageCalls.get() >= payloads.size.toLong)
+      assert(routed.toSeq === base.toSeq)
+    } finally MediaCodecs.unregisterImage("image/png")
+    // and after unregister the default path is back (no counter bump)
+    CountingCodecs.imageCalls.set(0)
+    Multimodal.decodeImageFeatures(png, embeddingDim = 4).collect()
+    assert(CountingCodecs.imageCalls.get() === 0L)
+  }
+
+  test("audio path: decodeAudioFeatures routes through a codec " +
+      "registered for audio/wav — identical features, codec invoked") {
+    val wav = Multimodal.encodePcmWav(media(payloads: _*), sampleRate = 8000)
+    def render(f: Multimodal.AudioFeatures): String =
+      s"${f.id}|${f.media_type}|${f.n_bytes}|${f.sample_rate}|" +
+        s"${f.n_samples}|${f.mean_amp}|${f.zero_crossings}|" +
+        f.embedding.mkString(",")
+    val base = Multimodal.decodeAudioFeatures(wav, embeddingDim = 4)
+      .collect().sortBy(_.id).map(render)
+    CountingCodecs.audioCalls.set(0)
+    MediaCodecs.registerAudio("audio/wav", CountingCodecs.Audio)
+    try {
+      val routed = Multimodal.decodeAudioFeatures(wav, embeddingDim = 4)
+        .collect().sortBy(_.id).map(render)
+      assert(CountingCodecs.audioCalls.get() >= payloads.size.toLong)
+      assert(routed.toSeq === base.toSeq)
+    } finally MediaCodecs.unregisterAudio("audio/wav")
+  }
+
+  test("explicit codec argument overrides the registry for one call") {
+    val png = Multimodal.encodeGrayPng(media(payloads.take(2): _*), width = 8)
+    CountingCodecs.imageCalls.set(0)
+    val routed = Multimodal.decodeImageFeatures(png, embeddingDim = 4,
+      codec = Some(CountingCodecs.Image)).collect()
+    assert(routed.length === 2)
+    assert(CountingCodecs.imageCalls.get() >= 2L)
+  }
+
+  test("video pipeline: q_video_pooled_embedding runs UNCHANGED under " +
+      "registered demux + image codecs — the one-class-swap proof") {
+    val run = () => graft.SparkEntry
+      .queries("q_video_pooled_embedding")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val base = run()
+    CountingCodecs.demuxCalls.set(0)
+    CountingCodecs.imageCalls.set(0)
+    MediaCodecs.registerDemux("video/", CountingCodecs.Demux)
+    MediaCodecs.registerImage("image/", CountingCodecs.Image)
+    try {
+      val routed = run()
+      assert(CountingCodecs.demuxCalls.get() > 0L,
+        "demux codec was never consulted")
+      assert(CountingCodecs.imageCalls.get() > 0L,
+        "image codec was never consulted")
+      assert(routed === base)
+    } finally {
+      MediaCodecs.unregisterDemux("video/")
+      MediaCodecs.unregisterImage("image/")
+    }
+  }
+
+  // ---- real RIFF/AVI container (round 11) ----
+
+  test("AviMjpeg: mux → demux round trip is byte-exact per frame, " +
+      "indices dense, offsets point at the chunk data, odd sizes padded") {
+    val frames = Seq(
+      Array.tabulate(101)(i => (i * 7 % 251).toByte), // odd → padded
+      Array.tabulate(64)(i => (i * 13 % 251).toByte),
+      Array.tabulate(7)(i => i.toByte))
+    val avi = AviMjpeg.mux(frames, width = 16, height = 7, fps = 5)
+    assert(new String(avi.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    val out = AviMjpeg.demuxFrames(avi).toSeq
+    assert(out.map(_._1) === Seq(0, 1, 2))
+    out.zip(frames).foreach { case ((_, off, bytes), orig) =>
+      assert(bytes.toSeq === orig.toSeq)
+      // the offset addresses the chunk DATA inside the avi payload
+      assert(avi.slice(off.toInt, off.toInt + bytes.length).toSeq === orig.toSeq)
+    }
+    // maxFrames caps like keyframe sampling
+    assert(AviMjpegDemux.demux(avi, 0, 2).size === 2)
+    // non-AVI input fails loudly, never degrades to byte slicing
+    intercept[IllegalArgumentException] {
+      AviMjpeg.demuxFrames(Array.tabulate(64)(_.toByte)).toSeq
+    }
+  }
+
+  test("AVI demux is the registry DEFAULT for video/x-msvideo: " +
+      "sampleFrames walks the real container, no stand-in slicing") {
+    val payload = Array.tabulate(200)(i => (i % 251).toByte)
+    val pngs = MediaCodecs.ByteSliceDemux.demux(payload, 64, 5)
+      .map(f => Multimodal.grayPngBytes(f._3, 16)).toSeq
+    val avi = AviMjpeg.mux(pngs, width = 16, height = 4, fps = 5)
+    val m = Multimodal.asMedia(Seq((9L, avi)).toDF("id", "payload"),
+      "id", "payload", "video/x-msvideo")
+    val frames = Multimodal.sampleFrames(m, frameSize = 0, maxFrames = 5)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 4) // ceil(200/64)
+    frames.zip(pngs).foreach { case (f, png) =>
+      assert(f.frame_bytes.toSeq === png.toSeq) // container is identity
+    }
+  }
+
+  test("q_video_avi_pipeline == q_video_pooled_embedding: the real " +
+      "container round trip is a feature no-op (shared oracle)") {
+    val a = graft.SparkEntry.queries("q_video_pooled_embedding")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = graft.SparkEntry.queries("q_video_avi_pipeline")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(b === a)
+  }
+
+  test("generic decodeFeatures routes through the feature registry " +
+      "(ByteStatsCodec default) and a registered override wins") {
+    val m = media(payloads.take(3): _*)
+    val base = Multimodal.decodeFeatures(m, embeddingDim = 4)
+      .collect().sortBy(_.id)
+    MediaCodecs.registerFeature("raw", CountingCodecs.Shifted)
+    try {
+      val routed = Multimodal.decodeFeatures(m, embeddingDim = 4)
+        .collect().sortBy(_.id)
+      assert(routed.map(_.mean_byte).toSeq ===
+        base.map(_.mean_byte + 1.0).toSeq)
+    } finally MediaCodecs.unregisterFeature("raw")
+  }
+}

@@ -111,6 +111,53 @@ object MultimodalQueries {
       }
       pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
     },
+    // the SAME pipeline through a REAL video container (round 11): the
+    // 64-byte frames are PNG-encoded (real ImageIO codec) and muxed
+    // into a genuine RIFF/AVI file per doc; sampleFrames then demuxes
+    // it through the registry's DEFAULT AVI codec (AviMjpegDemux — a
+    // structural RIFF chunk walk, no byte-slice stand-in anywhere),
+    // each demuxed frame decodes through the real PNG codec, and the
+    // pooled embedding must equal q_video_pooled_embedding exactly —
+    // container mux/demux is byte-identity on frame payloads and PNG
+    // is lossless on pixels, so the two queries share one oracle.
+    "q_video_avi_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "raw")
+      val avi = media.mapPartitions { it =>
+        it.map { r =>
+          val frames = graft.multimodal.MediaCodecs.ByteSliceDemux
+            .demux(r.payload, 64, 5)
+            .map(f => Multimodal.grayPngBytes(f._3, width = 16)).toSeq
+          Multimodal.MediaRecord(r.id, "video/x-msvideo",
+            graft.multimodal.AviMjpeg.mux(frames, width = 16,
+              height = 4, fps = 5))
+        }
+      }
+      // frameSize is ignored by the container demux — the AVI's own
+      // chunk boundaries define the frames
+      val frames = Multimodal.sampleFrames(avi, frameSize = 0, maxFrames = 5)
+      val frameMedia = frames.map(f => Multimodal.MediaRecord(
+        f.id * 8L + f.frame_idx, "image/png", f.frame_bytes))
+      val feats = Multimodal.decodeImageFeatures(frameMedia).toDF()
+      val perFrame = feats.select(
+        floor(col("id") / 8).cast("long").as("doc_id"),
+        (col("id") % 8).cast("int").as("frame_idx"),
+        col("embedding"))
+      val pooled = perFrame.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_frames"),
+        sort_array(collect_list(struct(col("frame_idx"), col("embedding"))))
+          .as("__fr"))
+      val bands = (1 to 8).map { j =>
+        round(aggregate(col("__fr"), lit(0.0), (acc, f) =>
+            acc + element_at(f.getField("embedding"), j).cast("double"))
+          / col("n_frames"), 6).as(s"band$j")
+      }
+      pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -275,6 +322,10 @@ object MultimodalQueries {
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
     "q_video_pooled_embedding" -> videoPooledOracle,
+    // the AVI pipeline shares the oracle: RIFF mux/demux is
+    // byte-identity on frame payloads and PNG is lossless on pixels,
+    // so the container round trip must be a feature no-op
+    "q_video_avi_pipeline" -> videoPooledOracle,
     // text is ASCII, so utf-8 byte values == codepoints; the image is
     // 16 pixels wide, zero-padded to full rows, so mean luminance =
     // byte sum / (16 * rows)

@@ -531,6 +531,29 @@ object ScaleProbe {
             "doc_id", "text_s", maxTokens = 24)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"heavy_hitters_by_key_${n}x") {
+        // round-10 grouped sketch+recount: sketch pass shuffles one
+        // sketch per partition per group, recount joins (key,item) on
+        // candidates ≤ langs × tracked — expect near-linear (two scans
+        // of the exploded token stream dominate; the amplified copies
+        // keep per-lang shares identical so the candidate set, and the
+        // recount agg's key space, is constant across multipliers)
+        operators.Stats.exactHeavyHittersByKey(
+            docsN.select(col("lang"),
+              explode(operators.TextAnalysis.tokens(col("text"))).as("w")),
+            col("lang"), col("w"), phi = 0.02)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"seeded_shuffle_shards_${n}x") {
+        // round-10 epoch shuffle: one hash shuffle into shard-keyed
+        // windows, each ranking ~n/numShards rows — expect near-linear
+        // (no global sort; the only globally-ordered object is the
+        // 64-entry shard key space)
+        operators.Layout.seededShuffleShards(
+            docsN.select("doc_id", "text"), "doc_id", "epoch3",
+            numShards = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -259,6 +259,75 @@ object Multimodal {
     }
   }
 
+  case class AudioQuality(id: Long, media_type: String, sample_rate: Int,
+      n_samples: Long, peak: Int, clipped_samples: Long, clip_ratio: Double,
+      n_windows: Long, silent_windows: Long, silence_ratio: Double,
+      rms: Double)
+
+  /** REAL audio decode + quality screening — the speech-curation gate
+    * that drops silent, clipped, or dead recordings before they cost
+    * feature extraction: per clip, the silence ratio over fixed
+    * `windowSize`-sample windows (a window is silent when its mean
+    * |amplitude| is under 1% of full scale — exact integer test
+    * `sumAbs·100 < 32768·windowLen`, the last partial window
+    * included), the clipped-sample count (|s| ≥ 32512, i.e. within
+    * one 8-bit step of either rail), the peak level, and the RMS
+    * level in [0, 1]. Decode routes through the [[MediaCodecs]] audio
+    * registry exactly as [[decodeAudioFeatures]]; `codec` overrides
+    * the registry for this call.
+    *
+    * One pass over the samples per clip, batched per partition —
+    * record-parallel with no shuffle, so it scales with input
+    * partitioning like every other decode stage. Ratios and RMS round
+    * to 6 dp through the same `math.round` the oracle's `round(x, 6)`
+    * replays; all the counting is exact integer arithmetic. A
+    * zero-sample clip scores the all-zero row. */
+  def audioQualityFeatures(media: Dataset[MediaRecord],
+      windowSize: Int = 64,
+      codec: Option[MediaCodecs.PcmAudioCodec] = None): Dataset[AudioQuality] = {
+    require(windowSize >= 1, "need windowSize >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.audioSnapshot // plan-build-time capture
+    media.mapPartitions { it =>
+      it.map { r =>
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (sampleRate, samples) = c.decodePcm(r.payload, r.id)
+        val n = samples.length
+        var peak = 0
+        var clipped = 0L
+        var sumSq = 0L
+        var silent = 0L
+        var nWindows = 0L
+        var winSum = 0L
+        var winN = 0
+        var i = 0
+        while (i < n) {
+          val a = math.abs(samples(i).toInt)
+          if (a > peak) peak = a
+          if (a >= 32512) clipped += 1
+          sumSq += a.toLong * a
+          winSum += a
+          winN += 1
+          if (winN == windowSize || i == n - 1) {
+            nWindows += 1
+            if (winSum * 100L < 32768L * winN) silent += 1
+            winSum = 0L
+            winN = 0
+          }
+          i += 1
+        }
+        def r6(x: Double) = math.round(x * 1e6) / 1e6
+        AudioQuality(r.id, r.media_type, sampleRate, n.toLong, peak,
+          clipped,
+          if (n == 0) 0.0 else r6(clipped.toDouble / n),
+          nWindows, silent,
+          if (nWindows == 0) 0.0 else r6(silent.toDouble / nWindows),
+          if (n == 0) 0.0 else r6(math.sqrt(sumSq.toDouble / n) / 32768.0))
+      }
+    }
+  }
+
   /** Resize, batched per partition. STUB: deterministic byte
     * downsampling stands in for pixel-space scaling — a real codec
     * would decode, scale with an interpolation kernel, and re-encode.

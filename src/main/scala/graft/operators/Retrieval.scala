@@ -342,4 +342,55 @@ object Retrieval {
         maxTermDfFrac),
       Similarity.ivfTopK(emb, legK, nCells, nprobe, every),
       k, c)
+
+  /** Ranking-quality audit of a retrieval run against exact ground
+    * truth — the numbers (recall@k, MRR, nDCG@k) that pick index and
+    * fusion hyperparameters before anyone trusts a retrieval stack;
+    * the IR-standard extension of the recall-only `q_ann_recall`
+    * audit.
+    *
+    * `results` and `truth` are top-k lists with columns (query_id,
+    * neighbor_id, rank), rank 1..k (extra columns ignored); `truth`
+    * is the exact ranking (rank 1 = most relevant). Per query:
+    *   recall@k = |results ∩ truth| / |truth|
+    *   RR       = 1 / rank of the first result that hits truth (0 if
+    *              none — the query found nothing relevant)
+    *   nDCG@k   = Σ_hits rel/ln(1+r_rank) / Σ_truth rel/ln(1+t_rank)
+    *              with graded relevance rel = k + 1 − t_rank
+    * Natural log throughout: nDCG is log-base invariant, and `ln`
+    * replays through the same libm call in the DuckDB oracle where
+    * `log2` implementations may differ in the last ULP. One row out:
+    * n_queries plus the three per-query means rounded to 6 dp.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) between
+    * two ≤ k-rows-per-query inputs, two grouped aggs, one global agg
+    * — the audit costs nothing next to the retrieval runs it grades.
+    * Queries present in `truth` but missing from `results` score 0 on
+    * all three (left join); result rows for queries absent from
+    * `truth` are ungradable and ignored. */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val res = results.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("r_rank"))
+    val tru = truth.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("t_rank"),
+      (lit(k + 1) - col("rank")).cast("double").as("rel"))
+    val ideal = tru.groupBy(col("query_id")).agg(
+      count(lit(1)).as("kq"),
+      sum(col("rel") / log(lit(1.0) + col("t_rank"))).as("idcg"))
+    val hits = res.join(tru, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(
+        count(lit(1)).as("n_hits"),
+        min(col("r_rank")).as("first_hit"),
+        sum(col("rel") / log(lit(1.0) + col("r_rank"))).as("dcg"))
+    ideal.join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("kq")), 6).as("mean_recall"),
+        round(avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))), 6)
+          .as("mean_mrr"),
+        round(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 6)
+          .as("mean_ndcg"))
+  }
 }

@@ -1153,4 +1153,33 @@ object TextAnalysis {
         round(coalesce(col("__dup5_toks"), lit(0L)).cast("double") /
           greatest(col("__n_toks"), lit(1L)), 6).as("dup5_token_frac"))
   }
+
+  /** Encoding-damage (mojibake) screen — the ftfy/CCNet-style filter
+    * for text that survived a wrong decode: per doc, counts of
+    * U+FFFD replacement characters (a decoder already gave up), C1
+    * control codepoints U+0080–U+009F (legal nowhere in clean text —
+    * the classic cp1252/latin-1 confusion residue), and
+    * UTF-8-as-latin-1 double-decode pairs (Â/Ã followed by a
+    * codepoint in U+0080–U+00BF — exactly the two lead bytes of a
+    * 2-byte UTF-8 sequence misread as latin-1, e.g. "é" → "Ã©"),
+    * plus the combined damage rate per 1000 characters. Pure
+    * codegen'd projection — three non-overlapping regexp counts per
+    * row, no shuffle; the regexes are plain character classes so Java
+    * and RE2 (the DuckDB oracle) scan them identically. */
+  def encodingDamageStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        regexp_count(t, lit("\uFFFD")).cast("long").as("n_replacement"),
+        regexp_count(t, lit("[\u0080-\u009F]")).cast("long")
+          .as("n_c1_controls"),
+        regexp_count(t, lit("[\u00C2\u00C3][\u0080-\u00BF]")).cast("long")
+          .as("n_mojibake_pairs"))
+      .withColumn("damage_per_kchar",
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(round((col("n_replacement") + col("n_c1_controls") +
+            col("n_mojibake_pairs")).cast("double") * 1000.0 /
+            col("n_chars"), 6)))
+  }
 }

@@ -74,6 +74,33 @@ object MultimodalQueries {
           // oracle (full-vector parity pinned in MultimodalSpec)
           round(element_at(col("embedding"), 1).cast("double"), 6).as("band0"))
     },
+    // the speech-curation quality gate over REAL decoded WAV: the
+    // payload is built with a known-silent 80-byte preamble (0x80 =
+    // PCM zero), the doc's text bytes, and a 10-byte full-scale rail
+    // (0xFF) on every 4th doc — so silence windows, clipping counts,
+    // peak and RMS all exercise NONZERO paths (plain ASCII text alone
+    // can neither clip nor fall silent: 32 <= byte <= 126 puts every
+    // sample's |amplitude| in [512, 24576]). PCM WAV is lossless, so
+    // the oracle replays the exact integer sums from the constructed
+    // byte stream without touching the container.
+    "q_audio_quality" -> { (s, dir) =>
+      val pad = Array.fill(80)(0x80.toByte)
+      val rail = Array.fill(10)(0xFF.toByte)
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload",
+            concat(lit(pad), encode(col("text"), "UTF-8"),
+              when(col("doc_id") % 4 === 0, lit(rail))
+                .otherwise(lit(Array.empty[Byte])))),
+        "doc_id", "payload", "text/plain")
+      Multimodal.audioQualityFeatures(
+          Multimodal.encodePcmWav(media, sampleRate = 8000))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("peak"), col("clipped_samples"),
+          col("clip_ratio"), col("n_windows"), col("silent_windows"),
+          col("silence_ratio"), col("rms"))
+    },
     // the VIDEO-shaped pipeline, as real as a container-less
     // environment allows: sample fixed-size frames from each payload
     // (the stand-in for container demux — the one genuinely stubbed
@@ -272,6 +299,56 @@ object MultimodalQueries {
        |LEFT JOIN ma ON ma.doc_id = d.doc_id
        |LEFT JOIN b0 ON b0.doc_id = d.doc_id""".stripMargin
 
+  /** DuckDB replay of the audio quality battery over the CONSTRUCTED
+    * payload (80 PCM-zero bytes ++ text bytes ++ 10 full-scale bytes
+    * on every 4th doc): sample i's |amplitude| is 0 for the preamble,
+    * |byte − 128|·256 for text (ASCII ⇒ byte == codepoint), 32512 for
+    * the rail; windows are the aligned i÷64 groups (last one
+    * partial), a window is silent iff Σ|s|·100 < 32768·wn (exact
+    * integers), clipping is |s| ≥ 32512, and only clip/silence ratios
+    * and RMS round — through the same round(x, 6) as the engine's
+    * math.round. */
+  private def audioQualityOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |    CASE WHEN doc_id % 4 = 0 THEN 10 ELSE 0 END AS extra
+       |  FROM documents),
+       |sv AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i < 80 THEN 0
+       |         WHEN i < 80 + len THEN
+       |           abs((unicode(text[CAST(i - 80 + 1 AS INTEGER)]) - 128) * 256)
+       |         ELSE 32512 END AS a
+       |  FROM (SELECT doc_id, text, len,
+       |          unnest(range(0, 80 + len + extra)) AS i FROM d)),
+       |w AS (
+       |  SELECT doc_id, i // 64 AS win, sum(a) AS ws, count(*) AS wn
+       |  FROM sv GROUP BY 1, 2),
+       |wa AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |    sum(CASE WHEN ws * 100 < 32768 * wn THEN 1 ELSE 0 END)
+       |      AS silent_windows
+       |  FROM w GROUP BY 1),
+       |sa AS (
+       |  SELECT doc_id, count(*) AS n, max(a) AS peak,
+       |    sum(CASE WHEN a >= 32512 THEN 1 ELSE 0 END) AS clipped,
+       |    sum(CAST(a AS BIGINT) * a) AS sumsq
+       |  FROM sv GROUP BY 1)
+       |SELECT d.doc_id,
+       |  8000 AS sample_rate,
+       |  CAST(80 + len + extra AS BIGINT) AS n_samples,
+       |  CAST(sa.peak AS INTEGER) AS peak,
+       |  CAST(sa.clipped AS BIGINT) AS clipped_samples,
+       |  round(CAST(sa.clipped AS DOUBLE) / sa.n, 6) AS clip_ratio,
+       |  CAST(wa.n_windows AS BIGINT) AS n_windows,
+       |  CAST(wa.silent_windows AS BIGINT) AS silent_windows,
+       |  round(CAST(wa.silent_windows AS DOUBLE) / wa.n_windows, 6)
+       |    AS silence_ratio,
+       |  round(sqrt(CAST(sa.sumsq AS DOUBLE) / sa.n) / 32768.0, 6) AS rms
+       |FROM d
+       |JOIN sa ON sa.doc_id = d.doc_id
+       |JOIN wa ON wa.doc_id = d.doc_id""".stripMargin
+
   /** DuckDB replay of the pooled video embedding: frame f of a doc is
     * bytes [64f, 64f + flen) (flen = min(64, len − 64f), ≤5 frames);
     * each frame's pixel grid and 8-band float32 means replay exactly as
@@ -321,6 +398,7 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
+    "q_audio_quality" -> audioQualityOracle,
     "q_video_pooled_embedding" -> videoPooledOracle,
     // the AVI pipeline shares the oracle: RIFF mux/demux is
     // byte-identity on frame payloads and PNG is lossless on pixels,

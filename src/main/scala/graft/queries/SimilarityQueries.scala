@@ -152,6 +152,15 @@ object SimilarityQueries {
             .as("mean_recall"),
           count(lit(1)).as("n_queries"))
     },
+    // the IR-standard extension of the recall audit: recall@5, MRR and
+    // graded nDCG@5 of the IVF index against the exact scan — one
+    // bounded join + two aggs over the two retrieval runs' outputs
+    "q_retrieval_metrics" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Retrieval.rankingMetrics(
+        Similarity.ivfTopK(emb, k = 5),
+        Similarity.bruteForceTopK(emb, k = 5), k = 5)
+    },
     // 2-round Lloyd's k-means (k=8, deterministic lowest-id init,
     // 6-decimal centroid anchor each round) — DuckDB replays the exact
     // trajectory with unrolled CTEs
@@ -1377,6 +1386,34 @@ object SimilarityQueries {
          |SELECT round(avg(coalesce(m, 0)::DOUBLE / kq), 6) AS mean_recall,
          |  count(*)::BIGINT AS n_queries
          |FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id""".stripMargin) +
+    ("q_retrieval_metrics" ->
+      s"""WITH ex AS (
+         |${oraclesBase("q_ann_bruteforce_topk")}),
+         |ap AS (
+         |${oraclesBase("q_ann_ivf_topk")}),
+         |tru AS (
+         |  SELECT query_id, neighbor_id, rank AS t_rank,
+         |    CAST(6 - rank AS DOUBLE) AS rel FROM ex),
+         |ideal AS (
+         |  SELECT query_id, count(*) AS kq,
+         |    sum(rel / ln(1 + t_rank)) AS idcg
+         |  FROM tru GROUP BY 1),
+         |hits AS (
+         |  SELECT r.query_id, count(*) AS n_hits,
+         |    min(r.rank) AS first_hit,
+         |    sum(t.rel / ln(1 + r.rank)) AS dcg
+         |  FROM ap r JOIN tru t ON r.query_id = t.query_id
+         |    AND r.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_queries,
+         |  round(avg(CAST(coalesce(n_hits, 0) AS DOUBLE) / kq), 6)
+         |    AS mean_recall,
+         |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_hit,
+         |    CAST(0.0 AS DOUBLE))), 6) AS mean_mrr,
+         |  round(avg(coalesce(dcg, CAST(0.0 AS DOUBLE)) / idcg), 6)
+         |    AS mean_ndcg
+         |FROM ideal LEFT JOIN hits ON ideal.query_id = hits.query_id"""
+        .stripMargin) +
     ("q_lr_calibration" ->
       s"""WITH sc AS (
          |${logRegOracle(steps = 2, lr = 1.0, dim = 64)}),

@@ -442,6 +442,21 @@ object TextQueries {
           sum(length(col("masked"))).as("masked_len"),
           countDistinct(col("masked")).as("n_distinct_masked"))
     },
+    // encoding-damage screen: the synthetic corpus is clean ASCII, so
+    // every 5th doc gets a known mojibake tail injected IN THE QUERY
+    // (Ã© Â° double-decode pairs, a U+FFFD, two C1 controls) — the
+    // detector must flag exactly those docs and count exactly those
+    // artifacts, with everything else scoring a hard zero
+    "q_encoding_damage" -> { (s, dir) =>
+      val tail = " \u00C3\u00A9\u00C2\u00B0\uFFFD\u00E2\u0080\u0099"
+      TextAnalysis.encodingDamageStats(
+        table(s, dir, "documents")
+          .withColumn("__t", coalesce(col("text"), lit("")))
+          .withColumn("text2",
+            when(col("doc_id") % 5 === 0, concat(col("__t"), lit(tail)))
+              .otherwise(col("__t"))),
+        "doc_id", "text2")
+    },
   )
 
   /** Deterministic messy-URL synthesis shared by q_url_normalize /
@@ -505,6 +520,36 @@ object TextQueries {
       |     ELSE host END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // replays the every-5th-doc damage injection (chr codepoints ==
+    // the engine's \u escapes), then the three RE2 character-class
+    // scans; Spark's length() is UTF-16 units and DuckDB's is
+    // codepoints, equal here because every injected char is BMP
+    "q_encoding_damage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' ' ||
+         |      chr(195) || chr(169) || chr(194) || chr(176) ||
+         |      chr(65533) || chr(226) || chr(128) || chr(153)
+         |    ELSE coalesce(text, '') END AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, length(t) AS n_chars,
+         |    len(regexp_extract_all(t, chr(65533))) AS n_replacement,
+         |    len(regexp_extract_all(t,
+         |      '[' || chr(128) || '-' || chr(159) || ']')) AS n_c1_controls,
+         |    len(regexp_extract_all(t,
+         |      '[' || chr(194) || chr(195) || '][' || chr(128) || '-' ||
+         |      chr(191) || ']')) AS n_mojibake_pairs
+         |  FROM t)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_replacement AS BIGINT) AS n_replacement,
+         |  CAST(n_c1_controls AS BIGINT) AS n_c1_controls,
+         |  CAST(n_mojibake_pairs AS BIGINT) AS n_mojibake_pairs,
+         |  CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(CAST(n_replacement + n_c1_controls +
+         |         n_mojibake_pairs AS DOUBLE) * 1000.0 / n_chars, 6)
+         |  END AS damage_per_kchar
+         |FROM c""".stripMargin,
     "q_text_normalize" ->
       """WITH messy AS (
         |  SELECT doc_id,

@@ -114,6 +114,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("audioQualityFeatures: exact silence/clip/peak/rms on a hand " +
+      "signal; empty payload scores the all-zero row") {
+    // 64 PCM-zero bytes (one silent window), 64 full-scale bytes (one
+    // clipped loud window), 8 PCM-zero bytes (partial silent window)
+    val payload = Array.fill[Byte](64)(128.toByte) ++
+      Array.fill[Byte](64)(255.toByte) ++ Array.fill[Byte](8)(128.toByte)
+    val q = Multimodal.audioQualityFeatures(
+      Multimodal.encodePcmWav(media((1L, payload)))).collect().head
+    assert(q.sample_rate === 8000 && q.n_samples === 136L)
+    assert(q.peak === 32512 && q.clipped_samples === 64L)
+    assert(q.clip_ratio === math.round(64.0 / 136 * 1e6) / 1e6)
+    assert(q.n_windows === 3L && q.silent_windows === 2L)
+    assert(q.silence_ratio === math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(q.rms ===
+      math.round(math.sqrt(64.0 * 32512 * 32512 / 136) / 32768.0 * 1e6) / 1e6)
+    val e = Multimodal.audioQualityFeatures(
+      Multimodal.encodePcmWav(media((2L, Array.empty[Byte])))).collect().head
+    assert(e.n_samples === 0L && e.peak === 0 && e.n_windows === 0L &&
+      e.clip_ratio === 0.0 && e.silence_ratio === 0.0 && e.rms === 0.0)
+  }
+
+  test("audioQualityFeatures: the silence test is the exact integer " +
+      "boundary, mean == 1% full scale is NOT silent") {
+    // windowSize 25 makes the boundary integer-realizable:
+    // 32768·25/100 = 8192 = |(96-128)·256| exactly
+    val atThreshold = Array[Byte](96.toByte) ++ Array.fill[Byte](24)(128.toByte)
+    val below = Array[Byte](97.toByte) ++ Array.fill[Byte](24)(128.toByte)
+    val out = Multimodal.audioQualityFeatures(
+        Multimodal.encodePcmWav(media((1L, atThreshold), (2L, below))),
+        windowSize = 25)
+      .collect().sortBy(_.id)
+    assert(out(0).silent_windows === 0L)
+    assert(out(1).silent_windows === 1L)
+  }
+
   test("decodeAudioFeatures: exact stats on a hand signal; empty payload; non-PCM fails") {
     // signal: bytes 130, 120, 130, 128 -> samples 512, -2048, 512, 0
     // |s| sum = 3072; crossings: +,-,+,0(nonneg) -> 2

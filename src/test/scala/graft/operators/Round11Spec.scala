@@ -65,4 +65,83 @@ class Round11Spec extends SparkSpec {
     assert(readme.contains(want),
       s"README.md must contain '$want' (stale spec count?)")
   }
+
+  // ---- encodingDamageStats: the mojibake screen ----
+
+  test("encodingDamageStats: counts each artifact class exactly; " +
+      "clean ASCII and the empty string score hard zero") {
+    import spark.implicits._
+    // caf + Ã© (double-decode pair) + replacement char + C1 NEL
+    val damaged = "caf\u00C3\u00A9 \uFFFD x\u0085y"
+    val df = Seq((1L, damaged), (2L, "plain ascii text"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingDamageStats(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d = out(1L)
+    assert(d.getAs[Long]("n_chars") === 11L)
+    assert(d.getAs[Long]("n_mojibake_pairs") === 1L)
+    assert(d.getAs[Long]("n_replacement") === 1L)
+    assert(d.getAs[Long]("n_c1_controls") === 1L)
+    assert(d.getAs[Double]("damage_per_kchar") ===
+      math.round(3.0 * 1000 / 11 * 1e6) / 1e6)
+    val clean = out(2L)
+    assert(clean.getAs[Long]("n_replacement") === 0L &&
+      clean.getAs[Long]("n_c1_controls") === 0L &&
+      clean.getAs[Long]("n_mojibake_pairs") === 0L &&
+      clean.getAs[Double]("damage_per_kchar") === 0.0)
+    assert(out(3L).getAs[Long]("n_chars") === 0L &&
+      out(3L).getAs[Double]("damage_per_kchar") === 0.0)
+  }
+
+  // ---- rankingMetrics: the IR audit triple ----
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG on a two-query " +
+      "example, including a truth query the run missed entirely") {
+    import spark.implicits._
+    // q1 truth: 10,11,12 (ranks 1..3); run returns 11, miss, 10.
+    // q2 truth: 20,21,22; run returned nothing for q2 → all zeros.
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val results = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val row = Retrieval.rankingMetrics(results, truth, k = 3).head()
+    def ln(x: Double) = math.log(x)
+    // q1: hits = {11 (rel 2) @ r1, 10 (rel 3) @ r3}; rel = 4 - t_rank
+    val dcg1 = 2.0 / ln(2.0) + 3.0 / ln(4.0)
+    val idcg = 3.0 / ln(2.0) + 2.0 / ln(3.0) + 1.0 / ln(4.0)
+    assert(row.getAs[Long]("n_queries") === 2L)
+    assert(row.getAs[Double]("mean_recall") ===
+      math.round((2.0 / 3.0 + 0.0) / 2.0 * 1e6) / 1e6)
+    assert(row.getAs[Double]("mean_mrr") === 0.5) // (1/1 + 0) / 2
+    assert(row.getAs[Double]("mean_ndcg") ===
+      math.round(dcg1 / idcg / 2.0 * 1e6) / 1e6)
+  }
+
+  test("rankingMetrics: a run identical to truth scores 1.0 on all " +
+      "three metrics") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val row = Retrieval.rankingMetrics(truth, truth, k = 2).head()
+    assert(row.getAs[Double]("mean_recall") === 1.0)
+    assert(row.getAs[Double]("mean_mrr") === 1.0)
+    assert(row.getAs[Double]("mean_ndcg") === 1.0)
+  }
+
+  test("q_retrieval_metrics: mean_recall agrees with the standing " +
+      "q_ann_recall audit over the same index and truth") {
+    val m = graft.SparkEntry.queries("q_retrieval_metrics")(spark, sf0001)
+      .head()
+    val r = graft.SparkEntry.queries("q_ann_recall")(spark, sf0001).head()
+    assert(m.getAs[Double]("mean_recall") === r.getAs[Double]("mean_recall"))
+    assert(m.getAs[Long]("n_queries") === r.getAs[Long]("n_queries"))
+    val ndcg = m.getAs[Double]("mean_ndcg")
+    val mrr = m.getAs[Double]("mean_mrr")
+    assert(ndcg > 0.0 && ndcg <= 1.0, s"nDCG out of range: $ndcg")
+    assert(mrr > 0.0 && mrr <= 1.0, s"MRR out of range: $mrr")
+    // graded nDCG can only exceed flat recall when ranking order helps
+    assert(ndcg >= m.getAs[Double]("mean_recall") - 1e-6,
+      "top-heavy hits should make nDCG >= recall on this corpus")
+  }
 }

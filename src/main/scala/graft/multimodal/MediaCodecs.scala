@@ -9,8 +9,9 @@ import scala.collection.concurrent.TrieMap
   * Design:
   *  - Codecs are small `Serializable` strategy objects implementing one
   *    of the SPI traits below. The JDK-backed defaults ([[ImageIoCodec]]
-  *    PNG/JPEG/GIF/BMP, [[JavaSoundCodec]] WAV/AIFF/AU) are REAL
-  *    decoders; [[ByteSliceDemux]] and [[ByteStatsCodec]] are the
+  *    PNG/JPEG/GIF/BMP, [[JavaSoundCodec]] WAV/AIFF/AU) and the
+  *    pure-JVM [[ImaAdpcmWavCodec]] (IMA ADPCM compressed audio) are
+  *    REAL codecs; [[ByteSliceDemux]] and [[ByteStatsCodec]] are the
   *    documented deterministic stand-ins for the absent compressed
   *    codecs.
   *  - Registration is DRIVER-side, keyed by media_type prefix
@@ -121,6 +122,17 @@ object MediaCodecs {
     }
   }
 
+  /** REAL compressed-audio decode: IMA/DVI ADPCM in the standard WAVE
+    * fmt-0x0011 container, 4 bits/sample ([[ImaAdpcm]] — pure-integer
+    * published spec, no external libs). Registered for `audio/adpcm`
+    * so compressed payloads flow through [[Multimodal.decodeAudioFeatures]]
+    * / [[Multimodal.audioQualityFeatures]] unchanged. */
+  object ImaAdpcmWavCodec extends PcmAudioCodec {
+    val name = "ima-adpcm-wav"
+    def decodePcm(payload: Array[Byte], id: Long): (Int, Array[Int]) =
+      ImaAdpcm.decodeWav(payload, id)
+  }
+
   /** STAND-IN demux: fixed-size byte slices in payload order — the
     * deterministic placeholder for a real keyframe extractor (h264
     * libs absent in this container). Oracle-checkable: every slice is
@@ -162,7 +174,11 @@ object MediaCodecs {
 
   // ---- registry: media_type prefix → codec, longest-prefix wins ----
   private val imageReg = TrieMap[String, GrayImageCodec]("" -> ImageIoCodec)
-  private val audioReg = TrieMap[String, PcmAudioCodec]("" -> JavaSoundCodec)
+  private val audioReg = TrieMap[String, PcmAudioCodec](
+    "" -> JavaSoundCodec,
+    // REAL compressed audio out of the box: IMA ADPCM payloads decode
+    // through the pure-integer [[ImaAdpcm]] state machine
+    "audio/adpcm" -> ImaAdpcmWavCodec)
   private val demuxReg = TrieMap[String, FrameDemuxCodec](
     "" -> ByteSliceDemux,
     // REAL container demux out of the box: AVI payloads walk the RIFF

@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * AUDIO is decoded for real too: the JDK ships WAV/AIFF/AU containers
   * (`javax.sound.sampled`), so [[encodePcmWav]] / [[decodeAudioFeatures]]
   * run an actual PCM round trip through a genuine RIFF/WAVE stream.
-  * COMPRESSED audio/video codecs (opus/h264) are NOT in this container,
-  * so the generic byte-level decode and the frame demux remain
-  * clearly-marked deterministic STAND-INS — but every decode path now
-  * routes through the [[MediaCodecs]] registry, so swapping in a real
-  * codec is a one-class change (see the MediaCodecs scaladoc example;
-  * MultimodalCodecSpec proves the PNG/WAV paths route through the
-  * registry with identical results) —
+  * COMPRESSED audio is real as well: [[ImaAdpcm]] implements the
+  * published IMA/DVI ADPCM codec (4 bits/sample, pure integer) in the
+  * standard WAVE fmt-0x0011 container, so [[encodeImaAdpcmWav]] /
+  * [[adpcmRoundTripStats]] run a genuine lossy compress→decompress
+  * cycle. Inter-frame/entropy codecs (opus/h264) are NOT in this
+  * container, so the generic byte-level decode and the non-AVI frame
+  * demux remain clearly-marked deterministic STAND-INS — but every
+  * decode path routes through the [[MediaCodecs]] registry, so
+  * swapping in a real codec is a one-class change (see the MediaCodecs
+  * scaladoc example; MultimodalCodecSpec proves the PNG/WAV paths
+  * route through the registry with identical results) —
   * what is real throughout, and what this module exists to pin down, is
   * the Spark-side shape a production pipeline needs:
   *  - payloads travel as `BinaryType` columns (Tungsten keeps them
@@ -198,6 +202,82 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         MediaRecord(r.id, "audio/wav", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL compressed-audio encode: payload bytes → 16-bit PCM samples
+    * (the same `(b − 128)·256` mapping as [[encodePcmWav]]) → IMA ADPCM
+    * at 4 bits/sample in the standard WAVE fmt-0x0011 container
+    * ([[ImaAdpcm.encodeWav]]). Output `media_type` is `audio/adpcm`, so
+    * downstream decode stages resolve [[MediaCodecs.ImaAdpcmWavCodec]]
+    * from the registry with no caller changes — the compressed twin of
+    * the PCM path, at ~4:1 the bytes. Record-parallel, no shuffle. */
+  def encodeImaAdpcmWav(media: Dataset[MediaRecord], sampleRate: Int = 8000,
+      blockAlign: Int = 256): Dataset[MediaRecord] = {
+    require(sampleRate >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val samples = new Array[Int](r.payload.length)
+        var i = 0
+        while (i < r.payload.length) {
+          samples(i) = ((r.payload(i) & 0xff) - 128) * 256
+          i += 1
+        }
+        MediaRecord(r.id, "audio/adpcm",
+          ImaAdpcm.encodeWav(samples, sampleRate, blockAlign))
+      }
+    }
+  }
+
+  case class AdpcmRoundTrip(id: Long, n_samples: Long,
+      compressed_bytes: Long, max_abs_err: Int, mean_abs_err: Double,
+      decoded_sum: Long)
+
+  /** Lossy-compression audit for the IMA ADPCM path: encode each
+    * payload (same byte→PCM mapping as [[encodeImaAdpcmWav]]), decode
+    * it back, and report per record the compressed size and the exact
+    * reconstruction error (max and mean |orig − decoded|, mean rounded
+    * to 6 dp) plus the decoded-sample sum as an integrity checksum.
+    * The entire encode→decode trajectory is the published pure-integer
+    * IMA state machine, so the DuckDB oracle replays it exactly
+    * (recursive CTE over (predictor, stepIndex) — `q_adpcm_roundtrip`).
+    * Record-parallel, no shuffle; an empty payload scores the all-zero
+    * row with `compressed_bytes` = the 60-byte container header. */
+  def adpcmRoundTripStats(media: Dataset[MediaRecord],
+      sampleRate: Int = 8000, blockAlign: Int = 256): Dataset[AdpcmRoundTrip] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val samples = new Array[Int](r.payload.length)
+        var i = 0
+        while (i < r.payload.length) {
+          samples(i) = ((r.payload(i) & 0xff) - 128) * 256
+          i += 1
+        }
+        val enc = ImaAdpcm.encodeWav(samples, sampleRate, blockAlign)
+        val (_, dec) = ImaAdpcm.decodeWav(enc, r.id)
+        require(dec.length == samples.length,
+          s"id=${r.id}: round trip lost samples")
+        var maxErr = 0
+        var sumErr = 0L
+        var decSum = 0L
+        i = 0
+        while (i < dec.length) {
+          val e = math.abs(samples(i) - dec(i))
+          if (e > maxErr) maxErr = e
+          sumErr += e
+          decSum += dec(i)
+          i += 1
+        }
+        AdpcmRoundTrip(r.id, samples.length.toLong, enc.length.toLong,
+          maxErr,
+          if (samples.length == 0) 0.0
+          else math.round(sumErr.toDouble / samples.length * 1e6) / 1e6,
+          decSum)
       }
     }
   }

@@ -101,6 +101,27 @@ object MultimodalQueries {
           col("clip_ratio"), col("n_windows"), col("silent_windows"),
           col("silence_ratio"), col("rms"))
     },
+    // REAL compressed audio: encode each doc's PCM stream to IMA ADPCM
+    // (4 bits/sample in the standard WAVE fmt-0x0011 container — a
+    // published pure-integer codec, not a stand-in), decode it back,
+    // and audit the compression: size, exact max/mean reconstruction
+    // error, and a decoded-sample checksum. Samples are capped at 129
+    // (one 68-byte block) so the oracle's recursive-CTE replay of the
+    // (predictor, stepIndex) state machine stays bounded.
+    "q_adpcm_roundtrip" -> { (s, dir) =>
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload",
+            encode(substring(coalesce(col("text"), lit("")), 1, 129),
+              "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      Multimodal.adpcmRoundTripStats(media, sampleRate = 8000,
+          blockAlign = 68)
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_samples"),
+          col("compressed_bytes"), col("max_abs_err"),
+          col("mean_abs_err"), col("decoded_sum"))
+    },
     // the VIDEO-shaped pipeline, as real as a container-less
     // environment allows: sample fixed-size frames from each payload
     // (the stand-in for container demux — the one genuinely stubbed
@@ -349,6 +370,73 @@ object MultimodalQueries {
        |JOIN sa ON sa.doc_id = d.doc_id
        |JOIN wa ON wa.doc_id = d.doc_id""".stripMargin
 
+  /** DuckDB replay of the IMA ADPCM encode→decode trajectory: the
+    * codec is pure integer arithmetic over (predictor, stepIndex), so
+    * a recursive CTE walks the identical state machine — per step, the
+    * encoder's successive-approximation code bits (b4/b2/b1 against
+    * step, step//2, step//4), the decoder's quantized difference
+    * step//8 + Σ bits, the clamped new predictor (== the decoded
+    * sample == the encoder's reconstruction), and the table-driven
+    * index adaptation. Sample 0 is stored verbatim in the block header
+    * (zero error); `compressed_bytes` is the 60-byte container plus
+    * one 68-byte block when any samples exist. */
+  private def adpcmOracle: String = {
+    val steps = graft.multimodal.ImaAdpcm.stepTable.mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, substring(coalesce(text, ''), 1, 129) AS t,
+       |    length(substring(coalesce(text, ''), 1, 129)) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    (unicode(t[CAST(i + 1 AS INTEGER)]) - 128) * 256 AS a
+       |  FROM (SELECT doc_id, t, unnest(range(0, n)) AS i FROM d)),
+       |steps AS (
+       |  SELECT unnest(range(0, 89)) AS sidx,
+       |    unnest([$steps]) AS step),
+       |st AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS i, a AS pred, 0 AS idx,
+       |    0 AS aerr, a AS dec
+       |  FROM s WHERE i = 0
+       |  UNION ALL
+       |  SELECT st.doc_id, st.i + 1, l2.np, l2.ni, abs(s.a - l2.np),
+       |    l2.np
+       |  FROM st
+       |  JOIN s ON s.doc_id = st.doc_id AND s.i = st.i + 1
+       |  JOIN steps ON steps.sidx = st.idx,
+       |  LATERAL (SELECT steps.step AS stp, s.a < st.pred AS sgn,
+       |    abs(s.a - st.pred) AS ad) l0,
+       |  LATERAL (SELECT ad >= stp AS b4,
+       |    (ad - CASE WHEN ad >= stp THEN stp ELSE 0 END) AS d2) l1a,
+       |  LATERAL (SELECT d2 >= stp // 2 AS b2,
+       |    (d2 - CASE WHEN d2 >= stp // 2 THEN stp // 2 ELSE 0 END)
+       |      >= stp // 4 AS b1) l1b,
+       |  LATERAL (SELECT stp // 8 +
+       |      CASE WHEN b4 THEN stp ELSE 0 END +
+       |      CASE WHEN b2 THEN stp // 2 ELSE 0 END +
+       |      CASE WHEN b1 THEN stp // 4 ELSE 0 END AS diffq,
+       |    CASE WHEN b4 AND b2 AND b1 THEN 8
+       |         WHEN b4 AND b2 THEN 6
+       |         WHEN b4 THEN CASE WHEN b1 THEN 4 ELSE 2 END
+       |         ELSE -1 END AS delta) l1c,
+       |  LATERAL (SELECT greatest(-32768, least(32767,
+       |      CASE WHEN sgn THEN st.pred - diffq
+       |           ELSE st.pred + diffq END)) AS np,
+       |    greatest(0, least(88, st.idx + delta)) AS ni) l2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_samples, max(aerr) AS max_abs_err,
+       |    round(CAST(sum(aerr) AS DOUBLE) / count(*), 6) AS mean_abs_err,
+       |    sum(dec) AS decoded_sum
+       |  FROM st GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(agg.n_samples, 0) AS BIGINT) AS n_samples,
+       |  CAST(60 + CASE WHEN d.n > 0 THEN 68 ELSE 0 END AS BIGINT)
+       |    AS compressed_bytes,
+       |  CAST(coalesce(agg.max_abs_err, 0) AS INTEGER) AS max_abs_err,
+       |  coalesce(agg.mean_abs_err, CAST(0.0 AS DOUBLE)) AS mean_abs_err,
+       |  CAST(coalesce(agg.decoded_sum, 0) AS BIGINT) AS decoded_sum
+       |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+  }
+
   /** DuckDB replay of the pooled video embedding: frame f of a doc is
     * bytes [64f, 64f + flen) (flen = min(64, len − 64f), ≤5 frames);
     * each frame's pixel grid and 8-band float32 means replay exactly as
@@ -399,6 +487,7 @@ object MultimodalQueries {
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
     "q_audio_quality" -> audioQualityOracle,
+    "q_adpcm_roundtrip" -> adpcmOracle,
     "q_video_pooled_embedding" -> videoPooledOracle,
     // the AVI pipeline shares the oracle: RIFF mux/demux is
     // byte-identity on frame payloads and PNG is lossless on pixels,

@@ -71,6 +71,31 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Quality-aware canonical selection over dedup clusters — the
+    * RefinedWeb keep-policy: within each near-dup cluster keep the
+    * member with the HIGHEST quality score (ties: lowest id) instead
+    * of [[exactSurvivors]]' lowest-id rule, so a dedup pass preserves
+    * the best-written copy rather than the first-crawled one.
+    * `clusters` is any (id, cluster) assignment (e.g.
+    * [[connectedComponents]] output); `quality` is (id, score) from
+    * any scorer (doc length, Gopher battery, a trained classifier).
+    *
+    * Scale shape: one id-keyed equi-join plus one cluster-keyed
+    * aggregation whose per-group state is a single `max_by` struct —
+    * no window, no sort, driver state O(1). Output: one row per
+    * cluster (kept id, its score, member/dropped counts). */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+      idCol: String, clusterCol: String, scoreCol: String): DataFrame =
+    clusters.join(quality, Seq(idCol))
+      .groupBy(col(clusterCol))
+      .agg(
+        // max over (score, -id) == highest score, lowest id on ties
+        max_by(col(idCol),
+          struct(col(scoreCol), (-col(idCol)).as("__nid"))).as("keep_id"),
+        max(col(scoreCol)).as("keep_score"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dropped", col("n_members") - 1)
+
   /** Line-level corpus dedup — the C4/RefinedWeb rewrite step: any LINE
     * (newline-delimited) that occurs verbatim in more than one place
     * across the whole corpus is kept only at its FIRST occurrence

@@ -66,6 +66,56 @@ class Round11Spec extends SparkSpec {
       s"README.md must contain '$want' (stale spec count?)")
   }
 
+  // ---- keepBestPerCluster: the RefinedWeb keep-policy ----
+
+  test("keepBestPerCluster: highest score wins, lowest id on ties, " +
+      "singletons pass through with zero dropped") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBestPerCluster(clusters, quality,
+        "doc_id", "cluster_rep", "score")
+      .collect().map(r => r.getAs[Long]("cluster_rep") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("keep_id") === 2L) // 9 ties, 2 < 3
+    assert(a.getAs[Long]("keep_score") === 9L)
+    assert(a.getAs[Long]("n_members") === 3L &&
+      a.getAs[Long]("n_dropped") === 2L)
+    val b = out(4L)
+    assert(b.getAs[Long]("keep_id") === 4L &&
+      b.getAs[Long]("n_dropped") === 0L)
+  }
+
+  test("q_dedup_keep_best: every cluster keeps exactly one member and " +
+      "member counts cover the corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val rows = graft.SparkEntry.queries("q_dedup_keep_best")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === docs)
+    // kept ids are distinct and the kept member's score is the max
+    assert(rows.map(_.getAs[Long]("keep_id")).distinct.length === rows.length)
+  }
+
+  // ---- corpusDiff: the snapshot audit ----
+
+  test("corpusDiff: classifies added/removed/changed/unchanged, and " +
+      "NULL vs empty-string content is a change") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a"), "x"), (2L, Option("b"), "x"),
+      (3L, Option("c"), "x"), (4L, None: Option[String], "x"))
+      .toDF("id", "body", "tag")
+    val nxt = Seq((2L, Option("b"), "x"), (3L, Option("C"), "x"),
+      (4L, Option(""), "x"), (5L, Option("e"), "x"))
+      .toDF("id", "body", "tag")
+    val got = Stats.corpusDiff(old, nxt, "id", Seq("body", "tag"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status"))
+      .toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "changed", 5L -> "added"))
+  }
+
   // ---- encodingDamageStats: the mojibake screen ----
 
   test("encodingDamageStats: counts each artifact class exactly; " +

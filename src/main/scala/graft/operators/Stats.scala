@@ -188,33 +188,6 @@ object Stats {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("checksum"))
 
-  /** Snapshot diff between two versions of a corpus — the nightly
-    * "what did the crawl change" audit an incremental pipeline runs
-    * before reprocessing: per id, whether the row was `added`,
-    * `removed`, `changed` (any of `cols` differs), or `unchanged`.
-    * Rows compare by an md5 fingerprint of the listed columns (NULLs
-    * fold to a sentinel so NULL vs '' is a difference), so the wide
-    * content never shuffles — only (id, 32-char hash) pairs meet in
-    * one full-outer equi-join on id. That is the cheapest possible
-    * 100 TB-vs-100 TB comparison short of [[tableChecksum]]'s single
-    * row (which says IF something changed; this says WHAT).
-    * Fingerprints are portable (md5 of '|'-joined string casts), so
-    * the DuckDB oracle replays them byte-for-byte. */
-  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
-      cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "need at least one content column")
-    def fp(df: DataFrame, tag: String) = df.select(
-      col(idCol).as("id"),
-      md5(concat_ws("|", cols.map(c =>
-        coalesce(col(c).cast("string"), lit("<NULL>"))): _*)).as(tag))
-    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq("id"), "full_outer")
-      .select(col("id"),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
-          .otherwise("unchanged").as("status"))
-  }
-
   /** Join/aggregation key-skew diagnostic: the per-key frequency
     * distribution collapsed to one row — key count, min/median/p99/max
     * frequency, and the max/avg skew ratio that decides whether a key

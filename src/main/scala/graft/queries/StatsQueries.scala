@@ -18,26 +18,6 @@ object StatsQueries {
       Stats.histogram(table(s, dir, "orders"), "o_totalprice", 20)
     },
 
-    // snapshot diff: a synthetic "next crawl" built IN THE QUERY from
-    // the documents table (every 13th doc dropped, every 7th doc's
-    // text revised, every 11th doc re-crawled under a new id) diffed
-    // against the original — the operator must classify exactly those
-    // synthesized deltas; summary rows keep the oracle stable
-    "q_corpus_diff" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val next = docs
-        .filter(col("doc_id") % 13 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0,
-            concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
-            .otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      Stats.corpusDiff(docs, next, "doc_id", Seq("text", "lang", "source"))
-        .groupBy(col("status"))
-        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"),
-          max(col("id")).as("max_id"))
-    },
 
     // outlier-robust per-group summary: clamp to [p05, p95] then agg
     "q_winsorized_stats" -> { (s, dir) =>
@@ -261,33 +241,6 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // replays the synthesized next-crawl (drop %13, revise %7, re-id
-    // %11) and the md5-fingerprint full-outer diff classification
-    "q_corpus_diff" ->
-      """WITH nxt AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' [rev2]'
-        |         ELSE text END AS text,
-        |    lang, source
-        |  FROM documents WHERE doc_id % 13 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, source
-        |  FROM documents WHERE doc_id % 11 = 0),
-        |o AS (SELECT doc_id AS id, md5(concat_ws('|',
-        |        coalesce(text, '<NULL>'), coalesce(lang, '<NULL>'),
-        |        coalesce(source, '<NULL>'))) AS f FROM documents),
-        |n AS (SELECT doc_id AS id, md5(concat_ws('|',
-        |        coalesce(text, '<NULL>'), coalesce(lang, '<NULL>'),
-        |        coalesce(source, '<NULL>'))) AS f FROM nxt),
-        |j AS (SELECT coalesce(o.id, n.id) AS id,
-        |        CASE WHEN o.f IS NULL THEN 'added'
-        |             WHEN n.f IS NULL THEN 'removed'
-        |             WHEN o.f <> n.f THEN 'changed'
-        |             ELSE 'unchanged' END AS status
-        |      FROM o FULL OUTER JOIN n ON o.id = n.id)
-        |SELECT status, count(*)::BIGINT AS n_docs,
-        |  min(id) AS min_id, max(id) AS max_id
-        |FROM j GROUP BY 1""".stripMargin,
     // the two-pass operator's output is EXACT, so the oracle is the
     // naive form it replaces at scale: plain GROUP BY ... HAVING
     "q_heavy_hitters" ->

@@ -98,24 +98,6 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("keep_id")).distinct.length === rows.length)
   }
 
-  // ---- corpusDiff: the snapshot audit ----
-
-  test("corpusDiff: classifies added/removed/changed/unchanged, and " +
-      "NULL vs empty-string content is a change") {
-    import spark.implicits._
-    val old = Seq((1L, Option("a"), "x"), (2L, Option("b"), "x"),
-      (3L, Option("c"), "x"), (4L, None: Option[String], "x"))
-      .toDF("id", "body", "tag")
-    val nxt = Seq((2L, Option("b"), "x"), (3L, Option("C"), "x"),
-      (4L, Option(""), "x"), (5L, Option("e"), "x"))
-      .toDF("id", "body", "tag")
-    val got = Stats.corpusDiff(old, nxt, "id", Seq("body", "tag"))
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status"))
-      .toMap
-    assert(got === Map(1L -> "removed", 2L -> "unchanged",
-      3L -> "changed", 4L -> "changed", 5L -> "added"))
-  }
-
   // ---- encodingDamageStats: the mojibake screen ----
 
   test("encodingDamageStats: counts each artifact class exactly; " +

@@ -107,6 +107,38 @@ object Multimodal {
     * to the last row) — reused by the AVI muxing pipeline, which packs
     * per-frame PNGs into a real RIFF container ([[AviMjpeg]]). */
   def grayPngBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grayImage(payload, width), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The LOSSY twin of [[grayPngBytes]]: the same row-major gray
+    * packing compressed to baseline JPEG at `quality` by the JDK's
+    * actual DCT codec — genuine compressed frames for true-MJPEG AVIs
+    * ([[AviMjpeg]] names the stream MJPG; with JPEG chunks the file is
+    * what that fourcc promises). JPEG is lossy, so oracled queries keep
+    * PNG frames (pixel-exact replay); the JPEG path's bounded
+    * reconstruction error is pinned in MultimodalCodecSpec instead. */
+  def grayJpegBytes(payload: Array[Byte], width: Int,
+      quality: Float = 0.9f): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, "quality in (0, 1]")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(grayImage(payload, width), null, null),
+        param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def grayImage(payload: Array[Byte],
+      width: Int): java.awt.image.BufferedImage = {
     val h = math.max(1, (payload.length + width - 1) / width)
     val img = new java.awt.image.BufferedImage(width, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -118,9 +150,7 @@ object Multimodal {
         if (i < payload.length) payload(i) & 0xff else 0)
       i += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   /** REAL image decode + feature extraction, batched per partition,

@@ -187,6 +187,37 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("true MJPEG: real JPEG frames (JDK DCT codec) mux into the AVI, " +
+      "demux through the registry, and decode with bounded error") {
+    // a smooth gradient compresses well and bounds DCT error tightly
+    val payload = Array.tabulate(256)(i => i.toByte)
+    val srcFrames = MediaCodecs.ByteSliceDemux.demux(payload, 64, 4).toSeq
+    val jpegs = srcFrames.map(f => Multimodal.grayJpegBytes(f._3, 16, 0.95f))
+    jpegs.foreach { j =>
+      assert((j(0) & 0xff) === 0xff && (j(1) & 0xff) === 0xd8, "not a JPEG")
+    }
+    // lower quality must actually shrink the stream (the knob is live)
+    val small = Multimodal.grayJpegBytes(payload, 16, 0.3f)
+    val big = Multimodal.grayJpegBytes(payload, 16, 0.95f)
+    assert(small.length < big.length,
+      s"quality knob inert: q=0.3 → ${small.length}B, q=0.95 → ${big.length}B")
+    val avi = AviMjpeg.mux(jpegs, width = 16, height = 4, fps = 5)
+    val m = Multimodal.asMedia(Seq((3L, avi)).toDF("id", "payload"),
+      "id", "payload", "video/x-msvideo")
+    val frames = Multimodal.sampleFrames(m, frameSize = 0, maxFrames = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 4)
+    frames.zip(srcFrames).foreach { case (f, (_, _, src)) =>
+      // decode through the REAL registry image codec as image/jpeg
+      val (w, h, px) = MediaCodecs.resolve(
+        MediaCodecs.imageSnapshot, "image/jpeg").decodeGray(f.frame_bytes, f.id)
+      assert(w === 16 && h === 4)
+      val errs = src.indices.map(i => math.abs(px(i) - (src(i) & 0xff)))
+      assert(errs.max <= 8,
+        s"JPEG q=0.95 reconstruction err ${errs.max} on a smooth gradient")
+    }
+  }
+
   test("q_video_avi_pipeline == q_video_pooled_embedding: the real " +
       "container round trip is a feature no-op (shared oracle)") {
     val a = graft.SparkEntry.queries("q_video_pooled_embedding")(spark, sf0001)

@@ -101,6 +101,24 @@ object MultimodalQueries {
           col("clip_ratio"), col("n_windows"), col("silent_windows"),
           col("silence_ratio"), col("rms"))
     },
+    // the AUDIO twin of q_image_neardup: real WAV round trip (text
+    // bytes -> PCM -> javax.sound decode) -> time-stripe amplitude
+    // embeddings -> the same SemDeDup cluster-then-pair operator. The
+    // multimodal and similarity stacks composed on a second modality;
+    // the threshold sits at the same far tail (amplitude-band vectors
+    // of ASCII text are all-positive and tightly concentrated)
+    "q_audio_neardup" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      val features = Multimodal.decodeAudioFeatures(
+        Multimodal.encodePcmWav(media, sampleRate = 8000)).toDF()
+      graft.operators.Dedup.semanticPairs(
+        features.select(col("id").as("vec_id"), col("embedding")),
+        threshold = 0.99995, nClusters = 4, trainIters = 2)
+    },
     // REAL compressed audio: encode each doc's PCM stream to IMA ADPCM
     // (4 bits/sample in the standard WAVE fmt-0x0011 container — a
     // published pure-integer codec, not a stand-in), decode it back,
@@ -232,6 +250,56 @@ object MultimodalQueries {
     * through float32 exactly as the engine's Array[Float]. The
     * k-means-then-cosine stage reuses the SimilarityQueries Lloyd CTEs
     * at dim = 8. */
+  /** DuckDB replay of the audio near-dup composition: sample i of a
+    * doc is `(byte − 128)·256` (PCM WAV is lossless; ASCII ⇒ byte ==
+    * codepoint), the 8 bands are the `least(7, i·8 // len)` time
+    * stripes of mean |amplitude| scaled by 32768 with the engine's
+    * float cast, and clustering + pairing replay through the same
+    * Lloyd CTEs as the image twin. */
+  private def audioNeardupOracle(threshold: Double): String =
+    s"""WITH nz AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |sv AS (
+       |  SELECT doc_id, text, len, unnest(range(0, len)) AS i FROM nz),
+       |pv AS (
+       |  SELECT doc_id, least(7, (i * 8) // len) AS band,
+       |    abs((unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256) AS v
+       |  FROM sv),
+       |bs AS (SELECT doc_id, band, sum(v) AS s, count(1) AS n
+       |       FROM pv GROUP BY 1, 2),
+       |bj AS (
+       |  SELECT nz.doc_id, r.j,
+       |    coalesce(CAST(CAST(b.s AS DOUBLE) / b.n / 32768.0 AS FLOAT)::DOUBLE,
+       |      0.0) AS ev
+       |  FROM nz CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
+       |  LEFT JOIN bs b ON b.doc_id = nz.doc_id AND b.band = r.j),
+       |emb0 AS (SELECT doc_id AS vec_id, list(ev ORDER BY j) AS e
+       |         FROM bj GROUP BY 1),
+       |emb AS (SELECT vec_id, e,
+       |          list_sum(list_transform(e, x -> x * x)) AS xx
+       |        FROM emb0),
+       |${SimilarityQueries.lloyd2Ctes("emb", 4, dim = 8)},
+       |s2 AS (
+       |  SELECT m.vec_id, c.cid, ${SimilarityQueries.d2Sql("m", "c", dim = 8)} AS d
+       |  FROM emb m CROSS JOIN c1cc c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |scored AS (
+       |  SELECT aa.vec_id AS a, ab.vec_id AS b,
+       |    list_sum(list_transform(range(1, 9), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM assigned aa
+       |  JOIN assigned ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+       |  JOIN emb0 ea ON aa.vec_id = ea.vec_id
+       |  JOIN emb0 eb ON ab.vec_id = eb.vec_id)
+       |SELECT a, b, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= $threshold""".stripMargin
+
   private def imageNeardupOracle(threshold: Double): String =
     s"""WITH nz AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
@@ -485,6 +553,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
+    "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
     "q_audio_quality" -> audioQualityOracle,
     "q_adpcm_roundtrip" -> adpcmOracle,

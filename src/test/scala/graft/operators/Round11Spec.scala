@@ -98,6 +98,18 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("keep_id")).distinct.length === rows.length)
   }
 
+  // ---- audio near-dup: the second composed modality ----
+
+  test("q_audio_neardup: pairs are ordered, above threshold, and the " +
+      "composition runs the real WAV decode path") {
+    val rows = graft.SparkEntry.queries("q_audio_neardup")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Double]("cos") >= 0.99995)
+    }
+  }
+
   // ---- encodingDamageStats: the mojibake screen ----
 
   test("encodingDamageStats: counts each artifact class exactly; " +

@@ -78,23 +78,6 @@ object DedupQueries {
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     },
 
-    // quality-aware canonicalization COMPOSED on the real clusterer:
-    // the same ngram-Jaccard → connected-components assignment as
-    // q_dedup_clusters, then keep the LONGEST member of each cluster
-    // (n_chars as the quality score, lowest id on ties) — the
-    // RefinedWeb keep-policy instead of exactSurvivors' first-id rule
-    "q_dedup_keep_best" -> { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
-        n = 3, threshold = 0.8)
-      val clusters = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
-        .select(col("doc_id"), col("cluster_rep"))
-      Dedup.keepBestPerCluster(clusters,
-        docs.select(col("doc_id"), col("n_chars").as("score")),
-        "doc_id", "cluster_rep", "score")
-    },
     // append≡rebuild for the clustering itself: the corpus's STORED
     // labels collapse to star edges (connectivity-equivalent to the
     // corpus pair set), so stored stars + batch-internal pairs +
@@ -161,7 +144,7 @@ object DedupQueries {
     // duplicate is the truncated one). One extra bounded max(struct)
     // aggregation over the cluster labels
     "q_dedup_best_survivors" -> { (s, dir) =>
-      import org.apache.spark.sql.functions.{col, count, lit, max, struct}
+      import org.apache.spark.sql.functions.col
       val docs = table(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
         n = 3, threshold = 0.8)
@@ -170,14 +153,12 @@ object DedupQueries {
       val ntok = docs.select(col("doc_id"),
         graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
           .as("ntok"))
-      clusters.join(ntok, Seq("doc_id"))
-        .groupBy(col("cluster_rep"))
-        .agg(count(lit(1)).as("n_docs"),
-          // ties on (ntok, -doc_id) impossible (ids unique): max picks
-          // longest doc, then lowest id
-          max(struct(col("ntok").as("t"), (-col("doc_id")).as("ni"))).as("__m"))
-        .select(col("cluster_rep"), col("n_docs"),
-          (-col("__m.ni")).as("kept_id"), col("__m.t").as("kept_tokens"))
+      // the keep-policy as the reusable operator: longest doc wins,
+      // lowest id on (impossible here — ids unique) ties
+      Dedup.keepBestPerCluster(clusters, ntok,
+          "doc_id", "cluster_rep", "ntok")
+        .select(col("cluster_rep"), col("n_members").as("n_docs"),
+          col("keep_id").as("kept_id"), col("keep_score").as("kept_tokens"))
     },
     // edit distance verification layer on the (few) Jaccard candidates —
     // O(len²) DP is affordable only AFTER candidate generation
@@ -1705,22 +1686,6 @@ object DedupQueries {
     // identical semantics by contract: the log-round algorithm must
     // produce exactly the propagation algorithm's labels
     "q_dedup_clusters_logstar" -> clustersOracle,
-    // the cluster replay + the keep-policy as a window: highest
-    // n_chars wins, lowest doc_id on ties
-    "q_dedup_keep_best" ->
-      (s"""WITH cl AS (
-         |${clustersOracle}),
-         |j AS (SELECT cl.cluster_rep, cl.doc_id, d.n_chars AS score
-         |      FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
-         |r AS (SELECT cluster_rep, doc_id, score,
-         |        count(*) OVER (PARTITION BY cluster_rep) AS n_members,
-         |        row_number() OVER (PARTITION BY cluster_rep
-         |          ORDER BY score DESC, doc_id ASC) AS rn
-         |      FROM j)
-         |SELECT cluster_rep, doc_id AS keep_id, score AS keep_score,
-         |  CAST(n_members AS BIGINT) AS n_members,
-         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
-         |FROM r WHERE rn = 1""".stripMargin),
     "q_neardup_edit_distance" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -140,6 +140,29 @@ object MultimodalQueries {
           col("compressed_bytes"), col("max_abs_err"),
           col("mean_abs_err"), col("decoded_sum"))
     },
+    // the COMPRESSED-path quality gate: the same silence/clip/peak/RMS
+    // battery as q_audio_quality, but over IMA-ADPCM-decoded samples —
+    // audioQualityFeatures resolves the ADPCM codec from the registry
+    // by media_type alone (audio/adpcm), so this is the registry
+    // routing proven in an ORACLED query, and the oracle replays the
+    // decoded trajectory through the shared recursive CTE before
+    // running the window battery on it
+    "q_adpcm_quality" -> { (s, dir) =>
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload",
+            encode(substring(coalesce(col("text"), lit("")), 1, 129),
+              "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      Multimodal.audioQualityFeatures(
+          Multimodal.encodeImaAdpcmWav(media, sampleRate = 8000,
+            blockAlign = 68))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("peak"), col("clipped_samples"),
+          col("clip_ratio"), col("n_windows"), col("silent_windows"),
+          col("silence_ratio"), col("rms"))
+    },
     // the VIDEO-shaped pipeline, as real as a container-less
     // environment allows: sample fixed-size frames from each payload
     // (the stand-in for container demux — the one genuinely stubbed
@@ -448,9 +471,12 @@ object MultimodalQueries {
     * index adaptation. Sample 0 is stored verbatim in the block header
     * (zero error); `compressed_bytes` is the 60-byte container plus
     * one 68-byte block when any samples exist. */
-  private def adpcmOracle: String = {
+  /** The shared recursive-CTE state machine: d (truncated docs), s
+    * (PCM samples), steps (the step table), st (the walked
+    * (predictor, stepIndex, decoded, |err|) trajectory). */
+  private def adpcmCtes: String = {
     val steps = graft.multimodal.ImaAdpcm.stepTable.mkString(", ")
-    s"""WITH RECURSIVE d AS (
+    s"""d AS (
        |  SELECT doc_id, substring(coalesce(text, ''), 1, 129) AS t,
        |    length(substring(coalesce(text, ''), 1, 129)) AS n
        |  FROM documents),
@@ -489,7 +515,11 @@ object MultimodalQueries {
        |  LATERAL (SELECT greatest(-32768, least(32767,
        |      CASE WHEN sgn THEN st.pred - diffq
        |           ELSE st.pred + diffq END)) AS np,
-       |    greatest(0, least(88, st.idx + delta)) AS ni) l2),
+       |    greatest(0, least(88, st.idx + delta)) AS ni) l2)""".stripMargin
+  }
+
+  private def adpcmOracle: String =
+    s"""WITH RECURSIVE ${adpcmCtes},
        |agg AS (
        |  SELECT doc_id, count(*) AS n_samples, max(aerr) AS max_abs_err,
        |    round(CAST(sum(aerr) AS DOUBLE) / count(*), 6) AS mean_abs_err,
@@ -503,7 +533,48 @@ object MultimodalQueries {
        |  coalesce(agg.mean_abs_err, CAST(0.0 AS DOUBLE)) AS mean_abs_err,
        |  CAST(coalesce(agg.decoded_sum, 0) AS BIGINT) AS decoded_sum
        |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
-  }
+
+  /** The quality battery over ADPCM-DECODED samples: the shared
+    * recursive CTE yields the exact decoded trajectory, then the same
+    * aligned-window silence test, clip count (|s| ≥ 32512), peak and
+    * RMS as the PCM oracle — all integer until the final 6-dp
+    * roundings. Empty docs score the all-zero row (rate comes from the
+    * fmt chunk, which exists even with no samples). */
+  private def adpcmQualityOracle: String =
+    s"""WITH RECURSIVE ${adpcmCtes},
+       |w AS (
+       |  SELECT doc_id, i // 64 AS win, sum(abs(dec)) AS ws,
+       |    count(*) AS wn
+       |  FROM st GROUP BY 1, 2),
+       |wa AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |    sum(CASE WHEN ws * 100 < 32768 * wn THEN 1 ELSE 0 END)
+       |      AS silent_windows
+       |  FROM w GROUP BY 1),
+       |sa AS (
+       |  SELECT doc_id, count(*) AS n, max(abs(dec)) AS peak,
+       |    sum(CASE WHEN abs(dec) >= 32512 THEN 1 ELSE 0 END) AS clipped,
+       |    sum(CAST(abs(dec) AS BIGINT) * abs(dec)) AS sumsq
+       |  FROM st GROUP BY 1)
+       |SELECT d.doc_id,
+       |  8000 AS sample_rate,
+       |  CAST(coalesce(sa.n, 0) AS BIGINT) AS n_samples,
+       |  CAST(coalesce(sa.peak, 0) AS INTEGER) AS peak,
+       |  CAST(coalesce(sa.clipped, 0) AS BIGINT) AS clipped_samples,
+       |  CASE WHEN coalesce(sa.n, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(CAST(sa.clipped AS DOUBLE) / sa.n, 6)
+       |  END AS clip_ratio,
+       |  CAST(coalesce(wa.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(wa.silent_windows, 0) AS BIGINT) AS silent_windows,
+       |  CASE WHEN coalesce(wa.n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(CAST(wa.silent_windows AS DOUBLE) / wa.n_windows, 6)
+       |  END AS silence_ratio,
+       |  CASE WHEN coalesce(sa.n, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(sqrt(CAST(sa.sumsq AS DOUBLE) / sa.n) / 32768.0, 6)
+       |  END AS rms
+       |FROM d
+       |LEFT JOIN sa ON sa.doc_id = d.doc_id
+       |LEFT JOIN wa ON wa.doc_id = d.doc_id""".stripMargin
 
   /** DuckDB replay of the pooled video embedding: frame f of a doc is
     * bytes [64f, 64f + flen) (flen = min(64, len − 64f), ≤5 frames);
@@ -557,6 +628,7 @@ object MultimodalQueries {
     "q_audio_features" -> audioFeaturesOracle,
     "q_audio_quality" -> audioQualityOracle,
     "q_adpcm_roundtrip" -> adpcmOracle,
+    "q_adpcm_quality" -> adpcmQualityOracle,
     "q_video_pooled_embedding" -> videoPooledOracle,
     // the AVI pipeline shares the oracle: RIFF mux/demux is
     // byte-identity on frame payloads and PNG is lossless on pixels,

@@ -88,14 +88,26 @@ class Round11Spec extends SparkSpec {
       b.getAs[Long]("n_dropped") === 0L)
   }
 
-  test("q_dedup_keep_best: every cluster keeps exactly one member and " +
-      "member counts cover the corpus") {
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
-    val rows = graft.SparkEntry.queries("q_dedup_keep_best")(spark, sf0001)
-      .collect()
-    assert(rows.map(_.getAs[Long]("n_members")).sum === docs)
-    // kept ids are distinct and the kept member's score is the max
-    assert(rows.map(_.getAs[Long]("keep_id")).distinct.length === rows.length)
+  // ---- ADPCM quality: the compressed-path gate ----
+
+  test("q_adpcm_quality agrees with q_adpcm_roundtrip on sample counts " +
+      "and stays within the decoded-error envelope on peaks") {
+    val q = graft.SparkEntry.queries("q_adpcm_quality")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rt = graft.SparkEntry.queries("q_adpcm_roundtrip")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q.keySet === rt.keySet)
+    q.foreach { case (id, row) =>
+      assert(row.getAs[Long]("n_samples") ===
+        rt(id).getAs[Long]("n_samples"))
+      // text bytes (incl. \n\t controls) map to |PCM| <= 30464; the
+      // decoded peak may overshoot by at most that doc's max error
+      if (row.getAs[Long]("n_samples") > 0) {
+        assert(row.getAs[Int]("peak") <=
+          30464 + rt(id).getAs[Int]("max_abs_err"),
+          s"doc $id peak ${row.getAs[Int]("peak")} breaks the envelope")
+      }
+    }
   }
 
   // ---- audio near-dup: the second composed modality ----

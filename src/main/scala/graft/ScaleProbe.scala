@@ -554,6 +554,19 @@ object ScaleProbe {
             numShards = 64)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"keep_best_per_cluster_${n}x") {
+        // round-11 keep-policy: one id join + one cluster-keyed max_by
+        // agg — expect near-linear. Synthetic clusters (id % (n/20))
+        // scale member count AND cluster cardinality with the corpus,
+        // so neither side of the agg degenerates to a constant
+        val members = docsN.count() / 20 max 1L
+        operators.Dedup.keepBestPerCluster(
+            docsN.select(col("doc_id"),
+              (col("doc_id") % lit(members)).as("cluster_rep")),
+            docsN.select(col("doc_id"), col("n_chars").as("score")),
+            "doc_id", "cluster_rep", "score")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -95,6 +95,10 @@ class Round3PlanSpec extends SparkSpec {
       // recall audit composes the allowlisted brute-force baseline as
       // its exact side (bounded query sample by guardSize)
       "q_ann_recall",
+      // round-11: the IR audit triple composes the same brute-force
+      // truth side (guardSize-bounded); the metrics joins themselves
+      // are equi-joins on (query_id, neighbor_id)
+      "q_retrieval_metrics",
       // round-7d: the Matryoshka audit composes TWO brute-force
       // baselines (full-dim and prefix-dim), both guardSize-bounded
       "q_matryoshka_recall",

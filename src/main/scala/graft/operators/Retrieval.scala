@@ -228,7 +228,13 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("score"), 6).as("score"),
+        // floor-based 6dp rounding, NOT round(): Spark's round goes
+        // through BigDecimal on the double's SHORTEST decimal repr,
+        // DuckDB's rounds the exact binary value — a blend that lands
+        // on a half boundary (rrf 1/64 + a 6dp-exact cosine did, once,
+        // at sf0.1) flips the last digit between engines. floor(x·1e6
+        // + 0.5)/1e6 is pure double arithmetic, bit-identical in both.
+        (floor(col("score") * 1e6 + lit(0.5)) / 1e6).as("score"),
         col("lex_cos"), col("sem_cos"))
   }
 

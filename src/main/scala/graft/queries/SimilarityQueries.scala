@@ -748,7 +748,7 @@ object SimilarityQueries {
         |    (0.5 * lex_cos + 0.4 * sem_cos) + 0.1 * rrf6 AS score
         |  FROM cands)
         |SELECT query_id, neighbor_id, rank::INTEGER AS rank,
-        |  round(score, 6) AS score, lex_cos, sem_cos
+        |  floor(score * 1e6 + 0.5) / 1e6 AS score, lex_cos, sem_cos
         |FROM (
         |  SELECT query_id, neighbor_id, score, lex_cos, sem_cos,
         |    row_number() OVER (PARTITION BY query_id

@@ -39,7 +39,15 @@ object Curation {
       n = 3, threshold = jaccardThreshold)
     // maxIters is exposed because connectedComponents THROWS on
     // non-convergence (partial labels would over-segment) — a corpus
-    // with deep near-dup chains needs a raised bound, not a dead end
+    // with deep near-dup chains needs a raised bound, not a dead end.
+    // (Min-label propagation, not the alternating-star variant: the
+    // swap was tried in round 12 and REVERTED on measurement — star
+    // rounds pay two distincts + a signature action + an except
+    // confirm each, 1.7-2.9x slower fresh-JVM on these diameter-1-2
+    // near-dup graphs; propagation's long-session degradation was the
+    // superseded-checkpoint leak, fixed at the source by
+    // graft.core.Checkpoints.free. Alternating stays the right call
+    // for DEEP topologies — q_dedup_clusters_logstar pins it.)
     val clusters = Dedup.connectedComponents(
       quality.select(col("doc_id").as("id")), pairs, maxIters)
     val survivors = quality

@@ -895,6 +895,13 @@ object Dedup {
       // tail.)
       val next = propagate(labels).localCheckpoint(true)
       val changed = next.filter(col("__changed")).count()
+      // `next` is fully materialized (eager checkpoint + the count
+      // action), so the previous round's blocks are dead — free them
+      // NOW instead of leaving them for the ContextCleaner: in a
+      // long-lived session the superseded rounds otherwise accumulate
+      // and their eviction/GC churn lands on this very loop
+      // (graft.core.Checkpoints scaladoc has the measured signature).
+      graft.core.Checkpoints.free(labels)
       labels = next
       lastChanged = changed
       converged = changed == 0L
@@ -931,11 +938,11 @@ object Dedup {
     *
     * Why it is the 100 TB shape: the corpus contributes one edge per
     * non-singleton doc (singletons contribute none and rejoin at the
-    * end via [[connectedComponents]]' left join), not its pair set;
-    * stars have depth 1, so propagation rounds are bounded by the NEW
-    * chain depth, not the corpus diameter; and the expensive pair
-    * generation runs only on batch-internal and batch-cross candidates
-    * (bucket-keyed, linear in the batch). */
+    * end via the components' final left join), not its pair set;
+    * stars have depth 1, so the alternating-star rounds are bounded by
+    * log of the NEW chain depth, not the corpus diameter; and the
+    * expensive pair generation runs only on batch-internal and
+    * batch-cross candidates (bucket-keyed, linear in the batch). */
   def incrementalClusters(storedLabels: DataFrame, batchIds: DataFrame,
       newPairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val starEdges = storedLabels
@@ -944,6 +951,16 @@ object Dedup {
     val allIds = storedLabels.select(col("doc_id").as("id"))
       .union(batchIds.select(col("id")))
       .distinct()
+    // min-label propagation, not the alternating-star variant: a
+    // round-12 swap measured 3x SLOWER (8.0s -> 23.5s fresh-JVM at
+    // sf0.1) — star rounds pay two distincts + a signature action +
+    // an except confirm over the full star-edge set each round, while
+    // propagation's rounds are one join + one agg and the star-union
+    // graph is depth-1-dominated. A batch that chains many stored
+    // clusters (d₁~new₁~d₂~…) raises the diameter to the NEW chain
+    // length only; callers with genuinely deep batches pass a raised
+    // maxIters or call Graph.connectedComponentsAlternating directly
+    // (label-identical — q_dedup_clusters/_logstar share an oracle).
     connectedComponents(allIds,
       starEdges.union(newPairs.select(col("a"), col("b"))), maxIters)
   }

@@ -59,12 +59,19 @@ object Graph {
           Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("w") * col("r")).as("in_sum"))
-      ranks = nodes.join(contribs, Seq("id"), "left_outer")
+      val next = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
+      // the eager checkpoint fully materialized `next`, so round N-1's
+      // blocks are dead — free them now (Checkpoints scaladoc)
+      graft.core.Checkpoints.free(ranks)
+      ranks = next
     }
+    // the returned frame is the final round's flat checkpoint — the
+    // loop-constant inputs no longer feed any live plan
+    graft.core.Checkpoints.free(e, nodes, outDeg)
     ranks
   }
 
@@ -118,10 +125,13 @@ object Graph {
         .groupBy(col("id"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("id"), col("m.l").as("best"))
-      labels = nodes.join(best, Seq("id"), "left_outer")
+      val next = nodes.join(best, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("best"), col("id")).as("label"))
         .localCheckpoint(true)
+      graft.core.Checkpoints.free(labels) // superseded round (see Checkpoints)
+      labels = next
     }
+    graft.core.Checkpoints.free(sym, nodes) // loop-constant inputs, now dead
     labels
   }
 
@@ -216,10 +226,12 @@ object Graph {
         .union(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
-      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+      val next = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(true)
+      graft.core.Checkpoints.free(e) // superseded round (see Checkpoints)
+      e = next
       val n = e.count()
       converged = n == nEdges
       nEdges = n
@@ -308,6 +320,9 @@ object Graph {
         converged = canonEdges(next).except(canonEdges(edges)).isEmpty
       }
       prevSig = sig
+      // freed only AFTER the confirm action above — it reads the old
+      // round's blocks (see Checkpoints' contract)
+      graft.core.Checkpoints.free(edges)
       edges = next
       round += 1
     }

@@ -130,6 +130,11 @@ object DedupQueries {
       val docs = table(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
         n = 3, threshold = 0.8)
+      // propagation CC, kept after a measured round-12 trial of the
+      // alternating-star swap (2.1x slower fresh-JVM here); the
+      // long-session degradation r11 observed is fixed at the source —
+      // the loop now frees superseded round checkpoints eagerly
+      // (graft.core.Checkpoints)
       val clusters = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")), pairs)
       graft.operators.Sampling.split(clusters, col("cluster_rep"), 12, 2)
@@ -148,6 +153,7 @@ object DedupQueries {
       val docs = table(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
         n = 3, threshold = 0.8)
+      // propagation CC — see q_leakage_safe_split's note
       val clusters = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")), pairs)
       val ntok = docs.select(col("doc_id"),

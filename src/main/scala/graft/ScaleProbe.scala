@@ -556,13 +556,34 @@ object ScaleProbe {
       }
       time(s"keep_best_per_cluster_${n}x") {
         // round-11 keep-policy: one id join + one cluster-keyed max_by
-        // agg — expect near-linear. Synthetic clusters (id % (n/20))
-        // scale member count AND cluster cardinality with the corpus,
-        // so neither side of the agg degenerates to a constant
+        // agg — expect near-linear. Synthetic clusters (id % (count/20))
+        // scale the CLUSTER COUNT with the corpus at a FIXED ~20-member
+        // group size (the modulus grows with count, so membership per
+        // cluster stays constant) — the agg's key space grows linearly
+        // while per-key work is bounded; the composed probe below
+        // covers the Zipfian-membership case
         val members = docsN.count() / 20 max 1L
         operators.Dedup.keepBestPerCluster(
             docsN.select(col("doc_id"),
               (col("doc_id") % lit(members)).as("cluster_rep")),
+            docsN.select(col("doc_id"), col("n_chars").as("score")),
+            "doc_id", "cluster_rep", "score")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"keep_best_composed_${n}x") {
+        // round-12: the keep-policy composed with REAL clusters — the
+        // q_dedup_best_survivors shape end-to-end (prefix-filtered
+        // Jaccard pairs → propagation CC → max_by survivorship), so
+        // cluster sizes follow the corpus's actual near-dup Zipf
+        // (amplification multiplies every cluster's membership by n,
+        // the adversarial direction for the agg) — expect the pair
+        // join to dominate; the keep agg must stay a flat one-shuffle
+        // add-on at every multiplier
+        val pairs = operators.Dedup.ngramJaccardPairsPrefix(
+          docsN, "doc_id", "text", n = 3, threshold = 0.8)
+        val clusters = operators.Dedup.connectedComponents(
+          docsN.select(col("doc_id").as("id")), pairs)
+        operators.Dedup.keepBestPerCluster(clusters,
             docsN.select(col("doc_id"), col("n_chars").as("score")),
             "doc_id", "cluster_rep", "score")
           .write.format("noop").mode("overwrite").save()

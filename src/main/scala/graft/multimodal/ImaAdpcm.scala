@@ -149,6 +149,10 @@ object ImaAdpcm {
       val id4 = fourcc(in)
       val sz = in.getInt
       val next = in.position() + sz + (sz & 1) // chunks are even-padded
+      // a corrupt/negative chunk size would move the walk BACKWARD and
+      // spin this loop forever inside an executor task — fail loudly
+      // instead (the documented malformed-container contract)
+      require(sz >= 0, s"id=$id: chunk $id4: malformed size $sz")
       id4 match {
         case "fmt " =>
           val tag = in.getShort & 0xffff

@@ -133,11 +133,23 @@ object MediaCodecs {
       ImaAdpcm.decodeWav(payload, id)
   }
 
+  /** Marker for codecs that produce DETERMINISTIC PSEUDO-output
+    * rather than a real decode — the container-absent compressed
+    * codecs' placeholders. Operators surface the resolved codec's
+    * name in their output (`codec` column) and offer a
+    * `requireReal` switch that makes resolution of a stand-in a loud
+    * failure, so a pipeline composing real codecs can never silently
+    * ingest pseudo-features for, say, an opus payload. */
+  trait StandIn { self: Serializable => }
+
+  /** True iff the codec is a documented stand-in, not a real decode. */
+  def isStandIn(c: AnyRef): Boolean = c.isInstanceOf[StandIn]
+
   /** STAND-IN demux: fixed-size byte slices in payload order — the
     * deterministic placeholder for a real keyframe extractor (h264
     * libs absent in this container). Oracle-checkable: every slice is
     * a pure function of the payload bytes. */
-  object ByteSliceDemux extends FrameDemuxCodec {
+  object ByteSliceDemux extends FrameDemuxCodec with StandIn {
     val name = "byte-slice"
     def demux(payload: Array[Byte], frameSize: Int,
         maxFrames: Int): Iterator[(Int, Long, Array[Byte])] = {
@@ -154,7 +166,7 @@ object MediaCodecs {
   /** STAND-IN opaque decode: byte statistics + a deterministic
     * hash-folded embedding (the placeholder for opus/h264 feature
     * extraction). */
-  object ByteStatsCodec extends MediaFeatureCodec {
+  object ByteStatsCodec extends MediaFeatureCodec with StandIn {
     val name = "byte-stats"
     def decode(payload: Array[Byte], dim: Int): (Double, Array[Float]) = {
       var sum = 0L

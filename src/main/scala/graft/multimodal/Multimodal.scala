@@ -42,10 +42,11 @@ object Multimodal {
 
   case class MediaRecord(id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(id: Long, media_type: String, n_bytes: Long,
-      mean_byte: Double, embedding: Array[Float])
+      mean_byte: Double, embedding: Array[Float], codec: String)
   case class ImageFeatures(id: Long, media_type: String, n_bytes: Long,
       width: Int, height: Int, mean_pixel: Double, embedding: Array[Float])
-  case class Frame(id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
+  case class Frame(id: Long, frame_idx: Int, offset: Long,
+      frame_bytes: Array[Byte], codec: String)
 
   /** Wrap any table with a binary payload column into the canonical
     * media schema. (Test data has no real media; callers typically
@@ -67,9 +68,15 @@ object Multimodal {
     * container — register a real opus/h264 feature codec for
     * production media types; the plumbing here doesn't change).
     * `codec` overrides the registry for this call. Images don't need
-    * this — use the real [[decodeImageFeatures]]. */
+    * this — use the real [[decodeImageFeatures]]. Output carries the
+    * resolved codec's name in the `codec` column, so stand-in rows are
+    * always distinguishable downstream; `requireReal = true` instead
+    * FAILS on the first payload whose media type resolves to a
+    * documented stand-in ([[MediaCodecs.StandIn]]) — the strict mode
+    * for pipelines that must never ingest pseudo-features. */
   def decodeFeatures(media: Dataset[MediaRecord], embeddingDim: Int = 8,
-      codec: Option[MediaCodecs.MediaFeatureCodec] = None): Dataset[MediaFeatures] = {
+      codec: Option[MediaCodecs.MediaFeatureCodec] = None,
+      requireReal: Boolean = false): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val snap = MediaCodecs.featureSnapshot // plan-build-time capture
@@ -78,9 +85,14 @@ object Multimodal {
       // context belongs in a lazy per-JVM field inside the codec
       it.map { r =>
         val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        if (requireReal && MediaCodecs.isStandIn(c))
+          throw new IllegalArgumentException(
+            s"media_type '${r.media_type}' (id=${r.id}) resolves to " +
+            s"stand-in codec '${c.name}' — register a real codec or " +
+            "drop requireReal")
         val (meanByte, emb) = c.decode(r.payload, embeddingDim)
         MediaFeatures(r.id, r.media_type, r.payload.length.toLong,
-          meanByte, emb)
+          meanByte, emb, c.name)
       }
     }
   }
@@ -234,6 +246,28 @@ object Multimodal {
         MediaRecord(r.id, "audio/wav", bos.toByteArray)
       }
     }
+  }
+
+  /** Wrap RAW 16-bit signed mono LE PCM bytes as a genuine RIFF/WAVE
+    * stream via javax.sound — the re-containering step after an AVI
+    * audio-track demux ([[AviMjpeg.demuxAudioPcm]] returns the bare
+    * sample bytes; this puts them back into the container the real
+    * [[MediaCodecs.JavaSoundCodec]] decode path expects). Wrapping the
+    * track [[encodePcmWav]] muxed yields the byte-exact WAV that
+    * encoding the source directly would have produced — pinned in
+    * MultimodalCodecSpec. */
+  def wrapPcmWav(pcm: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    require(sampleRate >= 1)
+    require((pcm.length & 1) == 0,
+      s"pcm must be whole 16-bit samples, got ${pcm.length} bytes")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** REAL compressed-audio encode: payload bytes → 16-bit PCM samples
@@ -466,17 +500,27 @@ object Multimodal {
     * this operator, and every query composed on it, runs unchanged).
     * Exploded to one row per frame: row counts multiply here — exactly
     * like real video pipelines — so this runs AFTER any payload-level
-    * filtering. `codec` overrides the registry for this call. */
+    * filtering. `codec` overrides the registry for this call. Frames
+    * carry the resolved demux codec's name (`codec` column) so
+    * stand-in slices are always distinguishable from a real container
+    * walk; `requireReal = true` fails loudly when a media type
+    * resolves to the byte-slice stand-in. */
   def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
       maxFrames: Int,
-      codec: Option[MediaCodecs.FrameDemuxCodec] = None): Dataset[Frame] = {
+      codec: Option[MediaCodecs.FrameDemuxCodec] = None,
+      requireReal: Boolean = false): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     val snap = MediaCodecs.demuxSnapshot // plan-build-time capture
     media.flatMap { r =>
       val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+      if (requireReal && MediaCodecs.isStandIn(c))
+        throw new IllegalArgumentException(
+          s"media_type '${r.media_type}' (id=${r.id}) resolves to " +
+          s"stand-in demux '${c.name}' — register a real codec or " +
+          "drop requireReal")
       c.demux(r.payload, frameSize, maxFrames).map { case (fi, off, b) =>
-        Frame(r.id, fi, off, b)
+        Frame(r.id, fi, off, b, c.name)
       }
     }
   }

@@ -32,7 +32,8 @@ object Curation {
     val quality = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("__toks")) >= minTokens &&
-        TextAnalysis.langIdFromTokens(transform(col("__toks"), t => lower(t))) =!= "und")
+        TextAnalysis.langIdFromTokens(col("__toks"),
+          lowercaseInCount = true) =!= "und")
       .drop("__toks")
       .localCheckpoint(false) // freed on GC — the lexicalTopK lifecycle
     val pairs = Dedup.ngramJaccardPairsPrefix(quality, "doc_id", "text",

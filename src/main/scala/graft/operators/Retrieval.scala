@@ -390,13 +390,19 @@ object Retrieval {
         count(lit(1)).as("n_hits"),
         min(col("r_rank")).as("first_hit"),
         sum(col("rel") / log(lit(1.0) + col("r_rank"))).as("dcg"))
+    // engine-portable 6dp rounding (the rerankFused idiom): means of
+    // irrational 1/ln and 1/first_hit sums can land ON a 6dp half
+    // boundary, where Spark's BigDecimal-on-shortest-repr round and
+    // DuckDB's exact-binary round flip the last digit; floor(x·1e6 +
+    // 0.5)/1e6 is pure double arithmetic, bit-identical in both
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + lit(0.5)) / 1e6
     ideal.join(hits, Seq("query_id"), "left")
       .agg(count(lit(1)).as("n_queries"),
-        round(avg(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("kq")), 6).as("mean_recall"),
-        round(avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))), 6)
+        r6(avg(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("kq"))).as("mean_recall"),
+        r6(avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))))
           .as("mean_mrr"),
-        round(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 6)
+        r6(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")))
           .as("mean_ndcg"))
   }
 }

@@ -39,8 +39,22 @@ object TextAnalysis {
   val StopwordsEs: Seq[String] =
     Seq("el", "los", "las", "y", "una", "es", "en", "por", "como", "pero")
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+  /** Stopword-hit count via the native codegen'd
+    * [[graft.functions.CountInExpr]] (duplicates counted). The
+    * previous `size(filter(toks, isInCollection))` form went through a
+    * higher-order function — CodegenFallback, one interpreted lambda
+    * per token per list; the language-ID screen runs four lists per
+    * doc, which made the quality gate the hot scan of every curation
+    * composition (q_curation_summary's 5s at sf0.1 was mostly this).
+    * `lowercase = true` folds the equally-interpreted
+    * `transform(toks, lower)` pre-pass into the same loop
+    * (`UTF8String.toLowerCase` — the identical lowering `lower` does). */
+  private def countIn(toks: Column, words: Seq[String],
+      lowercase: Boolean = false): Column =
+    org.apache.spark.sql.graft.GraftColumns.column(
+      graft.functions.CountInExpr(
+        org.apache.spark.sql.graft.GraftColumns.expression(toks),
+        words, lowercase))
 
   /** Quality features: char/token counts, mean token length, stopword
     * ratio, alphanumeric ratio. NULL-free doubles rounded to 6 so the
@@ -71,14 +85,17 @@ object TextAnalysis {
 
   /** [[langId]] over ALREADY-LOWERCASED, already-materialized tokens —
     * for fused single-tokenization pipelines (Catalyst does not CSE a
-    * repeated split(), see [[wordNgrams]]). `transform(toks, lower)`
-    * over whitespace tokens is identical to tokenizing `lower(text)`:
-    * lowercasing never creates or removes whitespace. */
-  def langIdFromTokens(toksLower: Column): Column = {
-    val en = countIn(toksLower, StopwordsEn)
-    val de = countIn(toksLower, StopwordsDe)
-    val fr = countIn(toksLower, StopwordsFr)
-    val es = countIn(toksLower, StopwordsEs)
+    * repeated split(), see [[wordNgrams]]). Lowercasing per token
+    * inside the count loop (`lowercaseInCount = true`) is identical to
+    * tokenizing `lower(text)`: lowercasing never creates or removes
+    * whitespace — and it replaces the interpreted
+    * `transform(toks, lower)` pre-pass callers used to need. */
+  def langIdFromTokens(toksLower: Column,
+      lowercaseInCount: Boolean = false): Column = {
+    val en = countIn(toksLower, StopwordsEn, lowercaseInCount)
+    val de = countIn(toksLower, StopwordsDe, lowercaseInCount)
+    val fr = countIn(toksLower, StopwordsFr, lowercaseInCount)
+    val es = countIn(toksLower, StopwordsEs, lowercaseInCount)
     when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
@@ -1163,9 +1180,17 @@ object TextAnalysis {
     * codepoint in U+0080–U+00BF — exactly the two lead bytes of a
     * 2-byte UTF-8 sequence misread as latin-1, e.g. "é" → "Ã©"),
     * plus the combined damage rate per 1000 characters. Pure
-    * codegen'd projection — three non-overlapping regexp counts per
-    * row, no shuffle; the regexes are plain character classes so Java
-    * and RE2 (the DuckDB oracle) scan them identically. */
+    * codegen'd projection — three regexp counts per row, no shuffle;
+    * the regexes are plain character classes so Java and RE2 (the
+    * DuckDB oracle) scan them identically. The three counts CAN
+    * overlap: a mojibake pair whose trailing char falls in
+    * U+0080–U+009F contributes to both n_mojibake_pairs and
+    * n_c1_controls, so that character is counted twice in
+    * damage_per_kchar — deliberate (damage is damage, the screen is a
+    * rate, not a partition of characters). n_chars counts UTF-16
+    * units (Spark length()) while the oracle counts codepoints —
+    * identical on BMP text, which is the parity assumption for any
+    * corpus containing astral-plane codepoints. */
   def encodingDamageStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = col(textCol)
@@ -1177,9 +1202,12 @@ object TextAnalysis {
         regexp_count(t, lit("[\u00C2\u00C3][\u0080-\u00BF]")).cast("long")
           .as("n_mojibake_pairs"))
       .withColumn("damage_per_kchar",
+        // floor(x·1e6 + 0.5)/1e6, not round(x, 6): engine-portable on
+        // 6dp half boundaries (the rerankFused idiom — integer·1000/n
+        // quotients can land exactly on one)
         when(col("n_chars") === 0L, lit(0.0))
-          .otherwise(round((col("n_replacement") + col("n_c1_controls") +
+          .otherwise(floor((col("n_replacement") + col("n_c1_controls") +
             col("n_mojibake_pairs")).cast("double") * 1000.0 /
-            col("n_chars"), 6)))
+            col("n_chars") * 1e6 + lit(0.5)) / 1e6))
   }
 }

@@ -944,9 +944,7 @@ object DedupQueries {
         |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
         |           AS INTEGER) AS bkt
         |       FROM documents),
-        |eh AS (SELECT h.doc_id, unnest(hs) AS h,
-        |         unnest(range(1, len(hs) + 1)) AS gpos
-        |       FROM h),
+        |eh AS (SELECT doc_id, hv AS h, i AS gpos FROM hrow),
         |ci AS (SELECT DISTINCT eh.h FROM eh JOIN bk USING (doc_id)
         |       WHERE bk.bkt < 14),
         |bh AS (SELECT eh.doc_id, eh.h, eh.gpos
@@ -1022,9 +1020,7 @@ object DedupQueries {
         |LEFT JOIN c5 ON ts.doc_id = c5.doc_id""".stripMargin),
     "q_char_dup_spans" -> ("WITH " + TextQueries.winnowPolyCtes(24, 1) +
       """,
-        |eh AS (SELECT doc_id, unnest(hs) AS h,
-        |         unnest(range(1, len(hs) + 1)) AS gpos
-        |       FROM h),
+        |eh AS (SELECT doc_id, hv AS h, i AS gpos FROM hrow),
         |fq AS (SELECT h FROM eh GROUP BY h HAVING count(1) >= 2),
         |cov0 AS (SELECT doc_id, gpos FROM eh JOIN fq USING (h)),
         |cov1 AS (SELECT doc_id, unnest(range(gpos, gpos + 24)) AS pos FROM cov0),

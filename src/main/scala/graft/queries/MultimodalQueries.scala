@@ -89,7 +89,10 @@ object MultimodalQueries {
       val media = Multimodal.asMedia(
         table(s, dir, "documents")
           .withColumn("payload",
-            concat(lit(pad), encode(col("text"), "UTF-8"),
+            // coalesce: a null text must yield the preamble-only
+            // payload, not a null payload NPE'ing encodePcmWav (the
+            // adjacent round-11 queries' guard, mirrored in the oracle)
+            concat(lit(pad), encode(coalesce(col("text"), lit("")), "UTF-8"),
               when(col("doc_id") % 4 === 0, lit(rail))
                 .otherwise(lit(Array.empty[Byte])))),
         "doc_id", "payload", "text/plain")
@@ -246,6 +249,80 @@ object MultimodalQueries {
           / col("n_frames"), 6).as(s"band$j")
       }
       pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
+    },
+    // ONE real container carrying BOTH modalities (round 12): per doc,
+    // the text bytes become PNG frames (real ImageIO codec) AND a
+    // 16-bit PCM track, muxed into a single two-stream AVI
+    // (AviMjpeg.muxAv — stream 0 'vids', stream 1 'auds'); the video
+    // leg then demuxes frames through the registry's default AVI codec
+    // and pools per-frame PNG-decoded embeddings (byte-identical to
+    // q_video_avi_pipeline's output), while the audio leg demuxes the
+    // '01wb' track, re-wraps it as a genuine WAV (wrapPcmWav), and
+    // decodes through the real javax.sound codec (byte-identical to
+    // q_audio_features' output). The oracle is the video replay JOINed
+    // to the audio replay — each leg already independently green, so
+    // what THIS query pins is that one container round-trips both
+    // streams without bleed. The mux is lazily checkpointed: it has
+    // two consumers (frame demux + audio demux) and must run once.
+    "q_av_container_features" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "raw")
+      val av = media.mapPartitions { it =>
+        it.map { r =>
+          val frames = graft.multimodal.MediaCodecs.ByteSliceDemux
+            .demux(r.payload, 64, 5)
+            .map(f => Multimodal.grayPngBytes(f._3, width = 16)).toSeq
+          val pcm = new Array[Byte](r.payload.length * 2)
+          var i = 0
+          while (i < r.payload.length) {
+            val sv = ((r.payload(i) & 0xff) - 128) * 256
+            pcm(2 * i) = (sv & 0xff).toByte
+            pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(r.id, "video/x-msvideo",
+            graft.multimodal.AviMjpeg.muxAv(frames, pcm, width = 16,
+              height = 4, fps = 5, sampleRate = 8000))
+        }
+      }.localCheckpoint(false)
+      // video leg — q_video_avi_pipeline's downstream, unchanged
+      val frames = Multimodal.sampleFrames(av, frameSize = 0, maxFrames = 5)
+      val frameMedia = frames.map(f => Multimodal.MediaRecord(
+        f.id * 8L + f.frame_idx, "image/png", f.frame_bytes))
+      val feats = Multimodal.decodeImageFeatures(frameMedia).toDF()
+      val perFrame = feats.select(
+        floor(col("id") / 8).cast("long").as("doc_id"),
+        (col("id") % 8).cast("int").as("frame_idx"),
+        col("embedding"))
+      val pooled = perFrame.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_frames"),
+        sort_array(collect_list(struct(col("frame_idx"), col("embedding"))))
+          .as("__fr"))
+      val bands = (1 to 8).map { j =>
+        round(aggregate(col("__fr"), lit(0.0), (acc, f) =>
+            acc + element_at(f.getField("embedding"), j).cast("double"))
+          / col("n_frames"), 6).as(s"band$j")
+      }
+      val video = pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
+      // audio leg: demux the PCM track, re-container as WAV, real decode
+      val wav = av.mapPartitions { it =>
+        it.map { r =>
+          Multimodal.MediaRecord(r.id, "audio/wav",
+            Multimodal.wrapPcmWav(
+              graft.multimodal.AviMjpeg.demuxAudioPcm(r.payload),
+              sampleRate = 8000))
+        }
+      }
+      val audio = Multimodal.decodeAudioFeatures(wav).toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("zero_crossings"), col("mean_amp"),
+          round(element_at(col("embedding"), 1).cast("double"), 6)
+            .as("band0"))
+      video.join(audio, Seq("doc_id"))
     },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
@@ -422,7 +499,8 @@ object MultimodalQueries {
     * math.round. */
   private def audioQualityOracle: String =
     s"""WITH d AS (
-       |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    octet_length(encode(coalesce(text, ''))) AS len,
        |    CASE WHEN doc_id % 4 = 0 THEN 10 ELSE 0 END AS extra
        |  FROM documents),
        |sv AS (
@@ -634,6 +712,21 @@ object MultimodalQueries {
     // byte-identity on frame payloads and PNG is lossless on pixels,
     // so the container round trip must be a feature no-op
     "q_video_avi_pipeline" -> videoPooledOracle,
+    // the two-stream container: video replay JOIN audio replay — each
+    // leg is the SAME SQL already pinned green standalone, so the new
+    // claim is exactly that one muxAv container round-trips both
+    // modalities without stream bleed (the join keys the legs to the
+    // same doc); the audio oracle covers all docs, the video one only
+    // non-empty, and the engine filters non-empty — the inner join
+    // restricts both legs identically
+    "q_av_container_features" ->
+      s"""WITH v AS ($videoPooledOracle),
+         |a AS ($audioFeaturesOracle)
+         |SELECT v.doc_id, v.n_frames,
+         |${(1 to 8).map(j => s"  v.band$j").mkString(",\n")},
+         |  a.sample_rate, a.n_samples, a.zero_crossings, a.mean_amp,
+         |  a.band0
+         |FROM v JOIN a ON a.doc_id = v.doc_id""".stripMargin,
     // text is ASCII, so utf-8 byte values == codepoints; the image is
     // 16 pixels wide, zero-padded to full rows, so mean luminance =
     // byte sum / (16 * rows)

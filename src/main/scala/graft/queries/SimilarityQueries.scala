@@ -1406,12 +1406,12 @@ object SimilarityQueries {
          |    AND r.neighbor_id = t.neighbor_id
          |  GROUP BY 1)
          |SELECT count(*)::BIGINT AS n_queries,
-         |  round(avg(CAST(coalesce(n_hits, 0) AS DOUBLE) / kq), 6)
-         |    AS mean_recall,
-         |  round(avg(coalesce(CAST(1.0 AS DOUBLE) / first_hit,
-         |    CAST(0.0 AS DOUBLE))), 6) AS mean_mrr,
-         |  round(avg(coalesce(dcg, CAST(0.0 AS DOUBLE)) / idcg), 6)
-         |    AS mean_ndcg
+         |  floor(avg(CAST(coalesce(n_hits, 0) AS DOUBLE) / kq)
+         |    * 1e6 + 0.5) / 1e6 AS mean_recall,
+         |  floor(avg(coalesce(CAST(1.0 AS DOUBLE) / first_hit,
+         |    CAST(0.0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS mean_mrr,
+         |  floor(avg(coalesce(dcg, CAST(0.0 AS DOUBLE)) / idcg)
+         |    * 1e6 + 0.5) / 1e6 AS mean_ndcg
          |FROM ideal LEFT JOIN hits ON ideal.query_id = hits.query_id"""
         .stripMargin) +
     ("q_lr_calibration" ->

@@ -546,8 +546,9 @@ object TextQueries {
          |  CAST(n_c1_controls AS BIGINT) AS n_c1_controls,
          |  CAST(n_mojibake_pairs AS BIGINT) AS n_mojibake_pairs,
          |  CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
-         |       ELSE round(CAST(n_replacement + n_c1_controls +
-         |         n_mojibake_pairs AS DOUBLE) * 1000.0 / n_chars, 6)
+         |       ELSE floor(CAST(n_replacement + n_c1_controls +
+         |         n_mojibake_pairs AS DOUBLE) * 1000.0 / n_chars
+         |         * 1e6 + 0.5) / 1e6
          |  END AS damage_per_kchar
          |FROM c""".stripMargin,
     "q_text_normalize" ->
@@ -1053,10 +1054,18 @@ object TextQueries {
     // O(len); the previous substring(s, i+j, 1) indexing was an O(i)
     // UTF-8 scan per access → O(len²·k) per doc, which made the three
     // winnow/char-span oracles dominate the suite at 36-56s each —
-    // the r10 gate postmortem). h is MATERIALIZED because two oracles
-    // consume it twice (f + the span explosion) and DuckDB would
-    // otherwise inline — i.e. recompute — it per consumer. Values are
-    // bit-identical: same code points, same power sums.
+    // the r10 gate postmortem). Round 12 made the k-gram hashes and
+    // window minima fully SET-BASED (the rewrite that took the
+    // rolling-hash CTEs 18.6s → 0.4s in r11): character positions
+    // unnest once against a k-row offset/power table and ONE
+    // vectorized aggregation computes every window's power sum —
+    // replacing the per-position list_transform(list_sum(...)) pair,
+    // which burned interpreted list ops at O(len·k) per doc and held
+    // the four winnow/char-span oracles at 15-17s each. Values are
+    // bit-identical: same code points, same modular power sums, same
+    // ascending window order. hrow is MATERIALIZED (h and f both read
+    // it); `h`/`f` keep their old shapes so consumers are unchanged,
+    // and DuckDB prunes whichever one a query doesn't reference.
     s"""d AS (
        |  SELECT doc_id,
        |    trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
@@ -1065,20 +1074,30 @@ object TextQueries {
        |  SELECT doc_id,
        |    list_transform(string_split(s, ''), x -> unicode(x)::BIGINT) AS cs
        |  FROM d WHERE length(s) >= ${k + w - 1}),
-       |h AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    list_transform(range(1, len(cs) - ${k - 2}), i ->
-       |      (list_sum(list_transform(range(0, $k), j ->
-       |        cs[i + j] * ($pw1)[j + 1]))
-       |        % 2147483647)::BIGINT * 1000000007 +
-       |      (list_sum(list_transform(range(0, $k), j ->
-       |        cs[i + j] * ($pw2)[j + 1]))
-       |        % 1000000007)::BIGINT) AS hs
+       |cpos AS (
+       |  SELECT doc_id, unnest(cs) AS c,
+       |    unnest(range(1, len(cs) + 1)) AS p, len(cs) AS n
        |  FROM ccs),
+       |pwj AS (
+       |  SELECT unnest(range(0, $k)) AS j,
+       |    unnest($pw1) AS p1, unnest($pw2) AS p2),
+       |hrow AS MATERIALIZED (
+       |  SELECT doc_id, p - j AS i,
+       |    (sum(c * p1) % 2147483647)::BIGINT * 1000000007 +
+       |    (sum(c * p2) % 1000000007)::BIGINT AS hv
+       |  FROM cpos JOIN pwj ON p - j >= 1 AND p - j <= n - $k + 1
+       |  GROUP BY doc_id, p - j),
+       |h AS (
+       |  SELECT doc_id, list(hv ORDER BY i) AS hs FROM hrow GROUP BY doc_id),
        |f AS (
-       |  SELECT doc_id,
-       |    list_sort(list_distinct(list_transform(range(1, len(hs) - ${w - 2}),
-       |      j -> list_min(hs[j : j + ${w - 1}])))) AS fps
-       |  FROM h)""".stripMargin
+       |  SELECT doc_id, list_sort(list_distinct(list(mn))) AS fps FROM (
+       |    SELECT hr.doc_id, hr.i - wo.o AS wi, min(hr.hv) AS mn
+       |    FROM hrow hr
+       |    CROSS JOIN (SELECT unnest(range(0, $w)) AS o) wo
+       |    JOIN (SELECT doc_id, max(i) AS nh FROM hrow GROUP BY doc_id) hn
+       |      ON hn.doc_id = hr.doc_id
+       |    WHERE hr.i - wo.o >= 1 AND hr.i - wo.o <= hn.nh - $w + 1
+       |    GROUP BY hr.doc_id, hr.i - wo.o)
+       |  GROUP BY doc_id)""".stripMargin
   }
 }

@@ -43,6 +43,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Expected noise, not signal: the per-query block drop below and
+    // the loops' eager Checkpoints.free both unpersist locally-
+    // checkpointed RDDs, and Spark WARNs on every one ("lineage has
+    // been truncated…"). Hundreds of those drown the tail the round
+    // driver captures. The removal is deliberate (nothing reads those
+    // blocks again), so the logger goes to ERROR here — in the bench
+    // main only, never in library code.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
     def exec(name: String): Double = {
       spark.catalog.clearCache() // no cross-query or warm-up cache reuse

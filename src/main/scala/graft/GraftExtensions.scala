@@ -82,6 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.WinnowFps.buildKgramHashes(exprs)))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("count_in"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CountInExpr].getName, "count_in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CountIn.build(exprs)))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("pq_encode"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.PqEncodeExpr].getName, "pq_encode"),

@@ -197,7 +197,10 @@ object MediaCodecs {
     // chunk stream ([[AviMjpegDemux]]); everything else keeps the
     // documented byte-slice stand-in until a codec is registered
     "video/x-msvideo" -> AviMjpegDemux,
-    "video/avi" -> AviMjpegDemux)
+    "video/avi" -> AviMjpegDemux,
+    // REAL multi-frame decode out of the box for animated GIFs: every
+    // frame LZW-decodes through the JDK's actual GIF reader
+    "image/gif" -> GifAnimDemux)
   private val featureReg =
     TrieMap[String, MediaFeatureCodec]("" -> ByteStatsCodec)
 

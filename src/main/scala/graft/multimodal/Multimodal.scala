@@ -187,30 +187,39 @@ object Multimodal {
       it.map { r =>
         val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
         val (w, h, px) = c.decodeGray(r.payload, r.id)
-        var sum = 0L
-        val bandSum = new Array[Long](embeddingDim)
-        val bandN = new Array[Long](embeddingDim)
-        var y = 0
-        while (y < h) {
-          val band = math.min(embeddingDim - 1, y * embeddingDim / h)
-          var x = 0
-          while (x < w) {
-            val v = px(y * w + x)
-            sum += v
-            bandSum(band) += v
-            bandN(band) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val nPix = w.toLong * h
-        val mean = if (nPix == 0) 0.0 else sum.toDouble / nPix
-        val emb = Array.tabulate(embeddingDim)(j =>
-          if (bandN(j) == 0) 0.0f else (bandSum(j).toDouble / bandN(j) / 255.0).toFloat)
+        val (mean, emb) = grayBandFeatures(w, h, px, embeddingDim)
         ImageFeatures(r.id, r.media_type, r.payload.length.toLong, w, h,
-          math.round(mean * 10000.0) / 10000.0, emb)
+          mean, emb)
       }
     }
+  }
+
+  /** The pooled-pixel feature kernel shared by [[decodeImageFeatures]]
+    * and the streaming frame twin: (rounded mean luminance,
+    * `embeddingDim` horizontal-stripe luminance means). */
+  private[graft] def grayBandFeatures(w: Int, h: Int, px: Array[Int],
+      embeddingDim: Int): (Double, Array[Float]) = {
+    var sum = 0L
+    val bandSum = new Array[Long](embeddingDim)
+    val bandN = new Array[Long](embeddingDim)
+    var y = 0
+    while (y < h) {
+      val band = math.min(embeddingDim - 1, y * embeddingDim / h)
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        sum += v
+        bandSum(band) += v
+        bandN(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = w.toLong * h
+    val mean = if (nPix == 0) 0.0 else sum.toDouble / nPix
+    val emb = Array.tabulate(embeddingDim)(j =>
+      if (bandN(j) == 0) 0.0f else (bandSum(j).toDouble / bandN(j) / 255.0).toFloat)
+    (math.round(mean * 10000.0) / 10000.0, emb)
   }
 
   /** REAL audio encode: each payload byte becomes one 16-bit PCM

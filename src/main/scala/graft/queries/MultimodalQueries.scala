@@ -250,6 +250,49 @@ object MultimodalQueries {
       }
       pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
     },
+    // the SAME pipeline through the SECOND real container (round 12):
+    // the 64-byte frames pack directly into an animated GIF (the JDK's
+    // actual LZW codec under an identity gray palette — quantizes
+    // nothing), sampleFrames demuxes through the registry's default
+    // GIF codec (real LZW decode, lossless PNG re-encode per frame),
+    // and the pooled embedding must equal q_video_pooled_embedding
+    // exactly — so GIF, AVI, and the container-less path all share ONE
+    // oracle, which is the strongest statement a container integration
+    // can make: it changes nothing but the bytes on the wire.
+    "q_video_gif_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "raw")
+      val gif = media.mapPartitions { it =>
+        it.map { r =>
+          val frames = graft.multimodal.MediaCodecs.ByteSliceDemux
+            .demux(r.payload, 64, 5).map(_._3).toSeq
+          Multimodal.MediaRecord(r.id, "image/gif",
+            graft.multimodal.GifAnim.muxGray(frames, width = 16))
+        }
+      }
+      val frames = Multimodal.sampleFrames(gif, frameSize = 0, maxFrames = 5)
+      val frameMedia = frames.map(f => Multimodal.MediaRecord(
+        f.id * 8L + f.frame_idx, "image/png", f.frame_bytes))
+      val feats = Multimodal.decodeImageFeatures(frameMedia).toDF()
+      val perFrame = feats.select(
+        floor(col("id") / 8).cast("long").as("doc_id"),
+        (col("id") % 8).cast("int").as("frame_idx"),
+        col("embedding"))
+      val pooled = perFrame.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_frames"),
+        sort_array(collect_list(struct(col("frame_idx"), col("embedding"))))
+          .as("__fr"))
+      val bands = (1 to 8).map { j =>
+        round(aggregate(col("__fr"), lit(0.0), (acc, f) =>
+            acc + element_at(f.getField("embedding"), j).cast("double"))
+          / col("n_frames"), 6).as(s"band$j")
+      }
+      pooled.select(col("doc_id") +: col("n_frames") +: bands: _*)
+    },
     // ONE real container carrying BOTH modalities (round 12): per doc,
     // the text bytes become PNG frames (real ImageIO codec) AND a
     // 16-bit PCM track, muxed into a single two-stream AVI
@@ -712,6 +755,10 @@ object MultimodalQueries {
     // byte-identity on frame payloads and PNG is lossless on pixels,
     // so the container round trip must be a feature no-op
     "q_video_avi_pipeline" -> videoPooledOracle,
+    // the GIF pipeline shares it too: identity-palette GIF is lossless
+    // on 8-bit gray, so the second container round trip must also be a
+    // feature no-op — three queries, one oracle
+    "q_video_gif_pipeline" -> videoPooledOracle,
     // the two-stream container: video replay JOIN audio replay — each
     // leg is the SAME SQL already pinned green standalone, so the new
     // claim is exactly that one muxAv container round-trips both

@@ -841,6 +841,63 @@ object StreamingOps {
       graft.operators.Drift.referenceProfile(reference, valueCol, nBins),
       valueCol)(sink)
 
+  /** One decoded frame's pooled-pixel features in a media stream —
+    * output row of [[streamingFrameFeatures]]. */
+  case class FrameFeatures(id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_pixel: Double, embedding: Array[Float])
+
+  /** Streaming twin of the video pipeline's stateless prefix: a stream
+    * of `(id, payload)` media rows demuxes through the registry's
+    * container codec (REAL chunk/LZW decode for AVI/GIF payloads) and
+    * every frame decodes through the registry's image codec into the
+    * same pooled-band features the batch path produces
+    * ([[graft.multimodal.Multimodal.decodeImageFeatures]]' kernel) —
+    * the continuous-ingest shape of a multimodal data pipeline: media
+    * arrives, features come out, downstream similarity/dedup stages
+    * consume them incrementally.
+    *
+    * Stateless (flatMap only — no watermark, no state store), so
+    * micro-batching is trivially invariant: the union of per-trigger
+    * outputs equals the one-shot batch run row-for-row (pinned in
+    * StreamingSpec). Temporal pooling ACROSS frames of one video is a
+    * per-id aggregation the caller composes downstream, exactly as the
+    * batch queries do.
+    *
+    * `frameMediaType` names the format the demux EMITS (the registry's
+    * real demuxes — AVI and GIF — both emit standard still-image
+    * frames; PNG for GIF, whatever was muxed for AVI), so the image
+    * leg resolves the right codec. `requireReal = true` refuses
+    * stand-in demux resolution (the [[graft.multimodal.Multimodal
+    * .sampleFrames]] strict mode). */
+  def streamingFrameFeatures(stream: DataFrame, idCol: String,
+      payloadCol: String, mediaType: String,
+      frameMediaType: String = "image/png", frameSize: Int = 0,
+      maxFrames: Int = 8, embeddingDim: Int = 8,
+      requireReal: Boolean = false): Dataset[FrameFeatures] = {
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val media = Multimodal.asMedia(stream, idCol, payloadCol, mediaType)
+    val demuxSnap = MediaCodecs.demuxSnapshot // plan-build-time capture
+    val imageSnap = MediaCodecs.imageSnapshot
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val d = MediaCodecs.resolve(demuxSnap, r.media_type)
+        if (requireReal && MediaCodecs.isStandIn(d))
+          throw new IllegalArgumentException(
+            s"media_type '${r.media_type}' (id=${r.id}) resolves to " +
+            s"stand-in demux '${d.name}' — register a real codec or " +
+            "drop requireReal")
+        val img = MediaCodecs.resolve(imageSnap, frameMediaType)
+        d.demux(r.payload, frameSize, maxFrames).map { case (fi, _, fb) =>
+          val (w, h, px) = img.decodeGray(fb, r.id)
+          val (mean, emb) = Multimodal.grayBandFeatures(w, h, px, embeddingDim)
+          FrameFeatures(r.id, fi, w, h, mean, emb)
+        }
+      }
+    }
+  }
+
   /** [[driftMonitor]] against a STORED
     * [[graft.operators.Drift.referenceProfile]] table (≤ nBins integer
     * rows) — the production monitoring shape: the reference corpus is

@@ -33,6 +33,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ent = spark.sql("SELECT char_entropy('ab') AS e")
       .collect().head.getDouble(0)
     assert(ent === 1.0)
+    // count_in: duplicates counted, in-loop lowercasing
+    val ci = spark.sql(
+      "SELECT count_in(array('The', 'the', 'fox', 'and'), 'the,and', true) AS c")
+      .collect().head.getInt(0)
+    assert(ci === 3)
     // bloom pair round-trips through SQL: a sketch of {1, 2} must pass
     // both members (no false negatives, ever)
     import org.apache.spark.sql.functions._

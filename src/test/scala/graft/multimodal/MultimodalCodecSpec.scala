@@ -256,6 +256,45 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(real.length === 4 && real.forall(_.codec === "avi-mjpeg"))
   }
 
+  // ---- animated GIF: the second real container (round 12) ----
+
+  test("GifAnim: muxGray → registry demux → PNG decode is pixel-exact " +
+      "(identity palette, interlace disabled), maxFrames caps decode") {
+    val payload = Array.tabulate(200)(i => (i * 31 % 251).toByte)
+    val slices = MediaCodecs.ByteSliceDemux.demux(payload, 64, 5)
+      .map(_._3).toSeq
+    val gif = GifAnim.muxGray(slices, width = 16)
+    assert(new String(gif.slice(0, 3), "US-ASCII") === "GIF")
+    // registry default for image/gif — through sampleFrames, the
+    // production path (not a direct codec call)
+    val m = Multimodal.asMedia(Seq((7L, gif)).toDF("id", "payload"),
+      "id", "payload", "image/gif")
+    val frames = Multimodal.sampleFrames(m, frameSize = 0, maxFrames = 5)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 4 && frames.forall(_.codec === "gif-anim"))
+    frames.zip(slices).foreach { case (f, src) =>
+      // every demuxed frame is a real PNG whose pixels are the bytes
+      val (w, h, px) = MediaCodecs.ImageIoCodec.decodeGray(f.frame_bytes, f.id)
+      assert(w === 16 && h === (src.length + 15) / 16)
+      src.indices.foreach(i => assert(px(i) === (src(i) & 0xff),
+        s"frame ${f.frame_idx} pixel $i"))
+    }
+    assert(GifAnim.demuxFrames(gif, maxFrames = 2).size === 2)
+    // non-GIF input fails loudly
+    intercept[IllegalArgumentException] {
+      GifAnim.demuxFrames(Array.tabulate(64)(_.toByte), 5).toSeq
+    }
+  }
+
+  test("q_video_gif_pipeline == q_video_pooled_embedding: the GIF " +
+      "container round trip is a feature no-op (third query, one oracle)") {
+    val a = graft.SparkEntry.queries("q_video_pooled_embedding")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = graft.SparkEntry.queries("q_video_gif_pipeline")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(b === a)
+  }
+
   // ---- two-stream A/V container (round 12) ----
 
   test("muxAv: byte-exact A/V round trip — frames via demuxFrames, PCM " +

@@ -1069,4 +1069,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming frame features: union over micro-batches == one-shot " +
+      "batch (REAL AVI demux per trigger, strict no-stand-in mode)") {
+    import spark.implicits._
+    import graft.multimodal.{AviMjpeg, MediaCodecs, Multimodal}
+    val docs = Sources.table(spark, sf0001, "documents")
+      .filter(length(encode(col("text"), "UTF-8")) > 0).limit(9)
+    val avi = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val frames = MediaCodecs.ByteSliceDemux.demux(p, 64, 4)
+          .map(f => Multimodal.grayPngBytes(f._3, 16)).toSeq
+        (id, AviMjpeg.mux(frames, width = 16, height = 4, fps = 5))
+      }.toDF("id", "payload")
+    val tmp = Files.createTempDirectory("graft_frame_stream").toFile
+    tmp.deleteOnExit()
+    avi.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(avi.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.streamingFrameFeatures(stream, "id", "payload",
+        "video/x-msvideo", requireReal = true)
+      .writeStream.format("memory").queryName("graft_ff_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple non-empty micro-batches")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getDouble(4), r.getSeq[Float](5).toList)
+      val streamed = spark.table("graft_ff_stream").collect().map(key).toSet
+      // the op is mode-agnostic — run it on the same frame as a batch
+      val oneShot = StreamingOps.streamingFrameFeatures(avi, "id",
+        "payload", "video/x-msvideo", requireReal = true)
+        .toDF().collect().map(key).toSet
+      assert(streamed === oneShot)
+      assert(oneShot.nonEmpty && oneShot.exists(_._2 > 0),
+        "multi-frame videos must contribute several frames")
+    } finally q.stop()
+  }
 }

@@ -367,6 +367,76 @@ object MultimodalQueries {
             .as("band0"))
       video.join(audio, Seq("doc_id"))
     },
+    // JOINT multimodal near-dup (round 12): both modality embeddings
+    // of ONE muxAv container fuse into a 16-dim joint vector (8 pooled
+    // video bands ++ 8 audio amplitude bands) that flows into the same
+    // SemDeDup cluster-then-pair operator the single-modality near-dup
+    // queries use — "near-dup iff visuals AND audio both match", the
+    // fusion shape a video-corpus dedup actually needs (audio-swapped
+    // or re-rendered copies separate on one leg). Video bands stay
+    // UNROUNDED doubles until the float32 cast that builds the joint
+    // vector, so the oracle replays the exact frame-ordered fold.
+    "q_av_joint_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "raw")
+      val av = media.mapPartitions { it =>
+        it.map { r =>
+          val frames = graft.multimodal.MediaCodecs.ByteSliceDemux
+            .demux(r.payload, 64, 5)
+            .map(f => Multimodal.grayPngBytes(f._3, width = 16)).toSeq
+          val pcm = new Array[Byte](r.payload.length * 2)
+          var i = 0
+          while (i < r.payload.length) {
+            val sv = ((r.payload(i) & 0xff) - 128) * 256
+            pcm(2 * i) = (sv & 0xff).toByte
+            pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(r.id, "video/x-msvideo",
+            graft.multimodal.AviMjpeg.muxAv(frames, pcm, width = 16,
+              height = 4, fps = 5, sampleRate = 8000))
+        }
+      }.localCheckpoint(false)
+      val frames = Multimodal.sampleFrames(av, frameSize = 0, maxFrames = 5)
+      val frameMedia = frames.map(f => Multimodal.MediaRecord(
+        f.id * 8L + f.frame_idx, "image/png", f.frame_bytes))
+      val feats = Multimodal.decodeImageFeatures(frameMedia).toDF()
+      val perFrame = feats.select(
+        floor(col("id") / 8).cast("long").as("doc_id"),
+        (col("id") % 8).cast("int").as("frame_idx"),
+        col("embedding"))
+      val pooled = perFrame.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_frames"),
+        sort_array(collect_list(struct(col("frame_idx"), col("embedding"))))
+          .as("__fr"))
+      val vbands = (1 to 8).map { j =>
+        (aggregate(col("__fr"), lit(0.0), (acc, f) =>
+            acc + element_at(f.getField("embedding"), j).cast("double"))
+          / col("n_frames")).cast("float").as(s"v$j")
+      }
+      val video = pooled.select(col("doc_id") +: vbands: _*)
+      val wav = av.mapPartitions { it =>
+        it.map { r =>
+          Multimodal.MediaRecord(r.id, "audio/wav",
+            Multimodal.wrapPcmWav(
+              graft.multimodal.AviMjpeg.demuxAudioPcm(r.payload),
+              sampleRate = 8000))
+        }
+      }
+      val audio = Multimodal.decodeAudioFeatures(wav).toDF()
+        .select(col("id").as("doc_id"), col("embedding").as("__aemb"))
+      val joint = video.join(audio, Seq("doc_id"))
+        .select(col("doc_id").as("vec_id"),
+          array((1 to 8).map(j => col(s"v$j")) ++
+            (1 to 8).map(j => element_at(col("__aemb"), j)): _*)
+            .as("embedding"))
+      graft.operators.Dedup.semanticPairs(joint, threshold = 0.99995,
+        nClusters = 4, trainIters = 2)
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -702,8 +772,12 @@ object MultimodalQueries {
     * each frame's pixel grid and 8-band float32 means replay exactly as
     * [[imageNeardupOracle]]; the per-video band is the frame-ORDERED
     * left-to-right sum (the engine's sorted-prefix fold) / n_frames. */
-  private def videoPooledOracle: String =
-    s"""WITH nz AS (
+  /** The shared replay of the video pipeline up to the UNROUNDED
+    * per-(doc, band) frame-ordered sums (`agg`: doc_id, j, sj, nf) —
+    * consumed rounded by [[videoPooledOracle]] and float32-cast by the
+    * joint A/V near-dup oracle. */
+  private def videoBandCtes: String =
+    s"""nz AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS len
        |  FROM documents WHERE octet_length(encode(text)) > 0),
        |fr AS (
@@ -736,12 +810,69 @@ object MultimodalQueries {
        |agg AS (
        |  SELECT doc_id, j, list_sum(list(ev ORDER BY f)) AS sj,
        |    count(1) AS nf
-       |  FROM fbe GROUP BY 1, 2)
+       |  FROM fbe GROUP BY 1, 2)""".stripMargin
+
+  private def videoPooledOracle: String =
+    s"""WITH $videoBandCtes
        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
        |${(0 until 8).map(j =>
           s"  round(max(CASE WHEN j = $j THEN sj END) / max(nf), 6) AS band${j + 1}")
           .mkString(",\n")}
        |FROM agg GROUP BY 1""".stripMargin
+
+  /** DuckDB replay of the joint A/V near-dup: 8 video bands (the
+    * UNROUNDED frame-ordered sums / n, float32-cast exactly like the
+    * engine's joint-vector build) ++ 8 audio amplitude bands (the
+    * audioNeardup replay), then the SAME SemDeDup trajectory
+    * (lloyd2Ctes k=4, dim=16) and within-cell cosine the other
+    * near-dup oracles replay. */
+  private def avJointNeardupOracle(threshold: Double): String =
+    s"""WITH $videoBandCtes,
+       |vb AS (SELECT doc_id, j AS jj,
+       |         CAST(CAST(sj / nf AS FLOAT) AS DOUBLE) AS ev
+       |       FROM agg),
+       |sv AS (
+       |  SELECT doc_id, text, len, unnest(range(0, len)) AS i FROM nz),
+       |pv AS (
+       |  SELECT doc_id, least(7, (i * 8) // len) AS band,
+       |    abs((unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256) AS v
+       |  FROM sv),
+       |absum AS (SELECT doc_id, band, sum(v) AS s, count(1) AS n
+       |          FROM pv GROUP BY 1, 2),
+       |ab AS (
+       |  SELECT nz.doc_id, 8 + r.j AS jj,
+       |    coalesce(CAST(CAST(b.s AS DOUBLE) / b.n / 32768.0 AS FLOAT)::DOUBLE,
+       |      0.0) AS ev
+       |  FROM nz CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
+       |  LEFT JOIN absum b ON b.doc_id = nz.doc_id AND b.band = r.j),
+       |emb0 AS (
+       |  SELECT doc_id AS vec_id, list(ev ORDER BY jj) AS e
+       |  FROM (SELECT doc_id, jj, ev FROM vb
+       |        UNION ALL SELECT doc_id, jj, ev FROM ab) u
+       |  GROUP BY 1),
+       |emb AS (SELECT vec_id, e,
+       |          list_sum(list_transform(e, x -> x * x)) AS xx
+       |        FROM emb0),
+       |${SimilarityQueries.lloyd2Ctes("emb", 4, dim = 16)},
+       |s2 AS (
+       |  SELECT m.vec_id, c.cid, ${SimilarityQueries.d2Sql("m", "c", dim = 16)} AS d
+       |  FROM emb m CROSS JOIN c1cc c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |scored AS (
+       |  SELECT aa.vec_id AS a, bb.vec_id AS b,
+       |    list_sum(list_transform(range(1, 17), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM assigned aa
+       |  JOIN assigned bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+       |  JOIN emb0 ea ON aa.vec_id = ea.vec_id
+       |  JOIN emb0 eb ON bb.vec_id = eb.vec_id)
+       |SELECT a, b, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= $threshold""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
@@ -759,6 +890,7 @@ object MultimodalQueries {
     // on 8-bit gray, so the second container round trip must also be a
     // feature no-op — three queries, one oracle
     "q_video_gif_pipeline" -> videoPooledOracle,
+    "q_av_joint_neardup" -> avJointNeardupOracle(threshold = 0.99995),
     // the two-stream container: video replay JOIN audio replay — each
     // leg is the SAME SQL already pinned green standalone, so the new
     // claim is exactly that one muxAv container round-trips both

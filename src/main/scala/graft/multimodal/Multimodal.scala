@@ -502,6 +502,52 @@ object Multimodal {
     }
   }
 
+  /** REAL audio downsampling — the audio twin of [[resize]]: decode
+    * the container through the [[MediaCodecs]] audio registry (WAV or
+    * ADPCM payloads alike), replace each block of `factor` consecutive
+    * samples with its block mean (a true box-filter decimator — unlike
+    * [[resize]]'s keep-every-Nth bytes, averaging is the correct
+    * anti-aliasing-ish reduction for PCM), and re-encode as a genuine
+    * WAV at `sampleRate / factor`. The mean uses `Math.floorDiv`
+    * (round toward −∞) so the DuckDB oracle replays it exactly as
+    * `floor(sum / n)` — Java's `/` truncates toward zero and would
+    * diverge on negative block sums. Record-parallel, no shuffle.
+    *
+    * The last block may be partial (its mean is over the remaining
+    * samples); output sample count = ceil(n / factor); a sub-factor
+    * sample rate fails loudly rather than emit a 0 Hz container. */
+  def decimatePcmWav(media: Dataset[MediaRecord],
+      factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.audioSnapshot // plan-build-time capture
+    media.mapPartitions { it =>
+      it.map { r =>
+        val c = MediaCodecs.resolve(snap, r.media_type)
+        val (rate, samples) = c.decodePcm(r.payload, r.id)
+        require(rate >= factor,
+          s"id=${r.id}: cannot decimate $rate Hz by $factor")
+        val n = samples.length
+        val outN = (n + factor - 1) / factor
+        val pcm = new Array[Byte](outN * 2)
+        var k = 0
+        while (k < outN) {
+          val start = k * factor
+          val end = math.min(start + factor, n)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += samples(i); i += 1 }
+          val v = Math.floorDiv(sum, (end - start).toLong).toInt
+          pcm(2 * k) = (v & 0xff).toByte
+          pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+          k += 1
+        }
+        MediaRecord(r.id, "audio/wav", wrapPcmWav(pcm, rate / factor))
+      }
+    }
+  }
+
   /** Frame sampling, routed through the [[MediaCodecs]] demux registry
     * (default: [[MediaCodecs.ByteSliceDemux]] — fixed-size byte slices,
     * the documented deterministic stand-in for a real keyframe

@@ -74,6 +74,27 @@ object MultimodalQueries {
           // oracle (full-vector parity pinned in MultimodalSpec)
           round(element_at(col("embedding"), 1).cast("double"), 6).as("band0"))
     },
+    // REAL audio downsample (round 12): encode to 8 kHz WAV, box-filter
+    // decimate by 4 (each output sample = floor-mean of 4 inputs — a
+    // true decode → resample → re-encode cycle through two genuine WAV
+    // containers), decode the 2 kHz result and extract features. The
+    // oracle replays the decimated integer stream exactly:
+    // floorDiv == floor(sum / n) by construction.
+    "q_audio_resample" -> { (s, dir) =>
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload",
+            encode(coalesce(col("text"), lit("")), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      Multimodal.decodeAudioFeatures(
+          Multimodal.decimatePcmWav(
+            Multimodal.encodePcmWav(media, sampleRate = 8000), factor = 4))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("zero_crossings"), col("mean_amp"),
+          round(element_at(col("embedding"), 1).cast("double"), 6)
+            .as("band0"))
+    },
     // the speech-curation quality gate over REAL decoded WAV: the
     // payload is built with a known-silent 80-byte preamble (0x80 =
     // PCM zero), the doc's text bytes, and a 10-byte full-scale rail
@@ -879,6 +900,47 @@ object MultimodalQueries {
     "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
     "q_audio_quality" -> audioQualityOracle,
+    // decimated integer stream replayed exactly: block mean =
+    // floor(sum / n) == the engine's Math.floorDiv; features then
+    // follow the audioFeaturesOracle shape over the decimated samples
+    "q_audio_resample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |    octet_length(encode(coalesce(text, ''))) AS len
+         |  FROM documents),
+         |sv AS (
+         |  SELECT doc_id, i,
+         |    (unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256 AS s
+         |  FROM (SELECT doc_id, text, unnest(range(0, len)) AS i FROM d)),
+         |dv AS (
+         |  SELECT doc_id, i // 4 AS k,
+         |    CAST(floor(CAST(sum(s) AS DOUBLE) / count(1)) AS INTEGER) AS s
+         |  FROM sv GROUP BY 1, 2),
+         |cr AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS zc
+         |  FROM (SELECT doc_id, s,
+         |          lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+         |        FROM dv)
+         |  WHERE prev IS NOT NULL GROUP BY 1),
+         |ma AS (SELECT doc_id, sum(abs(s)) AS sa, count(1) AS n
+         |       FROM dv GROUP BY 1),
+         |b0 AS (
+         |  SELECT dv.doc_id, sum(abs(s)) AS bs, count(1) AS bn
+         |  FROM dv JOIN ma ON ma.doc_id = dv.doc_id
+         |  WHERE least(7, (k * 8) // ma.n) = 0 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  2000 AS sample_rate,
+         |  CAST(coalesce(ma.n, 0) AS BIGINT) AS n_samples,
+         |  CAST(coalesce(cr.zc, 0) AS BIGINT) AS zero_crossings,
+         |  coalesce(round((CAST(ma.sa AS DOUBLE) / ma.n) / 32768.0, 4), 0.0)
+         |    AS mean_amp,
+         |  coalesce(round(CAST(CAST((CAST(b0.bs AS DOUBLE) / b0.bn) / 32768.0
+         |    AS FLOAT) AS DOUBLE), 6), 0.0) AS band0
+         |FROM d
+         |LEFT JOIN cr ON cr.doc_id = d.doc_id
+         |LEFT JOIN ma ON ma.doc_id = d.doc_id
+         |LEFT JOIN b0 ON b0.doc_id = d.doc_id""".stripMargin,
     "q_adpcm_roundtrip" -> adpcmOracle,
     "q_adpcm_quality" -> adpcmQualityOracle,
     "q_video_pooled_embedding" -> videoPooledOracle,

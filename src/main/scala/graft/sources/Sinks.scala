@@ -33,6 +33,29 @@ object Sinks {
     df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Parquet with per-column BLOOM FILTERS on `bloomCols` — the point-
+    * lookup complement to [[writeClustered]]'s min/max statistics:
+    * min/max row-group pruning needs the data CLUSTERED on the lookup
+    * key, but a 100 TB corpus is typically laid out for its scan keys
+    * (date, split, lang) while id-keyed point lookups ("fetch these
+    * 10k doc_ids for audit") hit every row group. A bloom filter per
+    * column chunk answers "definitely absent" without decoding the
+    * chunk, so a selective id probe skips row groups regardless of
+    * layout. `expectedDistinct` sizes the filter (parquet's NDV knob,
+    * per row group); false positives only cost wasted reads — never
+    * correctness (SinksSpec pins footer presence + zero false
+    * negatives on a real probe). */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedDistinct: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    val w = df.write.mode("overwrite")
+    val configured = bloomCols.foldLeft(w) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedDistinct)
+    }
+    configured.parquet(path)
+  }
+
   /** Bucketed managed table: rows hash-partitioned into `numBuckets`
     * files per partition by `bucketCols` (optionally sorted inside each
     * bucket). Two tables bucketed the same way join WITHOUT a shuffle —

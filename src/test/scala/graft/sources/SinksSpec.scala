@@ -148,4 +148,45 @@ class SinksSpec extends SparkSpec {
     assert(got("ntz") === micros.sorted, "TIMESTAMP_NTZ path")
     assert(got("tz") === micros.sorted, "TIMESTAMP path")
   }
+
+  test("writeWithBloom: per-chunk bloom filters land in the footer, " +
+      "no false negatives on present ids, discriminating on absent ones") {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_bloom").toFile
+    tmp.deleteOnExit()
+    val docs = Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text")
+    Sinks.writeWithBloom(docs, tmp.getAbsolutePath, Seq("doc_id"),
+      expectedDistinct = 10000L)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = rdr.getFooter.getBlocks.get(0)
+      val byCol = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      // the configured column carries a bloom filter; others don't
+      assert(byCol("doc_id").getBloomFilterOffset >= 0,
+        "doc_id chunk has no bloom filter")
+      assert(byCol("lang").getBloomFilterOffset < 0,
+        "unconfigured column grew a bloom filter")
+      val bloom = rdr.readBloomFilter(byCol("doc_id"))
+      assert(bloom != null)
+      // zero false negatives: every present id must probe positive
+      val present = spark.read.parquet(part.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(present.forall(id => bloom.findHash(bloom.hash(id))),
+        "bloom filter false negative — correctness bug")
+      // discriminating: absent ids are mostly rejected (false
+      // positives allowed, but a filter that says yes to everything
+      // skips nothing)
+      val absentHits = (1 to 1000)
+        .map(i => 10000000L + i)
+        .count(id => bloom.findHash(bloom.hash(id)))
+      assert(absentHits < 500, s"$absentHits/1000 absent ids probed " +
+        "positive — the filter is not discriminating")
+    } finally rdr.close()
+  }
 }

@@ -194,6 +194,108 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash) of each image: registry decode
+    * → exact block-sum downscale onto a `(gridW+1) × gridH` luminance
+    * grid → one bit per horizontally-adjacent cell pair (set iff the
+    * left cell's mean luminance is strictly below the right's), packed
+    * into a 64-bit signature at bit `gy*gridW + gx`. The classic
+    * crop/re-encode-robust image fingerprint (public algorithm —
+    * Krawetz's dHash), and the hash-space twin of the embedding-based
+    * [[graft.operators.Dedup.semanticPairs]] image near-dup: SemDeDup
+    * asks "does this LOOK like that" in cosine space; dHash asks it in
+    * Hamming space where the candidate join is pigeonhole-exact.
+    *
+    * Mean comparison is cross-multiplied block sums
+    * (`sL·nR < sR·nL` on exact integers — no division, no rounding),
+    * so the hash replays bit-for-bit in the DuckDB oracle; cells left
+    * empty by short images have `s = n = 0`, making the comparison
+    * false on either side — empty cells contribute 0-bits with no
+    * special casing. Output: `(id, phash)`.
+    *
+    * Scale shape: one `mapPartitions` projection per payload — no
+    * shuffle; the pair stage ([[dHashPairs]]) is the banded equi-join. */
+  def dHash(media: Dataset[MediaRecord], gridW: Int = 8, gridH: Int = 8,
+      codec: Option[MediaCodecs.GrayImageCodec] = None): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      s"dHash grid $gridW x $gridH exceeds 64 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.imageSnapshot
+    media.mapPartitions { it =>
+      it.map { r =>
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (w, h, px) = c.decodeGray(r.payload, r.id)
+        (r.id, dHash64(w, h, px, gridW, gridH))
+      }
+    }.toDF("id", "phash")
+  }
+
+  /** The [[dHash]] kernel: pixel (x, y) lands in grid cell
+    * `(min(gridW, x·(gridW+1)/w), min(gridH−1, y·gridH/h))` — the same
+    * proportional band mapping as [[grayBandFeatures]] — and each of
+    * the `gridW·gridH` adjacent-pair comparisons becomes one bit. */
+  private[graft] def dHash64(w: Int, h: Int, px: Array[Int],
+      gridW: Int, gridH: Int): Long = {
+    val cols = gridW + 1
+    val s = new Array[Long](gridH * cols)
+    val n = new Array[Long](gridH * cols)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gridH - 1, y * gridH / h)
+      var x = 0
+      while (x < w) {
+        val k = gy * cols + math.min(gridW, x * cols / w)
+        s(k) += px(y * w + x)
+        n(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gridH) {
+      var gx = 0
+      while (gx < gridW) {
+        val l = gy * cols + gx
+        if (s(l) * n(l + 1) < s(l + 1) * n(l)) hash |= 1L << (gy * gridW + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** dHash near-dup pairs `(a < b)` with Hamming distance ≤
+    * `maxHamming` over 64-bit signatures from [[dHash]]. Pigeonhole
+    * banding (the [[graft.operators.Dedup.simHashPairs]] scheme at 64
+    * bits): the signature splits into `maxHamming + 1` disjoint blocks,
+    * and any pair within distance `maxHamming` must agree EXACTLY on at
+    * least one block — so candidate generation is a lossless equi-join
+    * on `(block index, block value)`, verified by one
+    * `bit_count(xor)` projection. Never all-pairs: pair cost is
+    * Σ(bucket²) over block-value buckets, the house candidate shape. */
+  def dHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val banded = hashes.select(col("id"), col("phash"), posexplode(
+      array((0 until blocks).map { bi =>
+        val lo = bi * width
+        val wd = if (bi == blocks - 1) 64 - lo else width
+        shiftrightunsigned(col("phash"), lo)
+          .bitwiseAND(if (wd >= 64) -1L else (1L << wd) - 1)
+      }: _*)).as(Seq("block", "block_val")))
+    banded.select(col("id").as("a"), col("phash").as("ph_a"),
+        col("block"), col("block_val"))
+      .join(banded.select(col("id").as("b"), col("phash").as("ph_b"),
+        col("block"), col("block_val")), Seq("block", "block_val"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** The pooled-pixel feature kernel shared by [[decodeImageFeatures]]
     * and the streaming frame twin: (rounded mean luminance,
     * `embeddingDim` horizontal-stripe luminance means). */

@@ -593,6 +593,33 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("version"), substring(col("text"), 1, 40).as("text_head"))
     },
+    // content-defined chunking (gear hash, 2^6-byte expected chunks):
+    // per-doc chunk audit. Boundaries are pure functions of the
+    // trailing 32 bytes, so the oracle replays every cut SET-BASED
+    // (position x offset/power join — the winnow-oracle shape).
+    "q_cdc_chunks" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      graft.operators.Cdc.chunks(
+          nz.withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", maskBits = 6)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("length")).cast("long").as("max_len"),
+          min(col("length")).cast("long").as("min_len"))
+        .select(col("id").as("doc_id"), col("n_chunks"), col("max_len"),
+          col("min_len"))
+    },
+    // storage-level dedup audit: group chunks by CONTENT across the
+    // whole corpus — the byte-range dedup a chunk store achieves,
+    // catching shared spans exact doc-level dedup can't see
+    "q_cdc_dedup" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      graft.operators.Cdc.dedupStats(graft.operators.Cdc.chunks(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", maskBits = 6))
+    },
   )
 
   /** The word-3-gram shingle CTEs shared by every dedup oracle:
@@ -1776,7 +1803,62 @@ object DedupQueries {
         |JOIN c ca ON p.a = ca.doc_id
         |JOIN c cb ON p.b = cb.doc_id
         |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    "q_cdc_chunks" ->
+      s"""WITH $cdcCtes
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  max(e - s + 1)::BIGINT AS max_len,
+        |  min(e - s + 1)::BIGINT AS min_len
+        |FROM cch GROUP BY 1""".stripMargin,
+    "q_cdc_dedup" ->
+      s"""WITH $cdcCtes,
+        |per AS (
+        |  SELECT substr(nz.text, c.s + 1, c.e - c.s + 1) AS chunk,
+        |    c.e - c.s + 1 AS len
+        |  FROM cch c JOIN nz ON nz.doc_id = c.doc_id),
+        |g1 AS (SELECT chunk, count(*) AS n, max(len) AS len
+        |       FROM per GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS total_chunks,
+        |  count(*)::BIGINT AS distinct_chunks,
+        |  CAST(sum(n * len) AS BIGINT) AS total_bytes,
+        |  CAST(sum(len) AS BIGINT) AS distinct_bytes,
+        |  floor((1.0 - CAST(sum(len) AS DOUBLE) / sum(n * len)) * 1e6
+        |    + 0.5) / 1e6 AS dedup_ratio
+        |FROM g1""".stripMargin,
   )
+
+  /** Set-based DuckDB replay of the gear-CDC cuts ([[graft.operators.Cdc]]):
+    * each byte position joins a 32-row offset table; the gear hash at
+    * position i is `Σ G[b_{i−o}]·2^o mod 2^32`, with each term reduced
+    * `(g mod 2^(32−o))·2^o` so the BIGINT sum never overflows. A cut
+    * is a position whose top 6 hash bits are zero (hv < 2^26); chunk
+    * spans (`cch`: doc_id, s, e) come from lag() over the cut set plus
+    * the forced final end. The gear table is embedded verbatim from
+    * the Scala constant, so both engines hash bit-identically. */
+  private lazy val cdcCtes: String =
+    s"""gear(b, g) AS (VALUES
+      |    ${graft.operators.Cdc.gearSqlValues}),
+      |nz AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS len
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |cpos AS (
+      |  SELECT doc_id, len, text, unnest(range(0, len)) AS i FROM nz),
+      |coffs AS (SELECT unnest(range(0, 32)) AS o),
+      |ch AS (
+      |  SELECT p.doc_id, p.i,
+      |    sum((gear.g % (1::BIGINT << (32 - f.o))) * (1::BIGINT << f.o))
+      |      % 4294967296 AS hv
+      |  FROM cpos p
+      |  JOIN coffs f ON f.o <= p.i
+      |  JOIN gear ON gear.b = unicode(p.text[CAST(p.i - f.o + 1 AS INTEGER)])
+      |  GROUP BY 1, 2),
+      |cends AS (
+      |  SELECT DISTINCT doc_id, i FROM (
+      |    SELECT doc_id, i FROM ch WHERE hv < (1::BIGINT << 26)
+      |    UNION ALL SELECT doc_id, len - 1 FROM nz)),
+      |cch AS (
+      |  SELECT doc_id, i AS e,
+      |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -1) + 1 AS s
+      |  FROM cends)""".stripMargin
 
   /** Recursive-CTE replay of near-dup clustering — shared by
     * q_dedup_clusters (min-label propagation) and

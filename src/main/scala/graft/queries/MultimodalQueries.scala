@@ -51,6 +51,82 @@ object MultimodalQueries {
         features.select(col("id").as("vec_id"), col("embedding")),
         threshold = 0.99995, nClusters = 4, trainIters = 2)
     },
+    // REAL files-on-disk ingest: every doc's gray PNG is written as an
+    // individual .png file (executor-side, one file per record — the
+    // layout a crawled media corpus actually has), read back through
+    // Spark's native `binaryFile` source (per-file splits, metadata
+    // columns, pathGlobFilter — THE scan path for 100 TB of media on
+    // object storage), id recovered from the file name, and decoded
+    // through the registry. The oracle never sees the files: PNG is
+    // lossless, so width/height/mean replay from the text bytes —
+    // equality proves the disk round trip byte-preserving. On a
+    // cluster the staging dir is shared storage; local[*] shares /tmp.
+    "q_binaryfile_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.encodeGrayPng(Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain"), width = 16)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val base = new java.io.File(s"/tmp/graft_binfile_$md5")
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del)
+        f.delete(): Unit
+      }
+      if (base.exists) del(base)
+      base.mkdirs()
+      val stage = base.getAbsolutePath
+      media.foreachPartition { it: Iterator[Multimodal.MediaRecord] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage, s"${r.id}.png"), r.payload): Unit
+        }
+      }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load("file:" + stage)
+      val ingested = files.select(
+          regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
+            .cast("long").as("id"),
+          lit("image/png").as("media_type"),
+          col("content").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeImageFeatures(ingested).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_pixel"))
+    },
+    // Perceptual difference hash (dHash) over REAL decoded images:
+    // text bytes -> gray PNG -> registry decode -> exact block-sum
+    // downscale to a 9x8 grid -> 64 adjacent-pair bits. The comparison
+    // is cross-multiplied integer sums (no division), so the oracle
+    // replays every bit; output is the signature as four 16-bit bands
+    // (the full 64-bit value would overflow DuckDB's BIGINT power sum
+    // at bit 63 — and the bands are exactly what the LSH join keys on).
+    "q_image_phash" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.encodeGrayPng(Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain"), width = 16)
+      val hashed = Multimodal.dHash(media)
+      hashed.select(col("id").as("doc_id") +:
+        (0 until 4).map(b => shiftrightunsigned(col("phash"), b * 16)
+          .bitwiseAND(0xffffL).as(s"b$b")): _*)
+    },
+    // dHash near-dup: the Hamming-space twin of q_image_neardup's
+    // cosine SemDeDup. Pigeonhole banding makes the candidate join a
+    // lossless equi-join on (block, block_val) for hamming <= 3 —
+    // the same bucket-keyed candidate shape as SimHash/MinHash, on a
+    // signature computed from REAL decoded pixels.
+    "q_phash_neardup" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.encodeGrayPng(Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain"), width = 16)
+      Multimodal.dHashPairs(Multimodal.dHash(media), maxHamming = 3)
+    },
     // REAL audio codec round trip: text bytes -> 16-bit PCM samples ->
     // genuine RIFF/WAVE via javax.sound.sampled -> decode -> features
     // from the decoded samples. PCM WAV is lossless, so every decoded
@@ -895,7 +971,85 @@ object MultimodalQueries {
        |SELECT a, b, round(cos, 6) AS cos FROM scored
        |WHERE cos >= $threshold""".stripMargin
 
+  /** Shared DuckDB replay of the dHash bit matrix: bytes → the 9×8
+    * block-sum grid (densified so empty cells carry s = n = 0, exactly
+    * the engine's zero-initialized arrays) → 64 adjacent-pair bits via
+    * the same cross-multiplied integer comparison → four 16-bit bands
+    * (`dbands`: doc_id, blk, bval). */
+  private def dHashCtes: String =
+    s"""nz AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |    CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |dpx AS (
+       |  SELECT doc_id, text, len, h, unnest(range(0, 16 * h)) AS i
+       |  FROM nz),
+       |dpv AS (
+       |  SELECT doc_id, least(7, ((i // 16) * 8) // h) AS gy,
+       |    least(8, ((i % 16) * 9) // 16) AS gx,
+       |    CASE WHEN i < len THEN unicode(text[CAST(i + 1 AS INTEGER)])
+       |         ELSE 0 END AS v
+       |  FROM dpx),
+       |dgs AS (SELECT doc_id, gy, gx, sum(v) AS s, count(1) AS n
+       |        FROM dpv GROUP BY 1, 2, 3),
+       |dgrid AS (
+       |  SELECT nz.doc_id, g.gy, g.gx,
+       |    coalesce(dgs.s, 0) AS s, coalesce(dgs.n, 0) AS n
+       |  FROM nz CROSS JOIN (
+       |    SELECT a.gy, b.gx
+       |    FROM (SELECT unnest(range(0, 8)) AS gy) a,
+       |         (SELECT unnest(range(0, 9)) AS gx) b) g
+       |  LEFT JOIN dgs ON dgs.doc_id = nz.doc_id AND dgs.gy = g.gy
+       |    AND dgs.gx = g.gx),
+       |dbits AS (
+       |  SELECT l.doc_id, l.gy * 8 + l.gx AS bit,
+       |    CASE WHEN l.s * r.n < r.s * l.n THEN 1 ELSE 0 END AS b
+       |  FROM dgrid l JOIN dgrid r ON r.doc_id = l.doc_id AND r.gy = l.gy
+       |    AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |dbands AS (
+       |  SELECT doc_id, bit // 16 AS blk,
+       |    CAST(sum(b * (1 << (bit % 16))) AS BIGINT) AS bval
+       |  FROM dbits GROUP BY 1, 2)""".stripMargin
+
+  private def imagePhashOracle: String =
+    s"""WITH $dHashCtes
+       |SELECT doc_id,
+       |  max(CASE WHEN blk = 0 THEN bval END) AS b0,
+       |  max(CASE WHEN blk = 1 THEN bval END) AS b1,
+       |  max(CASE WHEN blk = 2 THEN bval END) AS b2,
+       |  max(CASE WHEN blk = 3 THEN bval END) AS b3
+       |FROM dbands GROUP BY 1""".stripMargin
+
+  private def phashNeardupOracle(maxHamming: Int): String =
+    s"""WITH $dHashCtes,
+       |cand AS (
+       |  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+       |  FROM dbands la JOIN dbands lb
+       |    ON la.blk = lb.blk AND la.bval = lb.bval
+       |    AND la.doc_id < lb.doc_id),
+       |ham AS (
+       |  SELECT c.a, c.b, sum(bit_count(xor(ba.bval, bb.bval))) AS hamming
+       |  FROM cand c
+       |  JOIN dbands ba ON ba.doc_id = c.a
+       |  JOIN dbands bb ON bb.doc_id = c.b AND bb.blk = ba.blk
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(hamming AS INT) AS hamming FROM ham
+       |WHERE hamming <= $maxHamming""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_binaryfile_ingest" ->
+      """SELECT doc_id,
+        |  16 AS width,
+        |  ceil(octet_length(encode(text)) / 16.0)::INTEGER AS height,
+        |  round(coalesce(list_sum(list_transform(string_split(text, ''),
+        |          x -> unicode(x))), 0)
+        |        / (16 * ceil(octet_length(encode(text)) / 16.0)),
+        |        4) AS mean_pixel
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0""".stripMargin,
+    "q_image_phash" -> imagePhashOracle,
+    "q_phash_neardup" -> phashNeardupOracle(maxHamming = 3),
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,

@@ -7,9 +7,14 @@ import graft.sources.Sources.table
 /** TPC-H-shaped analytical queries over the synthetic star schema —
   * the classic multi-join/agg workload a user of a general analytics
   * engine expects to run. Shapes follow the published TPC-H queries
-  * (adapted where the synthetic schema lacks a column: no partsupp, no
-  * commit/receipt dates, so Q2/Q11/Q12/Q20/Q21 have no faithful
-  * equivalent; Q9's supplycost is approximated from p_retailprice).
+  * (adapted where the synthetic schema lacks a column: no partsupp and
+  * no ship mode, so Q2/Q11/Q12/Q16/Q20 have no faithful equivalent;
+  * Q4/Q21 redefine "late" as shipped 30/60 days after the order date
+  * since there are no commit/receipt dates; Q9's supplycost is
+  * approximated from p_retailprice. With those adaptations every
+  * TPC-H query expressible against this schema is covered — Q19's
+  * disjunctive join is q_disjunctive_filter and Q22's anti-join +
+  * scalar-subquery shape is q_idle_customers, both in Relational2).
   *
   * Scale notes (100 TB discipline):
   *  - `nation`/`region` are broadcast explicitly — bounded dimensions
@@ -194,6 +199,55 @@ object TpchQueries {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(100)
     },
+
+    // Q4 order priority checking (adapted: no commit/receipt dates in
+    // the synthetic schema, so "late" = shipped more than 30 days
+    // after the order date). EXISTS becomes a left-semi join whose
+    // condition mixes the equi key with a cross-table comparison —
+    // exactly one pass over each table.
+    "q_order_priority" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+      val l = table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q21 suppliers who kept orders waiting (adapted lateness as Q4).
+    // The published query correlates THREE scans of lineitem (base +
+    // EXISTS + NOT EXISTS); at 100 TB that's the difference between
+    // one shuffle and three. This formulation decorrelates by
+    // aggregation: one (orderkey, suppkey) rollup marks each
+    // supplier's lateness, one orderkey rollup counts suppliers and
+    // late suppliers, and "only this supplier was late in a
+    // multi-supplier order" is a filter on those counts — the fact
+    // table is read ONCE.
+    "q_waiting_suppliers" -> { (s, dir) =>
+      val lo = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(table(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1).otherwise(0))
+      val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+      perSupp.filter(col("supp_late") === 1)
+        .join(perOrder.filter(col("n_supp") > 1 && col("n_late") === 1),
+          "l_orderkey")
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,6 +371,32 @@ object TpchQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_waiting_suppliers" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l1) w
+        |JOIN supplier ON w.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = w.l_orderkey
+        |                AND l2.l_suppkey <> w.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |                  WHERE l3.l_orderkey = w.l_orderkey
+        |                    AND l3.l_suppkey <> w.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
   )
 }

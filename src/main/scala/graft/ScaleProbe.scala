@@ -588,6 +588,36 @@ object ScaleProbe {
             "doc_id", "cluster_rep", "score")
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"cdc_dedup_${n}x") {
+        // gear chunking is one linear mapPartitions pass; the dedup
+        // rollup shuffles chunk CONTENT (expected 64-byte keys) once.
+        // Amplified docs duplicate chunk content n×, so the groupBy's
+        // key cardinality stays constant while rows scale — the
+        // map-side partial agg must absorb that (near-flat slope is
+        // the pass criterion, scan-bound)
+        operators.Cdc.dedupStats(operators.Cdc.chunks(
+            docsN.withColumn("payload", encode(col("text"), "UTF-8")),
+            "doc_id", "payload", maskBits = 6))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"phash_pairs_${n}x") {
+        // dHash is a per-payload projection; the pair stage is the
+        // pigeonhole banded equi-join. Amplification copies every
+        // image n×, so each band bucket's membership scales n× and
+        // pair cost Σ(bucket²) scales n² ON THE DUPLICATED buckets —
+        // superlinear growth here is the corpus's true near-dup mass,
+        // not a plan defect; the probe records the slope so the
+        // banding's candidate discipline (equi-join, never all-pairs)
+        // is what's being watched
+        val media = multimodal.Multimodal.encodeGrayPng(
+          multimodal.Multimodal.asMedia(
+            docsN.filter(length(encode(col("text"), "UTF-8")) > 0)
+              .withColumn("payload", encode(col("text"), "UTF-8")),
+            "doc_id", "payload", "text/plain"), width = 16)
+        multimodal.Multimodal.dHashPairs(
+            multimodal.Multimodal.dHash(media), maxHamming = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

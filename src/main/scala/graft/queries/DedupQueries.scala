@@ -620,6 +620,48 @@ object DedupQueries {
         nz.withColumn("payload", encode(col("text"), "UTF-8")),
         "doc_id", "payload", maskBits = 6))
     },
+    // incremental CDC against a PERSISTED chunk store: the corpus's
+    // distinct chunks live in a table bucketed on xxhash64(chunk) (the
+    // shuffle key — content equality is still verified in the join
+    // condition, so a hash collision can't fake a reuse); each ingest
+    // batch chunks itself and probes the store — per-doc reused
+    // chunk/byte counts, i.e. "how much of this new doc does the
+    // store already hold". CDC cuts are offset-independent, so a doc
+    // duplicating corpus content reuses its chunks even at a shifted
+    // byte position — the property fixed-size blocks lack.
+    "q_cdc_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .filter(length(encode(col("text"), "UTF-8")) > 0),
+        col("doc_id"), 12, 2)
+      def chunked(df: DataFrame) = graft.operators.Cdc.chunks(
+        df.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", maskBits = 6)
+      val corpus = chunked(docs.filter(col("split") =!= "test"))
+        .select(col("chunk")).distinct()
+        .withColumn("chunk_hash", xxhash64(col("chunk")))
+      graft.sources.Sinks.writeBucketed(corpus, "graft_corpus_cdc_chunks",
+        bucketCols = Seq("chunk_hash"), numBuckets = 8)
+      val stored = s.table("graft_corpus_cdc_chunks")
+        .select(col("chunk_hash").as("st_hash"), col("chunk").as("st_chunk"))
+      val batch = chunked(docs.filter(col("split") === "test"))
+        .withColumn("chunk_hash", xxhash64(col("chunk")))
+      val reused = batch
+        .join(stored, col("chunk_hash") === col("st_hash") &&
+          col("chunk") === col("st_chunk"), "left_semi")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("reused_chunks"),
+          sum(col("length")).as("reused_bytes"))
+      batch.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("length")).as("total_bytes"))
+        .join(reused, Seq("id"), "left_outer")
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          coalesce(col("reused_chunks"), lit(0L)).as("reused_chunks"),
+          col("total_bytes").cast("long").as("total_bytes"),
+          coalesce(col("reused_bytes"), lit(0L)).cast("long")
+            .as("reused_bytes"))
+    },
   )
 
   /** The word-3-gram shingle CTEs shared by every dedup oracle:
@@ -1824,32 +1866,58 @@ object DedupQueries {
         |  floor((1.0 - CAST(sum(len) AS DOUBLE) / sum(n * len)) * 1e6
         |    + 0.5) / 1e6 AS dedup_ratio
         |FROM g1""".stripMargin,
+    "q_cdc_incremental_persisted" ->
+      s"""WITH $cdcCtes,
+        |csb AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |      AS INTEGER) AS bkt
+        |  FROM nz),
+        |cper AS (
+        |  SELECT c.doc_id, substr(nz.text, c.s + 1, c.e - c.s + 1) AS chunk,
+        |    c.e - c.s + 1 AS len, csb.bkt
+        |  FROM cch c JOIN nz ON nz.doc_id = c.doc_id
+        |  JOIN csb ON csb.doc_id = c.doc_id),
+        |corp AS (SELECT DISTINCT chunk FROM cper WHERE bkt < 14),
+        |bat AS (SELECT doc_id, chunk, len FROM cper WHERE bkt >= 14)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN c.chunk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS reused_chunks,
+        |  CAST(sum(b.len) AS BIGINT) AS total_bytes,
+        |  CAST(coalesce(sum(CASE WHEN c.chunk IS NOT NULL THEN b.len END), 0)
+        |    AS BIGINT) AS reused_bytes
+        |FROM bat b LEFT JOIN corp c ON b.chunk = c.chunk
+        |GROUP BY 1""".stripMargin,
   )
 
   /** Set-based DuckDB replay of the gear-CDC cuts ([[graft.operators.Cdc]]):
-    * each byte position joins a 32-row offset table; the gear hash at
-    * position i is `Σ G[b_{i−o}]·2^o mod 2^32`, with each term reduced
-    * `(g mod 2^(32−o))·2^o` so the BIGINT sum never overflows. A cut
-    * is a position whose top 6 hash bits are zero (hv < 2^26); chunk
-    * spans (`cch`: doc_id, s, e) come from lag() over the cut set plus
-    * the forced final end. The gear table is embedded verbatim from
-    * the Scala constant, so both engines hash bit-identically. */
+    * the gear hash at position i is `Σ_o G[b_{i−o}]·2^o mod 2^32`, so
+    * each SOURCE byte scatters to the ≤32 TARGET positions it
+    * influences — one substr per byte, then pure equi-joins against a
+    * precomputed 256×32 reduced-term table (`(g mod 2^(32−o))·2^o`,
+    * so the BIGINT sum never overflows) and one vectorized sum per
+    * target. A cut is a position whose top 6 hash bits are zero
+    * (hv < 2^26); chunk spans (`cch`: doc_id, s, e) come from lag()
+    * over the cut set plus the forced final end. The gear table is
+    * embedded verbatim from the Scala constant, so both engines hash
+    * bit-identically. */
   private lazy val cdcCtes: String =
     s"""gear(b, g) AS (VALUES
       |    ${graft.operators.Cdc.gearSqlValues}),
       |nz AS (
       |  SELECT doc_id, text, octet_length(encode(text)) AS len
       |  FROM documents WHERE octet_length(encode(text)) > 0),
-      |cpos AS (
-      |  SELECT doc_id, len, text, unnest(range(0, len)) AS i FROM nz),
-      |coffs AS (SELECT unnest(range(0, 32)) AS o),
+      |cpb AS (
+      |  SELECT doc_id, len, i, unicode(text[CAST(i + 1 AS INTEGER)]) AS b
+      |  FROM (SELECT doc_id, len, text, unnest(range(0, len)) AS i
+      |        FROM nz)),
+      |cg2 AS (
+      |  SELECT b, o, (g % (1::BIGINT << (32 - o))) * (1::BIGINT << o) AS term
+      |  FROM gear CROSS JOIN (SELECT unnest(range(0, 32)) AS o) fo),
       |ch AS (
-      |  SELECT p.doc_id, p.i,
-      |    sum((gear.g % (1::BIGINT << (32 - f.o))) * (1::BIGINT << f.o))
-      |      % 4294967296 AS hv
-      |  FROM cpos p
-      |  JOIN coffs f ON f.o <= p.i
-      |  JOIN gear ON gear.b = unicode(p.text[CAST(p.i - f.o + 1 AS INTEGER)])
+      |  SELECT p.doc_id, p.i + t.o AS i, sum(t.term) % 4294967296 AS hv
+      |  FROM cpb p JOIN cg2 t ON t.b = p.b
+      |  WHERE p.i + t.o < p.len
       |  GROUP BY 1, 2),
       |cends AS (
       |  SELECT DISTINCT doc_id, i FROM (

@@ -222,11 +222,13 @@ object TpchQueries {
     // The published query correlates THREE scans of lineitem (base +
     // EXISTS + NOT EXISTS); at 100 TB that's the difference between
     // one shuffle and three. This formulation decorrelates by
-    // aggregation: one (orderkey, suppkey) rollup marks each
-    // supplier's lateness, one orderkey rollup counts suppliers and
-    // late suppliers, and "only this supplier was late in a
-    // multi-supplier order" is a filter on those counts — the fact
-    // table is read ONCE.
+    // aggregation in a SINGLE chain: one (orderkey, suppkey) rollup
+    // marks each supplier's lateness, one orderkey rollup counts
+    // suppliers/late suppliers AND carries the lone late supplier's
+    // key (when n_late = 1 the max-over-late-keys IS that supplier) —
+    // so the fact table is scanned once and nothing joins back to it.
+    // (A two-consumer perSupp formulation double-scanned: its branches
+    // picked up different pushed null-filters, defeating ReuseExchange.)
     "q_waiting_suppliers" -> { (s, dir) =>
       val lo = table(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -237,12 +239,13 @@ object TpchQueries {
             1).otherwise(0))
       val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("late")).as("supp_late"))
-      val perOrder = perSupp.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
-      perSupp.filter(col("supp_late") === 1)
-        .join(perOrder.filter(col("n_supp") > 1 && col("n_late") === 1),
-          "l_orderkey")
-        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"),
+          max(when(col("supp_late") === 1, col("l_suppkey")))
+            .as("late_suppkey"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(table(s, dir, "supplier"),
+          col("late_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), asc("s_name"))

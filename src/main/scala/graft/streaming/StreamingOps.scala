@@ -915,4 +915,33 @@ object StreamingOps {
       }
       .outputMode("append")
       .start()
+
+  /** Streaming twin of the CDC chunk-store probe
+    * ([[graft.operators.Cdc]] / q_cdc_incremental_persisted): each
+    * arriving `(id, payload)` row chunks STATELESSLY (gear cuts are
+    * pure content functions — no state store, no watermark) and every
+    * chunk probes the static stored chunk set via a stream-static
+    * left-outer join on `(xxhash64(chunk), chunk)` — the hash is the
+    * shuffle/bucket key, content equality still decides. Output: one
+    * row per chunk with a `reused` flag; per-doc rollups are a
+    * downstream aggregation the caller composes, keeping this op
+    * micro-batch invariant by construction.
+    *
+    * `storedChunks` must be unique per chunk content (the persisted
+    * store is written `distinct()`) — duplicate store rows would
+    * multiply output rows in the outer join. */
+  def streamingCdcChunks(stream: DataFrame, idCol: String,
+      payloadCol: String, storedChunks: DataFrame,
+      maskBits: Int = 6): DataFrame = {
+    val chunked = graft.operators.Cdc
+      .chunks(stream, idCol, payloadCol, maskBits)
+      .withColumn("chunk_hash", xxhash64(col("chunk")))
+    chunked.join(
+        storedChunks.select(col("chunk_hash").as("st_hash"),
+          col("chunk").as("st_chunk")),
+        col("chunk_hash") === col("st_hash") &&
+          col("chunk") === col("st_chunk"), "left_outer")
+      .select(col("id"), col("chunk_idx"), col("offset"), col("length"),
+        col("st_chunk").isNotNull.as("reused"))
+  }
 }

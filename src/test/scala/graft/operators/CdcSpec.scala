@@ -72,6 +72,54 @@ class CdcSpec extends SparkSpec {
     } finally ch.unpersist()
   }
 
+  test("streaming CDC chunk probe: union over micro-batches == one-shot batch") {
+    import graft.sources.Sources
+    val docs = Sources.table(spark, sf0001, "documents")
+      .filter(length(encode(col("text"), "UTF-8")) > 0)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "payload")
+    val stored = Cdc.chunks(corpus, "doc_id", "payload", maskBits = 6)
+      .select(col("chunk")).distinct()
+      .withColumn("chunk_hash", xxhash64(col("chunk")))
+      .cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toFile
+    tmp.deleteOnExit()
+    newDocs.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val out = graft.streaming.StreamingOps
+      .streamingCdcChunks(stream, "doc_id", "payload", stored, maskBits = 6)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Boolean)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = out.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        collected.synchronized {
+          batches += id
+          collected ++= batch.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+        }: Unit
+    }.start()
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.streaming.StreamingOps
+        .streamingCdcChunks(newDocs, "doc_id", "payload", stored, maskBits = 6)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+        .toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.exists(_._5), "planted duplicates should reuse chunks across the split")
+      assert(oneShot.exists(!_._5), "unique content should produce fresh chunks")
+    } finally {
+      q.stop()
+      stored.unpersist()
+    }
+  }
+
   test("q_cdc_chunks and q_cdc_dedup run green on the corpus") {
     val per = graft.SparkEntry.queries("q_cdc_chunks")(spark, sf0001)
     assert(per.count() > 0)

@@ -38,4 +38,40 @@ class Round12PlanSpec extends SparkSpec {
   // curate's lazy localCheckpoint, so the outer query's executed plan
   // is truncated at a LogicalRDD leaf and never shows the screen —
   // the q_lang_id pin above covers the same code path, countIn.)
+
+  test("q_waiting_suppliers scans the fact table ONCE — the single-chain " +
+      "decorrelation can't silently regress to a multi-scan form") {
+    val df = graft.SparkEntry.queries("q_waiting_suppliers")(spark, sf0001)
+    df.collect() // materialize the AQE final plan
+    // AdaptiveSparkPlan.toString prints the Initial Plan too — scope
+    // the scan count to the final section only
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val liScans = "lineitem\\.parquet".r.findAllIn(finalPlan).length
+    // a two-consumer formulation double-scanned: its branches picked
+    // up different pushed null-filters, defeating ReuseExchange —
+    // pinned here so the one-scan shape survives refactors
+    assert(liScans === 1,
+      s"expected exactly 1 lineitem scan, got $liScans:\n$finalPlan")
+  }
+
+  test("q_phash_neardup candidates stay a banded equi-join (no BNLJ, " +
+      "no cartesian) and q_cdc chunking shuffles only for aggregation") {
+    val pairs = graft.SparkEntry.queries("q_phash_neardup")(spark, sf0001)
+    pairs.collect()
+    val pp = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!pp.contains("BroadcastNestedLoopJoin") &&
+      !pp.contains("CartesianProduct"),
+      s"phash candidate join degraded from the pigeonhole equi-join:\n$pp")
+    // CDC per-doc audit: the chunker is one mapPartitions pass; the
+    // only exchange is the per-doc aggregation's
+    val chunks = graft.SparkEntry.queries("q_cdc_chunks")(spark, sf0001)
+    chunks.collect()
+    val cp = chunks.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(cp).length
+    assert(exchanges <= 1,
+      s"expected at most 1 exchange in the CDC chunk audit, got $exchanges:\n$cp")
+  }
 }

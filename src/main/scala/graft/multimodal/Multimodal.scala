@@ -275,16 +275,7 @@ object Multimodal {
     * `bit_count(xor)` projection. Never all-pairs: pair cost is
     * Σ(bucket²) over block-value buckets, the house candidate shape. */
   def dHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64)
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
-    val banded = hashes.select(col("id"), col("phash"), posexplode(
-      array((0 until blocks).map { bi =>
-        val lo = bi * width
-        val wd = if (bi == blocks - 1) 64 - lo else width
-        shiftrightunsigned(col("phash"), lo)
-          .bitwiseAND(if (wd >= 64) -1L else (1L << wd) - 1)
-      }: _*)).as(Seq("block", "block_val")))
+    val banded = dHashBlocks(hashes, maxHamming)
     banded.select(col("id").as("a"), col("phash").as("ph_a"),
         col("block"), col("block_val"))
       .join(banded.select(col("id").as("b"), col("phash").as("ph_b"),
@@ -294,6 +285,47 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** The pigeonhole banding behind [[dHashPairs]], exposed so a corpus
+    * can PERSIST its block table (the phash index): `maxHamming + 1`
+    * disjoint blocks per signature, each row carrying the signature so
+    * the Hamming verify after a block-keyed join is a projection —
+    * no signature-table join at all. */
+  def dHashBlocks(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    hashes.select(col("id"), col("phash"), posexplode(
+      array((0 until blocks).map { bi =>
+        val lo = bi * width
+        val wd = if (bi == blocks - 1) 64 - lo else width
+        shiftrightunsigned(col("phash"), lo)
+          .bitwiseAND(if (wd >= 64) -1L else (1L << wd) - 1)
+      }: _*)).as(Seq("block", "block_val")))
+  }
+
+  /** Incremental dHash near-dup against a PERSISTED block index: the
+    * ingest batch's signatures are banded fresh and equi-joined
+    * against the corpus's stored block table on (block, block_val) —
+    * the corpus pays hashing/banding once at ingest, each batch costs
+    * its own signatures plus a bucket-keyed join linear in the batch
+    * (the [[graft.operators.Dedup.simHashCrossPairs]] lifecycle on the
+    * perceptual modality). Output `(batch_id, corpus_id, hamming)`. */
+  def dHashCrossPairs(batchHashes: DataFrame, corpusBlocks: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    dHashBlocks(batchHashes, maxHamming)
+      .select(col("id").as("batch_id"), col("phash").as("ph_a"),
+        col("block"), col("block_val"))
+      .join(corpusBlocks.select(col("id").as("corpus_id"),
+        col("phash").as("ph_b"), col("block"), col("block_val")),
+        Seq("block", "block_val"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("corpus_id"),
+        col("hamming").cast("int").as("hamming"))
   }
 
   /** The pooled-pixel feature kernel shared by [[decodeImageFeatures]]

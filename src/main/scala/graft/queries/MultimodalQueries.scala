@@ -127,6 +127,28 @@ object MultimodalQueries {
         "doc_id", "payload", "text/plain"), width = 16)
       Multimodal.dHashPairs(Multimodal.dHash(media), maxHamming = 3)
     },
+    // incremental dHash against a PERSISTED block index: the corpus
+    // pays decode+hash+banding once into a bucketed block table; each
+    // ingest batch hashes itself and probes the store on
+    // (block, block_val) — near-dup IMAGES against a standing index,
+    // the perceptual twin of q_simhash_incremental_persisted
+    "q_phash_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .filter(length(encode(col("text"), "UTF-8")) > 0),
+        col("doc_id"), 12, 2)
+      def hashes(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.dHash(Multimodal.encodeGrayPng(Multimodal.asMedia(
+          df.withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/plain"), width = 16))
+      graft.sources.Sinks.writeBucketed(
+        Multimodal.dHashBlocks(hashes(docs.filter(col("split") =!= "test")),
+          maxHamming = 3),
+        "graft_corpus_phash_blocks", bucketCols = Seq("block_val"),
+        numBuckets = 8)
+      Multimodal.dHashCrossPairs(hashes(docs.filter(col("split") === "test")),
+        s.table("graft_corpus_phash_blocks"), maxHamming = 3)
+    },
     // REAL audio codec round trip: text bytes -> 16-bit PCM samples ->
     // genuine RIFF/WAVE via javax.sound.sampled -> decode -> features
     // from the decoded samples. PCM WAV is lossless, so every decoded
@@ -1021,6 +1043,35 @@ object MultimodalQueries {
        |  max(CASE WHEN blk = 3 THEN bval END) AS b3
        |FROM dbands GROUP BY 1""".stripMargin
 
+  /** Cross variant of [[phashNeardupOracle]]: batch docs (split bucket
+    * ≥ 14) probe corpus docs (< 14) — splits are disjoint, so the
+    * id-inequality guard is structural. */
+  private def phashCrossOracle(maxHamming: Int): String =
+    s"""WITH $dHashCtes,
+       |psb AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+       |      AS INTEGER) AS bkt
+       |  FROM nz),
+       |pcorp AS (
+       |  SELECT d.doc_id, d.blk, d.bval FROM dbands d
+       |  JOIN psb ON psb.doc_id = d.doc_id AND psb.bkt < 14),
+       |pbat AS (
+       |  SELECT d.doc_id, d.blk, d.bval FROM dbands d
+       |  JOIN psb ON psb.doc_id = d.doc_id AND psb.bkt >= 14),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM pbat b JOIN pcorp c ON b.blk = c.blk AND b.bval = c.bval),
+       |ham AS (
+       |  SELECT cd.batch_id, cd.corpus_id,
+       |    sum(bit_count(xor(bb.bval, cb.bval))) AS hamming
+       |  FROM cand cd
+       |  JOIN dbands bb ON bb.doc_id = cd.batch_id
+       |  JOIN dbands cb ON cb.doc_id = cd.corpus_id AND cb.blk = bb.blk
+       |  GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id, CAST(hamming AS INT) AS hamming
+       |FROM ham WHERE hamming <= $maxHamming""".stripMargin
+
   private def phashNeardupOracle(maxHamming: Int): String =
     s"""WITH $dHashCtes,
        |cand AS (
@@ -1050,6 +1101,7 @@ object MultimodalQueries {
         |WHERE octet_length(encode(text)) > 0""".stripMargin,
     "q_image_phash" -> imagePhashOracle,
     "q_phash_neardup" -> phashNeardupOracle(maxHamming = 3),
+    "q_phash_incremental_persisted" -> phashCrossOracle(maxHamming = 3),
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,

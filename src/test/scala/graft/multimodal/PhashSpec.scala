@@ -71,6 +71,21 @@ class PhashSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dHashCrossPairs: batch probes a stored block index, self-ids excluded") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val corpus = Seq(10L -> base, 11L -> (base ^ 0xf0f0L))
+      .toDF("id", "phash")
+    val batch = Seq(20L -> (base ^ 0x3L), 21L -> 0x7777777777777777L)
+      .toDF("id", "phash")
+    val blocks = Multimodal.dHashBlocks(corpus, maxHamming = 3)
+    val got = Multimodal.dHashCrossPairs(batch, blocks, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // 20 vs 10: hamming 2 (two flipped bits) — found; 20 vs 11: 2+8=10
+    // bits — out; 21 matches nothing
+    assert(got === Set((20L, 10L, 2)))
+  }
+
   test("q_image_phash and q_phash_neardup run and agree on duplicates") {
     val phash = graft.SparkEntry.queries("q_image_phash")(spark, sf0001)
     assert(phash.count() > 0)

@@ -160,6 +160,84 @@ object Clustering {
     }
   }
 
+  /** k-means|| oversampling initialization (Bahmani, Moseley, Vattani,
+    * Kumar, Vassilvitskii — VLDB 2012; public algorithm), the scale-up
+    * seeding [[trainCentroids]]' scaladoc defers to — made fully
+    * DETERMINISTIC so it oracles: the per-point coin flip compares an
+    * md5-derived uniform in [0,1) against the paper's
+    * `l · d²(x, C) / φ_X(C)` inclusion probability (RNG → content
+    * hash, the house seeded-sampling idiom; salt = the round index),
+    * the seed is the lowest-id vector, and every candidate's elements
+    * are 6-decimal-anchored the moment they become plan literals (the
+    * [[trainCentroids]] convention — both engines then score identical
+    * doubles). The cost total φ is anchored with the engine-portable
+    * `floor(x·1e6 + 0.5)/1e6` before it enters the threshold, so the
+    * summation-order noise of a distributed sum can't flip a
+    * coin-flip comparison between engines.
+    *
+    * Scale shape — the reason k-means++ can't run at 100 TB and this
+    * can: k-means++ needs k SEQUENTIAL full scans (each next seed
+    * depends on the previous). k-means|| does `rounds` scans total
+    * (rounds ≈ O(log φ) in the paper; 2 suffices in practice), each an
+    * embarrassingly parallel filter against ≤ `l·rounds + 1` broadcast
+    * centroid literals, sampling ~`l` candidates per round in
+    * expectation. Driver state is the candidate set — O(l·rounds·dim),
+    * independent of corpus size. Output: `(cand_id, weight)` — each
+    * candidate's nearest-point mass (ties toward the lower candidate
+    * id), the bounded weighted input a final local clustering consumes.
+    * Candidates themselves have d² = 0, so they can never be
+    * re-sampled — ids stay distinct with no dedup pass. */
+  def initKmeansParallel(emb: DataFrame, k: Int, rounds: Int = 2,
+      oversample: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rounds > 0)
+    val l = if (oversample > 0) oversample else 2 * k
+    // stay on the codegen-safe literal-argmin path (LiteralArgminMax);
+    // candidate counts beyond it want the broadcast-join scorer
+    require(l * rounds + 1 <= LiteralArgminMax,
+      s"l=$l rounds=$rounds exceeds the literal-argmin cap $LiteralArgminMax")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val df = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("__xx", graft.functions.VectorDot(col("e"), col("e")))
+      .cache() // scanned rounds+1 times; unpersisted below
+    try {
+      var cands: Seq[(Long, Seq[Double])] =
+        df.orderBy(col("vec_id")).limit(1).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1).map(round6)))
+      if (cands.isEmpty) return df.sparkSession.emptyDataFrame
+        .withColumn("cand_id", lit(0L)).withColumn("weight", lit(0L))
+        .select("cand_id", "weight")
+      for (r <- 0 until rounds) {
+        val minD2 = cands.map { case (_, c) =>
+          sqDistAlg(col("__xx"), col("e"), c)
+        }.reduce(least(_, _))
+        val tot = round6(df.agg(sum(minD2)).head().getDouble(0))
+        if (tot > 0) {
+          val hashFrac = conv(substring(md5(
+              concat(col("vec_id").cast("string"), lit(s":$r"))
+                .cast("binary")), 1, 8), 16, 10)
+            .cast("long") / lit(4294967296.0)
+          val sampled = df
+            .filter(hashFrac < lit(l.toDouble) * minD2 / lit(tot))
+            .select(col("vec_id"), col("e")).collect()
+          cands = (cands ++ sampled.map(row =>
+            (row.getLong(0), row.getSeq[Double](1).map(round6))))
+            .sortBy(_._1)
+        }
+      }
+      // weight = nearest-point mass per candidate, ties to the lower
+      // candidate id via struct ordering over (d², cand_id)
+      val scored = array(cands.map { case (cid, c) =>
+        struct(sqDistAlg(col("__xx"), col("e"), c).as("d2"),
+          lit(cid).as("cand_id"))
+      }: _*)
+      df.select(array_min(scored).as("__b"))
+        .groupBy(col("__b.cand_id").as("cand_id"))
+        .agg(count(lit(1)).as("weight"))
+    } finally df.unpersist()
+  }
+
   /** Assign every vector to its nearest of `k` centroids after `iters`
     * Lloyd rounds ([[trainCentroids]] + one [[assign]] pass). Returns
     * (vec_id, cluster, dist) with dist = euclidean distance to the

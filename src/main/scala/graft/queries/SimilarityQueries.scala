@@ -168,6 +168,16 @@ object SimilarityQueries {
       graft.operators.Clustering.kMeansAssign(
         table(s, dir, "embeddings"), k = 8, iters = 2)
     },
+    // k-means|| oversampling init (Bahmani et al., VLDB'12): 2 scans
+    // sample ~2l candidates by cost-proportional md5 coin flips — the
+    // k-means++ quality seed WITHOUT its k sequential passes. Output is
+    // the weighted candidate set (nearest-point mass) a final local
+    // clustering consumes; the oracle replays both rounds' coin flips
+    // and the argmin weighting exactly.
+    "q_kmeanspar_init" -> { (s, dir) =>
+      graft.operators.Clustering.initKmeansParallel(
+        table(s, dir, "embeddings"), k = 4, rounds = 2)
+    },
     // SemDeDup-style semantic dedup: cluster (trained k-means), then
     // cosine pairs within clusters only — the scale shape for
     // paraphrase-level duplicates
@@ -1178,6 +1188,59 @@ object SimilarityQueries {
         |  SELECT vec_id, cid, d,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM s2) WHERE rn = 1""".stripMargin,
+    // unrolled 2-round k-means|| replay: seed = lowest-id vector,
+    // round r samples points whose md5(':r')-derived uniform beats
+    // l·d²/φ (φ anchored floor(x·1e6+0.5)/1e6 — summation order can't
+    // flip a coin flip), candidates 6dp-anchored as they join the set;
+    // final weights = nearest-candidate mass, ties to lower cand_id
+    "q_kmeanspar_init" ->
+      s"""WITH emb0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |        list_sum(list_transform(e, x -> x * x)) AS xx
+        |      FROM emb0),
+        |k0 AS (SELECT vec_id AS cand_id,
+        |         list_transform(e, x -> round(x, 6)) AS c
+        |       FROM emb0 ORDER BY vec_id LIMIT 1),
+        |kc0 AS (SELECT cand_id, c,
+        |          list_sum(list_transform(c, x -> x * x)) AS cc
+        |        FROM k0),
+        |d0 AS (SELECT m.vec_id, min(${d2Sql("m", "c")}) AS d2
+        |       FROM m CROSS JOIN kc0 c GROUP BY 1),
+        |t0 AS (SELECT floor(sum(d2) * 1e6 + 0.5) / 1e6 AS tot FROM d0),
+        |s0 AS (SELECT d0.vec_id FROM d0, t0
+        |       WHERE ('0x' || substring(md5(d0.vec_id::VARCHAR || ':0'),
+        |                1, 8))::BIGINT / 4294967296.0
+        |             < 8.0 * d0.d2 / t0.tot),
+        |k1 AS (SELECT cand_id, c FROM k0
+        |       UNION ALL
+        |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
+        |       FROM emb0 e0 JOIN s0 ON s0.vec_id = e0.vec_id),
+        |kc1 AS (SELECT cand_id, c,
+        |          list_sum(list_transform(c, x -> x * x)) AS cc
+        |        FROM k1),
+        |d1 AS (SELECT m.vec_id, min(${d2Sql("m", "c")}) AS d2
+        |       FROM m CROSS JOIN kc1 c GROUP BY 1),
+        |t1 AS (SELECT floor(sum(d2) * 1e6 + 0.5) / 1e6 AS tot FROM d1),
+        |s1 AS (SELECT d1.vec_id FROM d1, t1
+        |       WHERE ('0x' || substring(md5(d1.vec_id::VARCHAR || ':1'),
+        |                1, 8))::BIGINT / 4294967296.0
+        |             < 8.0 * d1.d2 / t1.tot),
+        |k2 AS (SELECT cand_id, c FROM k1
+        |       UNION ALL
+        |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
+        |       FROM emb0 e0 JOIN s1 ON s1.vec_id = e0.vec_id),
+        |kc2 AS (SELECT cand_id, c,
+        |          list_sum(list_transform(c, x -> x * x)) AS cc
+        |        FROM k2),
+        |sc AS (SELECT m.vec_id, c.cand_id, ${d2Sql("m", "c")} AS d
+        |       FROM m CROSS JOIN kc2 c),
+        |aw AS (SELECT vec_id, cand_id FROM (
+        |         SELECT vec_id, cand_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY d, cand_id) AS rn
+        |         FROM sc) WHERE rn = 1)
+        |SELECT cand_id, count(*)::BIGINT AS weight FROM aw GROUP BY 1""".stripMargin,
     "q_quantize_embeddings" ->
       """WITH u AS (
         |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x

@@ -85,4 +85,26 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got(2L) === 0)
   }
+
+  test("initKmeansParallel: cost-sure outliers sampled, zero-distance " +
+      "points never resampled, weights partition the corpus") {
+    // 10 points at the seed (d² = 0 — inclusion probability exactly 0)
+    // plus one far outlier whose cost share makes l·d²/φ > 1: sampled
+    // with certainty regardless of its hash coin
+    val rows = (0L until 10L).map(i => i -> Seq(0.0, 0.0)) :+
+      (99L -> Seq(100.0, 0.0))
+    val df = emb(rows: _*)
+    val got = Clustering.initKmeansParallel(df, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(99L), s"cost-sure outlier not sampled: $got")
+    assert(got.contains(0L), s"seed missing from candidates: $got")
+    // every candidate is a distinct real id, and nearest-point mass
+    // partitions the corpus exactly
+    assert(got.keys.forall(id => (id >= 0L && id < 10L) || id == 99L))
+    assert(got.values.sum === 11L, s"weights must sum to |corpus|: $got")
+    // deterministic: a second run reproduces the exact candidate set
+    val again = Clustering.initKmeansParallel(df, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
 }

@@ -42,6 +42,16 @@ import scala.collection.concurrent.TrieMap
   */
 object MediaCodecs {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read/write on a non-file stream spills through a temp file
+  // (one create+delete per codec call — 10 per doc on the A/V
+  // pipeline, tens of thousands per query at sf0.1, and the churn
+  // degrades with filesystem state over a long bench session). All
+  // payloads here are small in-memory byte arrays, so force the
+  // memory-backed cache once per JVM — executors hit this static init
+  // the first time any codec class loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Still-image decode to 8-bit grayscale (band 0): payload →
     * (width, height, row-major samples, one Int in [0,255] per pixel). */
   trait GrayImageCodec extends Serializable {

@@ -40,6 +40,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // memory-backed ImageIO streams (see the MediaCodecs note) — set in
+  // BOTH object inits because encode closures (grayPngBytes et al.)
+  // can reach an executor without ever loading MediaCodecs
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(id: Long, media_type: String, n_bytes: Long,
       mean_byte: Double, embedding: Array[Float], codec: String)

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -286,10 +286,34 @@ object Multimodal {
       .join(banded.select(col("id").as("b"), col("phash").as("ph_b"),
         col("block"), col("block_val")), Seq("block", "block_val"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "ph_a", "ph_b").distinct()
+      // a pair agreeing on several blocks joins once per block; keep
+      // the row whose block is the LOWEST one the two signatures agree
+      // on — a pure projection on the signatures, so the dedup costs
+      // no shuffle (a distinct() here was a full exchange) and stays
+      // legal on a stream
+      .filter(col("block") ===
+        lowestMatchingBlock(col("ph_a"), col("ph_b"), maxHamming))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Lowest block index on which two signatures agree — the stateless
+    * pair-dedup key for the banded joins: every joined row agrees on
+    * its own block, so exactly the row carrying this index survives. */
+  private def lowestMatchingBlock(a: Column, b: Column,
+      maxHamming: Int): Column = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    def band(c: Column, bi: Int): Column = {
+      val lo = bi * width
+      val wd = if (bi == blocks - 1) 64 - lo else width
+      shiftrightunsigned(c, lo)
+        .bitwiseAND(if (wd >= 64) -1L else (1L << wd) - 1)
+    }
+    (0 until blocks).foldRight(lit(-1): Column) { (bi, acc) =>
+      when(band(a, bi) === band(b, bi), lit(bi)).otherwise(acc)
+    }
   }
 
   /** The pigeonhole banding behind [[dHashPairs]], exposed so a corpus
@@ -326,7 +350,11 @@ object Multimodal {
         col("phash").as("ph_b"), col("block"), col("block_val")),
         Seq("block", "block_val"))
       .filter(col("batch_id") =!= col("corpus_id"))
-      .select("batch_id", "corpus_id", "ph_a", "ph_b").distinct()
+      // stateless pair dedup (see dHashPairs) — this is also what
+      // keeps the STREAMING twin legal: a distinct() would be a
+      // stateful aggregation on an unbounded stream
+      .filter(col("block") ===
+        lowestMatchingBlock(col("ph_a"), col("ph_b"), maxHamming))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("batch_id"), col("corpus_id"),

@@ -238,6 +238,76 @@ object Clustering {
     } finally df.unpersist()
   }
 
+  /** The k-means|| FINAL step: weighted Lloyd over
+    * [[initKmeansParallel]]'s bounded candidate set, run driver-side
+    * (the paper reclusters the ~l·rounds weighted candidates locally —
+    * that is the point: the expensive scans already happened, the
+    * remaining problem is O(l·rounds) rows). Deterministic mirror of
+    * [[trainCentroids]]' conventions so the whole composition oracles:
+    * candidate vectors are 6dp-anchored, seeds are the k lowest-id
+    * weighted candidates, distances use the same algebraic
+    * `x·x − 2·x·c + ‖c‖²` (left-to-right folds — bit-identical to the
+    * oracle's list_sum), members accumulate in candidate-id order, and
+    * every updated element is round6'd. Zero-mass candidates (never
+    * the nearest to any corpus point) drop before seeding, exactly as
+    * the oracle's weight join drops them. */
+  def trainCentroidsParallel(emb: DataFrame, k: Int, iters: Int,
+      rounds: Int = 2, oversample: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    require(iters > 0)
+    val weights = initKmeansParallel(emb, k, rounds, oversample, idCol, vecCol)
+    val cand: Seq[(Long, Seq[Double], Long)] = emb
+      .select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .join(broadcast(weights), Seq("cand_id"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(round6), r.getLong(2)))
+      .sortBy(_._1)
+    if (cand.isEmpty) return Seq.empty
+    val dim = cand.head._2.size
+    var centroids: Seq[(Int, Seq[Double])] =
+      cand.take(k).zipWithIndex.map { case ((_, e, _), i) => (i, e) }
+    for (_ <- 1 until iters) {
+      val withCc = centroids.map { case (cid, c) =>
+        (cid, c, c.foldLeft(0.0)((a, x) => a + x * x))
+      }
+      val vsum = scala.collection.mutable.Map.empty[Int, Array[Double]]
+      val wsum = scala.collection.mutable.Map.empty[Int, Long]
+      cand.foreach { case (_, e, w) =>
+        val xx = e.foldLeft(0.0)((a, x) => a + x * x)
+        val best = withCc.map { case (cid, c, cc) =>
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += e(i) * c(i); i += 1 }
+          (math.max(xx - 2.0 * dot + cc, 0.0), cid)
+        }.min
+        val acc = vsum.getOrElseUpdate(best._2, new Array[Double](dim))
+        var i = 0
+        while (i < dim) { acc(i) += w.toDouble * e(i); i += 1 }
+        wsum(best._2) = wsum.getOrElse(best._2, 0L) + w
+      }
+      centroids = wsum.keys.toSeq.sorted.map { cid =>
+        (cid, vsum(cid).toSeq.map(v => round6(v / wsum(cid))))
+      }
+    }
+    centroids
+  }
+
+  /** k-means|| end to end: oversampled init, driver-local weighted
+    * Lloyd, then one distributed [[assign]] pass — the corpus is
+    * scanned `rounds + 2` times TOTAL regardless of k, vs
+    * k-means++'s k sequential scans before training even starts. */
+  def kMeansAssignParallel(emb: DataFrame, k: Int, iters: Int,
+      rounds: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroidsParallel(emb, k, iters, rounds,
+      oversample = 0, idCol, vecCol)
+    if (centroids.isEmpty)
+      return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster"),
+        lit(0.0).as("dist"))
+    assign(emb, centroids, idCol, vecCol)
+  }
+
   /** Assign every vector to its nearest of `k` centroids after `iters`
     * Lloyd rounds ([[trainCentroids]] + one [[assign]] pass). Returns
     * (vec_id, cluster, dist) with dist = euclidean distance to the

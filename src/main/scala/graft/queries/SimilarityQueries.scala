@@ -178,6 +178,15 @@ object SimilarityQueries {
       graft.operators.Clustering.initKmeansParallel(
         table(s, dir, "embeddings"), k = 4, rounds = 2)
     },
+    // k-means|| END TO END: oversampled init, driver-local weighted
+    // Lloyd over the bounded candidates, one distributed assign —
+    // rounds+2 corpus scans total vs k-means++'s k sequential ones.
+    // The oracle replays the whole composition: both coin-flip rounds,
+    // the weighted update in candidate-id order, the final assignment.
+    "q_kmeanspar_assign" -> { (s, dir) =>
+      graft.operators.Clustering.kMeansAssignParallel(
+        table(s, dir, "embeddings"), k = 4, iters = 2, rounds = 2)
+    },
     // SemDeDup-style semantic dedup: cluster (trained k-means), then
     // cosine pairs within clusters only — the scale shape for
     // paraphrase-level duplicates
@@ -505,6 +514,58 @@ object SimilarityQueries {
     * with the same left-to-right fold orders. `m` must expose (e, xx),
     * `c` must expose (c, cc). `private[queries]` so the multimodal
     * image-dedup oracle can replay the same trajectory at dim = 8. */
+  /** Shared unrolled 2-round k-means|| CTE chain (k=4, l=8 — the
+    * q_kmeanspar_* parameters): `m` (points + ‖x‖²), `kc2` (final
+    * candidate set, 6dp-anchored, with ‖c‖²), `aw` (per-point nearest
+    * candidate, ties to the lower cand_id). */
+  private def kmeansParCtes: String =
+    s"""emb0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |m AS (SELECT vec_id, e,
+      |        list_sum(list_transform(e, x -> x * x)) AS xx
+      |      FROM emb0),
+      |k0 AS (SELECT vec_id AS cand_id,
+      |         list_transform(e, x -> round(x, 6)) AS c
+      |       FROM emb0 ORDER BY vec_id LIMIT 1),
+      |kc0 AS (SELECT cand_id, c,
+      |          list_sum(list_transform(c, x -> x * x)) AS cc
+      |        FROM k0),
+      |d0 AS (SELECT m.vec_id, min(${d2Sql("m", "c")}) AS d2
+      |       FROM m CROSS JOIN kc0 c GROUP BY 1),
+      |t0 AS (SELECT floor(sum(d2) * 1e6 + 0.5) / 1e6 AS tot FROM d0),
+      |s0 AS (SELECT d0.vec_id FROM d0, t0
+      |       WHERE ('0x' || substring(md5(d0.vec_id::VARCHAR || ':0'),
+      |                1, 8))::BIGINT / 4294967296.0
+      |             < 8.0 * d0.d2 / t0.tot),
+      |k1 AS (SELECT cand_id, c FROM k0
+      |       UNION ALL
+      |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
+      |       FROM emb0 e0 JOIN s0 ON s0.vec_id = e0.vec_id),
+      |kc1 AS (SELECT cand_id, c,
+      |          list_sum(list_transform(c, x -> x * x)) AS cc
+      |        FROM k1),
+      |d1 AS (SELECT m.vec_id, min(${d2Sql("m", "c")}) AS d2
+      |       FROM m CROSS JOIN kc1 c GROUP BY 1),
+      |t1 AS (SELECT floor(sum(d2) * 1e6 + 0.5) / 1e6 AS tot FROM d1),
+      |s1 AS (SELECT d1.vec_id FROM d1, t1
+      |       WHERE ('0x' || substring(md5(d1.vec_id::VARCHAR || ':1'),
+      |                1, 8))::BIGINT / 4294967296.0
+      |             < 8.0 * d1.d2 / t1.tot),
+      |k2 AS (SELECT cand_id, c FROM k1
+      |       UNION ALL
+      |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
+      |       FROM emb0 e0 JOIN s1 ON s1.vec_id = e0.vec_id),
+      |kc2 AS (SELECT cand_id, c,
+      |          list_sum(list_transform(c, x -> x * x)) AS cc
+      |        FROM k2),
+      |sc AS (SELECT m.vec_id, c.cand_id, ${d2Sql("m", "c")} AS d
+      |       FROM m CROSS JOIN kc2 c),
+      |aw AS (SELECT vec_id, cand_id FROM (
+      |         SELECT vec_id, cand_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY d, cand_id) AS rn
+      |         FROM sc) WHERE rn = 1)""".stripMargin
+
   private[queries] def d2Sql(m: String, c: String, dim: Int = 64): String =
     s"greatest($m.xx - 2 * list_sum(list_transform(range(1, ${dim + 1}), " +
       s"i -> $m.e[i] * $c.c[i])) + $c.cc, 0)"
@@ -1194,53 +1255,43 @@ object SimilarityQueries {
     // flip a coin flip), candidates 6dp-anchored as they join the set;
     // final weights = nearest-candidate mass, ties to lower cand_id
     "q_kmeanspar_init" ->
-      s"""WITH emb0 AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |m AS (SELECT vec_id, e,
-        |        list_sum(list_transform(e, x -> x * x)) AS xx
-        |      FROM emb0),
-        |k0 AS (SELECT vec_id AS cand_id,
-        |         list_transform(e, x -> round(x, 6)) AS c
-        |       FROM emb0 ORDER BY vec_id LIMIT 1),
-        |kc0 AS (SELECT cand_id, c,
-        |          list_sum(list_transform(c, x -> x * x)) AS cc
-        |        FROM k0),
-        |d0 AS (SELECT m.vec_id, min(${d2Sql("m", "c")}) AS d2
-        |       FROM m CROSS JOIN kc0 c GROUP BY 1),
-        |t0 AS (SELECT floor(sum(d2) * 1e6 + 0.5) / 1e6 AS tot FROM d0),
-        |s0 AS (SELECT d0.vec_id FROM d0, t0
-        |       WHERE ('0x' || substring(md5(d0.vec_id::VARCHAR || ':0'),
-        |                1, 8))::BIGINT / 4294967296.0
-        |             < 8.0 * d0.d2 / t0.tot),
-        |k1 AS (SELECT cand_id, c FROM k0
-        |       UNION ALL
-        |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
-        |       FROM emb0 e0 JOIN s0 ON s0.vec_id = e0.vec_id),
-        |kc1 AS (SELECT cand_id, c,
-        |          list_sum(list_transform(c, x -> x * x)) AS cc
-        |        FROM k1),
-        |d1 AS (SELECT m.vec_id, min(${d2Sql("m", "c")}) AS d2
-        |       FROM m CROSS JOIN kc1 c GROUP BY 1),
-        |t1 AS (SELECT floor(sum(d2) * 1e6 + 0.5) / 1e6 AS tot FROM d1),
-        |s1 AS (SELECT d1.vec_id FROM d1, t1
-        |       WHERE ('0x' || substring(md5(d1.vec_id::VARCHAR || ':1'),
-        |                1, 8))::BIGINT / 4294967296.0
-        |             < 8.0 * d1.d2 / t1.tot),
-        |k2 AS (SELECT cand_id, c FROM k1
-        |       UNION ALL
-        |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
-        |       FROM emb0 e0 JOIN s1 ON s1.vec_id = e0.vec_id),
-        |kc2 AS (SELECT cand_id, c,
-        |          list_sum(list_transform(c, x -> x * x)) AS cc
-        |        FROM k2),
-        |sc AS (SELECT m.vec_id, c.cand_id, ${d2Sql("m", "c")} AS d
-        |       FROM m CROSS JOIN kc2 c),
-        |aw AS (SELECT vec_id, cand_id FROM (
-        |         SELECT vec_id, cand_id,
-        |           row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY d, cand_id) AS rn
-        |         FROM sc) WHERE rn = 1)
+      s"""WITH $kmeansParCtes
         |SELECT cand_id, count(*)::BIGINT AS weight FROM aw GROUP BY 1""".stripMargin,
+    // ...then the paper's final step: weighted Lloyd over the bounded
+    // candidate set (seeds = k lowest-id weighted candidates, member
+    // sums in candidate-id order, elements 6dp-anchored) and one
+    // distributed assignment pass
+    "q_kmeanspar_assign" ->
+      s"""WITH $kmeansParCtes,
+        |w AS (SELECT cand_id, count(*)::BIGINT AS wt FROM aw GROUP BY 1),
+        |cd AS (SELECT kc2.cand_id, kc2.c AS e, kc2.cc AS xx, w.wt
+        |       FROM kc2 JOIN w ON w.cand_id = kc2.cand_id),
+        |sd0 AS (SELECT row_number() OVER (ORDER BY cand_id) - 1 AS cid,
+        |          e AS c
+        |        FROM cd ORDER BY cand_id LIMIT 4),
+        |sd0cc AS (SELECT cid, c,
+        |            list_sum(list_transform(c, x -> x * x)) AS cc
+        |          FROM sd0),
+        |ca AS (SELECT cand_id, e, wt, cid FROM (
+        |         SELECT cd.cand_id, cd.e, cd.wt, s.cid,
+        |           row_number() OVER (PARTITION BY cd.cand_id
+        |             ORDER BY ${d2Sql("cd", "s")}, s.cid) AS rn
+        |         FROM cd CROSS JOIN sd0cc s) WHERE rn = 1),
+        |up AS (SELECT cid, r.i,
+        |         round(list_sum(list(wt * e[r.i] ORDER BY cand_id))
+        |           / sum(wt), 6) AS v
+        |       FROM ca CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |       GROUP BY 1, 2),
+        |fc AS (SELECT cid, list(v ORDER BY i) AS c FROM up GROUP BY 1),
+        |fccc AS (SELECT cid, c,
+        |           list_sum(list_transform(c, x -> x * x)) AS cc
+        |         FROM fc),
+        |fs AS (SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+        |       FROM m CROSS JOIN fccc c)
+        |SELECT vec_id, cid AS cluster, round(sqrt(d), 4) AS dist FROM (
+        |  SELECT vec_id, cid, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM fs) WHERE rn = 1""".stripMargin,
     "q_quantize_embeddings" ->
       """WITH u AS (
         |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x

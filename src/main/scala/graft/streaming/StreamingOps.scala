@@ -916,6 +916,28 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming twin of the perceptual-hash index probe
+    * ([[graft.multimodal.Multimodal.dHashCrossPairs]] /
+    * q_phash_incremental_persisted): each arriving `(id, payload)`
+    * image hashes STATELESSLY (registry decode → dHash — a pure
+    * projection, no state store) and its pigeonhole bands probe the
+    * STATIC persisted block table via a stream-static equi-join on
+    * (block, block_val); the Hamming verify is a projection over the
+    * signatures both sides carry. Output: one row per (new image,
+    * stored near-dup) pair within `maxHamming` — continuous-ingest
+    * image dedup against a standing index. Per-trigger `dropDuplicates`
+    * inside a batch is the caller's composition; across triggers the
+    * pair stream is append-only and micro-batch invariant because
+    * nothing here holds state. */
+  def streamingDHashPairs(stream: DataFrame, idCol: String,
+      payloadCol: String, mediaType: String, corpusBlocks: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.multimodal.Multimodal
+    val hashes = Multimodal.dHash(
+      Multimodal.asMedia(stream, idCol, payloadCol, mediaType))
+    Multimodal.dHashCrossPairs(hashes, corpusBlocks, maxHamming)
+  }
+
   /** Streaming twin of the CDC chunk-store probe
     * ([[graft.operators.Cdc]] / q_cdc_incremental_persisted): each
     * arriving `(id, payload)` row chunks STATELESSLY (gear cuts are

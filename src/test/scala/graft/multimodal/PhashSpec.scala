@@ -86,6 +86,51 @@ class PhashSpec extends SparkSpec {
     assert(got === Set((20L, 10L, 2)))
   }
 
+  test("streaming dHash probe: union over micro-batches == one-shot batch") {
+    import org.apache.spark.sql.functions.{length => slen}
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .filter(slen(encode(col("text"), "UTF-8")) > 0)
+    def media(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.encodeGrayPng(Multimodal.asMedia(
+        df.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain"), width = 16)
+    val corpusBlocks = Multimodal.dHashBlocks(
+      Multimodal.dHash(media(docs.filter(col("doc_id") % 2 === 0))),
+      maxHamming = 3).cache()
+    // the stream carries already-encoded PNG payloads (media rows)
+    val newMedia = media(docs.filter(col("doc_id") % 2 === 1)).toDF()
+      .select(col("id").as("doc_id"), col("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phash_stream").toFile
+    tmp.deleteOnExit()
+    newMedia.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(newMedia.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.getAbsolutePath)
+    val out = graft.streaming.StreamingOps.streamingDHashPairs(
+      stream, "doc_id", "payload", "image/png", corpusBlocks)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = out.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        collected.synchronized {
+          batches += id
+          collected ++= batch.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2)))
+        }: Unit
+    }.start()
+    try {
+      q.processAllAvailable()
+      val oneShot = graft.streaming.StreamingOps.streamingDHashPairs(
+          newMedia, "doc_id", "payload", "image/png", corpusBlocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batches.distinct.size > 1, "expected multiple micro-batches")
+      assert(collected.toSet === oneShot)
+      assert(oneShot.nonEmpty, "planted duplicates should pair across the split")
+    } finally {
+      q.stop()
+      corpusBlocks.unpersist()
+    }
+  }
+
   test("q_image_phash and q_phash_neardup run and agree on duplicates") {
     val phash = graft.SparkEntry.queries("q_image_phash")(spark, sf0001)
     assert(phash.count() > 0)

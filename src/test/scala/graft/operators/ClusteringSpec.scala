@@ -107,4 +107,24 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === got)
   }
+
+  test("kMeansAssignParallel: separable blobs land in distinct clusters, " +
+      "every point assigned, deterministic") {
+    // two far blobs; the || init must land candidates in both (the far
+    // blob's cost share forces inclusion), so the weighted local Lloyd
+    // separates them regardless of seed ids
+    val rows = (0L until 8L).map(i => i -> Seq(0.0 + 0.01 * i, 0.0)) ++
+      (10L until 18L).map(i => i -> Seq(50.0 + 0.01 * i, 0.0))
+    val df = emb(rows: _*)
+    val got = Clustering.kMeansAssignParallel(df, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.size === 16, "every point assigned")
+    val blobA = (0L until 8L).map(got).toSet
+    val blobB = (10L until 18L).map(got).toSet
+    assert(blobA.size === 1 && blobB.size === 1 && blobA != blobB,
+      s"blobs not separated: $got")
+    val again = Clustering.kMeansAssignParallel(df, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(again === got)
+  }
 }

@@ -600,6 +600,15 @@ object ScaleProbe {
             "doc_id", "payload", maskBits = 6))
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"kmeanspar_assign_${n}x") {
+        // rounds+2 full scans against broadcast candidate literals,
+        // driver work O(l·rounds·dim) — the slope must track the scan,
+        // not the candidate count (which is corpus-independent)
+        val embN = amplify(spark.read.parquet(s"$dir/embeddings.parquet"),
+          Seq("vec_id"), n)
+        operators.Clustering.kMeansAssignParallel(embN, k = 4, iters = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"phash_pairs_${n}x") {
         // dHash is a per-payload projection; the pair stage is the
         // pigeonhole banded equi-join. Amplification copies every

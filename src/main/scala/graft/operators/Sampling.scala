@@ -104,6 +104,33 @@ object Sampling {
       scale: Double): DataFrame =
     df.filter(hashUniform(key) < least(lit(1.0), weight.cast("double") * scale))
 
+  /** EXACT-size weighted sample without replacement (Efraimidis &
+    * Spirakis' A-ES priorities — public algorithm), deterministic: each
+    * row's priority is `ln(u)/w` with `u` an md5-derived uniform in
+    * (0, 1) (the `+0.5` offset keeps u strictly positive, so ln is
+    * finite), and the `n` LARGEST priorities win — distributionally
+    * the weighted without-replacement draw, where [[weightedSampleByHash]]
+    * only hits the target size in expectation. Priorities are anchored
+    * `floor(x·1e6 + 0.5)/1e6` (the portable idiom — ln may differ by an
+    * ulp across libm implementations) with the key as tiebreak, so the
+    * sample is a pure function of (keys, weights, salt).
+    *
+    * Scale shape: one codegen'd projection + TakeOrderedAndProject —
+    * no shuffle, no state, driver receives exactly n rows. Output
+    * carries the priority in `es_priority`. */
+  def weightedSampleExact(df: DataFrame, key: Column, weight: Column,
+      n: Int, salt: String = "es"): DataFrame = {
+    require(n > 0)
+    val u = (conv(substring(md5(
+        concat(key.cast("string"), lit(":" + salt)).cast("binary")),
+        1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    df.withColumn("es_priority",
+        floor(log(u) / weight.cast("double") * 1e6 + 0.5) / 1e6)
+      .orderBy(desc("es_priority"), key.asc)
+      .limit(n)
+  }
+
   /** Exactly-k-per-group deterministic sample: the k rows whose
     * `md5(key)` sorts lowest within each group — a uniform
     * without-replacement sample whose membership is a pure function of

@@ -108,6 +108,17 @@ object StatsQueries {
           sum(col("n_chars")).as("kept_chars"))
     },
 
+    // EXACT-size length-weighted sample without replacement (A-ES
+    // priorities): the 100 largest ln(u)/w — where weightedSampleByHash
+    // only hits its size in expectation, this draws exactly n. One
+    // projection + TakeOrdered, no shuffle.
+    "q_weighted_sample_exact" -> { (s, dir) =>
+      Sampling.weightedSampleExact(
+          table(s, dir, "documents").filter(col("n_chars") > 0),
+          col("doc_id"), col("n_chars"), n = 100)
+        .select(col("doc_id"), col("n_chars"), col("es_priority"))
+    },
+
     // datasketches heavy-hitters (Spark 4's approx_top_k): frequent
     // items in one pass + bounded memory. The test vocabulary is far
     // below the sketch's maxItemsTracked, so counts are EXACT here and
@@ -387,6 +398,14 @@ object StatsQueries {
         |        / 4294967296.0
         |      < least(1.0, n_chars * 0.00125)
         |GROUP BY 1""".stripMargin,
+    "q_weighted_sample_exact" ->
+      """SELECT doc_id, n_chars,
+        |  floor(ln((('0x' || substring(md5(doc_id::VARCHAR || ':es'),
+        |               1, 8))::BIGINT + 0.5) / 4294967296.0)
+        |        / n_chars * 1e6 + 0.5) / 1e6 AS es_priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY es_priority DESC, doc_id
+        |LIMIT 100""".stripMargin,
     "q_approx_top_words" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word

@@ -70,6 +70,22 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(again === kept)                           // content-hash determinism
   }
 
+  test("weightedSampleExact: exactly n rows, heavy rows overrepresented, " +
+      "deterministic, partitioning-invariant") {
+    // 100 light rows (w=1) + 100 heavy rows (w=100): A-ES priorities
+    // ln(u)/w concentrate the top-n heavily on the big weights
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 1L else 100L))
+      .toDF("id", "w")
+    val top = Sampling.weightedSampleExact(df, col("id"), col("w"), n = 50)
+    val ids = top.select("id").as[Long].collect()
+    assert(ids.length === 50, "exact sample size")
+    assert(ids.count(_ > 100) > 40,
+      s"heavy rows must dominate a 100:1 weighted draw: ${ids.count(_ > 100)}")
+    val again = Sampling.weightedSampleExact(df.repartition(13),
+      col("id"), col("w"), n = 50).select("id").as[Long].collect()
+    assert(again.toSeq === ids.toSeq, "pure function of (keys, weights)")
+  }
+
   test("bottomKPerGroup: exactly k per group, deterministic, group-limit plan") {
     val df = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val out = Sampling.bottomKPerGroup(df, col("g"), col("id"), 7)

@@ -609,6 +609,17 @@ object ScaleProbe {
         operators.Clustering.kMeansAssignParallel(embN, k = 4, iters = 2)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"kmeanspar_wide_${n}x") {
+        // k=64 (l=128): every init round scores via the broadcast-join
+        // min-aggregate — per round, one broadcast of O(cands·dim)
+        // literals and ONE map-side-combined shuffle of |rows| compact
+        // rows; candidate count is corpus-independent, so the slope
+        // must track the scan+shuffle, not k
+        val embN = amplify(spark.read.parquet(s"$dir/embeddings.parquet"),
+          Seq("vec_id"), n)
+        operators.Clustering.kMeansAssignParallel(embN, k = 64, iters = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"phash_pairs_${n}x") {
         // dHash is a per-payload projection; the pair stage is the
         // pigeonhole banded equi-join. Amplification copies every

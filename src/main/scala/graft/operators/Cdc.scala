@@ -25,12 +25,18 @@ import org.apache.spark.sql.functions._
   * would only see the trailing `maskBits` bytes) — expected chunk
   * length 2^maskBits bytes.
   *
-  * Boundaries are pure functions of content with NO min/max clamping:
-  * clamping makes each cut depend on the previous one (sequential
-  * state, not oracle-replayable set-based) and loses the
-  * offset-independence that makes CDC dedup work. A production corpus
-  * with adversarial low-entropy runs would add an executor-side
-  * max-size backstop; that is a guard, not a semantic.
+  * [[chunks]]' boundaries are pure functions of content with NO
+  * min/max clamping: clamping makes each cut depend on the previous
+  * one (sequential state, replayable only by recursion) and weakens
+  * the offset-independence that makes CDC dedup work. [[chunksClamped]]
+  * is the production backstop variant: the SAME continuous gear hash
+  * (so the mask-hit candidate set is identical to the unclamped one),
+  * with a cut accepted only at chunk length ≥ `minLen` and FORCED at
+  * `maxLen` — under adversarial low-entropy payloads (megabytes with
+  * no mask hit) chunk rows stay bounded at `maxLen`, and wherever the
+  * unclamped cut spacing already lies within [minLen, maxLen] the two
+  * variants cut identically. The clamp is a guard, not a semantic —
+  * the unclamped form stays the oracled reference.
   *
   * Scale shape: chunking is one `mapPartitions` pass per payload — no
   * shuffle, no state; the dedup stage groups by chunk content — one
@@ -60,6 +66,55 @@ object Cdc {
     buf.toArray
   }
 
+  /** [[cutEnds]] with the production clamp: the SAME continuous gear
+    * hash (the candidate set is exactly the unclamped one), but a
+    * mask hit only cuts at chunk length ≥ `minLen`, and a cut is
+    * FORCED at length `maxLen` whether or not the hash hits. Chunk
+    * sizes are therefore ≤ maxLen by construction (the adversarial
+    * constant-byte backstop), and identical to the unclamped cuts
+    * wherever those already space within [minLen, maxLen]. Forced
+    * cuts are offset-dependent (they chain from the previous cut),
+    * but the next in-bounds mask hit re-anchors the sequence to
+    * content — the re-synchronization property survives the clamp. */
+  private[graft] def clampedCutEnds(payload: Array[Byte], maskBits: Int,
+      minLen: Int, maxLen: Int): Array[Int] = {
+    require(maskBits >= 1 && maskBits <= 31)
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got [$minLen, $maxLen]")
+    val mask = (((1L << maskBits) - 1) << (32 - maskBits)).toInt
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0
+    var i = 0
+    var start = 0
+    while (i < payload.length) {
+      h = h * 2 + gear(payload(i) & 0xff)
+      val len = i - start + 1
+      if (((h & mask) == 0 && len >= minLen) || len >= maxLen) {
+        buf += i
+        start = i + 1
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+
+  /** One row per chunk given the cut-end positions: the final chunk
+    * always ends at the last byte; empty payloads emit no rows. */
+  private def sliceRows(id: Long, p: Array[Byte],
+      ends: Array[Int]): Iterator[(Long, Int, Int, Int, Array[Byte])] = {
+    val allEnds =
+      if (p.isEmpty) Array.empty[Int]
+      else if (ends.nonEmpty && ends.last == p.length - 1) ends
+      else ends :+ (p.length - 1)
+    var start = 0
+    allEnds.iterator.zipWithIndex.map { case (end, idx) =>
+      val slice = java.util.Arrays.copyOfRange(p, start, end + 1)
+      val r = (id, idx, start, end - start + 1, slice)
+      start = end + 1
+      r
+    }
+  }
+
   /** Split each payload into content-defined chunks. Output one row
     * per chunk: `(id, chunk_idx, offset, length, chunk)` — `chunk` is
     * the raw byte slice, the groupBy key for cross-corpus dedup. The
@@ -75,18 +130,30 @@ object Cdc {
     src.mapPartitions { it =>
       it.flatMap { case (id, payload) =>
         val p = if (payload == null) Array.empty[Byte] else payload
-        val ends = cutEnds(p, maskBits)
-        val allEnds =
-          if (p.isEmpty) Array.empty[Int]
-          else if (ends.nonEmpty && ends.last == p.length - 1) ends
-          else ends :+ (p.length - 1)
-        var start = 0
-        allEnds.iterator.zipWithIndex.map { case (end, idx) =>
-          val slice = java.util.Arrays.copyOfRange(p, start, end + 1)
-          val r = (id, idx, start, end - start + 1, slice)
-          start = end + 1
-          r
-        }
+        sliceRows(id, p, cutEnds(p, maskBits))
+      }
+    }.toDF("id", "chunk_idx", "offset", "length", "chunk")
+  }
+
+  /** [[chunks]] with the [[clampedCutEnds]] production backstop: same
+    * output shape, chunk length ≤ `maxLen` GUARANTEED (so an
+    * adversarial low-entropy payload — megabytes with no mask hit —
+    * cannot produce an unbounded chunk row), mask hits under `minLen`
+    * skipped. `maxLen = 0` (the default) means `4 · 2^maskBits` —
+    * four times the expected chunk size, the classic FastCDC-style
+    * bound. Still one mapPartitions pass, no shuffle, no state. */
+  def chunksClamped(df: DataFrame, idCol: String, payloadCol: String,
+      maskBits: Int = 6, minLen: Int = 1, maxLen: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mx = if (maxLen > 0) maxLen else 4 << maskBits
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val p = if (payload == null) Array.empty[Byte] else payload
+        sliceRows(id, p, clampedCutEnds(p, maskBits, minLen, mx))
       }
     }.toDF("id", "chunk_idx", "offset", "length", "chunk")
   }

@@ -99,6 +99,50 @@ object Clustering {
     }
   }
 
+  /** [[bestCentroid]]'s twin for the k-means|| CANDIDATE set (Long ids
+    * = source vec_ids, not dense cluster ids): per-row argmin over the
+    * current candidates as `(vec_id, e, best{d2, cand_id})`, given a
+    * frame already prepped with (vec_id, e, __xx) — the init loop
+    * caches that prep once and scans it every round. Same two paths as
+    * [[bestCentroid]] keyed on the ACTUAL candidate count (the
+    * per-point Bernoulli draws make each round's sample size
+    * data-dependent, so the path decision must be per-round, not a
+    * one-shot precondition): ≤ [[LiteralArgminMax]] candidates score as
+    * one codegen'd literal argmin; above it, a broadcast candidates
+    * table + `min(struct(d2, cand_id, e))` aggregation — one
+    * map-side-combined shuffle of |rows| compact rows per round, the
+    * shape that lets init seed real IVF cell counts (k ≥ 64). Both
+    * paths evaluate the identical [[sqDistAlg]] quantity, so the
+    * sampled trajectory (and the oracle) is path-independent. */
+  private def bestCandidate(prepped: DataFrame,
+      cands: Seq[(Long, Seq[Double])]): DataFrame = {
+    if (cands.size <= LiteralArgminMax) {
+      val scored = array(cands.map { case (cid, c) =>
+        struct(sqDistAlg(col("__xx"), col("e"), c).as("d2"),
+          lit(cid).as("cand_id"))
+      }: _*)
+      prepped.select(col("vec_id"), col("e"), array_min(scored).as("best"))
+    } else {
+      val spark = prepped.sparkSession
+      import spark.implicits._
+      val cand = cands.map { case (cid, c) =>
+        (cid, c, c.foldLeft(0.0)((acc, x) => acc + x * x))
+      }.toDF("__cid", "__c", "__cc")
+      val d2 = greatest(col("__xx") -
+        lit(2.0) * graft.functions.VectorDot(col("e"), col("__c")) +
+        col("__cc"), lit(0.0))
+      // cand_id is unique, so the trailing e field never decides the
+      // min — it rides along to spare a second join back to the vector
+      prepped.crossJoin(broadcast(cand))
+        .select(col("vec_id"),
+          struct(d2.as("d2"), col("__cid").as("cand_id"), col("e").as("e")).as("__s"))
+        .groupBy("vec_id")
+        .agg(min(col("__s")).as("__m"))
+        .select(col("vec_id"), col("__m.e").as("e"),
+          struct(col("__m.d2").as("d2"), col("__m.cand_id").as("cand_id")).as("best"))
+    }
+  }
+
   /** The per-row argmin projection over a fixed centroid set — k
     * distances per row as broadcast literals, no row multiplication, no
     * shuffle; ties break toward the lower cid via struct ordering over
@@ -178,11 +222,19 @@ object Clustering {
     * Scale shape — the reason k-means++ can't run at 100 TB and this
     * can: k-means++ needs k SEQUENTIAL full scans (each next seed
     * depends on the previous). k-means|| does `rounds` scans total
-    * (rounds ≈ O(log φ) in the paper; 2 suffices in practice), each an
-    * embarrassingly parallel filter against ≤ `l·rounds + 1` broadcast
-    * centroid literals, sampling ~`l` candidates per round in
-    * expectation. Driver state is the candidate set — O(l·rounds·dim),
-    * independent of corpus size. Output: `(cand_id, weight)` — each
+    * (rounds ≈ O(log φ) in the paper; 2 suffices in practice), each a
+    * parallel min-distance pass against the current candidates,
+    * sampling ~`l` candidates per round in expectation. Driver state
+    * is the candidate set — O(l·rounds·dim), independent of corpus
+    * size. Scoring routes through [[bestCandidate]], which picks the
+    * codegen'd literal argmin or the broadcast-join min-aggregate by
+    * the ACTUAL candidate count each round (the Bernoulli sample size
+    * is data-dependent — skewed cost mass or sure-inclusion points
+    * with l·d²/φ ≥ 1 can push a round past its ~l expectation — so no
+    * upfront `l·rounds` precondition can stand in for the per-round
+    * check), which is what lets init seed real IVF cell counts
+    * (k ≥ 64, the SemDeDup k≈√n regime) instead of capping at the
+    * 32-literal codegen limit. Output: `(cand_id, weight)` — each
     * candidate's nearest-point mass (ties toward the lower candidate
     * id), the bounded weighted input a final local clustering consumes.
     * Candidates themselves have d² = 0, so they can never be
@@ -192,10 +244,6 @@ object Clustering {
       vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && rounds > 0)
     val l = if (oversample > 0) oversample else 2 * k
-    // stay on the codegen-safe literal-argmin path (LiteralArgminMax);
-    // candidate counts beyond it want the broadcast-join scorer
-    require(l * rounds + 1 <= LiteralArgminMax,
-      s"l=$l rounds=$rounds exceeds the literal-argmin cap $LiteralArgminMax")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val df = emb.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("e"))
@@ -209,31 +257,35 @@ object Clustering {
         .withColumn("cand_id", lit(0L)).withColumn("weight", lit(0L))
         .select("cand_id", "weight")
       for (r <- 0 until rounds) {
-        val minD2 = cands.map { case (_, c) =>
-          sqDistAlg(col("__xx"), col("e"), c)
-        }.reduce(least(_, _))
-        val tot = round6(df.agg(sum(minD2)).head().getDouble(0))
-        if (tot > 0) {
-          val hashFrac = conv(substring(md5(
-              concat(col("vec_id").cast("string"), lit(s":$r"))
-                .cast("binary")), 1, 8), 16, 10)
-            .cast("long") / lit(4294967296.0)
-          val sampled = df
-            .filter(hashFrac < lit(l.toDouble) * minD2 / lit(tot))
-            .select(col("vec_id"), col("e")).collect()
-          cands = (cands ++ sampled.map(row =>
-            (row.getLong(0), row.getSeq[Double](1).map(round6))))
-            .sortBy(_._1)
-        }
+        // the round's min-distance frame is consumed twice (φ total,
+        // then the coin-flip filter); on the join path that is a full
+        // broadcast-join + shuffle per consumption, so pin it for the
+        // round — on the literal path recomputing the projection over
+        // the cached df is cheaper than a second materialization
+        val joinPath = cands.size > LiteralArgminMax
+        val md2Raw = bestCandidate(df, cands)
+          .select(col("vec_id"), col("e"), col("best.d2").as("__md2"))
+        val md2 = if (joinPath) md2Raw.persist() else md2Raw
+        try {
+          val tot = round6(md2.agg(sum(col("__md2"))).head().getDouble(0))
+          if (tot > 0) {
+            val hashFrac = conv(substring(md5(
+                concat(col("vec_id").cast("string"), lit(s":$r"))
+                  .cast("binary")), 1, 8), 16, 10)
+              .cast("long") / lit(4294967296.0)
+            val sampled = md2
+              .filter(hashFrac < lit(l.toDouble) * col("__md2") / lit(tot))
+              .select(col("vec_id"), col("e")).collect()
+            cands = (cands ++ sampled.map(row =>
+              (row.getLong(0), row.getSeq[Double](1).map(round6))))
+              .sortBy(_._1)
+          }
+        } finally if (joinPath) md2.unpersist()
       }
       // weight = nearest-point mass per candidate, ties to the lower
       // candidate id via struct ordering over (d², cand_id)
-      val scored = array(cands.map { case (cid, c) =>
-        struct(sqDistAlg(col("__xx"), col("e"), c).as("d2"),
-          lit(cid).as("cand_id"))
-      }: _*)
-      df.select(array_min(scored).as("__b"))
-        .groupBy(col("__b.cand_id").as("cand_id"))
+      bestCandidate(df, cands)
+        .groupBy(col("best.cand_id").as("cand_id"))
         .agg(count(lit(1)).as("weight"))
     } finally df.unpersist()
   }

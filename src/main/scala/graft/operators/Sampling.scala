@@ -115,9 +115,18 @@ object Sampling {
     * ulp across libm implementations) with the key as tiebreak, so the
     * sample is a pure function of (keys, weights, salt).
     *
+    * A-ES is defined over strictly positive weights (`ln(u)/0` is
+    * −∞; a NEGATIVE weight flips ln(u) positive and would
+    * deterministically dominate the top-n — silently wrong, not just
+    * degenerate), so non-positive-weight rows are dropped up front:
+    * P(draw) ∝ w means w ≤ 0 rows are unsampleable by definition, and
+    * an explicit filter beats both a silent wrong answer and a
+    * data-dependent runtime failure.
+    *
     * Scale shape: one codegen'd projection + TakeOrderedAndProject —
-    * no shuffle, no state, driver receives exactly n rows. Output
-    * carries the priority in `es_priority`. */
+    * no full shuffle: each partition locally top-n's, then up to n rows
+    * PER PARTITION converge on the single take-ordered reducer, which
+    * emits the final n. Output carries the priority in `es_priority`. */
   def weightedSampleExact(df: DataFrame, key: Column, weight: Column,
       n: Int, salt: String = "es"): DataFrame = {
     require(n > 0)
@@ -125,7 +134,8 @@ object Sampling {
         concat(key.cast("string"), lit(":" + salt)).cast("binary")),
         1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
       lit(4294967296.0)
-    df.withColumn("es_priority",
+    df.filter(weight.cast("double") > 0)
+      .withColumn("es_priority",
         floor(log(u) / weight.cast("double") * 1e6 + 0.5) / 1e6)
       .orderBy(desc("es_priority"), key.asc)
       .limit(n)

@@ -610,6 +610,26 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_chunks"), col("max_len"),
           col("min_len"))
     },
+    // the clamped production backstop (round 13): SAME continuous gear
+    // hash — so the mask-hit candidate set is identical — but cuts
+    // under minLen are skipped and a cut is FORCED at maxLen, bounding
+    // every chunk row even on adversarial low-entropy payloads. The
+    // sequential dependence (each cut chains from the previous) is
+    // replayed by a recursive CTE over the SET-BASED candidate
+    // positions: recursion only walks the cut chain, never re-hashes.
+    "q_cdc_clamped" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      graft.operators.Cdc.chunksClamped(
+          nz.withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", maskBits = 6, minLen = 32, maxLen = 128)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("length")).cast("long").as("max_len"),
+          min(col("length")).cast("long").as("min_len"))
+        .select(col("id").as("doc_id"), col("n_chunks"), col("max_len"),
+          col("min_len"))
+    },
     // storage-level dedup audit: group chunks by CONTENT across the
     // whole corpus — the byte-range dedup a chunk store achieves,
     // catching shared spans exact doc-level dedup can't see
@@ -676,19 +696,32 @@ object DedupQueries {
       |        FROM documents)),
       |e AS (SELECT doc_id, unnest(sh) AS s FROM t)""".stripMargin
 
+  /** The band-explode candidate CTEs shared by the minhash oracles:
+    * one row per (doc, band) keyed on the aligned signature slice,
+    * then a (band, key) EQUI-JOIN — the engine's own candidate shape.
+    * Round 13 replaced the previous all-pairs OR-of-32-slices form,
+    * which allocated two list slices per band per PAIR (9× slower
+    * measured at sf0.01); the candidate set is provably identical
+    * (pair survives iff SOME band slice matches, in both forms). */
+  private def minHashBandCtes(k: Int, bands: Int): String = {
+    val r = k / bands
+    s"""bnd AS (
+       |  SELECT doc_id, bi, sig[bi * $r + 1 : bi * $r + $r] AS bk
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS bi) bix),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+       |  FROM bnd ba JOIN bnd bb
+       |    ON ba.bi = bb.bi AND ba.bk = bb.bk AND ba.doc_id < bb.doc_id)""".stripMargin
+  }
+
   /** DuckDB replay of [[Dedup.minHashLshPairs]]: identical signatures
     * (same md5 base hash, same mod-P coefficients embedded as literals),
-    * banding as OR'd aligned slice equality (the semantic form of the
-    * engine's concatenated-band-key equi-join), then the same
-    * signature-agreement verify. */
+    * banding as the (band, slice-key) equi-join ([[minHashBandCtes]] —
+    * the same shape as the engine's concatenated-band-key join), then
+    * the same signature-agreement verify. */
   private def minHashLshOracle(k: Int, bands: Int, threshold: Double): String = {
     import graft.functions.MinHashAgg
     val p = MinHashAgg.P
-    val r = k / bands
-    val bandCond = (0 until bands).map { bi =>
-      val lo = bi * r + 1
-      s"sa.sig[$lo:${lo + r - 1}] = sb.sig[$lo:${lo + r - 1}]"
-    }.mkString("(", "\n      OR ", ")")
     s"""WITH $shingleCtes,
        |hb AS (SELECT doc_id,
        |         ('0x' || substring(md5(s), 1, 15))::BIGINT % $p AS hm
@@ -701,9 +734,7 @@ object DedupQueries {
        |       CROSS JOIN (SELECT unnest(range(0, $k)) AS i) r
        |  GROUP BY doc_id, r.i),
        |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sr GROUP BY doc_id),
-       |cand AS (
-       |  SELECT sa.doc_id AS a, sb.doc_id AS b
-       |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND $bandCond),
+       |${minHashBandCtes(k, bands)},
        |scored AS (
        |  SELECT c.a, c.b,
        |    len(list_filter(range(1, ${k + 1}),
@@ -723,11 +754,6 @@ object DedupQueries {
       threshold: Double): String = {
     import graft.functions.MinHashAgg
     val p = MinHashAgg.P
-    val r = k / bands
-    val bandCond = (0 until bands).map { bi =>
-      val lo = bi * r + 1
-      s"sa.sig[$lo:${lo + r - 1}] = sb.sig[$lo:${lo + r - 1}]"
-    }.mkString("(", "\n      OR ", ")")
     s"""WITH $shingleCtes,
        |hb AS (SELECT doc_id,
        |         ('0x' || substring(md5(s), 1, 15))::BIGINT % $p AS hm
@@ -740,9 +766,7 @@ object DedupQueries {
        |       CROSS JOIN (SELECT unnest(range(0, $k)) AS i) r
        |  GROUP BY doc_id, r.i),
        |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sr GROUP BY doc_id),
-       |cand AS (
-       |  SELECT sa.doc_id AS a, sb.doc_id AS b
-       |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND $bandCond),
+       |${minHashBandCtes(k, bands)},
        |lsh AS (
        |  SELECT c.a, c.b
        |  FROM cand c
@@ -802,10 +826,6 @@ object DedupQueries {
     import graft.functions.MinHashAgg
     val p = MinHashAgg.P
     val r = k / bands
-    val bandCond = (0 until bands).map { bi =>
-      val lo = bi * r + 1
-      s"sa.sig[$lo:${lo + r - 1}] = sb.sig[$lo:${lo + r - 1}]"
-    }.mkString("(", "\n      OR ", ")")
     s"""WITH src AS (
        |  SELECT doc_id, text,
        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) AS bkt
@@ -831,11 +851,14 @@ object DedupQueries {
        |  GROUP BY doc_id, bkt, r.i),
        |sig AS (SELECT doc_id, bkt, list(v ORDER BY i) AS sig
        |        FROM sr GROUP BY doc_id, bkt),
+       |bnd AS (
+       |  SELECT doc_id, bkt, bi, sig[bi * $r + 1 : bi * $r + $r] AS bk
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS bi) bix),
        |cand AS (
-       |  SELECT sa.doc_id AS batch_id, sb.doc_id AS corpus_id
-       |  FROM sig sa JOIN sig sb
-       |    ON sa.bkt >= 14 AND sb.bkt < 14 AND sa.doc_id <> sb.doc_id
-       |   AND $bandCond),
+       |  SELECT DISTINCT ba.doc_id AS batch_id, bb.doc_id AS corpus_id
+       |  FROM bnd ba JOIN bnd bb
+       |    ON ba.bi = bb.bi AND ba.bk = bb.bk
+       |   AND ba.bkt >= 14 AND bb.bkt < 14 AND ba.doc_id <> bb.doc_id),
        |scored AS (
        |  SELECT c.batch_id, c.corpus_id,
        |    len(list_filter(range(1, ${k + 1}),
@@ -1851,6 +1874,31 @@ object DedupQueries {
         |  max(e - s + 1)::BIGINT AS max_len,
         |  min(e - s + 1)::BIGINT AS min_len
         |FROM cch GROUP BY 1""".stripMargin,
+    // clamped-CDC replay: the candidate positions stay SET-BASED (the
+    // shared gear-scatter CTEs); only the cut CHAIN recurses — next
+    // cut from previous end e is least(first candidate ≥ e+minLen,
+    // forced e+maxLen, final len−1), exactly Cdc.clampedCutEnds' loop
+    "q_cdc_clamped" ->
+      s"""WITH RECURSIVE $cdcCtes,
+        |cand AS (SELECT doc_id, i FROM ch WHERE hv < (1::BIGINT << 26)),
+        |cuts AS (
+        |  SELECT doc_id, CAST(-1 AS BIGINT) AS e, len FROM nz
+        |  UNION ALL
+        |  SELECT c.doc_id,
+        |    CAST(least(coalesce((SELECT min(a.i) FROM cand a
+        |        WHERE a.doc_id = c.doc_id AND a.i >= c.e + 32),
+        |        4611686018427387904),
+        |      c.e + 128, c.len - 1) AS BIGINT) AS e,
+        |    c.len
+        |  FROM cuts c WHERE c.e < c.len - 1),
+        |cspans AS (
+        |  SELECT doc_id, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS s
+        |  FROM cuts WHERE e >= 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  max(e - s + 1)::BIGINT AS max_len,
+        |  min(e - s + 1)::BIGINT AS min_len
+        |FROM cspans GROUP BY 1""".stripMargin,
     "q_cdc_dedup" ->
       s"""WITH $cdcCtes,
         |per AS (
@@ -1900,7 +1948,18 @@ object DedupQueries {
     * (hv < 2^26); chunk spans (`cch`: doc_id, s, e) come from lag()
     * over the cut set plus the forced final end. The gear table is
     * embedded verbatim from the Scala constant, so both engines hash
-    * bit-identically. */
+    * bit-identically.
+    *
+    * ASCII-CORPUS INVARIANT: the engine hashes UTF-8 BYTES while this
+    * replay indexes CHARACTERS (`unicode(text[i])` over
+    * `range(octet_length)`) — equivalent iff every document is pure
+    * ASCII (one byte per char, codepoint == byte value). A single
+    * multi-byte character would misalign every subsequent position and
+    * diverge the CDC and dHash query families at once. The synthetic
+    * corpus satisfies this by construction and Round13Spec ASSERTS it
+    * per scale factor (the same convention the multimodal byte-replay
+    * oracles rely on); a non-ASCII corpus would need the oracle to
+    * index `encode(text)` blob bytes instead. */
   private lazy val cdcCtes: String =
     s"""gear(b, g) AS (VALUES
       |    ${graft.operators.Cdc.gearSqlValues}),

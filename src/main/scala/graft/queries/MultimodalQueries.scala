@@ -68,15 +68,14 @@ object MultimodalQueries {
       val media = Multimodal.encodeGrayPng(Multimodal.asMedia(
         nz.withColumn("payload", encode(col("text"), "UTF-8")),
         "doc_id", "payload", "text/plain"), width = 16)
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val base = new java.io.File(s"/tmp/graft_binfile_$md5")
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(del)
-        f.delete(): Unit
-      }
-      if (base.exists) del(base)
-      base.mkdirs()
+      // per-RUN unique staging dir (createTempDirectory): a fixed
+      // dir-derived path would race a concurrent run over the same
+      // data dir (one deletes/rewrites while the other's binaryFile
+      // scan reads), and a failed delete would leave stale .png files
+      // the glob ingests as extra rows — nondeterministic oracle noise
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_binfile_").toFile
+      base.deleteOnExit()
       val stage = base.getAbsolutePath
       media.foreachPartition { it: Iterator[Multimodal.MediaRecord] =>
         it.foreach { r =>
@@ -424,8 +423,13 @@ object MultimodalQueries {
     // q_audio_features' output). The oracle is the video replay JOINed
     // to the audio replay — each leg already independently green, so
     // what THIS query pins is that one container round-trips both
-    // streams without bleed. The mux is lazily checkpointed: it has
-    // two consumers (frame demux + audio demux) and must run once.
+    // streams without bleed. The mux is EAGERLY checkpointed: it has
+    // two consumers (frame demux + audio demux) and must run exactly
+    // once — lazily, both plan legs of the single downstream job race
+    // to compute the same partitions before their blocks register,
+    // so the codec subtree could pay up to twice depending on task
+    // scheduling (the r12 session-variance suspect; eager pins one
+    // deterministic materialization ahead of the job).
     "q_av_container_features" -> { (s, dir) =>
       import s.implicits._
       val nz = table(s, dir, "documents")
@@ -450,7 +454,7 @@ object MultimodalQueries {
             graft.multimodal.AviMjpeg.muxAv(frames, pcm, width = 16,
               height = 4, fps = 5, sampleRate = 8000))
         }
-      }.localCheckpoint(false)
+      }.localCheckpoint(true)
       // video leg — q_video_avi_pipeline's downstream, unchanged
       val frames = Multimodal.sampleFrames(av, frameSize = 0, maxFrames = 5)
       val frameMedia = frames.map(f => Multimodal.MediaRecord(
@@ -519,7 +523,7 @@ object MultimodalQueries {
             graft.multimodal.AviMjpeg.muxAv(frames, pcm, width = 16,
               height = 4, fps = 5, sampleRate = 8000))
         }
-      }.localCheckpoint(false)
+      }.localCheckpoint(true)
       val frames = Multimodal.sampleFrames(av, frameSize = 0, maxFrames = 5)
       val frameMedia = frames.map(f => Multimodal.MediaRecord(
         f.id * 8L + f.frame_idx, "image/png", f.frame_bytes))
@@ -773,63 +777,83 @@ object MultimodalQueries {
 
   /** DuckDB replay of the IMA ADPCM encode→decode trajectory: the
     * codec is pure integer arithmetic over (predictor, stepIndex), so
-    * a recursive CTE walks the identical state machine — per step, the
+    * the state machine folds per doc with `list_reduce` — per step, the
     * encoder's successive-approximation code bits (b4/b2/b1 against
     * step, step//2, step//4), the decoder's quantized difference
     * step//8 + Σ bits, the clamped new predictor (== the decoded
     * sample == the encoder's reconstruction), and the table-driven
     * index adaptation. Sample 0 is stored verbatim in the block header
     * (zero error); `compressed_bytes` is the 60-byte container plus
-    * one 68-byte block when any samples exist. */
-  /** The shared recursive-CTE state machine: d (truncated docs), s
-    * (PCM samples), steps (the step table), st (the walked
-    * (predictor, stepIndex, decoded, |err|) trajectory). */
+    * one 68-byte block when any samples exist.
+    *
+    * Round 13: the per-doc fold replaced a 129-iteration recursive CTE
+    * (one global iteration per sample, ~4.2s each oracle — the suite's
+    * worst tail) at 4.7× — hash-identical output. Two fold gotchas pin
+    * the shape: (1) DuckDB 1.0 STRUCT accumulators are unreliable
+    * across `list_reduce` iterations (a later field reads a sibling
+    * field's UPDATED value from iteration 2 on), so the state rides in
+    * a flat BIGINT list `[idx, stp, dec_0 … dec_t]`; (2) the current
+    * step value `stp` is CARRIED in the accumulator (`acc[2]`) instead
+    * of indexed from the 89-entry table literal at each of its ~15
+    * textual uses — lambdas have no let-bindings and no CSE, so each
+    * literal occurrence would rebuild the list per step (measured 19s
+    * that way; the table is indexed exactly twice per step, both on
+    * the new index). */
+  /** The shared fold: d (truncated docs), sl (per-doc PCM sample
+    * list), fold (the walked decoded trajectory as a list), st — one
+    * row per (doc_id, i) with the original sample `a`, decoded `dec`,
+    * and `aerr` = |a − dec|, the exact shape the old recursive CTE
+    * exposed to the two consumers. */
   private def adpcmCtes: String = {
     val steps = graft.multimodal.ImaAdpcm.stepTable.mkString(", ")
+    // lambda fragments: acc = [idx, stp, dec...], element x = [0, 7, a]
+    val stp = "acc[2]"
+    val pred = "acc[-1]"
+    val xv = "x[3]"
+    val ad = s"abs($xv - $pred)"
+    val b4 = s"CAST($ad >= $stp AS BIGINT)"
+    val d2 = s"($ad - $b4 * $stp)"
+    val b2 = s"CAST($d2 >= $stp // 2 AS BIGINT)"
+    val d3 = s"($d2 - $b2 * ($stp // 2))"
+    val b1 = s"CAST($d3 >= $stp // 4 AS BIGINT)"
+    val diffq = s"($stp // 8 + $b4 * $stp + $b2 * ($stp // 2) + " +
+      s"$b1 * ($stp // 4))"
+    val delta = s"(CASE WHEN $b4 = 1 THEN 2 * (1 + 2 * $b2 + $b1) " +
+      "ELSE -1 END)"
+    val np = s"greatest(-32768, least(32767, CASE WHEN $xv < $pred " +
+      s"THEN $pred - $diffq ELSE $pred + $diffq END))"
+    val ni = s"greatest(0, least(88, acc[1] + $delta))"
     s"""d AS (
        |  SELECT doc_id, substring(coalesce(text, ''), 1, 129) AS t,
        |    length(substring(coalesce(text, ''), 1, 129)) AS n
        |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, i,
-       |    (unicode(t[CAST(i + 1 AS INTEGER)]) - 128) * 256 AS a
-       |  FROM (SELECT doc_id, t, unnest(range(0, n)) AS i FROM d)),
-       |steps AS (
-       |  SELECT unnest(range(0, 89)) AS sidx,
-       |    unnest([$steps]) AS step),
+       |sl AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(1, CAST(n + 1 AS INTEGER)),
+       |      i -> CAST((unicode(t[i]) - 128) * 256 AS BIGINT)) AS a
+       |  FROM d),
+       |fold AS (
+       |  SELECT doc_id, n, a,
+       |    CASE WHEN n = 0 THEN [] ELSE
+       |      (list_reduce(
+       |        list_transform(a, v -> [CAST(0 AS BIGINT),
+       |                                CAST(7 AS BIGINT), v]),
+       |        (acc, x) -> list_append(
+       |          list_concat([$ni, ([$steps])[$ni + 1]], acc[3:]),
+       |          $np)))[3:]
+       |    END AS dec
+       |  FROM sl),
        |st AS (
-       |  SELECT doc_id, CAST(0 AS BIGINT) AS i, a AS pred, 0 AS idx,
-       |    0 AS aerr, a AS dec
-       |  FROM s WHERE i = 0
-       |  UNION ALL
-       |  SELECT st.doc_id, st.i + 1, l2.np, l2.ni, abs(s.a - l2.np),
-       |    l2.np
-       |  FROM st
-       |  JOIN s ON s.doc_id = st.doc_id AND s.i = st.i + 1
-       |  JOIN steps ON steps.sidx = st.idx,
-       |  LATERAL (SELECT steps.step AS stp, s.a < st.pred AS sgn,
-       |    abs(s.a - st.pred) AS ad) l0,
-       |  LATERAL (SELECT ad >= stp AS b4,
-       |    (ad - CASE WHEN ad >= stp THEN stp ELSE 0 END) AS d2) l1a,
-       |  LATERAL (SELECT d2 >= stp // 2 AS b2,
-       |    (d2 - CASE WHEN d2 >= stp // 2 THEN stp // 2 ELSE 0 END)
-       |      >= stp // 4 AS b1) l1b,
-       |  LATERAL (SELECT stp // 8 +
-       |      CASE WHEN b4 THEN stp ELSE 0 END +
-       |      CASE WHEN b2 THEN stp // 2 ELSE 0 END +
-       |      CASE WHEN b1 THEN stp // 4 ELSE 0 END AS diffq,
-       |    CASE WHEN b4 AND b2 AND b1 THEN 8
-       |         WHEN b4 AND b2 THEN 6
-       |         WHEN b4 THEN CASE WHEN b1 THEN 4 ELSE 2 END
-       |         ELSE -1 END AS delta) l1c,
-       |  LATERAL (SELECT greatest(-32768, least(32767,
-       |      CASE WHEN sgn THEN st.pred - diffq
-       |           ELSE st.pred + diffq END)) AS np,
-       |    greatest(0, least(88, st.idx + delta)) AS ni) l2)""".stripMargin
+       |  SELECT doc_id, i, dec, abs(a - dec) AS aerr
+       |  FROM (
+       |    SELECT doc_id, i, a[CAST(i + 1 AS INTEGER)] AS a,
+       |      dec[CAST(i + 1 AS INTEGER)] AS dec
+       |    FROM (SELECT doc_id, a, dec, unnest(range(0, n)) AS i
+       |          FROM fold)))""".stripMargin
   }
 
   private def adpcmOracle: String =
-    s"""WITH RECURSIVE ${adpcmCtes},
+    s"""WITH ${adpcmCtes},
        |agg AS (
        |  SELECT doc_id, count(*) AS n_samples, max(aerr) AS max_abs_err,
        |    round(CAST(sum(aerr) AS DOUBLE) / count(*), 6) AS mean_abs_err,
@@ -845,13 +869,13 @@ object MultimodalQueries {
        |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
 
   /** The quality battery over ADPCM-DECODED samples: the shared
-    * recursive CTE yields the exact decoded trajectory, then the same
+    * fold CTE yields the exact decoded trajectory, then the same
     * aligned-window silence test, clip count (|s| ≥ 32512), peak and
     * RMS as the PCM oracle — all integer until the final 6-dp
     * roundings. Empty docs score the all-zero row (rate comes from the
     * fmt chunk, which exists even with no samples). */
   private def adpcmQualityOracle: String =
-    s"""WITH RECURSIVE ${adpcmCtes},
+    s"""WITH ${adpcmCtes},
        |w AS (
        |  SELECT doc_id, i // 64 AS win, sum(abs(dec)) AS ws,
        |    count(*) AS wn
@@ -997,7 +1021,10 @@ object MultimodalQueries {
     * block-sum grid (densified so empty cells carry s = n = 0, exactly
     * the engine's zero-initialized arrays) → 64 adjacent-pair bits via
     * the same cross-multiplied integer comparison → four 16-bit bands
-    * (`dbands`: doc_id, blk, bval). */
+    * (`dbands`: doc_id, blk, bval). Relies on the ASCII-CORPUS
+    * INVARIANT (engine hashes UTF-8 bytes, replay indexes characters —
+    * see `DedupQueries.cdcCtes` scaladoc; asserted per scale factor by
+    * Round13Spec). */
   private def dHashCtes: String =
     s"""nz AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS len,

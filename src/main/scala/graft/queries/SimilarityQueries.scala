@@ -178,6 +178,16 @@ object SimilarityQueries {
       graft.operators.Clustering.initKmeansParallel(
         table(s, dir, "embeddings"), k = 4, rounds = 2)
     },
+    // the WIDE twin at real IVF cell counts (k=64 → l=128): every
+    // scoring pass exceeds the 32-literal codegen cap, so init runs
+    // entirely on the broadcast-join min-aggregate path — one
+    // map-side-combined shuffle of |rows| compact rows per round —
+    // against the SAME unrolled oracle (only the coin-flip threshold
+    // differs), proving the two paths compute identical trajectories
+    "q_kmeanspar_init_wide" -> { (s, dir) =>
+      graft.operators.Clustering.initKmeansParallel(
+        table(s, dir, "embeddings"), k = 64, rounds = 2)
+    },
     // k-means|| END TO END: oversampled init, driver-local weighted
     // Lloyd over the bounded candidates, one distributed assign —
     // rounds+2 corpus scans total vs k-means++'s k sequential ones.
@@ -186,6 +196,27 @@ object SimilarityQueries {
     "q_kmeanspar_assign" -> { (s, dir) =>
       graft.operators.Clustering.kMeansAssignParallel(
         table(s, dir, "embeddings"), k = 4, iters = 2, rounds = 2)
+    },
+    // end-to-end at k=64: join-path init, driver-local weighted Lloyd
+    // over the bounded candidates, then a join-path assign — the full
+    // SemDeDup/IVF-scale seeding story with zero literal-argmin use
+    "q_kmeanspar_assign_wide" -> { (s, dir) =>
+      graft.operators.Clustering.kMeansAssignParallel(
+        table(s, dir, "embeddings"), k = 64, iters = 2, rounds = 2)
+    },
+    // the composition that motivates the scalable init: an IVF index
+    // whose coarse quantizer is TRAINED BY k-means|| (init → weighted
+    // local Lloyd → cells), then the standard probe/rank — the
+    // production ANN build path at cell counts where lowest-id or
+    // k-means++ seeding can't run (k=8/l=16 here keeps the unrolled
+    // oracle bounded; the candidate set itself crosses the 32-literal
+    // cap, so init exercises the broadcast-join scorer)
+    "q_ann_ivf_kmeanspar_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.trainCentroidsParallel(
+        emb, k = 8, iters = 2, rounds = 2)
+      graft.operators.Similarity.ivfTopKWithCentroids(emb, k = 5, cents,
+        nprobe = 2, every = 50L)
     },
     // SemDeDup-style semantic dedup: cluster (trained k-means), then
     // cosine pairs within clusters only — the scale shape for
@@ -514,11 +545,15 @@ object SimilarityQueries {
     * with the same left-to-right fold orders. `m` must expose (e, xx),
     * `c` must expose (c, cc). `private[queries]` so the multimodal
     * image-dedup oracle can replay the same trajectory at dim = 8. */
-  /** Shared unrolled 2-round k-means|| CTE chain (k=4, l=8 — the
-    * q_kmeanspar_* parameters): `m` (points + ‖x‖²), `kc2` (final
-    * candidate set, 6dp-anchored, with ‖c‖²), `aw` (per-point nearest
-    * candidate, ties to the lower cand_id). */
-  private def kmeansParCtes: String =
+  /** Shared unrolled 2-round k-means|| CTE chain, parametrized by the
+    * oversampling factor `l` (q_kmeanspar_* uses l=8 i.e. k=4; the
+    * _wide twins use l=128 i.e. k=64 — the same replay, only the
+    * coin-flip threshold changes, which is exactly the point: the
+    * engine's literal-argmin and broadcast-join scoring paths compute
+    * identical d², so ONE oracle form covers both): `m` (points +
+    * ‖x‖²), `kc2` (final candidate set, 6dp-anchored, with ‖c‖²),
+    * `aw` (per-point nearest candidate, ties to the lower cand_id). */
+  private def kmeansParCtes(l: Int): String =
     s"""emb0 AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |m AS (SELECT vec_id, e,
@@ -536,7 +571,7 @@ object SimilarityQueries {
       |s0 AS (SELECT d0.vec_id FROM d0, t0
       |       WHERE ('0x' || substring(md5(d0.vec_id::VARCHAR || ':0'),
       |                1, 8))::BIGINT / 4294967296.0
-      |             < 8.0 * d0.d2 / t0.tot),
+      |             < $l.0 * d0.d2 / t0.tot),
       |k1 AS (SELECT cand_id, c FROM k0
       |       UNION ALL
       |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
@@ -550,7 +585,7 @@ object SimilarityQueries {
       |s1 AS (SELECT d1.vec_id FROM d1, t1
       |       WHERE ('0x' || substring(md5(d1.vec_id::VARCHAR || ':1'),
       |                1, 8))::BIGINT / 4294967296.0
-      |             < 8.0 * d1.d2 / t1.tot),
+      |             < $l.0 * d1.d2 / t1.tot),
       |k2 AS (SELECT cand_id, c FROM k1
       |       UNION ALL
       |       SELECT e0.vec_id, list_transform(e0.e, x -> round(x, 6))
@@ -565,6 +600,135 @@ object SimilarityQueries {
       |           row_number() OVER (PARTITION BY vec_id
       |             ORDER BY d, cand_id) AS rn
       |         FROM sc) WHERE rn = 1)""".stripMargin
+
+  /** Greedy per-cell leader selection replayed as a `list_reduce`
+    * fold over each cell's id-ordered member list — one accumulator
+    * pass per cell, exactly the engine's fold. Consumes a `rows` CTE
+    * (cell, vec_id, e, nrm, rn) and yields `selout`
+    * (vec_id, cell, sel_rank). Round 13 replaced the recursive-CTE
+    * form (one GLOBAL iteration per cell member, ~3-4s per oracle)
+    * at ~13×, output-identical. Fold shape notes (DuckDB 1.0):
+    * `CASE … ELSE acc END` in a reduce lambda corrupts the
+    * accumulator (only unconditional single-expression folds are
+    * reliable), so every member APPENDS — the rejected ones as NULL
+    * sentinels — and the final projection keeps non-NULLs, ranking
+    * them by list position; the similarity scan skips sentinels via
+    * `s IS NOT NULL`. */
+  private def diversityFoldTail(threshold: Double): String =
+    s"""mem AS (
+       |  SELECT cell, list({'vec_id': vec_id, 'e': e, 'nrm': nrm}
+       |                    ORDER BY rn) AS ms
+       |  FROM rows GROUP BY cell),
+       |fin AS (
+       |  SELECT cell,
+       |    list_reduce(
+       |      list_transform(ms, m -> [m]),
+       |      (acc, x) -> list_append(acc,
+       |        CASE WHEN len(list_filter(acc,
+       |            s -> s IS NOT NULL AND
+       |              list_sum(list_transform(range(1, 65),
+       |                i -> s.e[i] * x[1].e[i]))
+       |               / (s.nrm * x[1].nrm) >= $threshold)) = 0
+       |          THEN x[1] ELSE NULL END)) AS sel
+       |  FROM mem),
+       |selout AS (
+       |  SELECT u.s.vec_id AS vec_id, cell,
+       |    (row_number() OVER (PARTITION BY cell ORDER BY u.i))::INTEGER
+       |      AS sel_rank
+       |  FROM (
+       |    SELECT fin.cell, u.s AS s, u.i AS i
+       |    FROM fin, unnest(list_transform(fin.sel,
+       |      (s, i) -> {'s': s, 'i': i})) AS t(u)) u(cell, s, i)
+       |  WHERE u.s.vec_id IS NOT NULL)""".stripMargin
+
+  /** k-means|| init oracle: the [[kmeansParCtes]] replay's weighted
+    * candidate set — nearest-candidate mass, ties to lower cand_id. */
+  private def kmeansParInitOracle(l: Int): String =
+    s"""WITH ${kmeansParCtes(l)}
+      |SELECT cand_id, count(*)::BIGINT AS weight FROM aw GROUP BY 1""".stripMargin
+
+  /** The paper's FINAL step as CTEs appended to [[kmeansParCtes]]:
+    * weighted Lloyd over the bounded candidate set (seeds = k
+    * lowest-id weighted candidates, member sums in candidate-id
+    * order, elements 6dp-anchored), yielding `fccc(cid, c, cc)` — the
+    * trained centroid set both the assign oracle and the
+    * IVF-seeded-by-k-means|| oracle consume. */
+  private def kmeansParLloydCtes(k: Int): String =
+    s"""w AS (SELECT cand_id, count(*)::BIGINT AS wt FROM aw GROUP BY 1),
+      |cd AS (SELECT kc2.cand_id, kc2.c AS e, kc2.cc AS xx, w.wt
+      |       FROM kc2 JOIN w ON w.cand_id = kc2.cand_id),
+      |sd0 AS (SELECT row_number() OVER (ORDER BY cand_id) - 1 AS cid,
+      |          e AS c
+      |        FROM cd ORDER BY cand_id LIMIT $k),
+      |sd0cc AS (SELECT cid, c,
+      |            list_sum(list_transform(c, x -> x * x)) AS cc
+      |          FROM sd0),
+      |ca AS (SELECT cand_id, e, wt, cid FROM (
+      |         SELECT cd.cand_id, cd.e, cd.wt, s.cid,
+      |           row_number() OVER (PARTITION BY cd.cand_id
+      |             ORDER BY ${d2Sql("cd", "s")}, s.cid) AS rn
+      |         FROM cd CROSS JOIN sd0cc s) WHERE rn = 1),
+      |up AS (SELECT cid, r.i,
+      |         round(list_sum(list(wt * e[r.i] ORDER BY cand_id))
+      |           / sum(wt), 6) AS v
+      |       FROM ca CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+      |       GROUP BY 1, 2),
+      |fc AS (SELECT cid, list(v ORDER BY i) AS c FROM up GROUP BY 1),
+      |fccc AS (SELECT cid, c,
+      |           list_sum(list_transform(c, x -> x * x)) AS cc
+      |         FROM fc)""".stripMargin
+
+  /** k-means|| end-to-end oracle: [[kmeansParCtes]] + the paper's final
+    * step — weighted Lloyd over the bounded candidate set (seeds = k
+    * lowest-id weighted candidates, member sums in candidate-id order,
+    * elements 6dp-anchored) and one distributed assignment pass. */
+  private def kmeansParAssignOracle(k: Int, l: Int): String =
+    s"""WITH ${kmeansParCtes(l)},
+      |${kmeansParLloydCtes(k)},
+      |fs AS (SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+      |       FROM m CROSS JOIN fccc c)
+      |SELECT vec_id, cid AS cluster, round(sqrt(d), 4) AS dist FROM (
+      |  SELECT vec_id, cid, d,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM fs) WHERE rn = 1""".stripMargin
+
+  /** IVF retrieval whose coarse quantizer is trained by k-means||:
+    * [[kmeansParCtes]] + [[kmeansParLloydCtes]] yield the trained
+    * cells; then the standard IVF replay — argmin-d² assignment (ties
+    * to the lower cell), every-50th vector as queries probing their
+    * `nprobe` nearest cells, exact cosine within probed cells only. */
+  private def kmeansParIvfOracle(k: Int, l: Int, nprobe: Int,
+      topK: Int, every: Long): String =
+    s"""WITH ${kmeansParCtes(l)},
+      |${kmeansParLloydCtes(k)},
+      |dots AS (SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
+      |         FROM m CROSS JOIN fccc c),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM dots) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM dots WHERE vec_id % $every = 0) WHERE rn <= $nprobe),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> eq.e[i] * en.e[i]))
+      |      / (sqrt(list_sum(list_transform(eq.e, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(en.e, x -> x * x)))) AS cos
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN emb0 eq ON eq.vec_id = p.query_id
+      |  JOIN emb0 en ON en.vec_id = a.vec_id)
+      |SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+      |  round(cos, 6) AS cos
+      |FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= $topK""".stripMargin
 
   private[queries] def d2Sql(m: String, c: String, dim: Int = 64): String =
     s"greatest($m.xx - 2 * list_sum(list_transform(range(1, ${dim + 1}), " +
@@ -1027,10 +1191,10 @@ object SimilarityQueries {
         |  CASE WHEN cont.vec_id IS NULL THEN 0 ELSE 1 END AS contaminated
         |FROM corp LEFT JOIN cont ON corp.vec_id = cont.vec_id""".stripMargin,
     // DuckDB replay of Curation.diversitySelect: the same k=8 Lloyd
-    // assignment, then the greedy per-cell leader scan unrolled as a
-    // RECURSIVE CTE carrying the selected set (ids + embeddings +
-    // norms) as a struct-list accumulator — one recursion step per
-    // cell member, exactly the engine's per-cell fold
+    // assignment, then the greedy per-cell leader scan as a per-cell
+    // list_reduce fold over the id-ordered member list — exactly the
+    // engine's per-cell fold (see [[diversityFoldTail]] for the
+    // sentinel-append shape the DuckDB 1.0 fold quirks force)
     "q_diversity_select" ->
       s"""WITH emb0 AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1051,29 +1215,9 @@ object SimilarityQueries {
         |    sqrt(list_sum(list_transform(e.e, x -> x * x))) AS nrm,
         |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS rn
         |  FROM assigned a JOIN emb0 e ON a.vec_id = e.vec_id),
-        |cmax AS (SELECT cell, max(rn) AS mx FROM rows GROUP BY cell),
-        |st AS (
-        |  WITH RECURSIVE rec AS (
-        |    SELECT cell, 0::BIGINT AS rn,
-        |      CAST([] AS STRUCT(vec_id BIGINT, e DOUBLE[], nrm DOUBLE)[]) AS sel
-        |    FROM (SELECT DISTINCT cell FROM rows)
-        |    UNION ALL
-        |    SELECT r.cell, r.rn,
-        |      CASE WHEN len(list_filter(rec.sel,
-        |          s -> list_sum(list_transform(range(1, 65), i -> s.e[i] * r.e[i]))
-        |               / (s.nrm * r.nrm) >= 0.4)) = 0
-        |        THEN list_append(rec.sel,
-        |               {'vec_id': r.vec_id, 'e': r.e, 'nrm': r.nrm})
-        |        ELSE rec.sel END
-        |    FROM rec JOIN rows r ON r.cell = rec.cell AND r.rn = rec.rn + 1)
-        |  SELECT * FROM rec),
-        |fin AS (
-        |  SELECT st.cell, st.sel
-        |  FROM st JOIN cmax ON st.cell = cmax.cell AND st.rn = cmax.mx)
-        |SELECT u.s.vec_id AS vec_id, cell, u.i::INTEGER AS sel_rank
-        |FROM fin,
-        |  unnest(list_transform(fin.sel, (s, i) -> {'s': s, 'i': i})) AS t(u)""".stripMargin,
-    // incremental leader selection: the SAME recursive replay but the
+        |${diversityFoldTail(threshold = 0.4)}
+        |SELECT vec_id, cell, sel_rank FROM selout""".stripMargin,
+    // incremental leader selection: the SAME fold replay but the
     // Lloyd trajectory trains on the vec_id<250 corpus, ALL vectors
     // assign to those cells, and only batch-side selections emit —
     // append==rebuild under monotone ids makes these identical
@@ -1098,29 +1242,8 @@ object SimilarityQueries {
         |    sqrt(list_sum(list_transform(e.e, x -> x * x))) AS nrm,
         |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS rn
         |  FROM assigned a JOIN emb0 e ON a.vec_id = e.vec_id),
-        |cmax AS (SELECT cell, max(rn) AS mx FROM rows GROUP BY cell),
-        |st AS (
-        |  WITH RECURSIVE rec AS (
-        |    SELECT cell, 0::BIGINT AS rn,
-        |      CAST([] AS STRUCT(vec_id BIGINT, e DOUBLE[], nrm DOUBLE)[]) AS sel
-        |    FROM (SELECT DISTINCT cell FROM rows)
-        |    UNION ALL
-        |    SELECT r.cell, r.rn,
-        |      CASE WHEN len(list_filter(rec.sel,
-        |          s -> list_sum(list_transform(range(1, 65), i -> s.e[i] * r.e[i]))
-        |               / (s.nrm * r.nrm) >= 0.4)) = 0
-        |        THEN list_append(rec.sel,
-        |               {'vec_id': r.vec_id, 'e': r.e, 'nrm': r.nrm})
-        |        ELSE rec.sel END
-        |    FROM rec JOIN rows r ON r.cell = rec.cell AND r.rn = rec.rn + 1)
-        |  SELECT * FROM rec),
-        |fin AS (
-        |  SELECT st.cell, st.sel
-        |  FROM st JOIN cmax ON st.cell = cmax.cell AND st.rn = cmax.mx)
-        |SELECT vec_id, cell, sel_rank FROM (
-        |  SELECT u.s.vec_id AS vec_id, cell, u.i::INTEGER AS sel_rank
-        |  FROM fin,
-        |    unnest(list_transform(fin.sel, (s, i) -> {'s': s, 'i': i})) AS t(u))
+        |${diversityFoldTail(threshold = 0.4)}
+        |SELECT vec_id, cell, sel_rank FROM selout
         |WHERE vec_id >= 250""".stripMargin,
     // DuckDB replay of Dedup.semanticPairs: the q_kmeans_assign Lloyd
     // trajectory (k=8, 2 rounds, 6-decimal anchors) up to the final
@@ -1254,44 +1377,20 @@ object SimilarityQueries {
     // l·d²/φ (φ anchored floor(x·1e6+0.5)/1e6 — summation order can't
     // flip a coin flip), candidates 6dp-anchored as they join the set;
     // final weights = nearest-candidate mass, ties to lower cand_id
-    "q_kmeanspar_init" ->
-      s"""WITH $kmeansParCtes
-        |SELECT cand_id, count(*)::BIGINT AS weight FROM aw GROUP BY 1""".stripMargin,
+    "q_kmeanspar_init" -> kmeansParInitOracle(l = 8),
+    // ...the wide twin at real IVF cell counts (k=64, l=128): every
+    // engine-side scoring pass crosses the 32-literal codegen cap, so
+    // this replay certifies the broadcast-join min-aggregate path
+    // against the SAME oracle form the literal path uses
+    "q_kmeanspar_init_wide" -> kmeansParInitOracle(l = 128),
     // ...then the paper's final step: weighted Lloyd over the bounded
     // candidate set (seeds = k lowest-id weighted candidates, member
     // sums in candidate-id order, elements 6dp-anchored) and one
     // distributed assignment pass
-    "q_kmeanspar_assign" ->
-      s"""WITH $kmeansParCtes,
-        |w AS (SELECT cand_id, count(*)::BIGINT AS wt FROM aw GROUP BY 1),
-        |cd AS (SELECT kc2.cand_id, kc2.c AS e, kc2.cc AS xx, w.wt
-        |       FROM kc2 JOIN w ON w.cand_id = kc2.cand_id),
-        |sd0 AS (SELECT row_number() OVER (ORDER BY cand_id) - 1 AS cid,
-        |          e AS c
-        |        FROM cd ORDER BY cand_id LIMIT 4),
-        |sd0cc AS (SELECT cid, c,
-        |            list_sum(list_transform(c, x -> x * x)) AS cc
-        |          FROM sd0),
-        |ca AS (SELECT cand_id, e, wt, cid FROM (
-        |         SELECT cd.cand_id, cd.e, cd.wt, s.cid,
-        |           row_number() OVER (PARTITION BY cd.cand_id
-        |             ORDER BY ${d2Sql("cd", "s")}, s.cid) AS rn
-        |         FROM cd CROSS JOIN sd0cc s) WHERE rn = 1),
-        |up AS (SELECT cid, r.i,
-        |         round(list_sum(list(wt * e[r.i] ORDER BY cand_id))
-        |           / sum(wt), 6) AS v
-        |       FROM ca CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
-        |       GROUP BY 1, 2),
-        |fc AS (SELECT cid, list(v ORDER BY i) AS c FROM up GROUP BY 1),
-        |fccc AS (SELECT cid, c,
-        |           list_sum(list_transform(c, x -> x * x)) AS cc
-        |         FROM fc),
-        |fs AS (SELECT m.vec_id, c.cid, ${d2Sql("m", "c")} AS d
-        |       FROM m CROSS JOIN fccc c)
-        |SELECT vec_id, cid AS cluster, round(sqrt(d), 4) AS dist FROM (
-        |  SELECT vec_id, cid, d,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM fs) WHERE rn = 1""".stripMargin,
+    "q_kmeanspar_assign" -> kmeansParAssignOracle(k = 4, l = 8),
+    "q_kmeanspar_assign_wide" -> kmeansParAssignOracle(k = 64, l = 128),
+    "q_ann_ivf_kmeanspar_topk" ->
+      kmeansParIvfOracle(k = 8, l = 16, nprobe = 2, topK = 5, every = 50L),
     "q_quantize_embeddings" ->
       """WITH u AS (
         |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x

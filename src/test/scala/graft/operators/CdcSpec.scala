@@ -120,6 +120,74 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  // ---- the clamped production backstop (round 13, VERDICT r12 #4) ----
+
+  test("clampedCutEnds: adversarial constant bytes are forced to cut at " +
+      "maxLen — chunk sizes bounded where the unclamped form is unbounded") {
+    // a constant payload never hits the gear mask (one unbounded chunk
+    // unclamped); the clamp must force a cut every maxLen bytes
+    val p = Array.fill[Byte](10000)(0x41)
+    assert(Cdc.cutEnds(p, maskBits = 6).isEmpty,
+      "constant bytes must produce no mask hits at these parameters")
+    val cuts = Cdc.clampedCutEnds(p, maskBits = 6, minLen = 16, maxLen = 256)
+    assert(cuts.toSeq === (255 until 10000 by 256).toSeq,
+      "forced cuts every maxLen bytes")
+    import spark.implicits._
+    val ch = Cdc.chunksClamped(Seq((1L, p)).toDF("id", "payload"),
+      "id", "payload", maskBits = 6, minLen = 16, maxLen = 256)
+    val lens = ch.select("length").collect().map(_.getInt(0))
+    assert(lens.forall(_ <= 256), s"chunk rows must stay <= maxLen: ${lens.max}")
+    assert(lens.sum === 10000, "chunks still tile the payload")
+  }
+
+  test("clampedCutEnds: identical to unclamped wherever unclamped cut " +
+      "spacing is already within [minLen, maxLen]") {
+    val p = bytes(8192, seed = 21)
+    val unclamped = Cdc.cutEnds(p, maskBits = 6)
+    // derive bounds that the unclamped spacing already satisfies
+    val spacings = (unclamped.head + 1) +:
+      unclamped.sliding(2).filter(_.length == 2).map(w => w(1) - w(0)).toSeq
+    val lo = spacings.min
+    // hi must also exceed the cut-less tail after the LAST mask hit,
+    // or the clamp would force extra cuts there that unclamped lacks
+    val hi = math.max(spacings.max, p.length - 1 - unclamped.last + 1)
+    val clamped = Cdc.clampedCutEnds(p, maskBits = 6, minLen = lo, maxLen = hi)
+    assert(clamped.toSeq === unclamped.toSeq,
+      s"in-bounds spacing [$lo, $hi] must leave cuts untouched")
+    // and with a TIGHTER min, early mask hits are skipped but the hash
+    // stays continuous: every clamped cut is either an unclamped
+    // candidate or a forced cut (no new content positions invented)
+    val tight = Cdc.clampedCutEnds(p, maskBits = 6,
+      minLen = lo + 1, maxLen = hi + 64)
+    val candSet = unclamped.toSet
+    var prev = -1
+    tight.foreach { c =>
+      assert(candSet.contains(c) || c - prev == hi + 64,
+        s"cut $c is neither a mask hit nor a forced cut")
+      prev = c
+    }
+  }
+
+  test("clamped chunks re-synchronize after an insertion once an " +
+      "in-bounds mask hit re-anchors the sequence") {
+    val tail = bytes(4096, seed = 31)
+    val a = bytes(100, seed = 3) ++ tail
+    val b = bytes(137, seed = 5) ++ tail
+    def tailCuts(p: Array[Byte], skip: Int): Seq[Int] =
+      Cdc.clampedCutEnds(p, 6, minLen = 8, maxLen = 512)
+        .filter(_ >= skip + 32).map(_ - skip).toSeq
+    val ta = tailCuts(a, 100)
+    val tb = tailCuts(b, 137)
+    // forced cuts chain from the differing prefixes, so alignment can
+    // lag; after the first SHARED in-bounds cut the sequences must
+    // agree exactly (content has re-anchored both)
+    val shared = ta.toSet.intersect(tb.toSet)
+    assert(shared.nonEmpty, "sequences never re-synchronized")
+    val anchor = shared.min
+    assert(ta.dropWhile(_ < anchor) === tb.dropWhile(_ < anchor),
+      "post-anchor cuts must be identical")
+  }
+
   test("q_cdc_chunks and q_cdc_dedup run green on the corpus") {
     val per = graft.SparkEntry.queries("q_cdc_chunks")(spark, sf0001)
     assert(per.count() > 0)

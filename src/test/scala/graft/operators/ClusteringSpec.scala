@@ -108,6 +108,29 @@ class ClusteringSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("initKmeansParallel: candidate counts past the literal cap route " +
+      "through the broadcast-join scorer — weights still partition the " +
+      "corpus, runs stay deterministic") {
+    // k=64 → l=128: on the 500-row corpus both sampling rounds and the
+    // final weighting exceed LiteralArgminMax, so every scoring pass is
+    // the broadcast-join min-aggregate (the q_kmeanspar_init_wide
+    // trajectory, oracle-checked at sf0.01 and sf0.1; here we pin the
+    // structural properties and the plan shape)
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = base.count()
+    val weights = Clustering.initKmeansParallel(base, k = 64, rounds = 2)
+    val plan = weights.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"),
+      s"wide init's weighting must score via the broadcast join:\n$plan")
+    val got = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size > Clustering.LiteralArgminMax,
+      s"expected > 32 weighted candidates, got ${got.size}")
+    assert(got.values.sum === n, "nearest-point mass must partition the corpus")
+    val again = Clustering.initKmeansParallel(base, k = 64, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("kMeansAssignParallel: separable blobs land in distinct clusters, " +
       "every point assigned, deterministic") {
     // two far blobs; the || init must land candidates in both (the far

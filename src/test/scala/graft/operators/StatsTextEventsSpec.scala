@@ -86,6 +86,19 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(again.toSeq === ids.toSeq, "pure function of (keys, weights)")
   }
 
+  test("weightedSampleExact: non-positive weights are unsampleable — " +
+      "w=0 (ln/0 = −∞) and w<0 (flipped sign would dominate) never drawn") {
+    // without the guard, the two w=-5 rows would deterministically own
+    // the top of the priority order (ln(u)/w > 0 only for them) and
+    // the w=0 rows would inject −Infinity priorities
+    val df = ((1L to 20L).map(i => (i, 10L)) ++
+        Seq((98L, 0L), (99L, -5L), (100L, -5L))).toDF("id", "w")
+    val ids = Sampling.weightedSampleExact(df, col("id"), col("w"), n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(ids.size === 10)
+    assert(ids.forall(_ <= 20L), s"non-positive-weight rows drawn: $ids")
+  }
+
   test("bottomKPerGroup: exactly k per group, deterministic, group-limit plan") {
     val df = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val out = Sampling.bottomKPerGroup(df, col("g"), col("id"), 7)

@@ -121,7 +121,13 @@ class Round3PlanSpec extends SparkSpec {
       // per-lang totals (the q_temperature_mix scalar-broadcast idiom,
       // reused by the v3 composition; Round11Spec pins the rest of the
       // plan — bounded-frame broadcasts only, no token-stream shuffle)
-      "q_curation_v3")
+      "q_curation_v3",
+      // round-13: k-means|| above the 32-literal codegen cap scores
+      // via a broadcast of the BOUNDED candidate table (O(l·rounds)
+      // rows, corpus-independent) + min(struct) aggregation — the
+      // documented join formulation at Clustering.LiteralArgminMax;
+      // the "cross" join is row × bounded-candidates, never row × row
+      "q_kmeanspar_init_wide", "q_kmeanspar_assign_wide")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -148,14 +148,68 @@ object Clustering {
     * shuffle; ties break toward the lower cid via struct ordering over
     * SQUARED distances (the oracle orders by the same quantity).
     * Stateless, so it applies unchanged to a STREAMING DataFrame
-    * (see graft.streaming.StreamingOps.assignToCentroids). */
+    * (see graft.streaming.StreamingOps.assignToCentroids) — INCLUDING
+    * above [[LiteralArgminMax]]: the batch join formulation contains a
+    * groupBy, which on an unbounded stream is a STATEFUL aggregation
+    * (illegal in append mode, and accumulating across micro-batches
+    * would be wrong anyway), so a streaming input above the cap routes
+    * through [[assignByClosure]] instead — same algebra, still
+    * stateless, stream == batch exactly (StreamingSpec pins it). */
   def assign(df: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "assign needs at least one centroid")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    if (df.isStreaming && centroids.size > LiteralArgminMax)
+      return assignByClosure(df, centroids, idCol, vecCol)
     bestCentroid(df, centroids, idCol, col(vecCol))
       .select(col("vec_id"), col("best.cid").as("cluster"),
         round(sqrt(col("best.d2")), 4).as("dist"))
+  }
+
+  /** Streaming-legal wide-k assignment: the centroid array (with
+    * precomputed ‖c‖²) rides in the task closure and each row scores
+    * all k centroids in a per-partition map — no join, no aggregation,
+    * no state store, any k. Bit-equal to the batch paths: the dot
+    * products are the same left-to-right fold as the codegen'd
+    * [[graft.functions.VectorDot]] loop, d² is the same clamped
+    * algebraic identity, ties break to the lower cid, and the 4-dp
+    * dist replicates Spark `round`'s
+    * BigDecimal(shortest-repr)-HALF_UP exactly. Ids are cast to long
+    * (the streaming twins' id convention). */
+  private def assignByClosure(df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Double], Double)] = centroids.map {
+      case (cid, c) => (cid, c.toArray, c.foldLeft(0.0)((a, x) => a + x * x))
+    }.toArray
+    df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          var xx = 0.0
+          var i = 0
+          while (i < e.length) { xx += e(i) * e(i); i += 1 }
+          var bestD = Double.PositiveInfinity
+          var bestC = Int.MaxValue
+          cents.foreach { case (cid, c, cc) =>
+            var dot = 0.0
+            var j = 0
+            val n = math.min(e.length, c.length)
+            while (j < n) { dot += e(j) * c(j); j += 1 }
+            val d2 = math.max(xx - 2.0 * dot + cc, 0.0)
+            if (d2 < bestD || (d2 == bestD && cid < bestC)) {
+              bestD = d2; bestC = cid
+            }
+          }
+          val dist = new java.math.BigDecimal(
+              java.lang.Double.toString(math.sqrt(bestD)))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+          (id, bestC, dist)
+        }
+      }.toDF("vec_id", "cluster", "dist")
   }
 
   /** Run the Lloyd loop and return the final centroid set — the model a

@@ -590,6 +590,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming k-means assignment ABOVE the literal cap == batch " +
+      "(closure scorer; the batch join path would be an illegal " +
+      "streaming aggregation)") {
+    // k=40 > LiteralArgminMax=32: batch scores via the broadcast-join
+    // min-aggregate; a stream can't (groupBy = state), so assign routes
+    // the streaming input through the per-partition closure scorer —
+    // this pins that the two formulations agree EXACTLY (same dots,
+    // same clamp, same tie rule, same 4dp rounding)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids: Seq[(Int, Seq[Double])] = emb
+      .orderBy(col("vec_id")).limit(40)
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
+    val tmp = Files.createTempDirectory("graft_emb_stream_wide").toFile
+    tmp.deleteOnExit()
+    emb.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.assignToCentroids(stream, centroids)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("km_wide_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("km_wide_out").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val batch = graft.operators.Clustering.assign(emb, centroids)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(streamed === batch)
+      assert(streamed.size === 500)
+    } finally q.stop()
+  }
+
   test("multimodal codec paths run on streams: streaming decode == batch decode") {
     // the codec stages are stateless typed mapPartitions, so they apply
     // to a streaming Dataset unchanged — this pins that the REAL

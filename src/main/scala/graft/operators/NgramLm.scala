@@ -65,23 +65,32 @@ object NgramLm {
       .select(col("id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
   }
 
-  /** Score every `docs` row under a KN bigram model trained on
-    * `corpus` (pass the same frame for self-scoring). Output:
-    * `(id, n_bigrams, avg_logp)` for docs with ≥ 1 bigram —
-    * avg_logp is the mean anchored log10 probability, the
-    * perplexity-proxy a curation gate thresholds on. */
-  def bigramKnScores(corpus: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, discount: Double = 0.75): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+  /** The trained model's three count tables, as one pass over the
+    * corpus: `big(w1, w2, c12)`, `ctx(w1, c1, nf)`, `cont(w2, nb)` —
+    * each keyed on its scoring-join key, so they persist naturally as
+    * bucketed tables (see the q_bigram_kn_incremental_persisted
+    * lifecycle). */
+  def bigramModel(corpus: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val big = bigrams(corpus, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val ctx = big.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
-    // the single driver-resident model scalar: |distinct bigram types|
-    val t = big.count().toDouble
+    (big, ctx, cont)
+  }
+
+  /** Score `docs` against a GIVEN model (trained here or read back
+    * from persisted tables — the count tables are the model artifact;
+    * `t` = |distinct bigram types|, recomputable from `big` with one
+    * aggregate). Three equi-joins + one doc-keyed aggregation. */
+  def scoreWithModel(docs: DataFrame, big: DataFrame, ctx: DataFrame,
+      cont: DataFrame, t: Long, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    require(t > 0, "empty model")
     val d = lit(discount)
-    val pcont = coalesce(col("nb").cast("double"), lit(0.0)) / lit(t)
+    val pcont = coalesce(col("nb").cast("double"), lit(0.0)) / lit(t.toDouble)
     val p = when(col("c1").isNotNull,
         greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1") +
           d * col("nf").cast("double") / col("c1") * pcont)
@@ -95,5 +104,18 @@ object NgramLm {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         anchor6(avg(col("__logp"))).as("avg_logp"))
+  }
+
+  /** Score every `docs` row under a KN bigram model trained on
+    * `corpus` (pass the same frame for self-scoring). Output:
+    * `(id, n_bigrams, avg_logp)` for docs with ≥ 1 bigram —
+    * avg_logp is the mean anchored log10 probability, the
+    * perplexity-proxy a curation gate thresholds on. */
+  def bigramKnScores(corpus: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    val (big, ctx, cont) = bigramModel(corpus, idCol, textCol)
+    // the single driver-resident model scalar: |distinct bigram types|
+    val t = big.count()
+    scoreWithModel(docs, big, ctx, cont, t, idCol, textCol, discount)
   }
 }

@@ -141,6 +141,33 @@ object Sampling {
       .limit(n)
   }
 
+  /** [[weightedSampleExact]] PER GROUP: exactly `n` rows from every
+    * group, drawn weighted-without-replacement by the same
+    * deterministic A-ES priorities (anchored `ln(u)/w`, key tiebreak;
+    * non-positive weights dropped up front — same precondition). The
+    * stratified form of the exact draw — "exactly 100 docs per
+    * language, length-weighted" — where [[bottomKPerGroup]] draws
+    * uniformly. One shuffle on the group key; Spark rewrites the
+    * rank filter into a per-partition WindowGroupLimit, so only ~n
+    * rows per group per partition reach the exchange. Output carries
+    * `es_priority` and the 1-based `sample_rank` within the group. */
+  def weightedSampleExactPerGroup(df: DataFrame, groupCol: Column,
+      key: Column, weight: Column, n: Int,
+      salt: String = "es"): DataFrame = {
+    require(n > 0)
+    val u = (conv(substring(md5(
+        concat(key.cast("string"), lit(":" + salt)).cast("binary")),
+        1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(desc("es_priority"), key.asc)
+    df.filter(weight.cast("double") > 0)
+      .withColumn("es_priority",
+        floor(log(u) / weight.cast("double") * 1e6 + 0.5) / 1e6)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Exactly-k-per-group deterministic sample: the k rows whose
     * `md5(key)` sorts lowest within each group — a uniform
     * without-replacement sample whose membership is a pure function of

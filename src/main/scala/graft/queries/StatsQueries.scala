@@ -119,6 +119,18 @@ object StatsQueries {
         .select(col("doc_id"), col("n_chars"), col("es_priority"))
     },
 
+    // the STRATIFIED form (round 13): exactly 10 docs per language,
+    // length-weighted, same deterministic A-ES priorities — one
+    // group-keyed shuffle with the rank filter pushed into a
+    // WindowGroupLimit, vs the global draw's TakeOrdered
+    "q_weighted_sample_per_group" -> { (s, dir) =>
+      Sampling.weightedSampleExactPerGroup(
+          table(s, dir, "documents").filter(col("n_chars") > 0),
+          col("lang"), col("doc_id"), col("n_chars"), n = 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("es_priority"), col("sample_rank"))
+    },
+
     // datasketches heavy-hitters (Spark 4's approx_top_k): frequent
     // items in one pass + bounded memory. The test vocabulary is far
     // below the sketch's maxItemsTracked, so counts are EXACT here and
@@ -406,6 +418,17 @@ object StatsQueries {
         |FROM documents WHERE n_chars > 0
         |ORDER BY es_priority DESC, doc_id
         |LIMIT 100""".stripMargin,
+    "q_weighted_sample_per_group" ->
+      """WITH pr AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    floor(ln((('0x' || substring(md5(doc_id::VARCHAR || ':es'),
+        |                 1, 8))::BIGINT + 0.5) / 4294967296.0)
+        |          / n_chars * 1e6 + 0.5) / 1e6 AS es_priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars, es_priority, sample_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY es_priority DESC, doc_id)::INTEGER AS sample_rank
+        |  FROM pr) WHERE sample_rank <= 10""".stripMargin,
     "q_approx_top_words" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word

@@ -361,6 +361,35 @@ object TextQueries {
       graft.operators.NgramLm.bigramKnScores(docs, docs, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
     },
+    // the persisted-model lifecycle (round 13): the reference-corpus
+    // model's three count tables live as BUCKETED tables keyed on
+    // their scoring-join keys (big on (w1,w2), ctx on w1, cont on w2 —
+    // the CCNet deployment shape: train the LM once on the reference
+    // corpus, score every ingest batch against the STORED counts);
+    // the model scalar T recomputes from the stored bigram table with
+    // one aggregate, never a driver-side vocabulary
+    "q_bigram_kn_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .withColumn("text", coalesce(col("text"), lit(""))),
+        col("doc_id"), 12, 2)
+      val corpus = docs.filter(col("split") =!= "test")
+      val batch = docs.filter(col("split") === "test")
+      val (big, ctx, cont) = graft.operators.NgramLm
+        .bigramModel(corpus, "doc_id", "text")
+      graft.sources.Sinks.writeBucketed(big, "graft_kn_big",
+        bucketCols = Seq("w1", "w2"), numBuckets = 8)
+      graft.sources.Sinks.writeBucketed(ctx, "graft_kn_ctx",
+        bucketCols = Seq("w1"), numBuckets = 8)
+      graft.sources.Sinks.writeBucketed(cont, "graft_kn_cont",
+        bucketCols = Seq("w2"), numBuckets = 8)
+      val sBig = s.table("graft_kn_big")
+      val t = sBig.count()
+      graft.operators.NgramLm.scoreWithModel(batch, sBig,
+          s.table("graft_kn_ctx"), s.table("graft_kn_cont"), t,
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
+    },
     "q_seq_packing" -> { (s, dir) =>
       TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
         "source", capacity = 512L)
@@ -957,6 +986,50 @@ object TextQueries {
         |  LEFT JOIN ctx ON b.w1 = ctx.w1
         |  LEFT JOIN cont ON b.w2 = cont.w2
         |  CROSS JOIN tt)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(avg(logp) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // persisted-model replay: identical formula, counts trained on the
+    // md5-bucket corpus split (bkt < 14 — Sampling.split's convention),
+    // batch docs (bkt >= 14) scored against them; parquet round-trips
+    // integer counts exactly, so persistence cannot change values
+    "q_bigram_kn_incremental_persisted" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |      AS INTEGER) AS bkt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, bkt,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM src),
+        |bg AS (
+        |  SELECT doc_id, bkt, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2
+        |  FROM (SELECT doc_id, bkt, toks,
+        |          unnest(range(1, greatest(len(toks), 1))) AS i
+        |        FROM tk)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |        WHERE bkt < 14 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS nf
+        |        FROM big GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM big),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    floor(log10(greatest(
+        |      CASE WHEN ctx.c1 IS NOT NULL THEN
+        |        greatest(coalesce(bigm.c12, 0) - 0.75, 0.0) / ctx.c1
+        |          + 0.75 * ctx.nf / ctx.c1 * (coalesce(cont.nb, 0) / tt.t)
+        |      ELSE coalesce(cont.nb, 0) / tt.t END,
+        |      1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM bg b
+        |  LEFT JOIN big bigm ON b.w1 = bigm.w1 AND b.w2 = bigm.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
+        |  CROSS JOIN tt
+        |  WHERE b.bkt >= 14)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  floor(avg(logp) * 1e6 + 0.5) / 1e6 AS avg_logp
         |FROM sc GROUP BY 1""".stripMargin,

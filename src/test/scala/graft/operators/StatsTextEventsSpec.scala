@@ -99,6 +99,29 @@ class StatsTextEventsSpec extends SparkSpec {
     assert(ids.forall(_ <= 20L), s"non-positive-weight rows drawn: $ids")
   }
 
+  test("weightedSampleExactPerGroup: exactly n per group, heavy rows " +
+      "dominate, deterministic, group-limit plan") {
+    // per group: 50 light (w=1) + 50 heavy (w=100) rows
+    val df = (1L to 300L).map { i =>
+      (i, s"g${i % 3}", if ((i / 3) % 2 == 0L) 1L else 100L)
+    }.toDF("id", "g", "w")
+    val out = Sampling.weightedSampleExactPerGroup(
+      df, col("g"), col("id"), col("w"), n = 20)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
+    val heavyShare = out.filter(col("w") === 100L).count()
+    assert(heavyShare > 48, s"heavy rows must dominate a 100:1 draw: $heavyShare")
+    val again = Sampling.weightedSampleExactPerGroup(
+        df.repartition(13), col("g"), col("id"), col("w"), n = 20)
+      .select("g", "id", "sample_rank").collect().map(_.toSeq).toSet
+    assert(again === out.select("g", "id", "sample_rank")
+      .collect().map(_.toSeq).toSet)
+    // the rank filter pushes into a per-partition group limit, so only
+    // ~n rows per group per partition reach the exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("bottomKPerGroup: exactly k per group, deterministic, group-limit plan") {
     val df = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val out = Sampling.bottomKPerGroup(df, col("g"), col("id"), 7)

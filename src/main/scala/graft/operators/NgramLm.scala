@@ -80,11 +80,15 @@ object NgramLm {
     (big, ctx, cont)
   }
 
-  /** Score `docs` against a GIVEN model (trained here or read back
-    * from persisted tables — the count tables are the model artifact;
-    * `t` = |distinct bigram types|, recomputable from `big` with one
-    * aggregate). Three equi-joins + one doc-keyed aggregation. */
-  def scoreWithModel(docs: DataFrame, big: DataFrame, ctx: DataFrame,
+  /** The per-bigram scoring stage: `(id, w1, w2, logp)` — bigram
+    * explode + three equi-joins against the model tables + the KN
+    * interpolation, every step stateless, so it applies UNCHANGED to a
+    * streaming `docs` frame (stream-static equi-joins are append-legal;
+    * see graft.streaming.StreamingOps.streamingBigramKnScores). The
+    * doc-level rollup lives in [[scoreWithModel]] — a per-doc groupBy,
+    * fine in batch but a STATEFUL aggregation on an unbounded stream,
+    * which is why the stage boundary sits here. */
+  def scoredBigrams(docs: DataFrame, big: DataFrame, ctx: DataFrame,
       cont: DataFrame, t: Long, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
@@ -100,11 +104,21 @@ object NgramLm {
       .withColumn("c12", coalesce(col("__c12raw"), lit(0L))).drop("__c12raw")
       .join(ctx, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
-      .withColumn("__logp", anchor6(log10(greatest(p, lit(1e-12)))))
+      .select(col("id"), col("w1"), col("w2"),
+        anchor6(log10(greatest(p, lit(1e-12)))).as("logp"))
+  }
+
+  /** Score `docs` against a GIVEN model (trained here or read back
+    * from persisted tables — the count tables are the model artifact;
+    * `t` = |distinct bigram types|, recomputable from `big` with one
+    * aggregate). Three equi-joins + one doc-keyed aggregation. */
+  def scoreWithModel(docs: DataFrame, big: DataFrame, ctx: DataFrame,
+      cont: DataFrame, t: Long, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoredBigrams(docs, big, ctx, cont, t, idCol, textCol, discount)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        anchor6(avg(col("__logp"))).as("avg_logp"))
-  }
+        anchor6(avg(col("logp"))).as("avg_logp"))
 
   /** Score every `docs` row under a KN bigram model trained on
     * `corpus` (pass the same frame for self-scoring). Output:

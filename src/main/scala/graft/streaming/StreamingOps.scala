@@ -966,4 +966,23 @@ object StreamingOps {
       .select(col("id"), col("chunk_idx"), col("offset"), col("length"),
         col("st_chunk").isNotNull.as("reused"))
   }
+
+  /** Streaming KN-LM scoring against a STATIC stored model (the
+    * persisted q_bigram_kn_incremental_persisted tables): each
+    * streamed doc explodes to bigrams and scores them through the same
+    * three stream-static equi-joins + interpolation as the batch path
+    * ([[graft.operators.NgramLm.scoredBigrams]] — every step
+    * stateless, append-legal, no watermark, no state store). Emits one
+    * `(id, w1, w2, logp)` row per bigram: the batch path's per-doc
+    * mean is a groupBy — a STATEFUL aggregation on an unbounded
+    * stream — so the doc rollup belongs in the sink (each doc's
+    * bigrams all derive from its single input row, so any
+    * foreachBatch sees a doc's rows together and the rollup is one
+    * line of batch SQL there; StreamingSpec pins the union of scored
+    * rows over micro-batches == the batch stage exactly). */
+  def streamingBigramKnScores(stream: DataFrame, big: DataFrame,
+      ctx: DataFrame, cont: DataFrame, t: Long, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame =
+    graft.operators.NgramLm.scoredBigrams(stream, big, ctx, cont, t,
+      idCol, textCol, discount)
 }

@@ -624,6 +624,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KN-LM scoring against a static model: union of " +
+      "scored bigrams over micro-batches == the batch stage exactly") {
+    import graft.operators.NgramLm
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val (big, ctx, cont) = NgramLm.bigramModel(corpus, "doc_id", "text")
+    val bigC = big.cache()
+    val t = bigC.count()
+    val tmp = Files.createTempDirectory("graft_kn_stream").toFile
+    tmp.deleteOnExit()
+    batch.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.streamingBigramKnScores(stream, bigC, ctx, cont,
+        t, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kn_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kn_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3)))
+      val oneShot = NgramLm.scoredBigrams(batch, bigC, ctx, cont, t,
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3)))
+      // multiset equality: a doc can repeat a bigram, so compare sorted
+      assert(streamed.sorted.toSeq === oneShot.sorted.toSeq)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      bigC.unpersist()
+    }
+  }
+
   test("multimodal codec paths run on streams: streaming decode == batch decode") {
     // the codec stages are stateless typed mapPartitions, so they apply
     // to a streaming Dataset unchanged — this pins that the REAL

@@ -84,4 +84,99 @@ object Pca {
     emb.select(col(idCol),
       round(centeredDot(col(vecCol).cast("array<double>"), tc.mean, tc.component), 6)
         .as("pc1"))
+
+  final case class PcaModel(mean: Seq[Double], components: Seq[Seq[Double]],
+      eigenvalues: Seq[Double], n: Long)
+
+  /** Top-k principal components via power iteration WITH DEFLATION
+    * (Hotelling; public algorithm): component j power-iterates on the
+    * covariance with components 1..j−1 projected out. Nothing is
+    * re-materialized — the deflated residual never exists as data.
+    * Per step, each row computes its centered dots against every
+    * PREVIOUS component and the current iterate (all literal codegen'd
+    * folds), the residual dot
+    * `rdot = (x−μ)·v − Σ_i (v_i·v)·((x−μ)·v_i)` uses plan-time
+    * constants `v_i·v` (NOT assumed zero: the 6dp-anchored components
+    * are only approximately orthonormal, and the oracle replays the
+    * exact same correction), and the step reduces to TWO bounded
+    * aggregations per iteration — the per-dimension sums
+    * `A_d = Σ (x_d−μ_d)·rdot` (dim rows) and the per-previous-component
+    * scalars `S_i = Σ ((x−μ)·v_i)·rdot` (j−1 values); the driver
+    * combines `w_d = A_d − Σ_i v_i,d·S_i` left-to-right, 6dp-anchors,
+    * and normalizes from the ROUNDED w (the [[trainTopComponent]]
+    * conventions, so the whole k-component trajectory replays in
+    * unrolled CTEs). Driver state: O(k·dim). Jobs: O(k·iters). */
+  def trainComponents(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): PcaModel = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val df = emb.select(col(vecCol).cast("array<double>").as("e"))
+      .cache() // scanned k*iters+1 times; unpersisted below
+    try {
+      val meanRows = df
+        .select(posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy("d").agg(avg(col("x")).as("m"))
+        .collect()
+      val dim = meanRows.length
+      require(dim > 0, "trainComponents needs a non-empty corpus")
+      require(k <= dim, s"k=$k exceeds dim=$dim")
+      val mu = meanRows.sortBy(_.getInt(0)).map(r => round6(r.getDouble(1))).toSeq
+      val n = df.count()
+
+      val comps = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      val eigs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to k) {
+        var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+        var lastNorm = 0.0
+        for (_ <- 1 to iters) {
+          // plan-time constants: current iterate against each previous
+          // component, folded left-to-right like every in-plan dot
+          val cs = comps.map(vi =>
+            vi.indices.foldLeft(0.0)((acc, i) => acc + vi(i) * v(i))).toSeq
+          val dotcPrev = comps.map(vi => centeredDot(col("e"), mu, vi)).toSeq
+          val rdot = dotcPrev.zip(cs).foldLeft(centeredDot(col("e"), mu, v)) {
+            case (acc, (dc, c)) => acc - lit(c) * dc
+          }
+          val withR = df.withColumn("rdot", rdot)
+          val aRows = withR
+            .select(col("rdot"), posexplode(col("e")).as(Seq("d", "x")))
+            .groupBy("d")
+            .agg(sum((col("x") - element_at(lit(mu.toArray), col("d") + 1)) *
+              col("rdot")).as("s"))
+            .collect()
+          val a = aRows.sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+          val s: Seq[Double] =
+            if (comps.isEmpty) Seq.empty
+            else {
+              val aggCols = dotcPrev.zipWithIndex.map { case (dc, i) =>
+                sum(dc * col("rdot")).as(s"s$i")
+              }
+              val row = withR.agg(aggCols.head, aggCols.tail: _*).head()
+              comps.indices.map(row.getDouble)
+            }
+          val w = a.indices.map { d =>
+            round6(comps.indices.foldLeft(a(d))((acc, i) =>
+              acc - comps(i)(d) * s(i)))
+          }
+          lastNorm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+          v = w.map(x => round6(x / lastNorm))
+        }
+        comps += v
+        eigs += round6(lastNorm / n.toDouble)
+      }
+      PcaModel(mu, comps.toSeq, eigs.toSeq, n)
+    } finally df.unpersist()
+  }
+
+  /** Per-vector projection onto every trained component —
+    * `(id, pc1 … pck)`, one codegen'd literal dot per component, no
+    * join, no shuffle; stateless, so it applies unchanged to a
+    * streaming frame. */
+  def projectK(emb: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val e = col(vecCol).cast("array<double>")
+    emb.select(col(idCol) +: model.components.zipWithIndex.map {
+      case (v, j) =>
+        round(centeredDot(e, model.mean, v), 6).as(s"pc${j + 1}")
+    }: _*)
+  }
 }

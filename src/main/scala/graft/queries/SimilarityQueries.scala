@@ -28,6 +28,18 @@ object SimilarityQueries {
         emb, "vec_id", "embedding", iters = 4)
       graft.operators.Pca.project(emb, "vec_id", "embedding", tc)
     },
+    // TOP-2 components via power iteration WITH DEFLATION (round 13):
+    // component 2 iterates on the covariance with component 1 projected
+    // out — the residual never materializes (per-row literal dots + two
+    // bounded aggregations per step), and the v1·v correction is NOT
+    // assumed zero (6dp-anchored components are only approximately
+    // orthonormal; the oracle replays the exact correction)
+    "q_pca_project2" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = graft.operators.Pca.trainComponents(
+        emb, "vec_id", "embedding", k = 2, iters = 2)
+      graft.operators.Pca.projectK(emb, "vec_id", "embedding", model)
+    },
     "q_ann_bruteforce_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), k = 5, every = 50L)
     },
@@ -802,8 +814,74 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.operators.Pca.trainComponents]] at k=2:
+    * the component-1 chain is [[pcaProjectOracle]]'s unrolled power
+    * iteration; component 2 adds, per step, the plan-time constant
+    * `c = v1·u` (cst), the per-row residual dot `rdot = dotu − c·dot1`
+    * (rd), the per-dimension sums A_d (wa), the deflation scalar
+    * `S₁ = Σ dot1·rdot` (ss), the combined-then-rounded
+    * `w_d = round(A_d − v1_d·S₁, 6)` (wl), and the normalize-from-
+    * rounded-w step (u) — each expression in the engine's exact
+    * operation order. Output: both projections per vector. */
+  private def pca2ProjectOracle(dim: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, $dim)) AS d),
+         |mu AS (SELECT list(round(m, 6) ORDER BY d) AS mu FROM (
+         |  SELECT d, avg(e[d]) AS m FROM e CROSS JOIN dims GROUP BY d)),
+         |v0 AS (SELECT list_transform(range(1, ${dim + 1}),
+         |  i -> round(1.0 / sqrt(${dim}.0), 6)) AS v)""".stripMargin)
+    def cdot(vec: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> (e.e[i] - mu.mu[i]) * $vec[i]))"
+    for (k <- 1 to iters) {
+      sb.append(s""",
+         |w$k AS (SELECT list(round(s, 6) ORDER BY d) AS w FROM (
+         |  SELECT d, sum((t.e[d] - t.mu[d]) * t.dotc) AS s FROM (
+         |    SELECT e.e AS e, mu.mu AS mu, ${cdot("v.v")} AS dotc
+         |    FROM e CROSS JOIN mu CROSS JOIN v${k - 1} v) t
+         |  CROSS JOIN dims GROUP BY d)),
+         |v$k AS (SELECT list_transform(w, x -> round(x /
+         |  sqrt(list_sum(list_transform(w, y -> y * y))), 6)) AS v
+         |  FROM w$k)""".stripMargin)
+    }
+    sb.append(s""",
+         |u0 AS (SELECT v FROM v0)""".stripMargin)
+    for (j <- 1 to iters) {
+      sb.append(s""",
+         |cst$j AS (SELECT list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> vc.v[i] * u.v[i])) AS c
+         |  FROM v$iters vc CROSS JOIN u${j - 1} u),
+         |rd$j AS (
+         |  SELECT t.e AS e, t.mu AS mu, t.dot1 AS dot1,
+         |    t.dotu - c.c * t.dot1 AS rdot
+         |  FROM (SELECT e.e AS e, mu.mu AS mu, ${cdot("u.v")} AS dotu,
+         |          ${cdot("vc.v")} AS dot1
+         |        FROM e CROSS JOIN mu CROSS JOIN v$iters vc
+         |        CROSS JOIN u${j - 1} u) t
+         |  CROSS JOIN cst$j c),
+         |wa$j AS (SELECT d, sum((t.e[d] - t.mu[d]) * t.rdot) AS a
+         |         FROM rd$j t CROSS JOIN dims GROUP BY d),
+         |ss$j AS (SELECT sum(dot1 * rdot) AS s1 FROM rd$j),
+         |wl$j AS (SELECT list(round(a - vc.v[CAST(d AS INTEGER)] * ss.s1, 6)
+         |           ORDER BY d) AS w
+         |         FROM wa$j CROSS JOIN v$iters vc CROSS JOIN ss$j ss),
+         |u$j AS (SELECT list_transform(w, x -> round(x /
+         |  sqrt(list_sum(list_transform(w, y -> y * y))), 6)) AS v
+         |  FROM wl$j)""".stripMargin)
+    }
+    sb.append(s"""
+         |SELECT vec_id,
+         |  round(${cdot("vc.v")}, 6) AS pc1,
+         |  round(${cdot("u.v")}, 6) AS pc2
+         |FROM e CROSS JOIN mu CROSS JOIN v$iters vc
+         |CROSS JOIN u$iters u""".stripMargin)
+    sb.toString
+  }
+
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_pca_project" -> pcaProjectOracle(dim = 64, iters = 4),
+    "q_pca_project2" -> pca2ProjectOracle(dim = 64, iters = 2),
     "q_embedding_neardup_lsh" ->
       srpLshOracle(nBits = 32, bands = 8, dim = 64, threshold = 0.4, seed = 42L),
     "q_srp_incremental_persisted" ->

@@ -44,4 +44,45 @@ class PcaSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("trainComponents: deflation recovers both axes of an anisotropic " +
+      "2-D cloud, components near-orthonormal, k=1 == trainTopComponent") {
+    import spark.implicits._
+    // variance 100x along x, 1x along y: v1 ≈ ±x̂, v2 ≈ ±ŷ (deflation
+    // must find the SECOND direction, which plain power iteration
+    // re-converging to v1 would miss)
+    val rows = (0L until 200L).map { i =>
+      val t = (i.toDouble - 99.5) / 10.0
+      val s = if (i % 2 == 0) 0.1 else -0.1
+      (i, Seq(10.0 * t, s + 0.01 * t))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.trainComponents(df, "vec_id", "embedding", k = 2, iters = 8)
+    val v1 = m.components(0)
+    val v2 = m.components(1)
+    assert(math.abs(v1(0)) > 0.99, s"v1 must align with x: $v1")
+    assert(math.abs(v2(1)) > 0.99, s"v2 must align with y: $v2")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-2, s"components must be near-orthogonal: $dot")
+    assert(m.eigenvalues(0) > m.eigenvalues(1),
+      "eigenvalues must come out in decreasing order")
+    // k=1 degenerates to the single-component trainer exactly
+    val one = Pca.trainComponents(df, "vec_id", "embedding", k = 1, iters = 3)
+    val tc = Pca.trainTopComponent(df, "vec_id", "embedding", iters = 3)
+    assert(one.components.head === tc.component)
+    assert(one.mean === tc.mean)
+  }
+
+  test("trainComponents is partitioning-invariant; projectK is " +
+      "shuffle-free") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = Pca.trainComponents(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val b = Pca.trainComponents(emb.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 2)
+    assert(a === b)
+    val p = Pca.projectK(emb, "vec_id", "embedding", a)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

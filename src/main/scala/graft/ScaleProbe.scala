@@ -620,6 +620,44 @@ object ScaleProbe {
         operators.Clustering.kMeansAssignParallel(embN, k = 64, iters = 2)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"bigram_kn_${n}x") {
+        // KN scoring self-trained on the amplified corpus: amplified
+        // copies duplicate bigram CONTENT n×, so the model tables'
+        // key space stays constant while counts scale — the two
+        // training aggregations must absorb that in map-side combine,
+        // and the three scoring joins shuffle on the (constant-size)
+        // token keys; near-linear slope = scan-bound
+        val docsK = docsN.withColumn("text",
+          coalesce(col("text"), lit("")))
+        operators.NgramLm.bigramKnScores(docsK, docsK, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"scene_changes_${n}x") {
+        // mux → real demux → per-frame decode+histogram (map-only) →
+        // per-video lag window (frames co-locate per id; no global
+        // sort) — codec-CPU-bound, so the slope tracks the scan
+        val media = multimodal.Multimodal.asMedia(
+          docsN.filter(length(encode(col("text"), "UTF-8")) > 0)
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "raw")
+        import org.apache.spark.sql.SparkSession
+        val s2 = media.sparkSession
+        import s2.implicits._
+        val avi = media.mapPartitions { it =>
+          it.map { r =>
+            val frames = multimodal.MediaCodecs.ByteSliceDemux
+              .demux(r.payload, 64, 5)
+              .map(f => multimodal.Multimodal.grayPngBytes(f._3, width = 16))
+              .toSeq
+            multimodal.Multimodal.MediaRecord(r.id, "video/x-msvideo",
+              multimodal.AviMjpeg.mux(frames, width = 16, height = 4,
+                fps = 5))
+          }
+        }
+        multimodal.Multimodal.sceneChanges(
+            multimodal.Multimodal.sampleFrames(avi, 0, 5), threshold = 40L)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"phash_pairs_${n}x") {
         // dHash is a per-payload projection; the pair stage is the
         // pigeonhole banded equi-join. Amplification copies every

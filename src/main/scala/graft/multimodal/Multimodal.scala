@@ -715,6 +715,58 @@ object Multimodal {
     }
   }
 
+  /** Scene-change keyframe selection over demuxed frames — histogram-
+    * difference shot-boundary detection (Zhang, Kankanhalli & Smoliar,
+    * Multimedia Systems 1993 — the classic published method), the
+    * video-curation step real pipelines run INSTEAD of fixed-stride
+    * sampling (sample where the content changes, not every N frames):
+    * each frame decodes through the image registry (REAL codec — the
+    * frames coming out of the AVI/GIF demux are PNG/JPEG payloads),
+    * reduces to a `bins`-bin luminance histogram (exact integer
+    * counts, padding rows included exactly as the decoder sees them),
+    * and consecutive frames within a video compare by L1 histogram
+    * distance; a frame is a keyframe iff it is the video's first or
+    * its distance from the PREVIOUS frame reaches `threshold`. All
+    * integer arithmetic, so the whole chain oracles bit-for-bit.
+    *
+    * Scale shape: decode+histogram is one mapPartitions projection per
+    * frame (no shuffle); the consecutive-frame compare is a lag window
+    * PARTITIONED BY video id — frames of one video co-locate, nothing
+    * global. Output: `(id, frame_idx, l1_dist, is_keyframe)` with
+    * l1_dist NULL on each video's first frame. */
+  def sceneChanges(frames: Dataset[Frame], threshold: Long,
+      bins: Int = 16, mediaType: String = "image/png",
+      codec: Option[MediaCodecs.GrayImageCodec] = None): DataFrame = {
+    require(bins >= 1 && bins <= 256 && 256 % bins == 0,
+      s"bins must divide 256, got $bins")
+    require(threshold >= 0)
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.imageSnapshot // plan-build-time capture
+    val div = 256 / bins
+    val nBins = bins
+    val hists = frames.mapPartitions { it =>
+      it.map { f =>
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, mediaType))
+        val (_, _, px) = c.decodeGray(f.frame_bytes, f.id)
+        val hist = new Array[Long](nBins)
+        var i = 0
+        while (i < px.length) { hist(px(i) / div) += 1L; i += 1 }
+        (f.id, f.frame_idx, hist)
+      }
+    }.toDF("id", "frame_idx", "hist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_idx")
+    hists.withColumn("__ph", lag(col("hist"), 1).over(w))
+      .withColumn("l1_dist",
+        when(col("__ph").isNull, lit(null).cast("long"))
+          .otherwise(aggregate(zip_with(col("hist"), col("__ph"),
+            (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)))
+      .select(col("id"), col("frame_idx"), col("l1_dist"),
+        (col("__ph").isNull || col("l1_dist") >= threshold)
+          .as("is_keyframe"))
+  }
+
   /** Frame sampling, routed through the [[MediaCodecs]] demux registry
     * (default: [[MediaCodecs.ByteSliceDemux]] — fixed-size byte slices,
     * the documented deterministic stand-in for a real keyframe

@@ -620,9 +620,13 @@ object DedupQueries {
     "q_cdc_clamped" -> { (s, dir) =>
       val nz = table(s, dir, "documents")
         .filter(length(encode(col("text"), "UTF-8")) > 0)
+      // maskBits=7 (expected 128 B): the oracle's recursion walks one
+      // step per CHUNK, so the coarser grain (minLen 64) halves its
+      // depth relative to the unclamped queries' maskBits=6 while
+      // still exercising both clamp sides on the corpus
       graft.operators.Cdc.chunksClamped(
           nz.withColumn("payload", encode(col("text"), "UTF-8")),
-          "doc_id", "payload", maskBits = 6, minLen = 32, maxLen = 128)
+          "doc_id", "payload", maskBits = 7, minLen = 64, maxLen = 512)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_chunks"),
           max(col("length")).cast("long").as("max_len"),
@@ -1880,15 +1884,15 @@ object DedupQueries {
     // forced e+maxLen, final len−1), exactly Cdc.clampedCutEnds' loop
     "q_cdc_clamped" ->
       s"""WITH RECURSIVE $cdcCtes,
-        |cand AS (SELECT doc_id, i FROM ch WHERE hv < (1::BIGINT << 26)),
+        |cand AS (SELECT doc_id, i FROM ch WHERE hv < (1::BIGINT << 25)),
         |cuts AS (
         |  SELECT doc_id, CAST(-1 AS BIGINT) AS e, len FROM nz
         |  UNION ALL
         |  SELECT c.doc_id,
         |    CAST(least(coalesce((SELECT min(a.i) FROM cand a
-        |        WHERE a.doc_id = c.doc_id AND a.i >= c.e + 32),
+        |        WHERE a.doc_id = c.doc_id AND a.i >= c.e + 64),
         |        4611686018427387904),
-        |      c.e + 128, c.len - 1) AS BIGINT) AS e,
+        |      c.e + 512, c.len - 1) AS BIGINT) AS e,
         |    c.len
         |  FROM cuts c WHERE c.e < c.len - 1),
         |cspans AS (

@@ -560,6 +560,36 @@ object MultimodalQueries {
       graft.operators.Dedup.semanticPairs(joint, threshold = 0.99995,
         nClusters = 4, trainIters = 2)
     },
+    // scene-change keyframe selection (round 13) over a REAL container
+    // round trip: docs -> PNG frames -> AVI mux -> registry demux ->
+    // real PNG decode -> 16-bin luminance histograms -> per-video lag
+    // L1 distance; keyframe = first frame or distance >= threshold.
+    // The container is byte-identity on frames and PNG lossless on
+    // pixels, so the oracle replays histograms straight from the text
+    // bytes (padding zeros included) with no container access.
+    "q_video_keyframes" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "raw")
+      val avi = media.mapPartitions { it =>
+        it.map { r =>
+          val frames = graft.multimodal.MediaCodecs.ByteSliceDemux
+            .demux(r.payload, 64, 5)
+            .map(f => Multimodal.grayPngBytes(f._3, width = 16)).toSeq
+          Multimodal.MediaRecord(r.id, "video/x-msvideo",
+            graft.multimodal.AviMjpeg.mux(frames, width = 16,
+              height = 4, fps = 5))
+        }
+      }
+      val frames = Multimodal.sampleFrames(avi, frameSize = 0,
+        maxFrames = 5, requireReal = true)
+      Multimodal.sceneChanges(frames, threshold = 40L, bins = 16)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          col("l1_dist"), col("is_keyframe"))
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -1181,6 +1211,47 @@ object MultimodalQueries {
     // byte-identity on frame payloads and PNG is lossless on pixels,
     // so the container round trip must be a feature no-op
     "q_video_avi_pipeline" -> videoPooledOracle,
+    // keyframe replay: frame f of a doc is bytes [64f, 64f+flen)
+    // zero-padded to the 16-wide row grid (exactly what the PNG
+    // decoder yields), histogram bin = px // 16 over the padded
+    // pixels, consecutive-frame L1 via lag per doc — pure integers
+    "q_video_keyframes" ->
+      """WITH nz AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (
+        |  SELECT doc_id, len,
+        |    unnest(range(0, least(5, CAST(ceil(len / 64.0) AS BIGINT)))) AS f
+        |  FROM nz),
+        |fp AS (SELECT doc_id, f, least(64, len - 64 * f) AS flen FROM fr),
+        |px AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN i < flen
+        |         THEN unicode(text[CAST(64 * f + i + 1 AS INTEGER)])
+        |         ELSE 0 END AS v
+        |  FROM (SELECT nz.doc_id, fp.f, fp.flen, nz.text,
+        |          unnest(range(0, 16 * CAST(ceil(fp.flen / 16.0) AS BIGINT)))
+        |            AS i
+        |        FROM fp JOIN nz ON nz.doc_id = fp.doc_id)),
+        |hb AS (SELECT doc_id, f, v // 16 AS b, count(*) AS c
+        |       FROM px GROUP BY 1, 2, 3),
+        |hd AS (
+        |  SELECT fp.doc_id, fp.f, gb.b, coalesce(hb.c, 0) AS c
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 16)) AS b) gb
+        |  LEFT JOIN hb ON hb.doc_id = fp.doc_id AND hb.f = fp.f
+        |    AND hb.b = gb.b),
+        |hl AS (SELECT doc_id, f, list(c ORDER BY b) AS hist
+        |       FROM hd GROUP BY 1, 2),
+        |lg AS (SELECT doc_id, f, hist,
+        |         lag(hist) OVER (PARTITION BY doc_id ORDER BY f) AS ph
+        |       FROM hl)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CASE WHEN ph IS NULL THEN NULL
+        |       ELSE CAST(list_sum(list_transform(range(1, 17),
+        |              i -> abs(hist[i] - ph[i]))) AS BIGINT) END AS l1_dist,
+        |  (ph IS NULL OR list_sum(list_transform(range(1, 17),
+        |     i -> abs(hist[i] - ph[i]))) >= 40) AS is_keyframe
+        |FROM lg""".stripMargin,
     // the GIF pipeline shares it too: identity-palette GIF is lossless
     // on 8-bit gray, so the second container round trip must also be a
     // feature no-op — three queries, one oracle

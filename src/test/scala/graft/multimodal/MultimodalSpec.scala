@@ -177,6 +177,30 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("sceneChanges: hand case — first frame always keyframe, an " +
+      "identical repeat never, a content cut at L1 >= threshold is; " +
+      "the compare plan is a partitioned window, no join") {
+    import org.apache.spark.sql.Dataset
+    // three 64-px frames as real PNGs: A, A again (L1=0), then B with
+    // 64 pixels moved to a different bin (L1 = 128)
+    val a = Array.fill[Byte](64)(10)   // bin 0
+    val b = Array.fill[Byte](64)(100)  // bin 6
+    val frames: Dataset[Multimodal.Frame] = Seq(
+      Multimodal.Frame(1L, 0, 0L, Multimodal.grayPngBytes(a, 16), "t"),
+      Multimodal.Frame(1L, 1, 64L, Multimodal.grayPngBytes(a, 16), "t"),
+      Multimodal.Frame(1L, 2, 128L, Multimodal.grayPngBytes(b, 16), "t"))
+      .toDS()
+    val out = Multimodal.sceneChanges(frames, threshold = 40L)
+    val got = out.collect()
+      .map(r => r.getInt(1) -> (Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(got(0) === ((None, true)), "first frame is always a keyframe")
+    assert(got(1) === ((Some(0L), false)), "identical repeat: L1 = 0")
+    assert(got(2) === ((Some(128L), true)), "full-frame cut: L1 = 2*64")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("binary payloads round-trip through parquet with metadata pruning") {
     val tmp = Files.createTempDirectory("graft_media").toFile
     tmp.deleteOnExit()

@@ -715,6 +715,56 @@ object Multimodal {
     }
   }
 
+  /** Utterance segmentation — the VAD-lite silence split that turns
+    * raw audio into trainable speech segments (the audio twin of
+    * sentence chunking): decode through the audio registry (REAL
+    * codec — WAV PCM or ADPCM alike), score the same ALIGNED
+    * `windowSize`-sample windows as [[audioQualityFeatures]] with its
+    * exact integer silence rule (`Σ|s|·100 < 32768·n` — mean below 1%
+    * of full scale), and emit each maximal run of NON-silent windows
+    * as one utterance. Decode+window is a per-payload flatMap (no
+    * shuffle); the run grouping is the gaps-and-islands idiom
+    * (win − row_number) PARTITIONED BY audio id — windows of one
+    * recording co-locate, nothing global. Output:
+    * `(id, utt_idx, start_win, end_win, n_windows)`; fully-silent
+    * payloads emit nothing. */
+  def utteranceSegments(media: Dataset[MediaRecord], windowSize: Int = 64,
+      codec: Option[MediaCodecs.PcmAudioCodec] = None): DataFrame = {
+    require(windowSize >= 1, "need windowSize >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.audioSnapshot // plan-build-time capture
+    val wsz = windowSize
+    val wins = media.mapPartitions { it =>
+      it.flatMap { r =>
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (_, samples) = c.decodePcm(r.payload, r.id)
+        val nw = (samples.length + wsz - 1) / wsz
+        (0 until nw).iterator.map { w =>
+          var ws = 0L
+          var wn = 0
+          var i = w * wsz
+          val end = math.min(samples.length, (w + 1) * wsz)
+          while (i < end) { ws += math.abs(samples(i)); wn += 1; i += 1 }
+          (r.id, w, ws * 100 < 32768L * wn)
+        }
+      }
+    }.toDF("id", "win", "silent")
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("win")
+    wins.filter(!col("silent"))
+      .withColumn("__grp", col("win") - row_number().over(byId))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("win")).as("start_win"), max(col("win")).as("end_win"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("utt_idx",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("start_win")) - 1).cast("int"))
+      .select(col("id"), col("utt_idx"),
+        col("start_win").cast("long").as("start_win"),
+        col("end_win").cast("long").as("end_win"), col("n_windows"))
+  }
+
   /** Scene-change keyframe selection over demuxed frames — histogram-
     * difference shot-boundary detection (Zhang, Kankanhalli & Smoliar,
     * Multimedia Systems 1993 — the classic published method), the

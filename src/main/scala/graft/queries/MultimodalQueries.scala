@@ -201,6 +201,27 @@ object MultimodalQueries {
     // sample's |amplitude| in [512, 24576]). PCM WAV is lossless, so
     // the oracle replays the exact integer sums from the constructed
     // byte stream without touching the container.
+    // utterance segmentation (round 13): 80 silent samples, the text,
+    // 80 more silent samples, the text again — every non-empty doc
+    // yields (usually two) utterances split at the mid-payload silence,
+    // through the REAL WAV round trip; empty docs are all-silence and
+    // emit nothing. PCM is lossless, so the oracle replays the exact
+    // integer window sums + the gaps-and-islands run grouping.
+    "q_audio_utterances" -> { (s, dir) =>
+      val pad = Array.fill(80)(0x80.toByte)
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload",
+            concat(lit(pad),
+              encode(coalesce(col("text"), lit("")), "UTF-8"),
+              lit(pad),
+              encode(coalesce(col("text"), lit("")), "UTF-8"))),
+        "doc_id", "payload", "text/plain")
+      Multimodal.utteranceSegments(
+          Multimodal.encodePcmWav(media, sampleRate = 8000))
+        .select(col("id").as("doc_id"), col("utt_idx"), col("start_win"),
+          col("end_win"), col("n_windows"))
+    },
     "q_audio_quality" -> { (s, dir) =>
       val pad = Array.fill(80)(0x80.toByte)
       val rail = Array.fill(10)(0xFF.toByte)
@@ -1163,6 +1184,45 @@ object MultimodalQueries {
     "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
     "q_audio_quality" -> audioQualityOracle,
+    // utterance replay: the audioQuality sv/window chain over the
+    // pad+text+pad+text payload, non-silent windows grouped into
+    // maximal runs by the win − row_number islands idiom
+    "q_audio_utterances" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |    octet_length(encode(coalesce(text, ''))) AS len
+         |  FROM documents),
+         |sv AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i < 80 THEN 0
+         |         WHEN i < 80 + len THEN
+         |           abs((unicode(text[CAST(i - 80 + 1 AS INTEGER)]) - 128) * 256)
+         |         WHEN i < 160 + len THEN 0
+         |         ELSE
+         |           abs((unicode(text[CAST(i - 160 - len + 1 AS INTEGER)]) - 128) * 256)
+         |    END AS a
+         |  FROM (SELECT doc_id, text, len,
+         |          unnest(range(0, 160 + 2 * len)) AS i FROM d)),
+         |w AS (
+         |  SELECT doc_id, i // 64 AS win, sum(a) AS ws, count(*) AS wn
+         |  FROM sv GROUP BY 1, 2),
+         |nsw AS (SELECT doc_id, win FROM w WHERE ws * 100 >= 32768 * wn),
+         |isl AS (
+         |  SELECT doc_id, win,
+         |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win)
+         |      AS grp
+         |  FROM nsw),
+         |seg AS (
+         |  SELECT doc_id, grp, min(win) AS start_win, max(win) AS end_win,
+         |    count(*) AS n_windows
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win)
+         |    - 1 AS INTEGER) AS utt_idx,
+         |  CAST(start_win AS BIGINT) AS start_win,
+         |  CAST(end_win AS BIGINT) AS end_win,
+         |  n_windows::BIGINT AS n_windows
+         |FROM seg""".stripMargin,
     // decimated integer stream replayed exactly: block mean =
     // floor(sum / n) == the engine's Math.floorDiv; features then
     // follow the audioFeaturesOracle shape over the decimated samples

@@ -177,6 +177,27 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("utteranceSegments: two bursts split at the silent gap, " +
+      "all-silence emits nothing, boundaries exact") {
+    // samples via byte payload: 0x80 -> amplitude 0 (silence); 0xFF ->
+    // 32512 (loud). Layout: 64 silent | 128 loud | 64 silent | 64 loud
+    // -> windows: 0 silent, 1-2 loud, 3 silent, 4 loud
+    val p = Array.fill[Byte](64)(0x80.toByte) ++
+      Array.fill[Byte](128)(0xFF.toByte) ++
+      Array.fill[Byte](64)(0x80.toByte) ++
+      Array.fill[Byte](64)(0xFF.toByte)
+    val silent = Array.fill[Byte](200)(0x80.toByte)
+    val m = Multimodal.asMedia(
+      Seq((1L, p), (2L, silent)).toDF("id", "payload"),
+      "id", "payload", "text/plain")
+    val got = Multimodal.utteranceSegments(
+        Multimodal.encodePcmWav(m, sampleRate = 8000))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((1L, 0, 1L, 2L, 2L), (1L, 1, 4L, 4L, 1L)),
+      s"got $got")
+  }
+
   test("sceneChanges: hand case — first frame always keyframe, an " +
       "identical repeat never, a content cut at L1 >= threshold is; " +
       "the compare plan is a partitioned window, no join") {

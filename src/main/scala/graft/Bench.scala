@@ -82,8 +82,27 @@ object Bench {
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    // Suite-position diagnostic (SPARK_GRAFT_BENCH_CC_DIAG=1; the round
+    // driver sets no env, so its runs are unaffected): in the r13
+    // round-final session the two CC-composed queries grew MONOTONICALLY
+    // across their own three back-to-back runs ([6.8,17.5,28.1]s) late
+    // in a 282-query JVM, despite the per-run unpersist+GC above —
+    // fresh-JVM repros were flat. Time their triples at suite-START and
+    // again at suite-END in the SAME JVM: END growing while START was
+    // flat would implicate session-scoped JVM state amplifying on
+    // checkpoint-heavy loops; both flat pins the r13 artifact on the
+    // box. Results go to bench_full.json under "cc_diag" (never the
+    // printed headline line).
+    val ccDiagNames = Seq("q_dedup_clusters_incremental",
+      "q_dedup_best_survivors").filter(names.contains)
+    val ccDiag = sys.env.get("SPARK_GRAFT_BENCH_CC_DIAG").contains("1")
+    def diagTriples(): Seq[(String, Seq[Double])] =
+      if (ccDiag) ccDiagNames.map(n => n -> Seq.fill(runsPerQuery)(exec(n)))
+      else Nil
+    val diagStart = diagTriples()
     val allRuns: Seq[(String, Seq[Double])] =
       names.map(n => n -> Seq.fill(runsPerQuery)(exec(n)))
+    val diagEnd = diagTriples()
     // any failed run fails the query (-1.0) — a flaky query must not
     // launder itself through the median
     val results = allRuns.map { case (n, rs) =>
@@ -123,14 +142,19 @@ object Bench {
       "q_knn_join", "q_hybrid_rrf", "q_diversity_select",
     ).filter(names.contains)
     val headJson = json(results.filter(h => headline.contains(h._1)))
-    val runsJson = allRuns
-      .map { case (k, rs) =>
-        "\"" + k + "\":" + rs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    def runsJsonOf(rs: Seq[(String, Seq[Double])]): String = rs
+      .map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    val runsJson = runsJsonOf(allRuns)
+    val ccDiagJson =
+      if (ccDiag)
+        s""","cc_diag":{"start":${runsJsonOf(diagStart)},"end":${runsJsonOf(diagEnd)}}"""
+      else ""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsPerQuery,"n_queries":${names.size},"failed":$failedJson,"queries":${json(results)},"all_runs":$runsJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsPerQuery,"n_queries":${names.size},"failed":$failedJson,"queries":${json(results)},"all_runs":$runsJson$ccDiagJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsPerQuery,"n_queries":${names.size},"failed":$failedJson,"queries":$headJson,"sf":"$sfDir"}""")
     spark.stop()

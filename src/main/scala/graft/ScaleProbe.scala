@@ -632,6 +632,18 @@ object ScaleProbe {
         operators.NgramLm.bigramKnScores(docsK, docsK, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"fivegram_kn_${n}x") {
+        // order-5 KN (round 14): same content-duplication argument as
+        // the bigram probe at 4 orders deep — per-order adjusted-count
+        // aggregations absorb the n× counts map-side (key spaces are
+        // corpus-content-bound, constant under amplification) and the
+        // 9 scoring joins shuffle on constant-size gram keys; the
+        // slope must stay scan-bound even with 2n-1 join legs
+        val docsK = docsN.withColumn("text",
+          coalesce(col("text"), lit("")))
+        operators.NgramLm.knScores(docsK, docsK, "doc_id", "text", n = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"scene_changes_${n}x") {
         // mux → real demux → per-frame decode+histogram (map-only) →
         // per-video lag window (frames co-locate per id; no global

@@ -161,8 +161,14 @@ object Clustering {
     graft.functions.GraftFunctions.register(df.sparkSession)
     if (df.isStreaming && centroids.size > LiteralArgminMax)
       return assignByClosure(df, centroids, idCol, vecCol)
+    // streaming id convention: vec_id is LONG on both streaming paths
+    // (assignByClosure already casts), so a sink's schema cannot
+    // silently change when k crosses LiteralArgminMax mid-deployment
+    val idOut =
+      if (df.isStreaming) col("vec_id").cast("long").as("vec_id")
+      else col("vec_id")
     bestCentroid(df, centroids, idCol, col(vecCol))
-      .select(col("vec_id"), col("best.cid").as("cluster"),
+      .select(idOut, col("best.cid").as("cluster"),
         round(sqrt(col("best.d2")), 4).as("dist"))
   }
 

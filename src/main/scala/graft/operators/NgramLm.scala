@@ -111,14 +111,21 @@ object NgramLm {
   /** Score `docs` against a GIVEN model (trained here or read back
     * from persisted tables — the count tables are the model artifact;
     * `t` = |distinct bigram types|, recomputable from `big` with one
-    * aggregate). Three equi-joins + one doc-keyed aggregation. */
+    * aggregate). Three equi-joins + one doc-keyed aggregation. The doc
+    * mean sums the anchored logps as EXACT INTEGER micro-units (round
+    * 14, the [[scoreWithKnCounts]] convention): a floating `avg` is
+    * summation-order-dependent, and Spark's partial aggregation vs the
+    * oracle's scan order can land an ulp apart — right on a 6dp anchor
+    * boundary that flips the last digit. A long sum is
+    * order-independent, so both engines divide the identical integer. */
   def scoreWithModel(docs: DataFrame, big: DataFrame, ctx: DataFrame,
       cont: DataFrame, t: Long, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame =
     scoredBigrams(docs, big, ctx, cont, t, idCol, textCol, discount)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        anchor6(avg(col("logp"))).as("avg_logp"))
+        anchor6(sum(round(col("logp") * 1e6).cast("long")).cast("double")
+          / lit(1e6) / count(lit(1))).as("avg_logp"))
 
   /** Score every `docs` row under a KN bigram model trained on
     * `corpus` (pass the same frame for self-scoring). Output:
@@ -131,5 +138,190 @@ object NgramLm {
     // the single driver-resident model scalar: |distinct bigram types|
     val t = big.count()
     scoreWithModel(docs, big, ctx, cont, t, idCol, textCol, discount)
+  }
+
+  // ------------------------------------------------------------------
+  // Order-n interpolated Kneser–Ney (round 14). The deployed CCNet
+  // filter is a 5-GRAM KenLM; the bigram above was the smallest LM
+  // where smoothing matters, and its table shape generalizes directly:
+  // one count table per order, each keyed on its scoring-join key, with
+  // backoff CHAINED through the orders. Lower-order tables hold
+  // KenLM-style ADJUSTED (continuation) counts derived from the order
+  // above (Heafield et al. 2013 "Scalable Modified Kneser-Ney";
+  // Chen & Goodman 1998 eq. for interpolated KN):
+  //   counts(n)(w1..wn)  = raw n-gram counts        (one corpus shuffle)
+  //   counts(k)(w1..wk)  = |{v : counts(k+1)(v,w1..wk) > 0}|
+  //                      = one GROUP BY over counts(k+1) — the rows of
+  //                        counts(k+1) are already distinct (k+1)-grams,
+  //                        so COUNT(*) by the k-word suffix IS the
+  //                        distinct-predecessor count. n-1 bounded
+  //                        aggregations total, never a driver vocabulary.
+  //   T = Σ_w counts(1)(w) = |rows of counts(2)| — the one driver scalar,
+  //       recomputable from the stored order-2 table with one aggregate.
+  // Scoring joins a document's n-gram windows against 2n-1 tables
+  // (counts(k) on its k-gram, its context rollup on the k-1 prefix,
+  // counts(1) on the last word) — all natural-key equi-joins that
+  // broadcast when the model is small and shuffle when it isn't — then
+  // folds the interpolation from the continuation unigram upward:
+  //   P_1(w)        = counts(1)(w) / T            (0 when unseen)
+  //   P_k(w | ctx)  = max(c_k − D_k, 0)/tot_k
+  //                   + D_k · nf_k / tot_k · P_{k-1}    when ctx seen
+  //                 = P_{k-1}                           when ctx unseen
+  // with the bigram file's exact operation order, 1e-12 floor, and 6dp
+  // log10/mean anchoring, so a DuckDB oracle replays every bit.
+  // ------------------------------------------------------------------
+
+  /** One row per length-`n` consecutive token window:
+    * `(id, w1 … wn)` — one codegen-friendly projection (sequence of
+    * window starts → fixed-length slices) + explode, no shuffle. Docs
+    * with < n tokens emit nothing (the bigram convention at n = 2). */
+  def ngramWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"order must be >= 1, got $n")
+    val t = toks(col(textCol))
+    df.select(col(idCol).as("id"), t.as("__t"))
+      .filter(size(col("__t")) >= n) // also keeps `sequence` ascending
+      .withColumn("__g", explode(transform(
+        sequence(lit(1), size(col("__t")) - lit(n - 1)),
+        i => slice(col("__t"), i, lit(n)))))
+      .select(col("id") +:
+        (1 to n).map(k => element_at(col("__g"), k).as(s"w$k")): _*)
+  }
+
+  /** The order-`n` model: count tables for every order 1..n, each
+    * `(w1 … wk, c)`. `tables(n)` is raw counts; `tables(k < n)` are the
+    * adjusted continuation counts (see the section comment). Each table
+    * is keyed on its scoring-join key, so the whole model persists as
+    * bucketed tables (the q_trigram_kn_incremental_persisted
+    * lifecycle); T recomputes as `tables(2).count()`. */
+  def knCounts(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): Map[Int, DataFrame] = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    val top = ngramWindows(corpus, idCol, textCol, n)
+      .groupBy((1 to n).map(k => col(s"w$k")): _*)
+      .agg(count(lit(1)).as("c"))
+    (n - 1 to 1 by -1).foldLeft(Map(n -> top)) { (acc, k) =>
+      acc + (k -> acc(k + 1)
+        .groupBy((2 to k + 1).map(j => col(s"w$j").as(s"w${j - 1}")): _*)
+        .agg(count(lit(1)).as("c")))
+    }
+  }
+
+  /** Per-context rollup of an order-k count table: `(w1 … w(k-1),
+    * tot = Σ c, nf = |followers|)` — one map-side-combined aggregation,
+    * derived (not stored): the count tables are the model artifact. */
+  private def ctxOf(countsK: DataFrame, k: Int): DataFrame =
+    countsK.groupBy((1 until k).map(j => col(s"w$j")): _*)
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("nf"))
+
+  /** Chen–Goodman estimated absolute discount for one order's count
+    * table: D = n1 / (n1 + 2·n2) from the count-of-counts (n1 = types
+    * seen once, n2 = twice) — ONE bounded aggregate (two longs reach
+    * the driver), anchored to 6dp like every driver-resident model
+    * scalar so the oracle's CTE replays the identical literal. */
+  def estimateDiscount(countsK: DataFrame): Double = {
+    val row = countsK.agg(
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2")).head()
+    val n1 = row.getLong(0)
+    val n2 = row.getLong(1)
+    require(n1 + 2 * n2 > 0,
+      "estimateDiscount: no singleton or doubleton n-gram types " +
+        "(degenerate corpus — every type repeats 3+ times); pass an " +
+        "explicit discount instead")
+    math.floor(n1.toDouble / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6
+  }
+
+  /** The per-window scoring stage: `(id, w1 … wn, logp)` — n-gram
+    * explode + 2n-1 equi-joins + the chained KN interpolation, every
+    * step stateless (the [[scoredBigrams]] streaming argument applies
+    * unchanged; the doc rollup lives in [[scoreWithKnCounts]]).
+    * `discounts(k)` is order k's absolute discount (uniform 0.75 by
+    * default; [[estimateDiscount]] per order for the estimated
+    * variant). */
+  def scoredNgrams(docs: DataFrame, counts: Map[Int, DataFrame], t: Long,
+      idCol: String, textCol: String, n: Int,
+      discounts: Int => Double = _ => 0.75): DataFrame = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    require((1 to n).forall(counts.contains), s"model is missing orders " +
+      s"${(1 to n).filterNot(counts.contains).mkString(",")}")
+    require(t > 0, "empty model")
+    (2 to n).foreach { k =>
+      val d = discounts(k)
+      require(d > 0 && d < 1, s"discount($k) in (0,1), got $d")
+    }
+    // order k's tables join on the LAST k window words: rename the
+    // model's w1..wk to w(n-k+1)..wn so every leg is a plain
+    // using-columns equi-join against the window frame
+    val joined = (2 to n).foldLeft(
+      ngramWindows(docs, idCol, textCol, n)
+        .join(counts(1).select(col("w1").as(s"w$n"), col("c").as("__nb")),
+          Seq(s"w$n"), "left")) { (acc, k) =>
+      val gramKeys = (1 to k).map(j => s"w${n - k + j}")
+      val ctxKeys = gramKeys.init
+      val gram = counts(k).select(
+        (1 to k).map(j => col(s"w$j").as(s"w${n - k + j}")) :+
+          col("c").as(s"__c$k"): _*)
+      val ctx = ctxOf(counts(k), k).select(
+        (1 until k).map(j => col(s"w$j").as(s"w${n - k + j}")) ++
+          Seq(col("tot").as(s"__tot$k"), col("nf").as(s"__nf$k")): _*)
+      acc.join(gram, gramKeys, "left").join(ctx, ctxKeys, "left")
+    }
+    // fold the interpolation upward from the continuation unigram, in
+    // the bigram stage's exact operation order at every level
+    val p = (2 to n).foldLeft(
+      coalesce(col("__nb").cast("double"), lit(0.0)) / lit(t.toDouble)) {
+      (pPrev, k) =>
+        val d = lit(discounts(k))
+        when(col(s"__tot$k").isNotNull,
+          greatest(coalesce(col(s"__c$k"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col(s"__tot$k") +
+            d * col(s"__nf$k").cast("double") / col(s"__tot$k") * pPrev)
+          .otherwise(pPrev)
+    }
+    joined.select(col("id") +: (1 to n).map(k => col(s"w$k")) :+
+      anchor6(log10(greatest(p, lit(1e-12)))).as("logp"): _*)
+  }
+
+  /** Score `docs` against a GIVEN order-n model (trained here or read
+    * back from persisted bucketed tables): `(id, n_ngrams, avg_logp)`
+    * for docs with ≥ 1 full window. The doc mean is computed over the
+    * anchored logps as EXACT INTEGER micro-units (each logp is an
+    * anchored multiple of 1e-6, so `round(logp·1e6)` recovers that
+    * integer exactly): a plain floating `avg` depends on summation
+    * order, and Spark's partial aggregation vs the oracle's scan order
+    * can land an ulp apart — on a 6dp anchor boundary that flips the
+    * last digit (observed on 1-2 docs per 500 at order 3/5, where
+    * windows per doc are larger than the bigram case). A long sum is
+    * order-independent, so both engines divide the identical integer. */
+  def scoreWithKnCounts(docs: DataFrame, counts: Map[Int, DataFrame],
+      t: Long, idCol: String, textCol: String, n: Int,
+      discounts: Int => Double = _ => 0.75): DataFrame =
+    scoredNgrams(docs, counts, t, idCol, textCol, n, discounts)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        anchor6(sum(round(col("logp") * 1e6).cast("long")).cast("double")
+          / lit(1e6) / count(lit(1))).as("avg_logp"))
+
+  /** Self-contained order-n KN scoring: train on `corpus`, score
+    * `docs`. The top-order count table is pinned with an EAGER
+    * localCheckpoint: all 2n-1 scoring legs (and the lower-order
+    * chain) derive from it, so without the pin the corpus would
+    * re-tokenize and re-aggregate once per leg — with it, the one
+    * expensive aggregation runs exactly once and every leg re-reads
+    * the (much smaller) count blocks. localCheckpoint, not cache():
+    * the model is internal state of one returned plan, and the house
+    * cache-lifecycle sweep requires queries to leave the CacheManager
+    * empty (blocks are reclaimed by the ContextCleaner / the bench
+    * harness's per-run unpersist). Production at scale uses the
+    * PERSISTED bucketed-table lifecycle instead — see
+    * q_trigram_kn_incremental_persisted. */
+  def knScores(corpus: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      discounts: Int => Double = _ => 0.75): DataFrame = {
+    val counts0 = knCounts(corpus, idCol, textCol, n)
+    val counts = counts0 + (n -> counts0(n).localCheckpoint(true))
+    val t = counts(2).count()
+    scoreWithKnCounts(docs, counts, t, idCol, textCol, n, discounts)
   }
 }

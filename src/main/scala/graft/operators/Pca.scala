@@ -124,7 +124,7 @@ object Pca {
 
       val comps = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
       val eigs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (_ <- 1 to k) {
+      for (j <- 1 to k) {
         var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
         var lastNorm = 0.0
         for (_ <- 1 to iters) {
@@ -158,6 +158,13 @@ object Pca {
               acc - comps(i)(d) * s(i)))
           }
           lastNorm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+          // rank-deficient guard: when k exceeds the corpus's effective
+          // rank (or the corpus is constant), the deflated iterate
+          // rounds to all zeros and dividing would silently poison
+          // every remaining component with NaN — fail loudly instead
+          require(lastNorm > 0,
+            s"trainComponents: component $j deflated to the zero vector " +
+              s"(k=$k exceeds the corpus's effective rank)")
           v = w.map(x => round6(x / lastNorm))
         }
         comps += v

@@ -83,7 +83,17 @@ object Validation {
     * sample, measured 7× slower than approx on sf0.1 lineitem, and the
     * wrong default at 100 TB. The contract between the two is pinned
     * by `q_profile_lineitem`'s `distinct_within_5pct` column (rsd 1% →
-    * 5% is 5σ). */
+    * 5% is 5σ).
+    *
+    * Task-binary footprint: HLL++ at rsd 0.01 carries a ~2^14-register
+    * aggregation buffer PER PROFILED COLUMN in the partial-aggregate
+    * stage's serialized plan — ~2.4 MiB at 4 columns (the bench tail's
+    * "large task binary" warning; BASELINE.md round-14 note). That is
+    * a constant of (columns × registers(rsd)), broadcast once per
+    * stage, never per task or per row — but profiling very wide
+    * column lists in ONE call, or tightening rsd (halving it ≈ 4× the
+    * registers), grows it linearly/quadratically; chunk the column
+    * list across calls if the driver warns. */
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column")

@@ -72,28 +72,42 @@ object MultimodalQueries {
       // dir-derived path would race a concurrent run over the same
       // data dir (one deletes/rewrites while the other's binaryFile
       // scan reads), and a failed delete would leave stale .png files
-      // the glob ingests as extra rows — nondeterministic oracle noise
+      // the glob ingests as extra rows — nondeterministic oracle noise.
+      // deleteOnExit alone is NOT the cleanup: it's a no-op on a
+      // non-empty directory, so the staged .png files would accumulate
+      // one tree per run. Instead the decoded result is pinned EAGERLY
+      // (localCheckpoint — the scan must finish while the files exist)
+      // and the whole tree is walked-and-deleted in a finally before
+      // the frame is returned.
       val base = java.nio.file.Files
-        .createTempDirectory("graft_binfile_").toFile
-      base.deleteOnExit()
-      val stage = base.getAbsolutePath
-      media.foreachPartition { it: Iterator[Multimodal.MediaRecord] =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(stage, s"${r.id}.png"), r.payload): Unit
+        .createTempDirectory("graft_binfile_")
+      val stage = base.toFile.getAbsolutePath
+      try {
+        media.foreachPartition { it: Iterator[Multimodal.MediaRecord] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(stage, s"${r.id}.png"), r.payload): Unit
+          }
         }
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load("file:" + stage)
+        val ingested = files.select(
+            regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
+              .cast("long").as("id"),
+            lit("image/png").as("media_type"),
+            col("content").as("payload"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeImageFeatures(ingested).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("mean_pixel"))
+          .localCheckpoint(eager = true)
+      } finally {
+        // depth-first tree delete (files before their dir); tolerate a
+        // concurrent-run's already-gone entries
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
       }
-      val files = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png").load("file:" + stage)
-      val ingested = files.select(
-          regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
-            .cast("long").as("id"),
-          lit("image/png").as("media_type"),
-          col("content").as("payload"))
-        .as[Multimodal.MediaRecord]
-      Multimodal.decodeImageFeatures(ingested).toDF()
-        .select(col("id").as("doc_id"), col("width"), col("height"),
-          col("mean_pixel"))
     },
     // Perceptual difference hash (dHash) over REAL decoded images:
     // text bytes -> gray PNG -> registry decode -> exact block-sum
@@ -611,6 +625,115 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("frame_idx"),
           col("l1_dist"), col("is_keyframe"))
     },
+    // the COMPOSED multimodal curation pipeline (round 14) — the A/V
+    // twin of q_pipeline_e2e: media ingest -> ONE two-stream AVI per
+    // doc (muxAv, the only eager materialization boundary in the
+    // plan: the container has five downstream consumers — frame demux
+    // x2, audio demux x3 — and must encode exactly once; every
+    // consumer then re-slices CHEAP demux bytes from the checkpointed
+    // container and decodes only what its own leg needs) ->
+    //   video: scene-change keyframes (sceneChanges, the q_video_
+    //          keyframes leg) + pooled frame embeddings,
+    //   audio: quality battery (rms gate) + VAD-lite utterance count
+    //          + amplitude-band embeddings,
+    //   fusion: 16-dim joint vector -> SemDeDup near-dup pairs ->
+    //           greedy survivor rule (a doc is a duplicate iff it is
+    //           the LARGER id of any pair — one distinct + one
+    //           left-anti-shaped join, no iteration),
+    //   selection: kept = not-dup AND rms >= 0.34 AND >= 1 keyframe
+    //              AND >= 1 utterance.
+    // Every leg is doc-keyed, so the assembly is plain equi-joins —
+    // zero handoff shuffles beyond each leg's own aggregation
+    // (Round14Spec pins the exchange budget); output keeps ALL docs
+    // with their gate stats + kept flag, the auditable curation shape
+    "q_curation_av" -> { (s, dir) =>
+      import s.implicits._
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "raw")
+      val av = media.mapPartitions { it =>
+        it.map { r =>
+          val frames = graft.multimodal.MediaCodecs.ByteSliceDemux
+            .demux(r.payload, 64, 5)
+            .map(f => Multimodal.grayPngBytes(f._3, width = 16)).toSeq
+          val pcm = new Array[Byte](r.payload.length * 2)
+          var i = 0
+          while (i < r.payload.length) {
+            val sv = ((r.payload(i) & 0xff) - 128) * 256
+            pcm(2 * i) = (sv & 0xff).toByte
+            pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(r.id, "video/x-msvideo",
+            graft.multimodal.AviMjpeg.muxAv(frames, pcm, width = 16,
+              height = 4, fps = 5, sampleRate = 8000))
+        }
+      }.localCheckpoint(true)
+      // video leg 1: scene-change keyframe count (real demux + decode)
+      val frames = Multimodal.sampleFrames(av, frameSize = 0,
+        maxFrames = 5, requireReal = true)
+      val kf = Multimodal.sceneChanges(frames, threshold = 40L, bins = 16)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("is_keyframe").cast("long")).as("n_keyframes"))
+      // video leg 2: pooled per-frame embeddings (UNROUNDED until the
+      // float32 cast — the q_av_joint_neardup fusion convention)
+      val frameMedia = frames.map(f => Multimodal.MediaRecord(
+        f.id * 8L + f.frame_idx, "image/png", f.frame_bytes))
+      val feats = Multimodal.decodeImageFeatures(frameMedia).toDF()
+      val pooled = feats.select(
+          floor(col("id") / 8).cast("long").as("doc_id"),
+          (col("id") % 8).cast("int").as("frame_idx"),
+          col("embedding"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_fr"),
+          sort_array(collect_list(struct(col("frame_idx"), col("embedding"))))
+            .as("__fr"))
+      val vbands = (1 to 8).map { j =>
+        (aggregate(col("__fr"), lit(0.0), (acc, f) =>
+            acc + element_at(f.getField("embedding"), j).cast("double"))
+          / col("n_fr")).cast("float").as(s"v$j")
+      }
+      val video = pooled.select(col("doc_id") +: vbands: _*)
+      // audio legs: demux the PCM track once per consumer (byte
+      // slicing off the checkpointed container), real WAV decode each
+      val wav = av.mapPartitions { it =>
+        it.map { r =>
+          Multimodal.MediaRecord(r.id, "audio/wav",
+            Multimodal.wrapPcmWav(
+              graft.multimodal.AviMjpeg.demuxAudioPcm(r.payload),
+              sampleRate = 8000))
+        }
+      }
+      val quality = Multimodal.audioQualityFeatures(wav).toDF()
+        .select(col("id").as("doc_id"), col("rms"))
+      val utts = Multimodal.utteranceSegments(wav)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_utterances"))
+      val audio = Multimodal.decodeAudioFeatures(wav).toDF()
+        .select(col("id").as("doc_id"), col("embedding").as("__aemb"))
+      // fusion + near-dup: the q_av_joint_neardup operator, verbatim
+      val joint = video.join(audio, Seq("doc_id"))
+        .select(col("doc_id").as("vec_id"),
+          array((1 to 8).map(j => col(s"v$j")) ++
+            (1 to 8).map(j => element_at(col("__aemb"), j)): _*)
+            .as("embedding"))
+      val pairs = graft.operators.Dedup.semanticPairs(joint,
+        threshold = 0.99995, nClusters = 4, trainIters = 2)
+      val dups = pairs.select(col("b").as("doc_id")).distinct()
+        .withColumn("__dup", lit(true))
+      kf.join(utts, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
+          col("n_utterances"), col("rms"),
+          coalesce(col("__dup"), lit(false)).as("is_dup"),
+          (coalesce(col("__dup"), lit(false)) === false &&
+            col("rms") >= 0.34 && col("n_keyframes") >= 1 &&
+            col("n_utterances") >= 1).as("kept"))
+    },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
     "q_multimodal_frames" -> { (s, dir) =>
@@ -1068,6 +1191,119 @@ object MultimodalQueries {
        |SELECT a, b, round(cos, 6) AS cos FROM scored
        |WHERE cos >= $threshold""".stripMargin
 
+  /** DuckDB replay of the composed A/V curation pipeline: the
+    * [[avJointNeardupOracle]] chain (video bands + audio bands +
+    * Lloyd k=4 dim=16 + within-cell cosine pairs) extended with the
+    * keyframe-count replay (the q_video_keyframes histogram/lag CTEs
+    * over the shared `fb` frame table), the rms replay (the
+    * audioQuality integer sum-of-squares over the raw-text samples),
+    * the utterance replay (aligned-window silence + gaps-and-islands
+    * over the same samples), and the greedy survivor rule (duplicate
+    * iff the larger id of any pair). `pv` is MATERIALIZED — three
+    * consumers (bands, rms, windows) over per-byte rows. */
+  private def curationAvOracle(threshold: Double): String =
+    s"""WITH $videoBandCtes,
+       |vb AS (SELECT doc_id, j AS jj,
+       |         CAST(CAST(sj / nf AS FLOAT) AS DOUBLE) AS ev
+       |       FROM agg),
+       |sv AS (
+       |  SELECT doc_id, text, len, unnest(range(0, len)) AS i FROM nz),
+       |pv AS MATERIALIZED (
+       |  SELECT doc_id, i, least(7, (i * 8) // len) AS band,
+       |    abs((unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256) AS v
+       |  FROM sv),
+       |absum AS (SELECT doc_id, band, sum(v) AS s, count(1) AS n
+       |          FROM pv GROUP BY 1, 2),
+       |ab AS (
+       |  SELECT nz.doc_id, 8 + r.j AS jj,
+       |    coalesce(CAST(CAST(b.s AS DOUBLE) / b.n / 32768.0 AS FLOAT)::DOUBLE,
+       |      0.0) AS ev
+       |  FROM nz CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
+       |  LEFT JOIN absum b ON b.doc_id = nz.doc_id AND b.band = r.j),
+       |emb0 AS (
+       |  SELECT doc_id AS vec_id, list(ev ORDER BY jj) AS e
+       |  FROM (SELECT doc_id, jj, ev FROM vb
+       |        UNION ALL SELECT doc_id, jj, ev FROM ab) u
+       |  GROUP BY 1),
+       |emb AS (SELECT vec_id, e,
+       |          list_sum(list_transform(e, x -> x * x)) AS xx
+       |        FROM emb0),
+       |${SimilarityQueries.lloyd2Ctes("emb", 4, dim = 16)},
+       |s2 AS (
+       |  SELECT m.vec_id, c.cid, ${SimilarityQueries.d2Sql("m", "c", dim = 16)} AS d
+       |  FROM emb m CROSS JOIN c1cc c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |scored AS (
+       |  SELECT aa.vec_id AS a, bb.vec_id AS b,
+       |    list_sum(list_transform(range(1, 17), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM assigned aa
+       |  JOIN assigned bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+       |  JOIN emb0 ea ON aa.vec_id = ea.vec_id
+       |  JOIN emb0 eb ON bb.vec_id = eb.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT b AS doc_id FROM scored WHERE cos >= $threshold),
+       |kpv AS (
+       |  SELECT doc_id, f,
+       |    (CASE WHEN i < flen
+       |          THEN unicode(text[CAST(off + i + 1 AS INTEGER)])
+       |          ELSE 0 END) // 16 AS b
+       |  FROM (SELECT doc_id, text, f, off, flen,
+       |          unnest(range(0, 16 * CAST(ceil(flen / 16.0) AS BIGINT)))
+       |            AS i
+       |        FROM fb)),
+       |khb AS (SELECT doc_id, f, b, count(*) AS c FROM kpv GROUP BY 1, 2, 3),
+       |khd AS (
+       |  SELECT fb.doc_id, fb.f, gb.b, coalesce(khb.c, 0) AS c
+       |  FROM fb CROSS JOIN (SELECT unnest(range(0, 16)) AS b) gb
+       |  LEFT JOIN khb ON khb.doc_id = fb.doc_id AND khb.f = fb.f
+       |    AND khb.b = gb.b),
+       |khl AS (SELECT doc_id, f, list(c ORDER BY b) AS hist
+       |        FROM khd GROUP BY 1, 2),
+       |klg AS (SELECT doc_id, f, hist,
+       |          lag(hist) OVER (PARTITION BY doc_id ORDER BY f) AS ph
+       |        FROM khl),
+       |kfc AS (
+       |  SELECT doc_id, count(*) AS n_frames,
+       |    sum(CASE WHEN ph IS NULL OR list_sum(list_transform(range(1, 17),
+       |          i -> abs(hist[i] - ph[i]))) >= 40 THEN 1 ELSE 0 END)
+       |      AS n_keyframes
+       |  FROM klg GROUP BY 1),
+       |sq AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    sum(CAST(v AS BIGINT) * v) AS sumsq
+       |  FROM pv GROUP BY 1),
+       |uw AS (
+       |  SELECT doc_id, i // 64 AS win, sum(v) AS ws, count(*) AS wn
+       |  FROM pv GROUP BY 1, 2),
+       |nsw AS (SELECT doc_id, win FROM uw WHERE ws * 100 >= 32768 * wn),
+       |isl AS (
+       |  SELECT doc_id, win,
+       |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+       |  FROM nsw),
+       |nu AS (
+       |  SELECT doc_id, count(*) AS n_utt
+       |  FROM (SELECT doc_id, grp FROM isl GROUP BY doc_id, grp)
+       |  GROUP BY 1)
+       |SELECT k.doc_id,
+       |  CAST(k.n_frames AS BIGINT) AS n_frames,
+       |  CAST(k.n_keyframes AS BIGINT) AS n_keyframes,
+       |  CAST(nu.n_utt AS BIGINT) AS n_utterances,
+       |  round(sqrt(CAST(sq.sumsq AS DOUBLE) / sq.n) / 32768.0, 6) AS rms,
+       |  (d.doc_id IS NOT NULL) AS is_dup,
+       |  (d.doc_id IS NULL
+       |    AND round(sqrt(CAST(sq.sumsq AS DOUBLE) / sq.n) / 32768.0, 6) >= 0.34
+       |    AND k.n_keyframes >= 1 AND nu.n_utt >= 1) AS kept
+       |FROM kfc k
+       |JOIN nu ON nu.doc_id = k.doc_id
+       |JOIN sq ON sq.doc_id = k.doc_id
+       |LEFT JOIN dups d ON d.doc_id = k.doc_id""".stripMargin
+
   /** Shared DuckDB replay of the dHash bit matrix: bytes → the 9×8
     * block-sum grid (densified so empty cells carry s = n = 0, exactly
     * the engine's zero-initialized arrays) → 64 adjacent-pair bits via
@@ -1317,6 +1553,7 @@ object MultimodalQueries {
     // feature no-op — three queries, one oracle
     "q_video_gif_pipeline" -> videoPooledOracle,
     "q_av_joint_neardup" -> avJointNeardupOracle(threshold = 0.99995),
+    "q_curation_av" -> curationAvOracle(threshold = 0.99995),
     // the two-stream container: video replay JOIN audio replay — each
     // leg is the SAME SQL already pinned green standalone, so the new
     // claim is exactly that one muxAv container round-trips both

@@ -230,6 +230,30 @@ object SimilarityQueries {
       graft.operators.Similarity.ivfTopKWithCentroids(emb, k = 5, cents,
         nprobe = 2, every = 50L)
     },
+    // recall audit for the k-means||-TRAINED IVF (round 14): the same
+    // exact-vs-approx composition as q_ann_recall, with the approx leg
+    // the scalable-init index above — q_ann_recall grades the
+    // lowest-id-init quantizer, this grades the one that can actually
+    // be trained at real cell counts, so the init's QUALITY (not just
+    // its trajectory correctness) is measured; see Round14Spec for
+    // the recorded comparison between the two inits
+    "q_ann_kmeanspar_recall" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = graft.operators.Clustering.trainCentroidsParallel(
+        emb, k = 8, iters = 2, rounds = 2)
+      val approx = graft.operators.Similarity
+        .ivfTopKWithCentroids(emb, k = 5, cents, nprobe = 2, every = 50L)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("m"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("kq"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(round(avg(coalesce(col("m"), lit(0L)).cast("double") / col("kq")), 6)
+            .as("mean_recall"),
+          count(lit(1)).as("n_queries"))
+    },
     // SemDeDup-style semantic dedup: cluster (trained k-means), then
     // cosine pairs within clusters only — the scale shape for
     // paraphrase-level duplicates
@@ -1668,6 +1692,20 @@ object SimilarityQueries {
          |${oraclesBase("q_ann_bruteforce_topk")}),
          |ap AS (
          |${oraclesBase("q_ann_ivf_topk")}),
+         |hits AS (
+         |  SELECT ex.query_id, count(*) AS m
+         |  FROM ex JOIN ap ON ex.query_id = ap.query_id
+         |                 AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY 1),
+         |qs AS (SELECT query_id, count(*) AS kq FROM ex GROUP BY 1)
+         |SELECT round(avg(coalesce(m, 0)::DOUBLE / kq), 6) AS mean_recall,
+         |  count(*)::BIGINT AS n_queries
+         |FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id""".stripMargin) +
+    ("q_ann_kmeanspar_recall" ->
+      s"""WITH ex AS (
+         |${oraclesBase("q_ann_bruteforce_topk")}),
+         |ap AS (
+         |${oraclesBase("q_ann_ivf_kmeanspar_topk")}),
          |hits AS (
          |  SELECT ex.query_id, count(*) AS m
          |  FROM ex JOIN ap ON ex.query_id = ap.query_id

@@ -390,6 +390,96 @@ object TextQueries {
           "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
     },
+    // order-3 interpolated KN (round 14): the first rung of the
+    // order-n ladder toward the deployed 5-gram CCNet shape — one
+    // count table per order (lower orders are KenLM-style adjusted
+    // continuation counts, each ONE aggregation over the order above),
+    // scoring = five equi-joins + the chained interpolation
+    "q_trigram_kn_score" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      graft.operators.NgramLm.knScores(docs, docs, "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_trigrams"), col("avg_logp"))
+    },
+    // order-5 interpolated KN (round 14): the deployed CCNet filter's
+    // order — four backoff levels chained through nine equi-joins, the
+    // same table-per-order model (no vocabulary ever reaches the
+    // driver; the one scalar is T = |order-2 types|)
+    "q_fivegram_kn_score" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      graft.operators.NgramLm.knScores(docs, docs, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_fivegrams"), col("avg_logp"))
+    },
+    // fully parameterless order-5 KN (round 14): each backoff level
+    // carries its OWN Chen–Goodman estimated discount
+    // D_k = n1_k/(n1_k + 2·n2_k) from that order's count-of-counts —
+    // four bounded aggregates (eight longs reach the driver), each
+    // 6dp-anchored; the per-order estimate is what Chen & Goodman '98
+    // actually prescribe (discounts differ systematically by order)
+    "q_fivegram_kn_estd" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val counts0 = graft.operators.NgramLm
+        .knCounts(docs, "doc_id", "text", n = 5)
+      val counts = counts0 + (5 -> counts0(5).localCheckpoint(true))
+      val ds: Map[Int, Double] = (2 to 5).map(k =>
+        k -> graft.operators.NgramLm.estimateDiscount(counts(k))).toMap
+      val t = counts(2).count()
+      graft.operators.NgramLm.scoreWithKnCounts(docs, counts, t,
+          "doc_id", "text", n = 5, discounts = ds)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_fivegrams"), col("avg_logp"))
+    },
+    // order-3 persisted-model lifecycle (round 14): train once on the
+    // reference split, store the three count tables BUCKETED on their
+    // scoring-join keys (c3 on the trigram, c2 on the pair, c1 on the
+    // word), score the ingest batch against the STORED tables; T
+    // recomputes from the stored order-2 table with one aggregate
+    "q_trigram_kn_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .withColumn("text", coalesce(col("text"), lit(""))),
+        col("doc_id"), 12, 2)
+      val corpus = docs.filter(col("split") =!= "test")
+      val batch = docs.filter(col("split") === "test")
+      val m = graft.operators.NgramLm.knCounts(corpus, "doc_id", "text", n = 3)
+      graft.sources.Sinks.writeBucketed(m(3), "graft_kn3_c3",
+        bucketCols = Seq("w1", "w2", "w3"), numBuckets = 8)
+      graft.sources.Sinks.writeBucketed(m(2), "graft_kn3_c2",
+        bucketCols = Seq("w1", "w2"), numBuckets = 8)
+      graft.sources.Sinks.writeBucketed(m(1), "graft_kn3_c1",
+        bucketCols = Seq("w1"), numBuckets = 8)
+      val stored = Map(3 -> s.table("graft_kn3_c3"),
+        2 -> s.table("graft_kn3_c2"), 1 -> s.table("graft_kn3_c1"))
+      val t = stored(2).count()
+      graft.operators.NgramLm.scoreWithKnCounts(batch, stored, t,
+          "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_trigrams"), col("avg_logp"))
+    },
+    // parameterless bigram KN (round 14): the absolute discount is no
+    // longer a fixed 0.75 but the Chen–Goodman estimate
+    // D = n1/(n1+2·n2) from the bigram count-of-counts — one bounded
+    // aggregate (two longs reach the driver), 6dp-anchored so the
+    // oracle's CTE rebuilds the identical literal
+    "q_bigram_kn_estd" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      // eager localCheckpoint, not cache(): three consumers (discount
+      // estimate, T, scoring joins) and the cache-lifecycle sweep
+      val counts0 = graft.operators.NgramLm
+        .knCounts(docs, "doc_id", "text", n = 2)
+      val counts = counts0 + (2 -> counts0(2).localCheckpoint(true))
+      val d = graft.operators.NgramLm.estimateDiscount(counts(2))
+      val t = counts(2).count()
+      graft.operators.NgramLm.scoreWithKnCounts(docs, counts, t,
+          "doc_id", "text", n = 2, discounts = _ => d)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_bigrams"), col("avg_logp"))
+    },
     "q_seq_packing" -> { (s, dir) =>
       TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
         "source", capacity = 512L)
@@ -987,7 +1077,8 @@ object TextQueries {
         |  LEFT JOIN cont ON b.w2 = cont.w2
         |  CROSS JOIN tt)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  floor(avg(logp) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
         |FROM sc GROUP BY 1""".stripMargin,
     // persisted-model replay: identical formula, counts trained on the
     // md5-bucket corpus split (bkt < 14 — Sampling.split's convention),
@@ -1031,7 +1122,371 @@ object TextQueries {
         |  CROSS JOIN tt
         |  WHERE b.bkt >= 14)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  floor(avg(logp) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // order-3 KN replay: raw trigram counts, then each lower order as
+    // ONE group-by over the order above (the rows of counts(k+1) are
+    // distinct (k+1)-grams, so counting rows by the k-suffix IS the
+    // adjusted continuation count); the interpolation is staged one
+    // CTE per backoff level so each P_k materializes in the engine's
+    // exact operation order
+    "q_trigram_kn_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+        |    toks[CAST(i + 2 AS INTEGER)] AS w3
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+        |        FROM tk)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w1, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+        |j AS (
+        |  SELECT g.doc_id, m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+        |    coalesce(u.c, 0) / tt.t AS p1
+        |  FROM tg g
+        |  LEFT JOIN c3 m3 ON g.w1 = m3.w1 AND g.w2 = m3.w2 AND g.w3 = m3.w3
+        |  LEFT JOIN x3 ON g.w1 = x3.w1 AND g.w2 = x3.w2
+        |  LEFT JOIN c2 m2 ON g.w2 = m2.w1 AND g.w3 = m2.w2
+        |  LEFT JOIN x2 ON g.w2 = x2.w1
+        |  LEFT JOIN c1 u ON g.w3 = u.w1
+        |  CROSS JOIN tt),
+        |p2s AS (
+        |  SELECT doc_id, c3c, tot3, nf3,
+        |    CASE WHEN tot2 IS NOT NULL THEN
+        |      greatest(coalesce(c2c, 0) - 0.75, 0.0) / tot2
+        |        + 0.75 * nf2 / tot2 * p1
+        |    ELSE p1 END AS p2
+        |  FROM j),
+        |sc AS (
+        |  SELECT doc_id, floor(log10(greatest(
+        |    CASE WHEN tot3 IS NOT NULL THEN
+        |      greatest(coalesce(c3c, 0) - 0.75, 0.0) / tot3
+        |        + 0.75 * nf3 / tot3 * p2
+        |    ELSE p2 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM p2s)
+        |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // order-5 KN replay: the same ladder, four backoff stages deep
+    "q_fivegram_kn_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |fg AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+        |    toks[CAST(i + 2 AS INTEGER)] AS w3,
+        |    toks[CAST(i + 3 AS INTEGER)] AS w4,
+        |    toks[CAST(i + 4 AS INTEGER)] AS w5
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+        |        FROM tk)),
+        |c5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS c
+        |       FROM fg GROUP BY 1, 2, 3, 4, 5),
+        |x5 AS (SELECT w1, w2, w3, w4, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c5 GROUP BY 1, 2, 3, 4),
+        |c4 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, w5 AS w4, count(*) AS c
+        |       FROM c5 GROUP BY 1, 2, 3, 4),
+        |x4 AS (SELECT w1, w2, w3, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c4 GROUP BY 1, 2, 3),
+        |c3 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, count(*) AS c
+        |       FROM c4 GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w1, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+        |j AS (
+        |  SELECT g.doc_id,
+        |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
+        |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
+        |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+        |    coalesce(u.c, 0) / tt.t AS p1
+        |  FROM fg g
+        |  LEFT JOIN c5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
+        |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
+        |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
+        |    AND g.w4 = x5.w4
+        |  LEFT JOIN c4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
+        |    AND g.w5 = m4.w4
+        |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
+        |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
+        |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
+        |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
+        |  LEFT JOIN x2 ON g.w4 = x2.w1
+        |  LEFT JOIN c1 u ON g.w5 = u.w1
+        |  CROSS JOIN tt),
+        |p2s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4, c3c, tot3, nf3,
+        |    CASE WHEN tot2 IS NOT NULL THEN
+        |      greatest(coalesce(c2c, 0) - 0.75, 0.0) / tot2
+        |        + 0.75 * nf2 / tot2 * p1
+        |    ELSE p1 END AS p2
+        |  FROM j),
+        |p3s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4,
+        |    CASE WHEN tot3 IS NOT NULL THEN
+        |      greatest(coalesce(c3c, 0) - 0.75, 0.0) / tot3
+        |        + 0.75 * nf3 / tot3 * p2
+        |    ELSE p2 END AS p3
+        |  FROM p2s),
+        |p4s AS (
+        |  SELECT doc_id, c5c, tot5, nf5,
+        |    CASE WHEN tot4 IS NOT NULL THEN
+        |      greatest(coalesce(c4c, 0) - 0.75, 0.0) / tot4
+        |        + 0.75 * nf4 / tot4 * p3
+        |    ELSE p3 END AS p4
+        |  FROM p3s),
+        |sc AS (
+        |  SELECT doc_id, floor(log10(greatest(
+        |    CASE WHEN tot5 IS NOT NULL THEN
+        |      greatest(coalesce(c5c, 0) - 0.75, 0.0) / tot5
+        |        + 0.75 * nf5 / tot5 * p4
+        |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM p4s)
+        |SELECT doc_id, count(*)::BIGINT AS n_fivegrams,
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // the estd 5-gram replay: the same ladder with per-order
+    // dd_k = n1/(n1+2*n2) CTEs rebuilding the anchored literals
+    "q_fivegram_kn_estd" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |fg AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+        |    toks[CAST(i + 2 AS INTEGER)] AS w3,
+        |    toks[CAST(i + 3 AS INTEGER)] AS w4,
+        |    toks[CAST(i + 4 AS INTEGER)] AS w5
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+        |        FROM tk)),
+        |c5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS c
+        |       FROM fg GROUP BY 1, 2, 3, 4, 5),
+        |x5 AS (SELECT w1, w2, w3, w4, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c5 GROUP BY 1, 2, 3, 4),
+        |c4 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, w5 AS w4, count(*) AS c
+        |       FROM c5 GROUP BY 1, 2, 3, 4),
+        |x4 AS (SELECT w1, w2, w3, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c4 GROUP BY 1, 2, 3),
+        |c3 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, count(*) AS c
+        |       FROM c4 GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w1, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+        |dd2 AS (
+        |  SELECT floor(
+        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+        |      * 1e6 + 0.5) / 1e6 AS d
+        |  FROM c2),
+|dd3 AS (
+        |  SELECT floor(
+        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+        |      * 1e6 + 0.5) / 1e6 AS d
+        |  FROM c3),
+|dd4 AS (
+        |  SELECT floor(
+        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+        |      * 1e6 + 0.5) / 1e6 AS d
+        |  FROM c4),
+|dd5 AS (
+        |  SELECT floor(
+        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+        |      * 1e6 + 0.5) / 1e6 AS d
+        |  FROM c5),
+        |j AS (
+        |  SELECT g.doc_id,
+        |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
+        |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
+        |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+        |    coalesce(u.c, 0) / tt.t AS p1
+        |  FROM fg g
+        |  LEFT JOIN c5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
+        |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
+        |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
+        |    AND g.w4 = x5.w4
+        |  LEFT JOIN c4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
+        |    AND g.w5 = m4.w4
+        |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
+        |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
+        |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
+        |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
+        |  LEFT JOIN x2 ON g.w4 = x2.w1
+        |  LEFT JOIN c1 u ON g.w5 = u.w1
+        |  CROSS JOIN tt),
+        |p2s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4, c3c, tot3, nf3,
+        |    CASE WHEN tot2 IS NOT NULL THEN
+        |      greatest(coalesce(c2c, 0) - dd2.d, 0.0) / tot2
+        |        + dd2.d * nf2 / tot2 * p1
+        |    ELSE p1 END AS p2
+        |  FROM j CROSS JOIN dd2),
+        |p3s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4,
+        |    CASE WHEN tot3 IS NOT NULL THEN
+        |      greatest(coalesce(c3c, 0) - dd3.d, 0.0) / tot3
+        |        + dd3.d * nf3 / tot3 * p2
+        |    ELSE p2 END AS p3
+        |  FROM p2s CROSS JOIN dd3),
+        |p4s AS (
+        |  SELECT doc_id, c5c, tot5, nf5,
+        |    CASE WHEN tot4 IS NOT NULL THEN
+        |      greatest(coalesce(c4c, 0) - dd4.d, 0.0) / tot4
+        |        + dd4.d * nf4 / tot4 * p3
+        |    ELSE p3 END AS p4
+        |  FROM p3s CROSS JOIN dd4),
+        |sc AS (
+        |  SELECT doc_id, floor(log10(greatest(
+        |    CASE WHEN tot5 IS NOT NULL THEN
+        |      greatest(coalesce(c5c, 0) - dd5.d, 0.0) / tot5
+        |        + dd5.d * nf5 / tot5 * p4
+        |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM p4s CROSS JOIN dd5)
+        |SELECT doc_id, count(*)::BIGINT AS n_fivegrams,
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // order-3 persisted-lifecycle replay: counts trained on the
+    // md5-bucket corpus split (bkt < 14 — Sampling.split's convention),
+    // batch docs (bkt >= 14) scored against them; parquet round-trips
+    // integer counts exactly, so persistence cannot change values
+    "q_trigram_kn_incremental_persisted" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |      AS INTEGER) AS bkt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, bkt,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM src),
+        |tg AS (
+        |  SELECT doc_id, bkt, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+        |    toks[CAST(i + 2 AS INTEGER)] AS w3
+        |  FROM (SELECT doc_id, bkt, toks,
+        |          unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+        |        FROM tk)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c FROM tg
+        |       WHERE bkt < 14 GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w1, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+        |j AS (
+        |  SELECT g.doc_id, m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+        |    coalesce(u.c, 0) / tt.t AS p1
+        |  FROM tg g
+        |  LEFT JOIN c3 m3 ON g.w1 = m3.w1 AND g.w2 = m3.w2 AND g.w3 = m3.w3
+        |  LEFT JOIN x3 ON g.w1 = x3.w1 AND g.w2 = x3.w2
+        |  LEFT JOIN c2 m2 ON g.w2 = m2.w1 AND g.w3 = m2.w2
+        |  LEFT JOIN x2 ON g.w2 = x2.w1
+        |  LEFT JOIN c1 u ON g.w3 = u.w1
+        |  CROSS JOIN tt
+        |  WHERE g.bkt >= 14),
+        |p2s AS (
+        |  SELECT doc_id, c3c, tot3, nf3,
+        |    CASE WHEN tot2 IS NOT NULL THEN
+        |      greatest(coalesce(c2c, 0) - 0.75, 0.0) / tot2
+        |        + 0.75 * nf2 / tot2 * p1
+        |    ELSE p1 END AS p2
+        |  FROM j),
+        |sc AS (
+        |  SELECT doc_id, floor(log10(greatest(
+        |    CASE WHEN tot3 IS NOT NULL THEN
+        |      greatest(coalesce(c3c, 0) - 0.75, 0.0) / tot3
+        |        + 0.75 * nf3 / tot3 * p2
+        |    ELSE p2 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM p2s)
+        |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // estimated-discount bigram replay: D = n1/(n1+2·n2) from the
+    // bigram count-of-counts, anchored floor(x·1e6+0.5)/1e6 exactly as
+    // the engine anchors the driver-resident scalar, then the standard
+    // interpolation with D in place of 0.75
+    "q_bigram_kn_estd" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks), 1))) AS i
+        |        FROM tk)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS nf
+        |        FROM big GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM big),
+        |dd AS (
+        |  SELECT floor(
+        |      sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+        |        / (sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+        |           + 2.0 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END))
+        |      * 1e6 + 0.5) / 1e6 AS d
+        |  FROM big),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    floor(log10(greatest(
+        |      CASE WHEN ctx.c1 IS NOT NULL THEN
+        |        greatest(coalesce(bigm.c12, 0) - dd.d, 0.0) / ctx.c1
+        |          + dd.d * ctx.nf / ctx.c1 * (coalesce(cont.nb, 0) / tt.t)
+        |      ELSE coalesce(cont.nb, 0) / tt.t END,
+        |      1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM bg b
+        |  LEFT JOIN big bigm ON b.w1 = bigm.w1 AND b.w2 = bigm.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
+        |  CROSS JOIN tt CROSS JOIN dd)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
         |FROM sc GROUP BY 1""".stripMargin,
     "q_seq_packing" ->
       """WITH t AS (

@@ -985,4 +985,17 @@ object StreamingOps {
       textCol: String, discount: Double = 0.75): DataFrame =
     graft.operators.NgramLm.scoredBigrams(stream, big, ctx, cont, t,
       idCol, textCol, discount)
+
+  /** [[streamingBigramKnScores]]'s order-n twin (round 14): the same
+    * stateless window-explode + stream-static equi-joins, 2n-1 of
+    * them, against the persisted order-n count tables
+    * ([[graft.operators.NgramLm.scoredNgrams]]). Emits one
+    * `(id, w1 … wn, logp)` row per window; the doc rollup belongs in
+    * the sink for the same statefulness reason. */
+  def streamingKnScores(stream: DataFrame,
+      counts: Map[Int, DataFrame], t: Long, idCol: String,
+      textCol: String, n: Int,
+      discounts: Int => Double = _ => 0.75): DataFrame =
+    graft.operators.NgramLm.scoredNgrams(stream, counts, t, idCol,
+      textCol, n, discounts)
 }

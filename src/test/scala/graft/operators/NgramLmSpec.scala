@@ -52,4 +52,102 @@ class NgramLmSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  // ---- order-n generalization (round 14) ----
+
+  test("ngramWindows: length-3 consecutive windows, short docs emit " +
+      "nothing") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, "x  y z"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.ngramWindows(df, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set((1L, "a", "b", "c"), (1L, "b", "c", "d"),
+      (4L, "x", "y", "z")))
+  }
+
+  test("trigram KN hand-replay: seen chain, backoff to bigram, backoff " +
+      "to continuation unigram, floored OOV") {
+    // corpus trigrams: (a,b,c)x2, (a,b,d)x1
+    //   c3: (a,b,c)->2, (a,b,d)->1;      x3: (a,b)->(tot 3, nf 2)
+    //   c2 (adjusted): (b,c)->1, (b,d)->1; x2: b->(tot 2, nf 2)
+    //   c1: c->1, d->1;                   T = |c2| = 2
+    val corpus = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"), // full order-3 hit
+      (11L, "z b c"), // ctx (z,b) unseen -> P = P2(c|b)
+      (12L, "z z c"), // ctx (z,z) and (z) unseen -> P = P1(c)
+      (13L, "z z q")  // q unseen everywhere -> floored at 1e-12
+    ).toDF("doc_id", "text")
+    val got = NgramLm.knScores(corpus, docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val d = 0.75
+    val p1c = 1.0 / 2.0
+    val p2 = math.max(1.0 - d, 0.0) / 2.0 + d * 2.0 / 2.0 * p1c
+    val p3 = math.max(2.0 - d, 0.0) / 3.0 + d * 2.0 / 3.0 * p2
+    assert(got(10L) === ((1L, anchor6(anchor6(math.log10(p3))))))
+    assert(got(11L) === ((1L, anchor6(anchor6(math.log10(p2))))))
+    assert(got(12L) === ((1L, anchor6(anchor6(math.log10(p1c))))))
+    assert(got(13L) === ((1L, -12.0)))
+  }
+
+  test("order-5 KN: a fully-seen single-window chain scores exactly " +
+      "1.0 at every level (logp 0), an OOV tail word floors to -12") {
+    // self-trained one-doc corpus: every table has one row with c=1,
+    // every tot=nf=1, T=1 -> P_k = 0.25/1 + 0.75*1/1*P_{k-1} with
+    // P_1 = 1, so P_k == 1.0 exactly at every backoff level
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c d e"), (11L, "a b c d q"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.knScores(corpus, docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L) === ((1L, 0.0)))
+    // q: P1 = 0 and every numerator count is 0 -> P = 0 -> floor
+    assert(got(11L) === ((1L, -12.0)))
+  }
+
+  test("generalized order-2 path == bigramKnScores on real docs " +
+      "(same tables, same fold, same anchors)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val viaBigram = NgramLm.bigramKnScores(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val counts = NgramLm.knCounts(docs, "doc_id", "text", 2)
+    val t = counts(2).count()
+    val viaN = NgramLm.scoreWithKnCounts(docs, counts, t, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaN === viaBigram)
+    assert(viaN.nonEmpty)
+  }
+
+  test("estimateDiscount: Chen-Goodman n1/(n1+2*n2) from the " +
+      "count-of-counts, 6dp-anchored; degenerate corpus fails loudly") {
+    // bigram counts (a,b)->2, (a,c)->1 -> n1=1, n2=1 -> D = 1/3
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val counts = NgramLm.knCounts(corpus, "doc_id", "text", 2)
+    assert(NgramLm.estimateDiscount(counts(2)) === 0.333333)
+    // every type repeats 3x -> n1 = n2 = 0 -> no estimate exists
+    val degenerate = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val dc = NgramLm.knCounts(degenerate, "doc_id", "text", 2)
+    val err = intercept[IllegalArgumentException] {
+      NgramLm.estimateDiscount(dc(2))
+    }
+    assert(err.getMessage.contains("singleton"))
+  }
+
+  test("order-3 scores are invariant to input partitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val a = NgramLm.knScores(docs, docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = NgramLm.knScores(docs.repartition(13), docs.repartition(7),
+        "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

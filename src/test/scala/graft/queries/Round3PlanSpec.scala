@@ -93,8 +93,10 @@ class Round3PlanSpec extends SparkSpec {
       "q_drift_embedding", "q_drift_profile_persisted", "q_drift_daily",
       "q_drift_profile_approx",
       // recall audit composes the allowlisted brute-force baseline as
-      // its exact side (bounded query sample by guardSize)
-      "q_ann_recall",
+      // its exact side (bounded query sample by guardSize); the
+      // round-14 twin grades the k-means||-trained IVF against the
+      // same brute-force truth side
+      "q_ann_recall", "q_ann_kmeanspar_recall",
       // round-11: the IR audit triple composes the same brute-force
       // truth side (guardSize-bounded); the metrics joins themselves
       // are equi-joins on (query_id, neighbor_id)

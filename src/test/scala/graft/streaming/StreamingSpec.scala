@@ -663,6 +663,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ORDER-3 KN scoring against a static model: union of " +
+      "scored trigram windows over micro-batches == the batch stage " +
+      "exactly (2n-1 stream-static equi-joins, stateless)") {
+    import graft.operators.NgramLm
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val counts0 = NgramLm.knCounts(corpus, "doc_id", "text", 3)
+    val counts = counts0 + (3 -> counts0(3).cache())
+    val t = counts(2).count()
+    val tmp = Files.createTempDirectory("graft_kn3_stream").toFile
+    tmp.deleteOnExit()
+    batch.repartition(3).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.streamingKnScores(stream, counts, t,
+        "doc_id", "text", n = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kn3_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kn3_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getDouble(4)))
+      val oneShot = NgramLm.scoredNgrams(batch, counts, t,
+          "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getDouble(4)))
+      assert(streamed.sorted.toSeq === oneShot.sorted.toSeq)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      counts0(3).unpersist()
+    }
+  }
+
   test("multimodal codec paths run on streams: streaming decode == batch decode") {
     // the codec stages are stateless typed mapPartitions, so they apply
     // to a streaming Dataset unchanged — this pins that the REAL

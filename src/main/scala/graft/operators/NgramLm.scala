@@ -218,18 +218,26 @@ object NgramLm {
     * table: D = n1 / (n1 + 2·n2) from the count-of-counts (n1 = types
     * seen once, n2 = twice) — ONE bounded aggregate (two longs reach
     * the driver), anchored to 6dp like every driver-resident model
-    * scalar so the oracle's CTE replays the identical literal. */
+    * scalar so the oracle's CTE replays the identical literal.
+    *
+    * Degenerate count-of-counts degrade DETERMINISTICALLY instead of
+    * failing (both cases are real: the sf0.1 synthetic corpus has a
+    * small vocabulary where every bigram repeats 3+ times, n1=n2=0):
+    * no singletons or doubletons at all → the fixed default 0.75; and
+    * the estimate is clamped into (0,1) — n2=0 alone would give the
+    * out-of-range D=1 (no discounting evidence), n1=0 alone D=0. The
+    * oracle replays the same CASE + clamp, so the fallback is part of
+    * the verified contract, not an escape hatch. */
   def estimateDiscount(countsK: DataFrame): Double = {
     val row = countsK.agg(
       sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2")).head()
     val n1 = row.getLong(0)
     val n2 = row.getLong(1)
-    require(n1 + 2 * n2 > 0,
-      "estimateDiscount: no singleton or doubleton n-gram types " +
-        "(degenerate corpus — every type repeats 3+ times); pass an " +
-        "explicit discount instead")
-    math.floor(n1.toDouble / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6
+    if (n1 + 2 * n2 == 0) 0.75
+    else math.max(math.min(
+      math.floor(n1.toDouble / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+      0.999999), 0.000001)
   }
 
   /** The per-window scoring stage: `(id, w1 … wn, logp)` — n-gram

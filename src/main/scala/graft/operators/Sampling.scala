@@ -318,4 +318,105 @@ object Sampling {
       .filter(hashBucket256(key) < col("__keep256"))
       .drop("__stratum", "__n_tokens", "__keep256")
   }
+
+  private def anchor6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def micro6(x: Double): Long = math.round(x * 1e6)
+
+  /** DoReMi-style domain-mixture OPTIMIZATION (Xie et al., NeurIPS
+    * 2023 "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — published algorithm): exponentiated-gradient
+    * ascent on the domain simplex, upweighting the domains where the
+    * supplied loss is worst, with the paper's RUNNING AVERAGE of the
+    * iterates as the output mixture. Generalized to a SUPPLIED per-row
+    * loss column (the paper recomputes proxy-model losses between
+    * steps while training — the EG update + averaging, the part that
+    * DECIDES the mixture, is this operator; any quality/perplexity
+    * score the pipeline already has plugs in, e.g. the KN-LM
+    * `avg_logp` negated).
+    *
+    * Per step t: u_d = α_{t-1,d} · exp(η · L_d), α_t = u / Σu; output
+    * weight_d = mean over steps of α_{t,d}; keep256_d scales weights
+    * into downsample-only rates relative to the NATURAL token shares
+    * (rate ∝ weight/share, the largest ratio keeps everything — the
+    * [[temperatureMix]] membership discipline, so application is the
+    * same broadcast-rates + md5-bucket filter).
+    *
+    * Determinism/portability (the DuckDB-oracle contract): the
+    * per-domain mean loss sums the (6dp-ANCHORED — precondition, all
+    * house score columns are) losses as exact integer micro-units;
+    * every α and u is 6dp-anchored as computed, so each step's
+    * normalizer Σu is an exact long sum of micro-units and the one
+    * libm call (`exp`, ±1 ulp across engines) is absorbed by the
+    * anchor exactly like `ln`/`log10` in the A-ES/KN operators.
+    *
+    * Scale shape: ONE stratum-keyed map-side-combined aggregation over
+    * the corpus; the EG loop is driver-local over the BOUNDED domain
+    * table (O(domains) rows — a mixture over more than ~10k domains is
+    * no longer a mixture; guarded), O(domains · steps) scalar work.
+    * Output: `(domain, n_docs, sum_tokens, mean_loss, weight,
+    * keep256)`, one row per domain. */
+  def doremiWeights(df: DataFrame, strataCol: Column, lossCol: Column,
+      nTokensCol: Column, eta: Double = 0.5, steps: Int = 4): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.withColumn("__stratum", strataCol.cast("string"))
+      .filter(col("__stratum").isNotNull)
+      .withColumn("__loss", lossCol.cast("double"))
+      .withColumn("__n_tokens", nTokensCol.cast("long"))
+    val dom = rows.groupBy(col("__stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_tokens")).as("sum_tokens"),
+        sum(round(col("__loss") * 1e6).cast("long")).as("__lm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    require(dom.nonEmpty, "doremiWeights: no non-null domains")
+    require(dom.length <= 10000,
+      s"doremiWeights: ${dom.length} domains — not a mixture; bucket first")
+    val nDom = dom.length
+    val meanLoss = dom.map { case (_, nDocs, _, lm) =>
+      anchor6d(lm.toDouble / 1e6 / nDocs)
+    }
+    var alpha = Array.fill(nDom)(anchor6d(1.0 / nDom))
+    val avgMicro = Array.fill(nDom)(0L)
+    for (_ <- 1 to steps) {
+      val u = Array.tabulate(nDom)(d =>
+        anchor6d(alpha(d) * math.exp(eta * meanLoss(d))))
+      val zMicro = u.map(micro6).sum
+      alpha = Array.tabulate(nDom)(d =>
+        anchor6d(u(d) / (zMicro.toDouble / 1e6)))
+      for (d <- 0 until nDom) avgMicro(d) += micro6(alpha(d))
+    }
+    val weight = Array.tabulate(nDom)(d =>
+      anchor6d(avgMicro(d).toDouble / 1e6 / steps))
+    val totTokens = dom.map(_._3).sum
+    val rate = Array.tabulate(nDom)(d =>
+      weight(d) / (dom(d)._3.toDouble / totTokens.toDouble))
+    val rMax = rate.max
+    dom.indices.map { d =>
+      val (name, nDocs, sumTokens, _) = dom(d)
+      (name, nDocs, sumTokens, meanLoss(d), weight(d),
+        math.max(math.floor(256.0 * (rate(d) / rMax)).toLong, 1L).toInt)
+    }.toDF("domain", "n_docs", "sum_tokens", "mean_loss", "weight",
+      "keep256")
+  }
+
+  /** Apply a [[doremiWeights]] mixture: keep rows whose md5 bucket
+    * falls under their domain's optimized rate — the same broadcast
+    * keep-rates + hash-membership shape as [[temperatureMix]] /
+    * [[targetMix]], so membership is a pure function of the key
+    * (reproducible across reruns, appends, engines). */
+  def doremiMix(df: DataFrame, key: Column, strataCol: Column,
+      lossCol: Column, nTokensCol: Column, eta: Double = 0.5,
+      steps: Int = 4): DataFrame = {
+    val rates = doremiWeights(df, strataCol, lossCol, nTokensCol, eta, steps)
+      .select(col("domain").as("__stratum"), col("keep256").as("__keep256"))
+    df.withColumn("__stratum", strataCol.cast("string"))
+      .filter(col("__stratum").isNotNull)
+      .join(broadcast(rates), Seq("__stratum"))
+      .filter(hashBucket256(key) < col("__keep256"))
+      .drop("__stratum", "__keep256")
+  }
 }

@@ -330,6 +330,43 @@ object Extras {
           sum(col("doc_id")).as("id_sum"))
     },
 
+    // DoReMi mixture optimization (round 14): per-language KN-LM
+    // losses feed the exponentiated-gradient simplex walk; output is
+    // the optimized per-domain weight + the downsample-only keep rate
+    // derived against natural token shares — the data-mixture DECISION
+    // a pretraining pipeline makes before sharding
+    "q_doremi_weights" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val scored = graft.operators.NgramLm
+        .bigramKnScores(docs, docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), (-col("avg_logp")).as("loss"))
+      val joined = docs
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .join(scored, Seq("doc_id"))
+      Sampling.doremiWeights(joined, col("lang"), col("loss"),
+        col("n_tokens"))
+    },
+    // ...and the mixture APPLIED: domain-rollup of the surviving rows
+    // (id_sum pins WHICH rows survived — membership is
+    // md5-deterministic, the temperatureMix discipline)
+    "q_doremi_mix" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val scored = graft.operators.NgramLm
+        .bigramKnScores(docs, docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), (-col("avg_logp")).as("loss"))
+      val joined = docs
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .join(scored, Seq("doc_id"))
+      Sampling.doremiMix(joined, col("doc_id"), col("lang"), col("loss"),
+          col("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    },
     // explicit target mixture 4:2:1 over en/zh/de at the max achievable
     // total (zh binds: 4143·7//2 < the others' scaled capacities);
     // fr/es excluded by the spec — the mix IS the filter
@@ -742,7 +779,125 @@ object Extras {
       s"\nSELECT id AS nation, label AS community FROM l$rounds"
   }
 
+  /** Shared replay of the DoReMi chain up to the per-domain plan
+    * (`fin`: domain, n_docs, sum_tokens, mean_loss, weight, keep256):
+    * the proven bigram-KN per-doc scores negated into losses, ONE
+    * domain rollup with the loss summed as exact integer micro-units,
+    * then `steps` unrolled exponentiated-gradient CTEs — every α/u
+    * 6dp-anchored exactly as the driver loop anchors them, each
+    * normalizer an exact long sum of micro-units, so the one libm call
+    * (exp, ±1 ulp) is absorbed by the anchor. */
+  private def doremiCtes(eta: Double, steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      val prev = if (t == 1) "s0" else s"s${t - 1}"
+      s"""u$t AS (
+         |  SELECT lang, mean_loss,
+         |    floor(a * exp($eta * mean_loss) * 1e6 + 0.5) / 1e6 AS u
+         |  FROM $prev),
+         |z$t AS (SELECT sum(CAST(round(u * 1e6) AS BIGINT)) AS z FROM u$t),
+         |s$t AS (
+         |  SELECT lang, mean_loss,
+         |    floor(u / (CAST(z AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS a
+         |  FROM u$t CROSS JOIN z$t)""".stripMargin
+    }.mkString(",\n")
+    val microSum = (1 to steps)
+      .map(t => s"CAST(round(s$t.a * 1e6) AS BIGINT)").mkString("\n    + ")
+    val stepJoins = (2 to steps)
+      .map(t => s"JOIN s$t ON s1.lang = s$t.lang").mkString(" ")
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+       |    toks[CAST(i + 1 AS INTEGER)] AS w2
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, greatest(len(toks), 1))) AS i
+       |        FROM tk)),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS nf
+       |        FROM big GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY 1),
+       |tt AS (SELECT count(*)::DOUBLE AS t FROM big),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    floor(log10(greatest(
+       |      CASE WHEN ctx.c1 IS NOT NULL THEN
+       |        greatest(coalesce(bigm.c12, 0) - 0.75, 0.0) / ctx.c1
+       |          + 0.75 * ctx.nf / ctx.c1 * (coalesce(cont.nb, 0) / tt.t)
+       |      ELSE coalesce(cont.nb, 0) / tt.t END,
+       |      1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+       |  FROM bg b
+       |  LEFT JOIN big bigm ON b.w1 = bigm.w1 AND b.w2 = bigm.w2
+       |  LEFT JOIN ctx ON b.w1 = ctx.w1
+       |  LEFT JOIN cont ON b.w2 = cont.w2
+       |  CROSS JOIN tt),
+       |dsc AS (
+       |  SELECT doc_id,
+       |    -(floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+       |      / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS loss
+       |  FROM sc GROUP BY 1),
+       |dd AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |      x -> x <> ''))::BIGINT AS n_tokens
+       |  FROM documents WHERE lang IS NOT NULL),
+       |j AS (SELECT dd.doc_id, dd.lang, dd.n_tokens, dsc.loss
+       |      FROM dsc JOIN dd USING (doc_id)),
+       |dom AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |    sum(CAST(round(loss * 1e6) AS BIGINT)) AS lm
+       |  FROM j GROUP BY 1),
+       |nd AS (SELECT count(*)::INTEGER AS nd FROM dom),
+       |ll AS (
+       |  SELECT lang, n_docs, sum_tokens,
+       |    floor(CAST(lm AS DOUBLE) / 1e6 / n_docs * 1e6 + 0.5) / 1e6
+       |      AS mean_loss
+       |  FROM dom),
+       |s0 AS (SELECT lang, mean_loss, floor(1.0 / nd * 1e6 + 0.5) / 1e6 AS a
+       |       FROM ll CROSS JOIN nd),
+       |$stepCtes,
+       |w AS (
+       |  SELECT s1.lang,
+       |    floor(CAST($microSum AS DOUBLE)
+       |      / 1e6 / $steps * 1e6 + 0.5) / 1e6 AS weight
+       |  FROM s1 $stepJoins),
+       |tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot FROM dom),
+       |rr AS (
+       |  SELECT w.lang, ll.n_docs, ll.sum_tokens, ll.mean_loss, w.weight,
+       |    w.weight / (CAST(ll.sum_tokens AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+       |      AS rate
+       |  FROM w JOIN ll ON w.lang = ll.lang CROSS JOIN tot),
+       |rm AS (SELECT max(rate) AS rmax FROM rr),
+       |fin AS (
+       |  SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, sum_tokens,
+       |    mean_loss, weight,
+       |    CAST(greatest(floor(256.0 * (rate / rmax)), 1) AS INTEGER)
+       |      AS keep256
+       |  FROM rr CROSS JOIN rm)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // the optimized mixture plan itself — one row per domain
+    "q_doremi_weights" ->
+      s"""WITH ${doremiCtes(eta = 0.5, steps = 4)}
+         |SELECT lang AS domain, n_docs, sum_tokens, mean_loss, weight,
+         |  keep256
+         |FROM fin""".stripMargin,
+    // ...and the applied mixture: md5-bucket membership under the
+    // optimized rates, rolled up per domain (id_sum pins WHICH rows)
+    "q_doremi_mix" ->
+      s"""WITH ${doremiCtes(eta = 0.5, steps = 4)},
+         |kept AS (
+         |  SELECT j.* FROM j JOIN fin ON j.lang = fin.lang
+         |  WHERE CAST(('0x' || substring(md5(CAST(j.doc_id AS VARCHAR)), 1, 2))
+         |          AS INTEGER) < fin.keep256)
+         |SELECT lang, count(1) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM kept GROUP BY lang""".stripMargin,
     "q_label_propagation" -> labelPropNationsOracle(4),
     "q_validate_lineitem" ->
       """WITH m AS (SELECT

@@ -413,6 +413,28 @@ object TextQueries {
         .select(col("id").as("doc_id"),
           col("n_ngrams").as("n_fivegrams"), col("avg_logp"))
     },
+    // the DEPLOYED CCNet shape end-to-end (round 14): a 5-gram KN LM
+    // trained on the reference split scores the held-out docs, which
+    // bucket into perplexity terciles (head = most fluent third, the
+    // split CCNet keeps preferentially) — q_ccnet_buckets upgraded
+    // from the add-0.5-smoothed bigram to the real filter's order and
+    // smoothing, composed with the same no-global-window ntile
+    "q_ccnet_kn_buckets" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .withColumn("text", coalesce(col("text"), lit(""))),
+        col("doc_id"), 12, 2)
+      val scored = graft.operators.NgramLm.knScores(
+          docs.filter(col("split") =!= "test"),
+          docs.filter(col("split") === "test"), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), (-col("avg_logp")).as("neg_logp"))
+      graft.operators.Stats
+        .distributedNtile(scored, "neg_logp", "doc_id", 3)
+        .withColumn("ppl_bucket",
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("neg_logp"), col("ppl_bucket"))
+    },
     // fully parameterless order-5 KN (round 14): each backoff level
     // carries its OWN Chen–Goodman estimated discount
     // D_k = n1_k/(n1_k + 2·n2_k) from that order's count-of-counts —
@@ -1267,6 +1289,109 @@ object TextQueries {
         |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
         |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
         |FROM sc GROUP BY 1""".stripMargin,
+    // the real-CCNet bucket replay: the split 5-gram ladder (bkt < 14
+    // trains, >= 14 scored), the integer-micro-unit mean negated, then
+    // ntile(3) on (neg_logp, doc_id) — a unique total order
+    "q_ccnet_kn_buckets" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |      AS INTEGER) AS bkt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, bkt,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM src),
+        |fg AS (
+        |  SELECT doc_id, bkt, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+        |    toks[CAST(i + 2 AS INTEGER)] AS w3,
+        |    toks[CAST(i + 3 AS INTEGER)] AS w4,
+        |    toks[CAST(i + 4 AS INTEGER)] AS w5
+        |  FROM (SELECT doc_id, bkt, toks,
+        |          unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+        |        FROM tk)),
+        |c5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS c
+        |       FROM fg WHERE bkt < 14 GROUP BY 1, 2, 3, 4, 5),
+        |x5 AS (SELECT w1, w2, w3, w4, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c5 GROUP BY 1, 2, 3, 4),
+        |c4 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, w5 AS w4, count(*) AS c
+        |       FROM c5 GROUP BY 1, 2, 3, 4),
+        |x4 AS (SELECT w1, w2, w3, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c4 GROUP BY 1, 2, 3),
+        |c3 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, count(*) AS c
+        |       FROM c4 GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w1, sum(c)::BIGINT AS tot, count(*) AS nf
+        |       FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+        |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+        |j AS (
+        |  SELECT g.doc_id,
+        |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
+        |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
+        |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+        |    coalesce(u.c, 0) / tt.t AS p1
+        |  FROM fg g
+        |  LEFT JOIN c5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
+        |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
+        |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
+        |    AND g.w4 = x5.w4
+        |  LEFT JOIN c4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
+        |    AND g.w5 = m4.w4
+        |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
+        |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
+        |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
+        |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
+        |  LEFT JOIN x2 ON g.w4 = x2.w1
+        |  LEFT JOIN c1 u ON g.w5 = u.w1
+        |  CROSS JOIN tt
+        |  WHERE g.bkt >= 14),
+        |p2s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4, c3c, tot3, nf3,
+        |    CASE WHEN tot2 IS NOT NULL THEN
+        |      greatest(coalesce(c2c, 0) - 0.75, 0.0) / tot2
+        |        + 0.75 * nf2 / tot2 * p1
+        |    ELSE p1 END AS p2
+        |  FROM j),
+        |p3s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4,
+        |    CASE WHEN tot3 IS NOT NULL THEN
+        |      greatest(coalesce(c3c, 0) - 0.75, 0.0) / tot3
+        |        + 0.75 * nf3 / tot3 * p2
+        |    ELSE p2 END AS p3
+        |  FROM p2s),
+        |p4s AS (
+        |  SELECT doc_id, c5c, tot5, nf5,
+        |    CASE WHEN tot4 IS NOT NULL THEN
+        |      greatest(coalesce(c4c, 0) - 0.75, 0.0) / tot4
+        |        + 0.75 * nf4 / tot4 * p3
+        |    ELSE p3 END AS p4
+        |  FROM p3s),
+        |sc AS (
+        |  SELECT doc_id, floor(log10(greatest(
+        |    CASE WHEN tot5 IS NOT NULL THEN
+        |      greatest(coalesce(c5c, 0) - 0.75, 0.0) / tot5
+        |        + 0.75 * nf5 / tot5 * p4
+        |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM p4s),
+        |ds AS (
+        |  SELECT doc_id,
+        |    -(floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |      / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS neg_logp
+        |  FROM sc GROUP BY 1),
+        |nt AS (
+        |  SELECT doc_id, neg_logp,
+        |    ntile(3) OVER (ORDER BY neg_logp, doc_id) AS tile
+        |  FROM ds)
+        |SELECT doc_id, neg_logp,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS ppl_bucket
+        |FROM nt""".stripMargin,
     // the estd 5-gram replay: the same ladder with per-order
     // dd_k = n1/(n1+2*n2) CTEs rebuilding the anchored literals
     "q_fivegram_kn_estd" ->
@@ -1302,33 +1427,37 @@ object TextQueries {
         |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
         |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
         |dd2 AS (
-        |  SELECT floor(
-        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
-        |      * 1e6 + 0.5) / 1e6 AS d
-        |  FROM c2),
+        |  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.75
+        |    ELSE greatest(least(
+        |      floor(n1 / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+        |      0.999999), 0.000001) END AS d
+        |  FROM (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        |        FROM c2)),
 |dd3 AS (
-        |  SELECT floor(
-        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
-        |      * 1e6 + 0.5) / 1e6 AS d
-        |  FROM c3),
+        |  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.75
+        |    ELSE greatest(least(
+        |      floor(n1 / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+        |      0.999999), 0.000001) END AS d
+        |  FROM (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        |        FROM c3)),
 |dd4 AS (
-        |  SELECT floor(
-        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
-        |      * 1e6 + 0.5) / 1e6 AS d
-        |  FROM c4),
+        |  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.75
+        |    ELSE greatest(least(
+        |      floor(n1 / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+        |      0.999999), 0.000001) END AS d
+        |  FROM (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        |        FROM c4)),
 |dd5 AS (
-        |  SELECT floor(
-        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |        / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-        |           + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
-        |      * 1e6 + 0.5) / 1e6 AS d
-        |  FROM c5),
+        |  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.75
+        |    ELSE greatest(least(
+        |      floor(n1 / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+        |      0.999999), 0.000001) END AS d
+        |  FROM (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        |        FROM c5)),
         |j AS (
         |  SELECT g.doc_id,
         |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
@@ -1465,12 +1594,13 @@ object TextQueries {
         |cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY 1),
         |tt AS (SELECT count(*)::DOUBLE AS t FROM big),
         |dd AS (
-        |  SELECT floor(
-        |      sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
-        |        / (sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
-        |           + 2.0 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END))
-        |      * 1e6 + 0.5) / 1e6 AS d
-        |  FROM big),
+        |  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.75
+        |    ELSE greatest(least(
+        |      floor(n1 / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+        |      0.999999), 0.000001) END AS d
+        |  FROM (SELECT sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+        |          sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+        |        FROM big)),
         |sc AS (
         |  SELECT b.doc_id,
         |    floor(log10(greatest(

@@ -42,6 +42,26 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("order-n KN scoring: all 2n-1 model joins stay hash joins at " +
+      "orders 3 and 5 (never nested-loop or cartesian), for the " +
+      "self-trained, persisted, and bucket-composed forms") {
+    for (q <- Seq("q_trigram_kn_score", "q_fivegram_kn_score",
+        "q_trigram_kn_incremental_persisted", "q_ccnet_kn_buckets")) {
+      val p = graft.SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the bucket composition's distributedNtile broadcasts its 1-row
+      // global bounds (the q_decile_stats pattern, allowlisted in
+      // Round3PlanSpec) — the KN ladder itself must stay NLJ-free
+      if (q != "q_ccnet_kn_buckets")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      // every per-order lookup (gram, context rollup, continuation) is
+      // an equi-join on its natural key — shuffles or broadcasts, never
+      // a row-pair explosion, at any order
+      assert(p.contains("HashJoin"), s"$q:\n$p")
+    }
+  }
+
   test("k-means||-trained IVF recall is measured and competitive with " +
       "the lowest-id-init index (the q_ann_recall truth composition)") {
     val baseline = graft.SparkEntry.queries("q_ann_recall")(spark, sf0001)
@@ -55,6 +75,56 @@ class Round14Spec extends SparkSpec {
     // are data-dependent; the bound is the invariant)
     assert(kmeanspar >= baseline - 0.25,
       s"k-means|| IVF recall $kmeanspar collapsed vs lowest-id $baseline")
+  }
+
+  test("doremiWeights: hand-replayed exponentiated-gradient step — the " +
+      "worse domain upweights, weights stay a (anchored) simplex, and " +
+      "equal-share rates follow the weights") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    def anchor6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // two domains, equal token shares; domain b twice the loss; two
+    // docs in 'a' pin the integer-micro-unit mean (1.0 = mean(0.8, 1.2))
+    val df = Seq(("a", 0.8, 50L, 1L), ("a", 1.2, 50L, 2L),
+        ("b", 2.0, 100L, 3L))
+      .toDF("dom", "loss", "nt", "id")
+    val got = Sampling
+      .doremiWeights(df, col("dom"), col("loss"), col("nt"),
+        eta = 0.5, steps = 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    // hand replay with the operator's own anchoring conventions
+    val ua = anchor6(0.5 * math.exp(0.5 * 1.0))
+    val ub = anchor6(0.5 * math.exp(0.5 * 2.0))
+    val z = math.round(ua * 1e6) + math.round(ub * 1e6)
+    val aa = anchor6(ua / (z.toDouble / 1e6))
+    val ab = anchor6(ub / (z.toDouble / 1e6))
+    assert(got("a") === ((1.0, aa,
+      math.max(math.floor(256.0 * (aa / 0.5 / (ab / 0.5))).toLong, 1L).toInt)))
+    assert(got("b") === ((2.0, ab, 256)))
+    assert(ab > aa, "the worse domain must upweight")
+    assert(math.abs(aa + ab - 1.0) <= 2e-6, "anchored simplex")
+  }
+
+  test("doremiWeights is invariant to input partitioning (losses sum " +
+      "as exact integer micro-units; the EG loop sees identical longs)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .withColumn("loss",
+        (length(col("text")) % 7).cast("double") / 100.0) // anchored by construction
+      .withColumn("nt", greatest(length(col("text")).cast("long"), lit(1L)))
+    def run(df: org.apache.spark.sql.DataFrame) = Sampling
+      .doremiWeights(df, col("lang"), col("loss"), col("nt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a === b)
+    assert(a.nonEmpty)
   }
 
   test("streaming assign: vec_id is LONG on BOTH sides of the literal " +

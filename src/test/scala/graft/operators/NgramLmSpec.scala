@@ -123,20 +123,24 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("estimateDiscount: Chen-Goodman n1/(n1+2*n2) from the " +
-      "count-of-counts, 6dp-anchored; degenerate corpus fails loudly") {
+      "count-of-counts, 6dp-anchored; degenerate count-of-counts " +
+      "degrade deterministically (fallback 0.75, (0,1) clamp)") {
     // bigram counts (a,b)->2, (a,c)->1 -> n1=1, n2=1 -> D = 1/3
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
       .toDF("doc_id", "text")
     val counts = NgramLm.knCounts(corpus, "doc_id", "text", 2)
     assert(NgramLm.estimateDiscount(counts(2)) === 0.333333)
-    // every type repeats 3x -> n1 = n2 = 0 -> no estimate exists
+    // every type repeats 3x -> n1 = n2 = 0 -> the fixed default (the
+    // sf0.1 synthetic corpus IS this case — small vocab, heavy repeats)
     val degenerate = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"))
       .toDF("doc_id", "text")
     val dc = NgramLm.knCounts(degenerate, "doc_id", "text", 2)
-    val err = intercept[IllegalArgumentException] {
-      NgramLm.estimateDiscount(dc(2))
-    }
-    assert(err.getMessage.contains("singleton"))
+    assert(NgramLm.estimateDiscount(dc(2)) === 0.75)
+    // all singletons, no doubletons -> raw D = 1.0, clamped into (0,1)
+    val singletons = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val sc = NgramLm.knCounts(singletons, "doc_id", "text", 2)
+    assert(NgramLm.estimateDiscount(sc(2)) === 0.999999)
   }
 
   test("order-3 scores are invariant to input partitioning") {

@@ -108,9 +108,10 @@ class Round3PlanSpec extends SparkSpec {
       // one-row corpus-count cross join (the scalar-broadcast idiom —
       // BuildRight over a 1-row aggregate, same as q_tfidf)
       "q_hybrid_rrf", "q_hybrid_cross_rrf",
-      // calibration and the CCNet bucket split run distributedNtile —
-      // 1-row global bounds (the q_decile_stats pattern)
-      "q_lr_calibration", "q_ccnet_buckets",
+      // calibration and the CCNet bucket splits run distributedNtile —
+      // 1-row global bounds (the q_decile_stats pattern); the round-14
+      // twin buckets the 5-gram KN score through the same ntile
+      "q_lr_calibration", "q_ccnet_buckets", "q_ccnet_kn_buckets",
       // bounded 64-row negative pool broadcast with an inequality
       // condition (anchors × pool, pool size fixed by TakeOrdered)
       "q_negative_pool",

@@ -194,16 +194,32 @@ object NgramLm {
     * is keyed on its scoring-join key, so the whole model persists as
     * bucketed tables (the q_trigram_kn_incremental_persisted
     * lifecycle); T recomputes as `tables(2).count()`. */
+  /** With `pin = true` every order's table is EAGERLY
+    * localCheckpoint'ed as it is derived: self-contained scoring reads
+    * each order through 2-3 consumers (its gram join, its context
+    * rollup, its discount estimate), and without the pin each consumer
+    * re-runs the whole derivation chain back to the corpus — measured
+    * 13.8s → well under half on the 5-gram estimated-discount query at
+    * sf0.1. n-1 small pin jobs; blocks are ContextCleaner-reclaimed
+    * (never the CacheManager — the cache-lifecycle sweep). Callers
+    * that persist the tables instead (the bucketed-table lifecycle)
+    * keep the default lazy chain. */
   def knCounts(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int): Map[Int, DataFrame] = {
+      n: Int, pin: Boolean = false): Map[Int, DataFrame] = {
     require(n >= 2, s"order must be >= 2, got $n")
-    val top = ngramWindows(corpus, idCol, textCol, n)
+    def maybePin(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint(true) else df
+    val top = maybePin(ngramWindows(corpus, idCol, textCol, n)
       .groupBy((1 to n).map(k => col(s"w$k")): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     (n - 1 to 1 by -1).foldLeft(Map(n -> top)) { (acc, k) =>
-      acc + (k -> acc(k + 1)
+      val derived = acc(k + 1)
         .groupBy((2 to k + 1).map(j => col(s"w$j").as(s"w${j - 1}")): _*)
-        .agg(count(lit(1)).as("c")))
+        .agg(count(lit(1)).as("c"))
+      // order 1 has exactly ONE consumer (the continuation join), and
+      // it derives from the already-pinned order 2 — a pin job there
+      // costs more than the one re-aggregation it saves (measured)
+      acc + (k -> (if (k == 1) derived else maybePin(derived)))
     }
   }
 
@@ -312,23 +328,15 @@ object NgramLm {
           / lit(1e6) / count(lit(1))).as("avg_logp"))
 
   /** Self-contained order-n KN scoring: train on `corpus`, score
-    * `docs`. The top-order count table is pinned with an EAGER
-    * localCheckpoint: all 2n-1 scoring legs (and the lower-order
-    * chain) derive from it, so without the pin the corpus would
-    * re-tokenize and re-aggregate once per leg — with it, the one
-    * expensive aggregation runs exactly once and every leg re-reads
-    * the (much smaller) count blocks. localCheckpoint, not cache():
-    * the model is internal state of one returned plan, and the house
-    * cache-lifecycle sweep requires queries to leave the CacheManager
-    * empty (blocks are reclaimed by the ContextCleaner / the bench
-    * harness's per-run unpersist). Production at scale uses the
-    * PERSISTED bucketed-table lifecycle instead — see
+    * `docs`, with every order's count table pinned once
+    * (`knCounts(pin = true)` — each order has 2-3 consumers among the
+    * scoring legs; see the pin rationale there). Production at scale
+    * uses the PERSISTED bucketed-table lifecycle instead — see
     * q_trigram_kn_incremental_persisted. */
   def knScores(corpus: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int,
       discounts: Int => Double = _ => 0.75): DataFrame = {
-    val counts0 = knCounts(corpus, idCol, textCol, n)
-    val counts = counts0 + (n -> counts0(n).localCheckpoint(true))
+    val counts = knCounts(corpus, idCol, textCol, n, pin = true)
     val t = counts(2).count()
     scoreWithKnCounts(docs, counts, t, idCol, textCol, n, discounts)
   }

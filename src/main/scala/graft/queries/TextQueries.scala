@@ -444,9 +444,8 @@ object TextQueries {
     "q_fivegram_kn_estd" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
         .withColumn("text", coalesce(col("text"), lit("")))
-      val counts0 = graft.operators.NgramLm
-        .knCounts(docs, "doc_id", "text", n = 5)
-      val counts = counts0 + (5 -> counts0(5).localCheckpoint(true))
+      val counts = graft.operators.NgramLm
+        .knCounts(docs, "doc_id", "text", n = 5, pin = true)
       val ds: Map[Int, Double] = (2 to 5).map(k =>
         k -> graft.operators.NgramLm.estimateDiscount(counts(k))).toMap
       val t = counts(2).count()
@@ -490,11 +489,11 @@ object TextQueries {
     "q_bigram_kn_estd" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
         .withColumn("text", coalesce(col("text"), lit("")))
-      // eager localCheckpoint, not cache(): three consumers (discount
-      // estimate, T, scoring joins) and the cache-lifecycle sweep
-      val counts0 = graft.operators.NgramLm
-        .knCounts(docs, "doc_id", "text", n = 2)
-      val counts = counts0 + (2 -> counts0(2).localCheckpoint(true))
+      // pinned counts (eager localCheckpoint, not cache() — the
+      // cache-lifecycle sweep): four consumers (discount estimate, T,
+      // scoring joins) each re-read blocks instead of re-aggregating
+      val counts = graft.operators.NgramLm
+        .knCounts(docs, "doc_id", "text", n = 2, pin = true)
       val d = graft.operators.NgramLm.estimateDiscount(counts(2))
       val t = counts(2).count()
       graft.operators.NgramLm.scoreWithKnCounts(docs, counts, t,

@@ -281,18 +281,27 @@ object StreamingOps {
       idCol: String, textCol: String, n: Int, threshold: Double)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+  {
+    // corpus-side shingles are STREAM-LIFETIME state: a lazy
+    // localCheckpoint (materialized by the first trigger, reused as
+    // blocks by every later one) — NOT cache(): a cache() inside
+    // foreachBatch has no unpersist point that survives the trigger,
+    // so it pinned one CacheManager entry for the query's lifetime
+    // (and past its stop); checkpoint blocks are ContextCleaner-freed
+    // when the stopped query's closure drops the frame
+    val corpusShingles = graft.operators.Dedup
+      .shingles(corpus, idCol, textCol, n).localCheckpoint(false)
     newDocs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val batchShingles = graft.operators.Dedup
           .shingles(batch.toDF(), idCol, textCol, n).cache()
-        val corpusShingles = graft.operators.Dedup
-          .shingles(corpus, idCol, textCol, n).cache()
         try sink(graft.operators.Dedup.crossJaccardPairsFromShingles(
           batchShingles, corpusShingles, threshold), batchId)
         finally batchShingles.unpersist()
       }
       .outputMode("append")
       .start()
+  }
 
   /** Streaming retrieval — the online twin of
     * [[graft.operators.Similarity.knnJoin]]: each micro-batch of query
@@ -347,9 +356,12 @@ object StreamingOps {
     // outlives its trigger leaks one entry per micro-batch)
     val model = TextAnalysis.tfidfCorpusModel(corpusDocs, "doc_id", "text",
       maxTermDf, maxTermDfFrac)
+    // stream-lifetime static: lazy localCheckpoint, not cache() — a
+    // serving index cached here outlives the query's stop (no
+    // unpersist point); checkpoint blocks are ContextCleaner-freed
     val wc = TextAnalysis.tfidfWeights(
       TextAnalysis.termFrequencies(corpusDocs, "doc_id", "text"), model)
-      .cache()
+      .localCheckpoint(false)
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
@@ -438,8 +450,10 @@ object StreamingOps {
     import graft.operators.TextAnalysis
     val model = TextAnalysis.tfidfCorpusModel(corpus, idCol, textCol,
       maxTermDf, maxTermDfFrac)
+    // stream-lifetime static — see the hybrid serving note above
     val corpusWeights = TextAnalysis.tfidfWeights(
-      TextAnalysis.termFrequencies(corpus, idCol, textCol), model).cache()
+      TextAnalysis.termFrequencies(corpus, idCol, textCol), model)
+      .localCheckpoint(false)
     newDocs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val batchWeights = TextAnalysis.tfidfWeights(
@@ -468,12 +482,15 @@ object StreamingOps {
       expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+  {
+    // same stream-lifetime rule as incrementalDedup: lazy checkpoint,
+    // never an unreleasable foreachBatch cache
+    val corpusShingles = graft.operators.Dedup
+      .shingles(corpus, idCol, textCol, n).localCheckpoint(false)
     newDocs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val batchShingles = graft.operators.Dedup
           .shingles(batch.toDF(), idCol, textCol, n).cache()
-        val corpusShingles = graft.operators.Dedup
-          .shingles(corpus, idCol, textCol, n).cache()
         try sink(graft.operators.Dedup.crossJaccardPairsBloomPruned(
           batchShingles, corpusShingles, threshold, expectedItems, numBits),
           batchId)
@@ -481,10 +498,13 @@ object StreamingOps {
       }
       .outputMode("append")
       .start()
+  }
 
   /** Streaming DSIR scoring: the bucket-weight model is trained ONCE on
     * the reference corpus ([[graft.operators.Curation.dsirBucketWeights]],
-    * a ≤`buckets`-row table, cached for the life of the query) and every
+    * a ≤`buckets`-row table, lazily checkpointed for the life of the
+    * query — ContextCleaner-reclaimed after stop, never a CacheManager
+    * entry) and every
     * micro-batch of incoming documents is scored against it
     * ([[graft.operators.Curation.dsirScoreFromWeights]]) — the
     * filter-at-ingest form of data selection: score each crawl shard as
@@ -498,8 +518,10 @@ object StreamingOps {
       targetCol: org.apache.spark.sql.Column, buckets: Int = 1024)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // stream-lifetime static — see the hybrid serving note above
     val weights = graft.operators.Curation
-      .dsirBucketWeights(corpus, idCol, textCol, targetCol, buckets).cache()
+      .dsirBucketWeights(corpus, idCol, textCol, targetCol, buckets)
+      .localCheckpoint(false)
     newDocs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(graft.operators.Curation.dsirScoreFromWeights(

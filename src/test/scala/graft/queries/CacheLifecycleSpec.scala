@@ -35,7 +35,8 @@ class CacheLifecycleSpec extends SparkSpec {
 
   test("every SparkEntry query leaves CacheManager empty after " +
       "building and running (no un-unpersisted internal cache)") {
-    assert(GraftCacheProbe.isEmpty(spark), "cache dirty before sweep")
+    assert(GraftCacheProbe.isEmpty(spark),
+      s"cache dirty before sweep: ${GraftCacheProbe.describe(spark)}")
     val dirty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         q(spark, sf0001).count() // build + run: exercises train loops

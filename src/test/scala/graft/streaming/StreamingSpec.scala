@@ -532,17 +532,22 @@ class StreamingSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       }
     }
+    val batchSigs = Dedup.minHashSignatures(
+      Dedup.shingles(newDocs, "doc_id", "text", 3), 128).cache()
     try {
       q.processAllAvailable()
-      val batchSigs = Dedup.minHashSignatures(
-        Dedup.shingles(newDocs, "doc_id", "text", 3), 128).cache()
       val oneShot = Dedup.minHashLshCrossPairs(batchSigs, storedBands,
           storedSigs, threshold = 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(batches.distinct.size > 1, "expected multiple micro-batches")
       assert(collected.toSet === oneShot)
       assert(oneShot.nonEmpty, "planted near-dups should cross the split")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // un-unpersisted test caches poison CacheLifecycleSpec's
+      // dirty-before-sweep precondition when suite order varies
+      batchSigs.unpersist()
+    }
   }
 
   test("watermark: sessions emit in append mode once watermark passes") {

@@ -18,4 +18,19 @@ package org.apache.spark.sql
 object GraftCacheProbe {
   def isEmpty(spark: SparkSession): Boolean =
     spark.sharedState.cacheManager.isEmpty
+
+  /** First plan lines of every cached entry — names the leaker when
+    * the emptiness assertion fails (a bare boolean cost a round-14
+    * hunt). The backing list is `private`, so this reads it
+    * reflectively and degrades to a shrug if the field moves. */
+  def describe(spark: SparkSession): Seq[String] =
+    try {
+      val cm = spark.sharedState.cacheManager
+      val f = cm.getClass.getDeclaredField("cachedData")
+      f.setAccessible(true)
+      f.get(cm).asInstanceOf[Iterable[_]].toSeq
+        .map(_.toString.linesIterator.take(3).mkString(" | ").take(300))
+    } catch {
+      case e: Throwable => Seq(s"<cachedData not readable: $e>")
+    }
 }

@@ -644,6 +644,22 @@ object ScaleProbe {
         operators.NgramLm.knScores(docsK, docsK, "doc_id", "text", n = 5)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"doremi_${n}x") {
+        // the EG mixture optimizer: ONE stratum-keyed map-side-combined
+        // aggregation over the corpus + a driver loop over the bounded
+        // domain table — the slope must track the scan alone (domains
+        // and steps are corpus-size-independent); loss here is a cheap
+        // anchored projection so the probe times the MIXING shape, not
+        // a scorer
+        val docsK = docsN.withColumn("text", coalesce(col("text"), lit("")))
+          .withColumn("loss",
+            (length(col("text")) % 7).cast("double") / 100.0)
+          .withColumn("nt",
+            greatest(length(col("text")).cast("long"), lit(1L)))
+        operators.Sampling.doremiMix(docsK, col("doc_id"), col("lang"),
+            col("loss"), col("nt"))
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"scene_changes_${n}x") {
         // mux → real demux → per-frame decode+histogram (map-only) →
         // per-video lag window (frames co-locate per id; no global

@@ -51,6 +51,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_ids", ChunkIds.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bfd_bin_ids", BfdBinIds.build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngram_features", CharNgramFeatures.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps", WinnowFps.build, "scala_udf")

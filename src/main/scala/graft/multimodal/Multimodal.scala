@@ -579,6 +579,86 @@ object Multimodal {
     }
   }
 
+  case class SpectralAudioFeatures(id: Long, media_type: String,
+      sample_rate: Int, n_samples: Long, n_frames: Long,
+      bands: Array[Double], embedding: Array[Float])
+
+  /** REAL audio decode + SPECTRAL feature extraction (round 15) — the
+    * published audio-dedup/quality representation ([[decodeAudioFeatures]]'
+    * time-band amplitude means are a stand-in; every deployed pipeline
+    * works on spectra): each clip splits into full non-overlapping
+    * `frameSize`-sample frames (a power of two; trailing partial frame
+    * dropped), each frame runs the [[Fft]] radix-2 transform over the
+    * exactly-normalized samples s/32768 (a power-of-two divide — no
+    * rounding), and bin k of the output (k = 0 .. frameSize/2, the
+    * one-sided spectrum of a real signal) is the LOG-MAGNITUDE band
+    * energy pooled over frames:
+    *
+    *   e_k(frame) = re_k² + im_k²         (anchored to integer
+    *                                       micro-units per frame)
+    *   band_k     = anchor6(log10(Σ_frames μ(e_k)/1e6 / nFrames
+    *                              + 1e-12))
+    *
+    * The per-frame micro-unit anchor makes the cross-frame pool an
+    * order-independent LONG sum (the house integer-micro-unit mean
+    * convention), and the Fft's sqrt-only twiddles make every e_k
+    * bit-identical across JVMs and engines — so the DuckDB oracle
+    * replays the full butterfly schedule value-for-value (the oracle
+    * SQL is generated FROM the same schedule). Clips with zero full
+    * frames emit band_k = log10(1e-12) = −12 exactly.
+    *
+    * One record-parallel pass, no shuffle: decode routes through the
+    * [[MediaCodecs]] audio registry exactly as [[decodeAudioFeatures]];
+    * `codec` overrides the registry for this call. The `embedding`
+    * float cast of `bands` feeds the similarity stack (SemDeDup leg)
+    * unchanged. */
+  def spectralAudioFeatures(media: Dataset[MediaRecord],
+      frameSize: Int = 16,
+      codec: Option[MediaCodecs.PcmAudioCodec] = None)
+      : Dataset[SpectralAudioFeatures] = {
+    require(frameSize >= 2 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a power of two >= 2, got $frameSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.audioSnapshot
+    val nBins = frameSize / 2 + 1
+    media.mapPartitions { it =>
+      it.map { r =>
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (sampleRate, samples) = c.decodePcm(r.payload, r.id)
+        val n = samples.length
+        val nFrames = n / frameSize
+        val sums = new Array[Long](nBins)
+        val re = new Array[Double](frameSize)
+        val im = new Array[Double](frameSize)
+        var f = 0
+        while (f < nFrames) {
+          var q = 0
+          while (q < frameSize) {
+            re(q) = samples(f * frameSize + q) / 32768.0
+            im(q) = 0.0
+            q += 1
+          }
+          Fft.fft(re, im)
+          var k = 0
+          while (k < nBins) {
+            val e = re(k) * re(k) + im(k) * im(k)
+            sums(k) += math.floor(e * 1e6 + 0.5).toLong
+            k += 1
+          }
+          f += 1
+        }
+        val bands = Array.tabulate(nBins) { k =>
+          val m = if (nFrames == 0) 0.0
+            else sums(k).toDouble / 1e6 / nFrames
+          math.floor(math.log10(m + 1e-12) * 1e6 + 0.5) / 1e6
+        }
+        SpectralAudioFeatures(r.id, r.media_type, sampleRate, n.toLong,
+          nFrames.toLong, bands, bands.map(_.toFloat))
+      }
+    }
+  }
+
   case class AudioQuality(id: Long, media_type: String, sample_rate: Int,
       n_samples: Long, peak: Int, clipped_samples: Long, clip_ratio: Double,
       n_windows: Long, silent_windows: Long, silence_ratio: Double,

@@ -248,6 +248,11 @@ object NgramLm {
     val row = countsK.agg(
       sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2")).head()
+    // an EMPTY count table (corpus where every doc is shorter than the
+    // order) sums to null — the same "no discounting evidence" case as
+    // n1 = n2 = 0, so it takes the same deterministic 0.75 default
+    // rather than an opaque NPE at getLong
+    if (row.isNullAt(0) || row.isNullAt(1)) return 0.75
     val n1 = row.getLong(0)
     val n2 = row.getLong(1)
     if (n1 + 2 * n2 == 0) 0.75
@@ -340,4 +345,145 @@ object NgramLm {
     val t = counts(2).count()
     scoreWithKnCounts(docs, counts, t, idCol, textCol, n, discounts)
   }
+
+  // ------------------------------------------------------------------
+  // Count-table pruning (round 15). At 100 TB the RAW top-order table
+  // is itself corpus-scale — the published load-shedding lever is
+  // KenLM-style minimum-count pruning (Heafield et al. 2013 "Scalable
+  // Modified Kneser-Ney Language Model Estimation", §4.2; SRILM's
+  // -prune-lowprobs lineage): drop order-k entries whose count is at
+  // or below a per-order threshold θ_k, with ALL smoothing statistics
+  // computed BEFORE pruning so the model's math stays honest:
+  //   - lower-order ADJUSTED counts derive from the UNPRUNED order
+  //     above (pruning is storage load-shedding, not a statistics
+  //     change — the continuation evidence of a pruned 5-gram is real)
+  //   - each order's Chen–Goodman discount estimates from the UNPRUNED
+  //     count-of-counts (singletons are exactly what θ=1 prunes; the
+  //     discount must see them)
+  //   - the per-context rollup (tot = Σc, nf = followers) aggregates
+  //     the UNPRUNED table, and the mass of pruned entries flows to
+  //     the BACKOFF: per context the rollup also stores the exact
+  //     integers ptot = Σ_{pruned w} c and pn = |pruned w|, and
+  //     scoring's interpolation coefficient becomes
+  //       γ(ctx) = (D·(nf − pn) + (ptot − D·pn·0) … ) / tot
+  //              = (D·nf + (ptot − D·pn)) / tot
+  //     i.e. the discounted probability max(c − D, 0)/tot of every
+  //     pruned entry (c ≥ 1 > D, so c − D exactly) is redistributed
+  //     through P_{k−1} — the distribution still sums to 1 per seen
+  //     context, exactly as unpruned KN does. pn = ptot = 0 reduces
+  //     γ to the unpruned D·nf/tot bit-for-bit.
+  // The stored model becomes: PRUNED gram tables (the big win — a
+  // web-scale order-5 table is dominated by singletons, Good–Turing
+  // n1 ≈ 50% of types) + per-context rollups keyed on (k−1)-grams
+  // (bounded by the order-(k−1) table, the already-small side) + the
+  // per-order anchored discounts + T. Unlike the unpruned model the
+  // rollups must persist (they can no longer be re-derived from the
+  // pruned grams), which is why [[PrunedKnModel]] carries them
+  // explicitly; every table keeps its natural scoring-join key, so the
+  // bucketed-persistence lifecycle applies unchanged.
+  // ------------------------------------------------------------------
+
+  /** A pruned order-n KN model: `grams(k)` are the θ_k-pruned count
+    * tables (k = 1..n; order 1 never prunes — it is the interpolation
+    * floor), `ctxs(k)` the per-context rollups with the pruned-mass
+    * integers (k = 2..n), `discounts(k)` the per-order Chen–Goodman
+    * estimates (anchored driver scalars), `t` = |unpruned order-2
+    * types|. */
+  case class PrunedKnModel(grams: Map[Int, DataFrame],
+      ctxs: Map[Int, DataFrame], discounts: Map[Int, Double], t: Long)
+
+  /** Train an order-n KN model with per-order minimum-count pruning:
+    * entries with `c <= thresholds(k)` are dropped from order k's
+    * stored gram table AFTER every statistic (adjusted lower-order
+    * counts, count-of-counts discounts, context rollups, T) is taken
+    * from the unpruned ladder — the Heafield et al. 2013 discipline.
+    * `thresholds(1)` must be 0 (KenLM refuses unigram pruning for the
+    * same reason: the continuation unigram is the interpolation
+    * floor). The full ladder is pinned once ([[knCounts]] pin = true)
+    * and each derived table reads it as blocks; the UNPRUNED top-order
+    * table never persists — at scale it exists only as the shuffle
+    * feeding these aggregations. */
+  def knCountsPruned(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, thresholds: Int => Long): PrunedKnModel = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    require(thresholds(1) == 0L,
+      s"unigram pruning is not allowed (got threshold ${thresholds(1)}); " +
+        "the continuation unigram is the interpolation floor")
+    (2 to n).foreach(k => require(thresholds(k) >= 0L,
+      s"threshold($k) must be >= 0, got ${thresholds(k)}"))
+    val full = knCounts(corpus, idCol, textCol, n, pin = true)
+    val ds = (2 to n).map(k => k -> estimateDiscount(full(k))).toMap
+    val t = full(2).count()
+    val ctxs = (2 to n).map { k =>
+      val th = thresholds(k)
+      k -> full(k).groupBy((1 until k).map(j => col(s"w$j")): _*)
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("nf"),
+          sum(when(col("c") <= th, col("c")).otherwise(0L)).as("ptot"),
+          sum(when(col("c") <= th, 1L).otherwise(0L)).as("pn"))
+    }.toMap
+    val grams = (1 to n).map { k =>
+      val th = thresholds(k)
+      k -> (if (th <= 0L) full(k) else full(k).filter(col("c") > th))
+    }.toMap
+    PrunedKnModel(grams, ctxs, ds, t)
+  }
+
+  /** The per-window scoring stage against a PRUNED model — the
+    * [[scoredNgrams]] join ladder with the stored rollups instead of
+    * derived ones and the pruned-mass backoff coefficient:
+    *   P_k(w|ctx) = max(c_k − D_k, 0)/tot
+    *                + (D_k·nf + (ptot − D_k·pn))/tot · P_{k−1}
+    * when ctx is seen (c_k = 0 for pruned or unseen grams), P_{k−1}
+    * when unseen. ptot − D·pn is the exact pruned discounted mass
+    * Σ_{pruned}(c − D) — two stored integers and the anchored D, so
+    * the oracle replays it without any floating stored state. Same
+    * operation order, 1e-12 floor, and 6dp anchoring as every KN
+    * scorer. */
+  def scoredNgramsPruned(docs: DataFrame, model: PrunedKnModel,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    require((1 to n).forall(model.grams.contains) &&
+      (2 to n).forall(model.ctxs.contains), "model is missing orders")
+    require(model.t > 0, "empty model")
+    val joined = (2 to n).foldLeft(
+      ngramWindows(docs, idCol, textCol, n)
+        .join(model.grams(1)
+            .select(col("w1").as(s"w$n"), col("c").as("__nb")),
+          Seq(s"w$n"), "left")) { (acc, k) =>
+      val gramKeys = (1 to k).map(j => s"w${n - k + j}")
+      val ctxKeys = gramKeys.init
+      val gram = model.grams(k).select(
+        (1 to k).map(j => col(s"w$j").as(s"w${n - k + j}")) :+
+          col("c").as(s"__c$k"): _*)
+      val ctx = model.ctxs(k).select(
+        (1 until k).map(j => col(s"w$j").as(s"w${n - k + j}")) ++
+          Seq(col("tot").as(s"__tot$k"), col("nf").as(s"__nf$k"),
+            col("ptot").as(s"__ptot$k"), col("pn").as(s"__pn$k")): _*)
+      acc.join(gram, gramKeys, "left").join(ctx, ctxKeys, "left")
+    }
+    val p = (2 to n).foldLeft(
+      coalesce(col("__nb").cast("double"), lit(0.0)) /
+        lit(model.t.toDouble)) { (pPrev, k) =>
+      val d = lit(model.discounts(k))
+      when(col(s"__tot$k").isNotNull,
+        greatest(coalesce(col(s"__c$k"), lit(0L)).cast("double") - d,
+          lit(0.0)) / col(s"__tot$k") +
+          (d * col(s"__nf$k").cast("double") +
+            (col(s"__ptot$k").cast("double") -
+              d * col(s"__pn$k").cast("double"))) / col(s"__tot$k") * pPrev)
+        .otherwise(pPrev)
+    }
+    joined.select(col("id") +: (1 to n).map(k => col(s"w$k")) :+
+      anchor6(log10(greatest(p, lit(1e-12)))).as("logp"): _*)
+  }
+
+  /** Doc-level rollup over [[scoredNgramsPruned]] — the exact
+    * integer-micro-unit mean of [[scoreWithKnCounts]]. */
+  def scoreWithPrunedModel(docs: DataFrame, model: PrunedKnModel,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    scoredNgramsPruned(docs, model, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        anchor6(sum(round(col("logp") * 1e6).cast("long")).cast("double")
+          / lit(1e6) / count(lit(1))).as("avg_logp"))
 }

@@ -370,7 +370,22 @@ object Sampling {
         sum(col("__n_tokens")).as("sum_tokens"),
         sum(round(col("__loss") * 1e6).cast("long")).as("__lm"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map { r =>
+        // null aggregate sums (an all-null loss or token column) would
+        // otherwise surface as an opaque NPE at getLong; a zero-token
+        // domain would divide its way to Infinity rates that silently
+        // clamp to keep256 = 1 — both are caller data bugs, named here
+        val name = r.getString(0)
+        require(!r.isNullAt(2) && !r.isNullAt(3),
+          s"doremiWeights: domain '$name' has all-null " +
+            s"${if (r.isNullAt(3)) "loss" else "token"} values — " +
+            "losses and token counts must be non-null")
+        val st = r.getLong(2)
+        require(st > 0,
+          s"doremiWeights: domain '$name' has sum_tokens = $st — every " +
+            "domain needs a positive token mass for a rate to exist")
+        (name, r.getLong(1), st, r.getLong(3))
+      }
       .sortBy(_._1)
     require(dom.nonEmpty, "doremiWeights: no non-null domains")
     require(dom.length <= 10000,

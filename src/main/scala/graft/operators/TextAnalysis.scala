@@ -733,6 +733,52 @@ object TextAnalysis {
           .cast("int").as("chunk_id"))
   }
 
+  /** Best-fit-decreasing sequence packing (Krell et al. 2021 — the
+    * published upgrade over [[packSequences]]' contiguous next-fit,
+    * which strands up to a full `capacity` of padding per boundary):
+    * within each (`groupCol`, shard) cell, docs sort by token count
+    * DESCENDING (doc id breaks ties — the deterministic, data-defined
+    * order) and each goes into the open chunk with the smallest
+    * remaining capacity that still fits, via the codegen'd
+    * [[graft.functions.BfdBinIdsExpr]] fold. Oversized docs open their
+    * own (never-reused) chunk.
+    *
+    * Scale shape: packing quality needs the whole cell's length
+    * distribution in one place, so each cell materializes as ONE
+    * sorted array — bounded by the `shards` knob, which md5-splits
+    * every group into deterministic sub-cells (membership a pure
+    * function of the id: reproducible across reruns, appends,
+    * engines). At 100 TB you size `shards` so a cell is a few hundred
+    * thousand docs (the bin-pool quality loss from sharding is
+    * negligible — Krell et al. pack per batch for the same reason);
+    * the shuffle is one groupBy on (group, shard), skew bounded by
+    * cell size by construction. Output: doc id, group, `shard`,
+    * `n_tokens`, and the 0-based `chunk_id` unique within its
+    * (group, shard) cell. */
+  def packSequencesBestFit(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, capacity: Long, shards: Int = 1): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("__id"), col(groupCol).as("__grp"),
+        tokenCount(col(textCol)).cast("long").as("__n"),
+        (graft.operators.Sampling.hashBucket256(col(idCol)) % shards)
+          .as("shard"))
+      .groupBy(col("__grp"), col("shard"))
+      // struct sorts lexicographically: (−n, id) ascending IS
+      // (n desc, id asc) — the BFD "decreasing" order
+      .agg(sort_array(collect_list(struct((-col("__n")).as("nn"),
+        col("__id").as("id"), col("__n").as("n")))).as("__ds"))
+      .withColumn("__bins", graft.functions.BfdBinIds(
+        expr("transform(__ds, x -> x.n)"), lit(capacity)))
+      .select(col("__grp"), col("shard"),
+        explode(arrays_zip(col("__ds"), col("__bins"))).as("__z"))
+      .select(col("__z.__ds.id").as(idCol),
+        col("__grp").as(groupCol), col("shard"),
+        col("__z.__ds.n").as("n_tokens"),
+        col("__z.__bins").as("chunk_id"))
+  }
+
   /** Word n-grams from an ALREADY-MATERIALIZED token array column.
     * 1-based element_at keeps semantics identical to the DuckDB oracle's
     * 1-based list indexing. */

@@ -367,6 +367,24 @@ object Extras {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
           sum(col("doc_id")).as("id_sum"))
     },
+    // DoReMi composed with the DEPLOYED loss (round 15): the 5-gram
+    // KN score — the order the CCNet filter actually runs — feeds the
+    // same EG simplex walk; only the loss leg changes, the mixture
+    // decision plan is identical (one domain rollup + driver-local EG
+    // over the bounded domain table)
+    "q_doremi_kn5" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val scored = graft.operators.NgramLm
+        .knScores(docs, docs, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), (-col("avg_logp")).as("loss"))
+      val joined = docs
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .join(scored, Seq("doc_id"))
+      Sampling.doremiWeights(joined, col("lang"), col("loss"),
+        col("n_tokens"))
+    },
     // explicit target mixture 4:2:1 over en/zh/de at the max achievable
     // total (zh binds: 4143·7//2 < the others' scaled capacities);
     // fr/es excluded by the spec — the mix IS the filter
@@ -779,31 +797,9 @@ object Extras {
       s"\nSELECT id AS nation, label AS community FROM l$rounds"
   }
 
-  /** Shared replay of the DoReMi chain up to the per-domain plan
-    * (`fin`: domain, n_docs, sum_tokens, mean_loss, weight, keep256):
-    * the proven bigram-KN per-doc scores negated into losses, ONE
-    * domain rollup with the loss summed as exact integer micro-units,
-    * then `steps` unrolled exponentiated-gradient CTEs — every α/u
-    * 6dp-anchored exactly as the driver loop anchors them, each
-    * normalizer an exact long sum of micro-units, so the one libm call
-    * (exp, ±1 ulp) is absorbed by the anchor. */
-  private def doremiCtes(eta: Double, steps: Int): String = {
-    val stepCtes = (1 to steps).map { t =>
-      val prev = if (t == 1) "s0" else s"s${t - 1}"
-      s"""u$t AS (
-         |  SELECT lang, mean_loss,
-         |    floor(a * exp($eta * mean_loss) * 1e6 + 0.5) / 1e6 AS u
-         |  FROM $prev),
-         |z$t AS (SELECT sum(CAST(round(u * 1e6) AS BIGINT)) AS z FROM u$t),
-         |s$t AS (
-         |  SELECT lang, mean_loss,
-         |    floor(u / (CAST(z AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS a
-         |  FROM u$t CROSS JOIN z$t)""".stripMargin
-    }.mkString(",\n")
-    val microSum = (1 to steps)
-      .map(t => s"CAST(round(s$t.a * 1e6) AS BIGINT)").mkString("\n    + ")
-    val stepJoins = (2 to steps)
-      .map(t => s"JOIN s$t ON s1.lang = s$t.lang").mkString(" ")
+  /** The proven bigram-KN per-doc loss replay (`dsc`: doc_id, loss =
+    * −avg_logp) — the default [[doremiCtes]] loss leg. */
+  private val bigramLossCtes: String =
     s"""tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
@@ -837,7 +833,130 @@ object Extras {
        |  SELECT doc_id,
        |    -(floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
        |      / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS loss
-       |  FROM sc GROUP BY 1),
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** The DEPLOYED loss leg (round 15): the order-5 KN ladder
+    * self-scored at the fixed 0.75 discount (the q_fivegram_kn_score
+    * replay verbatim), negated into `dsc(doc_id, loss)` — docs without
+    * a full 5-token window score no losses and drop from the mixture
+    * rollup on BOTH engines (the bigram leg's < 2-token convention at
+    * order 5). */
+  private val kn5LossCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents),
+       |fg AS (
+       |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+       |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+       |    toks[CAST(i + 2 AS INTEGER)] AS w3,
+       |    toks[CAST(i + 3 AS INTEGER)] AS w4,
+       |    toks[CAST(i + 4 AS INTEGER)] AS w5
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+       |        FROM tk)),
+       |c5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS c
+       |       FROM fg GROUP BY 1, 2, 3, 4, 5),
+       |x5 AS (SELECT w1, w2, w3, w4, sum(c)::BIGINT AS tot, count(*) AS nf
+       |       FROM c5 GROUP BY 1, 2, 3, 4),
+       |c4 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, w5 AS w4, count(*) AS c
+       |       FROM c5 GROUP BY 1, 2, 3, 4),
+       |x4 AS (SELECT w1, w2, w3, sum(c)::BIGINT AS tot, count(*) AS nf
+       |       FROM c4 GROUP BY 1, 2, 3),
+       |c3 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, count(*) AS c
+       |       FROM c4 GROUP BY 1, 2, 3),
+       |x3 AS (SELECT w1, w2, sum(c)::BIGINT AS tot, count(*) AS nf
+       |       FROM c3 GROUP BY 1, 2),
+       |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+       |x2 AS (SELECT w1, sum(c)::BIGINT AS tot, count(*) AS nf
+       |       FROM c2 GROUP BY 1),
+       |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+       |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+       |j5 AS (
+       |  SELECT g.doc_id,
+       |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
+       |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
+       |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+       |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+       |    coalesce(u.c, 0) / tt.t AS p1
+       |  FROM fg g
+       |  LEFT JOIN c5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
+       |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
+       |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
+       |    AND g.w4 = x5.w4
+       |  LEFT JOIN c4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
+       |    AND g.w5 = m4.w4
+       |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
+       |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
+       |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
+       |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
+       |  LEFT JOIN x2 ON g.w4 = x2.w1
+       |  LEFT JOIN c1 u ON g.w5 = u.w1
+       |  CROSS JOIN tt),
+       |p2s AS (
+       |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4, c3c, tot3, nf3,
+       |    CASE WHEN tot2 IS NOT NULL THEN
+       |      greatest(coalesce(c2c, 0) - 0.75, 0.0) / tot2
+       |        + 0.75 * nf2 / tot2 * p1
+       |    ELSE p1 END AS p2
+       |  FROM j5),
+       |p3s AS (
+       |  SELECT doc_id, c5c, tot5, nf5, c4c, tot4, nf4,
+       |    CASE WHEN tot3 IS NOT NULL THEN
+       |      greatest(coalesce(c3c, 0) - 0.75, 0.0) / tot3
+       |        + 0.75 * nf3 / tot3 * p2
+       |    ELSE p2 END AS p3
+       |  FROM p2s),
+       |p4s AS (
+       |  SELECT doc_id, c5c, tot5, nf5,
+       |    CASE WHEN tot4 IS NOT NULL THEN
+       |      greatest(coalesce(c4c, 0) - 0.75, 0.0) / tot4
+       |        + 0.75 * nf4 / tot4 * p3
+       |    ELSE p3 END AS p4
+       |  FROM p3s),
+       |sc AS (
+       |  SELECT doc_id, floor(log10(greatest(
+       |    CASE WHEN tot5 IS NOT NULL THEN
+       |      greatest(coalesce(c5c, 0) - 0.75, 0.0) / tot5
+       |        + 0.75 * nf5 / tot5 * p4
+       |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+       |  FROM p4s),
+       |dsc AS (
+       |  SELECT doc_id,
+       |    -(floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+       |      / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS loss
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** Shared replay of the DoReMi chain up to the per-domain plan
+    * (`fin`: domain, n_docs, sum_tokens, mean_loss, weight, keep256):
+    * a pluggable per-doc loss leg (`lossCtes` must end in
+    * `dsc(doc_id, loss)` — bigram-KN by default, the 5-gram ladder for
+    * the deployed shape), ONE domain rollup with the loss summed as
+    * exact integer micro-units, then `steps` unrolled
+    * exponentiated-gradient CTEs — every α/u 6dp-anchored exactly as
+    * the driver loop anchors them, each normalizer an exact long sum
+    * of micro-units, so the one libm call (exp, ±1 ulp) is absorbed by
+    * the anchor. */
+  private def doremiCtes(eta: Double, steps: Int,
+      lossCtes: String = bigramLossCtes): String = {
+    val stepCtes = (1 to steps).map { t =>
+      val prev = if (t == 1) "s0" else s"s${t - 1}"
+      s"""u$t AS (
+         |  SELECT lang, mean_loss,
+         |    floor(a * exp($eta * mean_loss) * 1e6 + 0.5) / 1e6 AS u
+         |  FROM $prev),
+         |z$t AS (SELECT sum(CAST(round(u * 1e6) AS BIGINT)) AS z FROM u$t),
+         |s$t AS (
+         |  SELECT lang, mean_loss,
+         |    floor(u / (CAST(z AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS a
+         |  FROM u$t CROSS JOIN z$t)""".stripMargin
+    }.mkString(",\n")
+    val microSum = (1 to steps)
+      .map(t => s"CAST(round(s$t.a * 1e6) AS BIGINT)").mkString("\n    + ")
+    val stepJoins = (2 to steps)
+      .map(t => s"JOIN s$t ON s1.lang = s$t.lang").mkString(" ")
+    s"""$lossCtes,
        |dd AS (
        |  SELECT doc_id, lang,
        |    len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
@@ -883,6 +1002,13 @@ object Extras {
     // the optimized mixture plan itself — one row per domain
     "q_doremi_weights" ->
       s"""WITH ${doremiCtes(eta = 0.5, steps = 4)}
+         |SELECT lang AS domain, n_docs, sum_tokens, mean_loss, weight,
+         |  keep256
+         |FROM fin""".stripMargin,
+    // the 5-gram-loss composition: the kn5 ladder replaces the bigram
+    // leg, the EG tail is byte-identical
+    "q_doremi_kn5" ->
+      s"""WITH ${doremiCtes(eta = 0.5, steps = 4, lossCtes = kn5LossCtes)}
          |SELECT lang AS domain, n_docs, sum_tokens, mean_loss, weight,
          |  keep256
          |FROM fin""".stripMargin,

@@ -202,6 +202,26 @@ object MultimodalQueries {
           // oracle (full-vector parity pinned in MultimodalSpec)
           round(element_at(col("embedding"), 1).cast("double"), 6).as("band0"))
     },
+    // SPECTRAL audio features (round 15): real WAV round trip, then
+    // per 16-sample frame a radix-2 FFT with sqrt-only twiddles
+    // (bit-portable across JVMs AND engines — no libm trig), bins
+    // 0..8 pooled over frames as integer-micro-unit energies into
+    // anchored log10 band values; the oracle's SQL is GENERATED from
+    // the same butterfly schedule, so it replays every double exactly
+    "q_audio_spectral" -> { (s, dir) =>
+      val media = Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload",
+            encode(coalesce(col("text"), lit("")), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      Multimodal.spectralAudioFeatures(
+          Multimodal.encodePcmWav(media, sampleRate = 8000), frameSize = 16)
+        .toDF()
+        .select(col("id").as("doc_id") +: col("n_samples") +:
+          col("n_frames") +:
+          (0 to 8).map(k =>
+            element_at(col("bands"), k + 1).as(s"band$k")): _*)
+    },
     // REAL audio downsample (round 12): encode to 8 kHz WAV, box-filter
     // decimate by 4 (each output sample = floor-mean of 4 inputs — a
     // true decode → resample → re-encode cycle through two genuine WAV
@@ -741,15 +761,27 @@ object MultimodalQueries {
         threshold = 0.99995, nClusters = 4, trainIters = 2)
       val dups = pairs.select(col("b").as("doc_id")).distinct()
         .withColumn("__dup", lit(true))
-      kf.join(utts, Seq("doc_id"))
-        .join(quality, Seq("doc_id"))
+      // assembly anchors on the quality leg — the one leg with exactly
+      // one row per doc by construction — and LEFT-joins the kf/utts
+      // legs with zero-coalesce, so a doc with zero frames or zero
+      // utterances (all-silent audio) still emits its audit row with
+      // kept = false instead of vanishing (on THIS corpus ASCII
+      // samples are never silent and every non-empty payload demuxes
+      // ≥ 1 frame, so the left joins match inner rows exactly — the
+      // oracle mirrors the same anchor + left joins)
+      quality.join(kf, Seq("doc_id"), "left")
+        .join(utts, Seq("doc_id"), "left")
         .join(dups, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
-          col("n_utterances"), col("rms"),
+        .select(col("doc_id"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("n_keyframes"), lit(0L)).as("n_keyframes"),
+          coalesce(col("n_utterances"), lit(0L)).as("n_utterances"),
+          col("rms"),
           coalesce(col("__dup"), lit(false)).as("is_dup"),
           (coalesce(col("__dup"), lit(false)) === false &&
-            col("rms") >= 0.34 && col("n_keyframes") >= 1 &&
-            col("n_utterances") >= 1).as("kept"))
+            col("rms") >= 0.34 &&
+            coalesce(col("n_keyframes"), lit(0L)) >= 1 &&
+            coalesce(col("n_utterances"), lit(0L)) >= 1).as("kept"))
     },
     // frame sampling + resize, verified arithmetically: frame sizes and
     // the resized byte count are functions of payload length alone
@@ -914,6 +946,102 @@ object MultimodalQueries {
        |LEFT JOIN cr ON cr.doc_id = d.doc_id
        |LEFT JOIN ma ON ma.doc_id = d.doc_id
        |LEFT JOIN b0 ON b0.doc_id = d.doc_id""".stripMargin
+
+  /** Run [[graft.multimodal.Fft.fft]]'s exact butterfly schedule
+    * SYMBOLICALLY over SQL expression strings: the same loops, the
+    * same twiddle values (inlined as round-trip `Double.toString`
+    * literals — shortest-repr decimal parses back to the identical
+    * bits), the same operation order inside each butterfly — so the
+    * generated SQL computes bit-for-bit the doubles the engine's loop
+    * computes. Returns the (re, im) expressions of bins 0..bins−1 over
+    * a 1-based `xs` list column of normalized samples. */
+  private def fftButterflySql(n: Int, bins: Int): (Seq[String], Seq[String]) = {
+    import graft.multimodal.Fft
+    def dlit(d: Double): String = s"(${java.lang.Double.toString(d)})"
+    // post-bit-reversal leaves: slot q starts as sample bitrev(q)
+    val re = Array.tabulate(n)(q => s"xs[${Fft.bitrev(q, n) + 1}]")
+    val im = Array.fill[String](n)("(0.0)")
+    val (ct, st) = Fft.twiddles(n)
+    var len = 2
+    while (len <= n) {
+      val step = n / len
+      var base = 0
+      while (base < n) {
+        var k = 0
+        while (k < len / 2) {
+          val m = k * step
+          val wr = dlit(ct(m))
+          val wi = dlit(-st(m))
+          val j1 = base + k
+          val j2 = base + k + len / 2
+          val tre = s"($wr * ${re(j2)} - $wi * ${im(j2)})"
+          val tim = s"($wr * ${im(j2)} + $wi * ${re(j2)})"
+          val r1 = re(j1)
+          val i1 = im(j1)
+          re(j2) = s"($r1 - $tre)"
+          im(j2) = s"($i1 - $tim)"
+          re(j1) = s"($r1 + $tre)"
+          im(j1) = s"($i1 + $tim)"
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    (re.take(bins).toSeq, im.take(bins).toSeq)
+  }
+
+  /** DuckDB replay of the spectral features: PCM WAV is lossless so
+    * sample i IS (byte−128)·256, the /32768 normalization is a
+    * power-of-two divide (exact), and the whole 16-point FFT replays
+    * through [[fftButterflySql]]'s generated expressions — every
+    * stored double bit-identical, per-frame energies anchored to
+    * integer micro-units, the cross-frame pool an order-free BIGINT
+    * sum, zero-frame docs at the −12 floor. */
+  private def audioSpectralOracle: String = {
+    val (res, ims) = fftButterflySql(n = 16, bins = 9)
+    val ffCols = (0 until 9).map(k =>
+      s"${res(k)} AS r$k, ${ims(k)} AS i$k").mkString(",\n       |    ")
+    val feCols = (0 until 9).map(k =>
+      s"CAST(floor((r$k * r$k + i$k * i$k) * 1e6 + 0.5) AS BIGINT) AS em$k")
+      .mkString(",\n       |    ")
+    val faCols = (0 until 9).map(k =>
+      s"CAST(sum(em$k) AS BIGINT) AS sm$k").mkString(",\n       |    ")
+    val bandCols = (0 until 9).map(k =>
+      s"""floor(log10(coalesce(CAST(fa.sm$k AS DOUBLE) / 1e6 / fa.nf, 0.0)
+         |      + 1e-12) * 1e6 + 0.5) / 1e6 AS band$k""".stripMargin)
+      .mkString(",\n       |  ")
+    s"""WITH d AS (
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    octet_length(encode(coalesce(text, ''))) AS len
+       |  FROM documents),
+       |sv AS (
+       |  SELECT doc_id, len, i,
+       |    ((unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256) / 32768.0
+       |      AS x
+       |  FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i FROM d)),
+       |fr AS (
+       |  SELECT doc_id, i // 16 AS f, list(x ORDER BY i) AS xs
+       |  FROM sv WHERE i < 16 * (len // 16)
+       |  GROUP BY 1, 2),
+       |ff AS (
+       |  SELECT doc_id, f,
+       |    $ffCols
+       |  FROM fr),
+       |fe AS (
+       |  SELECT doc_id, f,
+       |    $feCols
+       |  FROM ff),
+       |fa AS (
+       |  SELECT doc_id, count(*) AS nf,
+       |    $faCols
+       |  FROM fe GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(d.len AS BIGINT) AS n_samples,
+       |  CAST(coalesce(fa.nf, 0) AS BIGINT) AS n_frames,
+       |  $bandCols
+       |FROM d LEFT JOIN fa ON fa.doc_id = d.doc_id""".stripMargin
+  }
 
   /** DuckDB replay of the audio quality battery over the CONSTRUCTED
     * payload (80 PCM-zero bytes ++ text bytes ++ 10 full-scale bytes
@@ -1307,19 +1435,20 @@ object MultimodalQueries {
        |  SELECT doc_id, count(*) AS n_utt
        |  FROM (SELECT doc_id, grp FROM isl GROUP BY doc_id, grp)
        |  GROUP BY 1)
-       |SELECT k.doc_id,
-       |  CAST(k.n_frames AS BIGINT) AS n_frames,
-       |  CAST(k.n_keyframes AS BIGINT) AS n_keyframes,
-       |  CAST(nu.n_utt AS BIGINT) AS n_utterances,
+       |SELECT sq.doc_id,
+       |  CAST(coalesce(k.n_frames, 0) AS BIGINT) AS n_frames,
+       |  CAST(coalesce(k.n_keyframes, 0) AS BIGINT) AS n_keyframes,
+       |  CAST(coalesce(nu.n_utt, 0) AS BIGINT) AS n_utterances,
        |  round(sqrt(CAST(sq.sumsq AS DOUBLE) / sq.n) / 32768.0, 6) AS rms,
        |  (d.doc_id IS NOT NULL) AS is_dup,
        |  (d.doc_id IS NULL
        |    AND round(sqrt(CAST(sq.sumsq AS DOUBLE) / sq.n) / 32768.0, 6) >= 0.34
-       |    AND k.n_keyframes >= 1 AND nu.n_utt >= 1) AS kept
-       |FROM kfc k
-       |JOIN nu ON nu.doc_id = k.doc_id
-       |JOIN sq ON sq.doc_id = k.doc_id
-       |LEFT JOIN dups d ON d.doc_id = k.doc_id""".stripMargin
+       |    AND coalesce(k.n_keyframes, 0) >= 1
+       |    AND coalesce(nu.n_utt, 0) >= 1) AS kept
+       |FROM sq
+       |LEFT JOIN kfc k ON k.doc_id = sq.doc_id
+       |LEFT JOIN nu ON nu.doc_id = sq.doc_id
+       |LEFT JOIN dups d ON d.doc_id = sq.doc_id""".stripMargin
 
   /** Shared DuckDB replay of the dHash bit matrix: bytes → the 9×8
     * block-sum grid (densified so empty cells carry s = n = 0, exactly
@@ -1436,6 +1565,7 @@ object MultimodalQueries {
     "q_image_neardup" -> imageNeardupOracle(threshold = 0.99995),
     "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
+    "q_audio_spectral" -> audioSpectralOracle,
     "q_audio_quality" -> audioQualityOracle,
     // utterance replay: the audioQuality sv/window chain over the
     // pad+text+pad+text payload, non-silent windows grouped into

@@ -501,9 +501,81 @@ object TextQueries {
         .select(col("id").as("doc_id"),
           col("n_ngrams").as("n_bigrams"), col("avg_logp"))
     },
+    // KenLM-style minimum-count pruning (round 15): the 100 TB
+    // load-shed for the 5-gram model — orders 4 and 5 drop their
+    // singleton entries (θ=1; 95-98% of types on this corpus, the
+    // web-scale Good–Turing shape) from STORAGE while every smoothing
+    // statistic (adjusted lower orders, per-order estimated discounts,
+    // context rollups, T) is taken BEFORE pruning, and the pruned
+    // entries' discounted mass flows to the backoff through the
+    // stored (ptot, pn) integers — Heafield et al. 2013 §pruning
+    "q_fivegram_kn_pruned" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val model = graft.operators.NgramLm.knCountsPruned(docs,
+        "doc_id", "text", n = 5, thresholds = k => if (k >= 4) 1L else 0L)
+      graft.operators.NgramLm.scoreWithPrunedModel(docs, model,
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_fivegrams"), col("avg_logp"))
+    },
+    // ...and the stored-model-size audit the pruning exists FOR: per
+    // order, raw vs kept type counts — raw = Σnf over the UNPRUNED
+    // rollup, pruned = Σpn, so the reduction is itself a verified
+    // number, not a probe note (4 bounded aggregates)
+    "q_kn_pruned_size" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val model = graft.operators.NgramLm.knCountsPruned(docs,
+        "doc_id", "text", n = 5, thresholds = k => if (k >= 4) 1L else 0L)
+      (2 to 5).map { k =>
+        model.ctxs(k)
+          .agg(sum(col("nf")).as("raw_types"), sum(col("pn")).as("pn"))
+          .select(lit(k).as("ord"), col("raw_types"),
+            (col("raw_types") - col("pn")).as("kept_types"),
+            col("pn").as("pruned_types"),
+            (floor(col("pn").cast("double") / col("raw_types") * 1e6 + 0.5)
+              / 1e6).as("pruned_frac"))
+      }.reduce(_ unionAll _)
+    },
     "q_seq_packing" -> { (s, dir) =>
       TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
         "source", capacity = 512L)
+    },
+    // best-fit-decreasing packing (round 15): per (source, md5-shard)
+    // cell, longest docs place first into the tightest fitting chunk —
+    // the Krell et al. 2021 upgrade that recovers next-fit's padding
+    // waste; shards = 4 exercises the 100 TB cell-bounding knob
+    "q_seq_packing_bfd" -> { (s, dir) =>
+      TextAnalysis.packSequencesBestFit(table(s, dir, "documents"),
+        "doc_id", "text", "source", capacity = 512L, shards = 4)
+    },
+    // ...and the measured comparison the upgrade exists FOR: per
+    // method, chunks provisioned, padding (unused capacity) and
+    // overflow (tokens past capacity a trainer would truncate —
+    // next-fit's boundary-straddling docs; BFD only overflows on
+    // oversized docs), efficiency = usable tokens / provisioned slots
+    "q_seq_packing_efficiency" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      def rollup(perChunk: DataFrame, method: String): DataFrame =
+        perChunk
+          .agg(count(lit(1)).as("n_chunks"), sum(col("tk")).as("sum_tokens"),
+            sum(greatest(lit(512L) - col("tk"), lit(0L))).as("padding"),
+            sum(greatest(col("tk") - lit(512L), lit(0L))).as("overflow"))
+          .select(lit(method).as("method"), col("n_chunks"),
+            col("sum_tokens"), col("padding"), col("overflow"),
+            (floor((col("sum_tokens") - col("overflow")).cast("double")
+              / (col("n_chunks") * lit(512L)).cast("double") * 1e6 + 0.5)
+              / 1e6).as("efficiency"))
+      val greedy = TextAnalysis.packSequences(docs, "doc_id", "text",
+          "source", capacity = 512L)
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(sum(col("n_tokens")).as("tk"))
+      val bfd = TextAnalysis.packSequencesBestFit(docs, "doc_id", "text",
+          "source", capacity = 512L, shards = 4)
+        .groupBy(col("source"), col("shard"), col("chunk_id"))
+        .agg(sum(col("n_tokens")).as("tk"))
+      rollup(greedy, "greedy").unionAll(rollup(bfd, "bfd"))
     },
     // sliding-window chunker: 64-token chunks, stride 32 (50% overlap)
     "q_chunk_documents" -> { (s, dir) =>
@@ -669,7 +741,150 @@ object TextQueries {
       |     WHEN len(parts) >= 2 THEN array_to_string(parts[-2:], '.')
       |     ELSE host END""".stripMargin
 
+  /** Shared replay of the order-5 KN ladder with per-order pruning
+    * thresholds (round 15): raw c5 and each KenLM-adjusted lower order,
+    * every rollup carrying the exact pruned-mass integers (ptot = Σc,
+    * pn = |types| over entries with c ≤ θ — zero at θ=0), the PRUNED
+    * gram tables p5/p4, the UNPRUNED-count-of-counts discount CTEs
+    * dd2..dd5, and T from the unpruned order 2 — statistics before
+    * pruning, the Heafield et al. 2013 discipline the engine's
+    * `knCountsPruned` implements. */
+  private def kn5LadderCtes(theta5: Long, theta4: Long): String = {
+    def x(src: String, keys: Seq[String], th: Long): String =
+      s"""SELECT ${keys.mkString(", ")}, sum(c)::BIGINT AS tot,
+         |       count(*) AS nf,
+         |       CAST(sum(CASE WHEN c <= $th THEN c ELSE 0 END) AS BIGINT)
+         |         AS ptot,
+         |       CAST(sum(CASE WHEN c <= $th THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS pn
+         |       FROM $src GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}"""
+        .stripMargin
+    def dd(k: Int): String =
+      s"""dd$k AS (
+         |  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.75
+         |    ELSE greatest(least(
+         |      floor(n1 / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+         |      0.999999), 0.000001) END AS d
+         |  FROM (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         |          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+         |        FROM c$k))""".stripMargin
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents),
+       |fg AS (
+       |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+       |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+       |    toks[CAST(i + 2 AS INTEGER)] AS w3,
+       |    toks[CAST(i + 3 AS INTEGER)] AS w4,
+       |    toks[CAST(i + 4 AS INTEGER)] AS w5
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+       |        FROM tk)),
+       |c5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS c
+       |       FROM fg GROUP BY 1, 2, 3, 4, 5),
+       |x5 AS (${x("c5", Seq("w1", "w2", "w3", "w4"), theta5)}),
+       |c4 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, w5 AS w4, count(*) AS c
+       |       FROM c5 GROUP BY 1, 2, 3, 4),
+       |x4 AS (${x("c4", Seq("w1", "w2", "w3"), theta4)}),
+       |c3 AS (SELECT w2 AS w1, w3 AS w2, w4 AS w3, count(*) AS c
+       |       FROM c4 GROUP BY 1, 2, 3),
+       |x3 AS (${x("c3", Seq("w1", "w2"), 0L)}),
+       |c2 AS (SELECT w2 AS w1, w3 AS w2, count(*) AS c FROM c3 GROUP BY 1, 2),
+       |x2 AS (${x("c2", Seq("w1"), 0L)}),
+       |c1 AS (SELECT w2 AS w1, count(*) AS c FROM c2 GROUP BY 1),
+       |tt AS (SELECT count(*)::DOUBLE AS t FROM c2),
+       |p5 AS (SELECT * FROM c5 WHERE c > $theta5),
+       |p4 AS (SELECT * FROM c4 WHERE c > $theta4),
+       |${dd(2)},
+       |${dd(3)},
+       |${dd(4)},
+       |${dd(5)}""".stripMargin
+  }
+
+  /** Shared replay of the best-fit-decreasing pack (round 15): per
+    * (source, md5-shard) cell the docs walk in (n_tokens DESC, doc_id)
+    * order through a recursive CTE whose state is the open-chunk
+    * remaining-capacity LIST; the best fit is
+    * `list_position(rems, list_min(list_filter(rems, r -> r >= n)))`
+    * — the first (lowest-id) chunk holding the smallest fitting
+    * remainder, exactly the engine fold's `r >= n && r < bestRem`
+    * scan. Ends in `rec` (doc_id, source, shard, n_tokens, chunk_id;
+    * seed rows carry doc_id NULL). NOTE: no line in this block may
+    * START with a `||` list-concat — callers interpolate it into
+    * templates that stripMargin AGAIN, eating one pipe. */
+  private def bfdPackCtes(capacity: Int, shards: Int): String =
+    s"""t AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> ''))::BIGINT AS n_tokens,
+       |    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 2)) AS INTEGER)
+       |      % $shards AS shard
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, source, shard, n_tokens,
+       |    row_number() OVER (PARTITION BY source, shard
+       |                       ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM t),
+       |rec AS (
+       |  SELECT source, shard, CAST(0 AS BIGINT) AS k,
+       |    CAST([] AS BIGINT[]) AS rems, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS INTEGER) AS chunk_id
+       |  FROM (SELECT DISTINCT source, shard FROM d)
+       |  UNION ALL
+       |  SELECT source, shard, k,
+       |    CASE WHEN idx IS NULL THEN list_append(rems, $capacity - n_tokens)
+       |         ELSE rems[1:CAST(idx AS INTEGER)-1] ||
+       |           [rems[CAST(idx AS INTEGER)] - n_tokens] ||
+       |           rems[CAST(idx AS INTEGER)+1:] END,
+       |    doc_id, n_tokens,
+       |    CAST(CASE WHEN idx IS NULL THEN len(rems) ELSE idx - 1 END
+       |      AS INTEGER)
+       |  FROM (
+       |    SELECT d.source, d.shard, r.k + 1 AS k, r.rems, d.doc_id,
+       |      d.n_tokens,
+       |      list_position(r.rems,
+       |        list_min(list_filter(r.rems, x -> x >= d.n_tokens))) AS idx
+       |    FROM rec r JOIN d ON d.source = r.source AND d.shard = r.shard
+       |      AND d.rn = r.k + 1))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_seq_packing_bfd" ->
+      s"""WITH RECURSIVE ${bfdPackCtes(capacity = 512, shards = 4)}
+         |SELECT doc_id, source, shard, n_tokens, chunk_id
+         |FROM rec WHERE doc_id IS NOT NULL""".stripMargin,
+    // both packers rolled up to the provisioning decision: chunks,
+    // padding, overflow (greedy's boundary-straddling docs vs BFD's
+    // oversized-doc-only), usable-token efficiency
+    "q_seq_packing_efficiency" ->
+      s"""WITH RECURSIVE ${bfdPackCtes(capacity = 512, shards = 4)},
+         |g0 AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |           - n_tokens) / 512.0)::INTEGER AS chunk_id
+         |  FROM t),
+         |gc AS (SELECT source, chunk_id, CAST(sum(n_tokens) AS BIGINT) AS tk
+         |       FROM g0 GROUP BY 1, 2),
+         |bc AS (SELECT source, shard, chunk_id,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tk
+         |       FROM rec WHERE doc_id IS NOT NULL GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT 'greedy' AS method, count(*)::BIGINT AS n_chunks,
+         |    CAST(sum(tk) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(greatest(512 - tk, 0)) AS BIGINT) AS padding,
+         |    CAST(sum(greatest(tk - 512, 0)) AS BIGINT) AS overflow
+         |  FROM gc
+         |  UNION ALL
+         |  SELECT 'bfd', count(*)::BIGINT, CAST(sum(tk) AS BIGINT),
+         |    CAST(sum(greatest(512 - tk, 0)) AS BIGINT),
+         |    CAST(sum(greatest(tk - 512, 0)) AS BIGINT)
+         |  FROM bc)
+         |SELECT method, n_chunks, sum_tokens, padding, overflow,
+         |  floor(CAST(sum_tokens - overflow AS DOUBLE)
+         |    / CAST(n_chunks * 512 AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |    AS efficiency
+         |FROM u""".stripMargin,
     // replays the every-5th-doc damage injection (chr codepoints ==
     // the engine's \u escapes), then the three RE2 character-class
     // scans; Spark's length() is UTF-16 units and DuckDB's is
@@ -1510,6 +1725,96 @@ object TextQueries {
         |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
         |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
         |FROM sc GROUP BY 1""".stripMargin,
+    // pruned 5-gram replay (round 15): the SAME unpruned ladder builds
+    // every statistic (adjusted counts, rollups, discounts, T), the
+    // θ=1 pruned gram tables p5/p4 replace c5/c4 in the scoring joins,
+    // each rollup carries the exact pruned-mass integers (ptot, pn),
+    // and every interpolation level uses the general coefficient
+    // (d·nf + (ptot − d·pn))/tot — identical at θ=0 where ptot=pn=0
+    "q_fivegram_kn_pruned" ->
+      s"""WITH ${kn5LadderCtes(theta5 = 1, theta4 = 1)},
+        |j AS (
+        |  SELECT g.doc_id,
+        |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
+        |      x5.ptot AS ptot5, x5.pn AS pn5,
+        |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
+        |      x4.ptot AS ptot4, x4.pn AS pn4,
+        |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+        |      x3.ptot AS ptot3, x3.pn AS pn3,
+        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+        |      x2.ptot AS ptot2, x2.pn AS pn2,
+        |    coalesce(u.c, 0) / tt.t AS p1
+        |  FROM fg g
+        |  LEFT JOIN p5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
+        |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
+        |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
+        |    AND g.w4 = x5.w4
+        |  LEFT JOIN p4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
+        |    AND g.w5 = m4.w4
+        |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
+        |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
+        |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
+        |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
+        |  LEFT JOIN x2 ON g.w4 = x2.w1
+        |  LEFT JOIN c1 u ON g.w5 = u.w1
+        |  CROSS JOIN tt),
+        |p2s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
+        |    c4c, tot4, nf4, ptot4, pn4, c3c, tot3, nf3, ptot3, pn3,
+        |    CASE WHEN tot2 IS NOT NULL THEN
+        |      greatest(coalesce(c2c, 0) - dd2.d, 0.0) / tot2
+        |        + (dd2.d * nf2 + (ptot2 - dd2.d * pn2)) / tot2 * p1
+        |    ELSE p1 END AS p2
+        |  FROM j CROSS JOIN dd2),
+        |p3s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
+        |    c4c, tot4, nf4, ptot4, pn4,
+        |    CASE WHEN tot3 IS NOT NULL THEN
+        |      greatest(coalesce(c3c, 0) - dd3.d, 0.0) / tot3
+        |        + (dd3.d * nf3 + (ptot3 - dd3.d * pn3)) / tot3 * p2
+        |    ELSE p2 END AS p3
+        |  FROM p2s CROSS JOIN dd3),
+        |p4s AS (
+        |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
+        |    CASE WHEN tot4 IS NOT NULL THEN
+        |      greatest(coalesce(c4c, 0) - dd4.d, 0.0) / tot4
+        |        + (dd4.d * nf4 + (ptot4 - dd4.d * pn4)) / tot4 * p3
+        |    ELSE p3 END AS p4
+        |  FROM p3s CROSS JOIN dd4),
+        |sc AS (
+        |  SELECT doc_id, floor(log10(greatest(
+        |    CASE WHEN tot5 IS NOT NULL THEN
+        |      greatest(coalesce(c5c, 0) - dd5.d, 0.0) / tot5
+        |        + (dd5.d * nf5 + (ptot5 - dd5.d * pn5)) / tot5 * p4
+        |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM p4s CROSS JOIN dd5)
+        |SELECT doc_id, count(*)::BIGINT AS n_fivegrams,
+        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1""".stripMargin,
+    // stored-model-size audit replay: per order, raw types = |cK| and
+    // pruned types = the θ-matching count — the same integers the
+    // engine reads back as Σnf / Σpn over its rollups
+    "q_kn_pruned_size" ->
+      s"""WITH ${kn5LadderCtes(theta5 = 1, theta4 = 1)},
+        |sz AS (
+        |  SELECT 2 AS ord, count(*)::BIGINT AS raw_types,
+        |    CAST(sum(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS pn
+        |  FROM c2
+        |  UNION ALL SELECT 3, count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM c3
+        |  UNION ALL SELECT 4, count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM c4
+        |  UNION ALL SELECT 5, count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM c5)
+        |SELECT ord, raw_types, raw_types - pn AS kept_types,
+        |  pn AS pruned_types,
+        |  floor(CAST(pn AS DOUBLE) / raw_types * 1e6 + 0.5) / 1e6
+        |    AS pruned_frac
+        |FROM sz""".stripMargin,
     // order-3 persisted-lifecycle replay: counts trained on the
     // md5-bucket corpus split (bkt < 14 — Sampling.split's convention),
     // batch docs (bkt >= 14) scored against them; parquet round-trips

@@ -288,7 +288,16 @@ object StreamingOps {
     // foreachBatch has no unpersist point that survives the trigger,
     // so it pinned one CacheManager entry for the query's lifetime
     // (and past its stop); checkpoint blocks are ContextCleaner-freed
-    // when the stopped query's closure drops the frame
+    // when the stopped query's closure drops the frame.
+    // FAULT-TOLERANCE TRADEOFF: localCheckpoint TRUNCATES lineage, so
+    // losing an executor that holds these blocks fails the streaming
+    // query instead of recomputing them — acceptable here because the
+    // query restarts idempotently from its sink contract (every batch
+    // recomputes against the corpus frame, no cross-batch state), and
+    // the restart re-materializes the shingles. A deployment that
+    // cannot tolerate a query restart should swap this line for
+    // reliable `checkpoint()` on a DFS checkpoint dir (durable blocks,
+    // slower first trigger) — one line, same plan shape either way.
     val corpusShingles = graft.operators.Dedup
       .shingles(corpus, idCol, textCol, n).localCheckpoint(false)
     newDocs.writeStream

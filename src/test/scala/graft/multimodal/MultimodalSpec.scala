@@ -177,6 +177,42 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("spectralAudioFeatures: a pure tone lands in its own band, " +
+      "short clips hit the -12 floor, partial frames drop") {
+    // tone at bin 3 of a 16-point frame: byte payload b(i) so sample
+    // (b−128)·256 ≈ 100·256·cos(2π·3·i/16) — two full frames of the
+    // same tone (32 samples) plus 5 leftover bytes (partial frame
+    // dropped: n_frames = 2)
+    val (ct, st) = graft.multimodal.Fft.twiddles(16)
+    def cosAt(j: Int): Double = {
+      val m = (3 * j) % 16
+      if (m < 8) ct(m) else -ct(m - 8)
+    }
+    val payload = Array.tabulate[Byte](37) { i =>
+      (128 + math.round(100 * cosAt(i % 16)).toInt).toByte
+    }
+    val f = Multimodal.spectralAudioFeatures(
+        Multimodal.encodePcmWav(media((1L, payload))), frameSize = 16)
+      .collect().head
+    assert(f.n_samples === 37L)
+    assert(f.n_frames === 2L)
+    assert(f.bands.length === 9)
+    // bin 3 carries the tone; every other one-sided bin is orders of
+    // magnitude quieter (log10 energies: the floor is -12)
+    val top = f.bands.zipWithIndex.maxBy(_._1)._2
+    assert(top === 3, s"tone peaked at band $top: ${f.bands.mkString(",")}")
+    assert(f.bands(3) > f.bands.patch(3, Nil, 1).max + 1.0,
+      s"band 3 not dominant: ${f.bands.mkString(",")}")
+    // a clip shorter than one frame: zero frames, every band at the
+    // exact -12 floor
+    val short = Multimodal.spectralAudioFeatures(
+        Multimodal.encodePcmWav(media((2L, Array.fill[Byte](7)(200.toByte)))),
+        frameSize = 16)
+      .collect().head
+    assert(short.n_frames === 0L)
+    assert(short.bands.forall(_ === -12.0))
+  }
+
   test("utteranceSegments: two bursts split at the silent gap, " +
       "all-silence emits nothing, boundaries exact") {
     // samples via byte payload: 0x80 -> amplitude 0 (silence); 0xFF ->

@@ -154,4 +154,90 @@ class NgramLmSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  // ---- count-table pruning (round 15) ----
+
+  test("knCountsPruned: statistics before pruning — hand-replayed " +
+      "order-2 mass-to-backoff, distribution still sums to 1") {
+    // c2: (a,b)->2, (a,c)->1; θ_2 = 1 prunes (a,c).
+    // Unpruned stats: ctx a -> tot=3, nf=2, ptot=1, pn=1;
+    //   D = n1/(n1+2n2) = 1/3 anchored = 0.333333 (UNPRUNED
+    //   count-of-counts: the singleton (a,c) must be visible to D);
+    //   cont: b->1, c->1; T=2.
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val m = NgramLm.knCountsPruned(corpus, "doc_id", "text", n = 2,
+      thresholds = k => if (k == 2) 1L else 0L)
+    assert(m.t === 2L)
+    assert(m.discounts(2) === 0.333333)
+    // the stored gram table dropped the singleton
+    val grams = m.grams(2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(grams === Map(("a", "b") -> 2L))
+    // the rollup kept UNPRUNED totals + the pruned-mass integers
+    val ctx = m.ctxs(2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ctx === Map("a" -> ((3L, 2L, 1L, 1L))))
+    val d = 0.333333
+    val gamma = (d * 2 + (1 - d * 1)) / 3 // (D·nf + (ptot − D·pn))/tot
+    val got = NgramLm.scoreWithPrunedModel(
+        Seq((10L, "a b"), (11L, "a c")).toDF("doc_id", "text"),
+        m, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // surviving gram: discounted prob + backoff; pruned gram: backoff
+    // through Pcont only — and the two Ps sum to exactly 1 with
+    // Pcont(b) = Pcont(c) = 1/2
+    val pB = (2.0 - d) / 3.0 + gamma * 0.5
+    val pC = gamma * 0.5
+    assert(math.abs((pB + pC) - 1.0) < 1e-12)
+    assert(got(10L) === anchor6(math.log10(pB)))
+    assert(got(11L) === anchor6(math.log10(pC)))
+  }
+
+  test("θ = 0 pruned model scores identically to the unpruned scorer") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val m = NgramLm.knCountsPruned(docs, "doc_id", "text", n = 3,
+      thresholds = _ => 0L)
+    val viaPruned = NgramLm.scoreWithPrunedModel(docs, m,
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val counts = NgramLm.knCounts(docs, "doc_id", "text", 3, pin = true)
+    val ds = (2 to 3).map(k => k -> NgramLm.estimateDiscount(counts(k))).toMap
+    val viaFull = NgramLm.scoreWithKnCounts(docs, counts, counts(2).count(),
+        "doc_id", "text", 3, discounts = ds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaPruned === viaFull)
+    assert(viaPruned.nonEmpty)
+  }
+
+  test("knCountsPruned refuses unigram pruning and negative thresholds") {
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      NgramLm.knCountsPruned(corpus, "doc_id", "text", 2, _ => 1L)
+    }
+    assert(e1.getMessage.contains("unigram"))
+    val e2 = intercept[IllegalArgumentException] {
+      NgramLm.knCountsPruned(corpus, "doc_id", "text", 2,
+        k => if (k == 1) 0L else -1L)
+    }
+    assert(e2.getMessage.contains(">= 0"))
+  }
+
+  test("pruned scoring is invariant to input partitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val thr = (k: Int) => if (k >= 3) 1L else 0L
+    val a = NgramLm.scoreWithPrunedModel(docs,
+        NgramLm.knCountsPruned(docs, "doc_id", "text", 3, thr),
+        "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = NgramLm.scoreWithPrunedModel(docs.repartition(7),
+        NgramLm.knCountsPruned(docs.repartition(13), "doc_id", "text", 3, thr),
+        "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

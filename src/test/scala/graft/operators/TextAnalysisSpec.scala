@@ -95,6 +95,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
   }
 
+  test("packSequencesBestFit: hand-replayed best-fit-decreasing, " +
+      "oversized isolation, capacity never overflows") {
+    // lengths sorted desc: 300, 300, 200, 200, 100 at cap 512:
+    //   300 -> bin0 (rem 212); 300 -> no fit in 212 -> bin1 (rem 212)
+    //   200 -> best of {212, 212} ties -> bin0 (rem 12); 200 -> bin1
+    //   100 -> no fit in {12, 12} -> bin2
+    val df = Seq(
+      (1L, "w " * 300, "s1"), (2L, "w " * 300, "s1"),
+      (3L, "w " * 200, "s1"), (4L, "w " * 200, "s1"),
+      (5L, "w " * 100, "s1"),
+      (6L, "w " * 600, "s2"), (7L, "w " * 100, "s2") // oversized: own bin
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.packSequencesBestFit(df, "doc_id", "text",
+        "source", 512L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 2,
+      6L -> 0, 7L -> 1))
+  }
+
+  test("packSequencesBestFit: md5 shards are deterministic, packing " +
+      "is partitioning-invariant, chunks never exceed capacity") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = TextAnalysis.packSequencesBestFit(docs, "doc_id", "text",
+        "source", 512L, shards = 4)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))).toMap
+    val b = TextAnalysis.packSequencesBestFit(docs.repartition(13),
+        "doc_id", "text", "source", 512L, shards = 4)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+    assert(a.values.forall { case (_, sh, _, _) => sh >= 0 && sh < 4 })
+    // no multi-doc chunk exceeds capacity (oversized docs sit alone)
+    val byChunk = a.toSeq.groupBy { case (_, (src, sh, _, ck)) =>
+      (src, sh, ck) }
+    byChunk.foreach { case (key, ds) =>
+      val tot = ds.map(_._2._3).sum
+      assert(tot <= 512L || ds.size == 1, s"chunk $key overflows: $tot")
+    }
+  }
+
   test("quality features on a known doc") {
     val df = TextAnalysis.qualityFeatures(
       Seq((1L, "the cat, and dog!")).toDF("id", "text"), "text")

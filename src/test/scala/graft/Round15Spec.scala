@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 invariants: the pruned KN model's plan + storage claims,
+  * the spectral audio path's shuffle-free plan, the BFD packer's
+  * exchange shape and its measured win over greedy, and the 5-gram
+  * DoReMi composition's budget. */
+class Round15Spec extends SparkSpec {
+
+  test("q_fivegram_kn_pruned: the pruned ladder keeps the hash-join " +
+      "plan — no cartesian, no nested-loop, every lookup an equi-join") {
+    val p = graft.SparkEntry.queries("q_fivegram_kn_pruned")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("pruning bites and the audit agrees with the model: stored " +
+      "order-5/4 tables shrink by exactly the audited type counts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val m = graft.operators.NgramLm.knCountsPruned(docs, "doc_id", "text",
+      n = 5, thresholds = k => if (k >= 4) 1L else 0L)
+    val audit = graft.SparkEntry.queries("q_kn_pruned_size")(spark, sf0001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (k <- 4 to 5) {
+      val (raw, kept, pruned) = audit(k)
+      assert(kept === m.grams(k).count(), s"order $k stored size")
+      assert(raw === kept + pruned)
+      assert(pruned > 0, s"order $k: θ=1 pruned nothing — no singletons?")
+    }
+    // orders 2-3 are unpruned by the flagship thresholds
+    assert(audit(2)._3 === 0L && audit(3)._3 === 0L)
+  }
+
+  test("q_audio_spectral: record-parallel end to end — zero exchanges " +
+      "in the executed plan") {
+    val df = graft.SparkEntry.queries("q_audio_spectral")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 0, s"expected a shuffle-free plan:\n$p")
+  }
+
+  test("q_seq_packing_bfd: ONE hash exchange (the group/shard cell " +
+      "shuffle), no window, no join") {
+    val df = graft.SparkEntry.queries("q_seq_packing_bfd")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("packing efficiency: BFD never overflows capacity; greedy " +
+      "next-fit does — the measured comparison the operator exists for") {
+    val rows = graft.SparkEntry
+      .queries("q_seq_packing_efficiency")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4))).toMap // method -> (chunks, overflow)
+    assert(rows("bfd")._2 === 0L,
+      s"BFD overflowed ${rows("bfd")._2} tokens")
+    assert(rows("greedy")._2 > 0L,
+      "greedy did not overflow on this corpus — comparison is vacuous")
+  }
+
+  test("q_doremi_kn5 composes the 5-gram loss inside the exchange " +
+      "budget and still sums weights to ~1 on the simplex") {
+    val df = graft.SparkEntry.queries("q_doremi_kn5")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum $wsum")
+    assert(rows.forall(_.getAs[Int]("keep256") >= 1))
+  }
+}

@@ -659,6 +659,153 @@ object Multimodal {
     }
   }
 
+  case class AudioFingerprint(id: Long, frame: Long, hash: Int)
+
+  /** Constellation-hash audio fingerprints (Wang 2003 "An
+    * Industrial-Strength Audio Search Algorithm" — the published
+    * landmark scheme): per full `frameSize`-sample frame the [[Fft]]
+    * spectrum reduces to EXACT INTEGER micro-unit bin energies (the
+    * [[spectralAudioFeatures]] anchor, so peak picking is integer
+    * comparison — bit-replayable), the top `peaksPerFrame` non-DC bins
+    * (energy desc, bin asc at ties) become the frame's peaks, and each
+    * peak anchors up to `fanout` landmark pairs with peaks `1..maxDt`
+    * frames ahead (ordered dt asc, bin asc). A landmark packs as
+    * `hash = (b1·64 + b2)·64 + dt` — bins < 64, dt < 64.
+    *
+    * Hash-space note for scale: candidate-join cost is Σ(bucket²) over
+    * the hash space, so the space must grow with the corpus — at
+    * production audio rates (44.1 kHz, 1024-point frames) the landmark
+    * space is ~10⁷ and buckets stay bounded; this corpus's synthetic
+    * 8 kHz streams use 64-sample frames (32 non-DC bins × 32 bins ×
+    * maxDt offsets), the largest space the data supports, and the
+    * `maxHashFreq` cap plus the aligned-offset vote do the
+    * discriminating.
+    *
+    * One record-parallel pass, no shuffle; output is the (id, frame,
+    * hash) fingerprint table, ~peaksPerFrame·fanout rows per frame.
+    * Matching ([[audioFingerprintMatches]]) is a hash EQUI-JOIN plus
+    * the offset histogram — the LSH-banding cost shape, never
+    * all-pairs. */
+  def audioFingerprints(media: Dataset[MediaRecord], frameSize: Int = 16,
+      peaksPerFrame: Int = 2, fanout: Int = 3, maxDt: Int = 8,
+      codec: Option[MediaCodecs.PcmAudioCodec] = None)
+      : Dataset[AudioFingerprint] = {
+    require(frameSize >= 4 && (frameSize & (frameSize - 1)) == 0 &&
+      frameSize <= 64, s"frameSize must be a power of two in [4, 64], " +
+      s"got $frameSize (bins must pack into 6 bits)")
+    require(peaksPerFrame >= 1 && fanout >= 1)
+    require(maxDt >= 1 && maxDt < 64, s"maxDt must be in [1, 63], got $maxDt")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val snap = MediaCodecs.audioSnapshot
+    val nBins = frameSize / 2 + 1
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val c = codec.getOrElse(MediaCodecs.resolve(snap, r.media_type))
+        val (_, samples) = c.decodePcm(r.payload, r.id)
+        val nFrames = samples.length / frameSize
+        val re = new Array[Double](frameSize)
+        val im = new Array[Double](frameSize)
+        // peaks(f) = the frame's peak bins in pick order
+        val peaks = Array.ofDim[Int](nFrames, peaksPerFrame)
+        var f = 0
+        while (f < nFrames) {
+          var q = 0
+          while (q < frameSize) {
+            re(q) = samples(f * frameSize + q) / 32768.0
+            im(q) = 0.0
+            q += 1
+          }
+          Fft.fft(re, im)
+          val em = new Array[Long](nBins)
+          var k = 0
+          while (k < nBins) {
+            em(k) = math.floor(
+              (re(k) * re(k) + im(k) * im(k)) * 1e6 + 0.5).toLong
+            k += 1
+          }
+          // top peaksPerFrame of bins 1..nBins-1 (skip DC) by
+          // (energy desc, bin asc) — selection by repeated max keeps
+          // the tie rule explicit
+          val taken = new Array[Boolean](nBins)
+          var p = 0
+          while (p < peaksPerFrame) {
+            var best = -1
+            var k2 = 1
+            while (k2 < nBins) {
+              if (!taken(k2) && (best < 0 || em(k2) > em(best))) best = k2
+              k2 += 1
+            }
+            taken(best) = true
+            peaks(f)(p) = best
+            p += 1
+          }
+          f += 1
+        }
+        // landmark pairing: anchors in (frame, pick-order) sequence,
+        // targets in (dt asc, pick-order asc), first `fanout` kept
+        val out = Seq.newBuilder[AudioFingerprint]
+        f = 0
+        while (f < nFrames) {
+          var p = 0
+          while (p < peaksPerFrame) {
+            val b1 = peaks(f)(p)
+            var made = 0
+            var dt = 1
+            while (dt <= maxDt && f + dt < nFrames && made < fanout) {
+              var p2 = 0
+              while (p2 < peaksPerFrame && made < fanout) {
+                val b2 = peaks(f + dt)(p2)
+                out += AudioFingerprint(r.id, f.toLong,
+                  (b1 * 64 + b2) * 64 + dt)
+                made += 1
+                p2 += 1
+              }
+              dt += 1
+            }
+            p += 1
+          }
+          f += 1
+        }
+        out.result()
+      }
+    }
+  }
+
+  /** Match fingerprint sets pairwise — the Shazam offset-histogram
+    * vote: candidate pairs come from ONE equi-join on the landmark
+    * hash (ultra-common hashes above `maxHashFreq` distinct ids are
+    * dropped from candidate generation first — the maxShingleFreq
+    * recall argument: a hash half the corpus shares identifies
+    * nothing), votes group by (a, b, frame offset), and a pair
+    * matches when its best single offset accumulates >= `minVotes`
+    * aligned landmarks. Output: (a, b, offset, votes), a < b. */
+  def audioFingerprintMatches(fps: Dataset[AudioFingerprint],
+      minVotes: Long, maxHashFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = fps.toDF()
+    val rare = f.groupBy(col("hash"))
+      .agg(countDistinct(col("id")).as("__ids"))
+      .filter(col("__ids") <= maxHashFreq)
+      .select(col("hash"))
+    val fr = f.join(rare, Seq("hash"))
+    val votes = fr
+      .select(col("hash"), col("id").as("a"), col("frame").as("fa"))
+      .join(fr.select(col("hash"), col("id").as("b"), col("frame").as("fb")),
+        Seq("hash"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), (col("fa") - col("fb")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+    // best offset per pair: votes desc, offset asc at ties — a window
+    // PARTITIONED BY the pair (nothing global)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"))
+      .orderBy(col("votes").desc, col("offset").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("votes") >= minVotes)
+      .select(col("a"), col("b"), col("offset"), col("votes"))
+  }
+
   case class AudioQuality(id: Long, media_type: String, sample_rate: Int,
       n_samples: Long, peak: Int, clipped_samples: Long, clip_ratio: Double,
       n_windows: Long, silent_windows: Long, silence_ratio: Double,

@@ -312,6 +312,41 @@ object MultimodalQueries {
         features.select(col("id").as("vec_id"), col("embedding")),
         threshold = 0.99995, nClusters = 4, trainIters = 2)
     },
+    // constellation-hash audio fingerprint matching (round 15, Wang
+    // 2003): per 64-sample frame the FFT's top-2 integer-energy bins
+    // anchor landmark pairs hashed as (b1, b2, dt); matching is ONE
+    // hash equi-join + the aligned-offset vote (>= 10 landmarks at one
+    // offset — byte-duplicate docs align at 22-40 on this corpus,
+    // incidental pairs tail off below)
+    "q_audio_fingerprint_matches" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      val fps = Multimodal.audioFingerprints(
+        Multimodal.encodePcmWav(media, sampleRate = 8000),
+        frameSize = 64, peaksPerFrame = 2, fanout = 3, maxDt = 8)
+      Multimodal.audioFingerprintMatches(fps, minVotes = 10L)
+    },
+    // ...and the SPECTRAL upgrade of the same composition (round 15):
+    // the FFT log-band embedding — the representation published
+    // audio-dedup pipelines actually use — feeds the identical
+    // SemDeDup leg (Lloyd cells, within-cell cosine); threshold sits
+    // at the corpus's p99.9 cosine so the pair set is real but sparse
+    "q_audio_spectral_neardup" -> { (s, dir) =>
+      val nz = table(s, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) > 0)
+      val media = Multimodal.asMedia(
+        nz.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "text/plain")
+      val features = Multimodal.spectralAudioFeatures(
+        Multimodal.encodePcmWav(media, sampleRate = 8000),
+        frameSize = 16).toDF()
+      graft.operators.Dedup.semanticPairs(
+        features.select(col("id").as("vec_id"), col("embedding")),
+        threshold = 0.999, nClusters = 4, trainIters = 2)
+    },
     // REAL compressed audio: encode each doc's PCM stream to IMA ADPCM
     // (4 bits/sample in the standard WAVE fmt-0x0011 container — a
     // published pure-integer codec, not a stand-in), decode it back,
@@ -998,7 +1033,11 @@ object MultimodalQueries {
     * stored double bit-identical, per-frame energies anchored to
     * integer micro-units, the cross-frame pool an order-free BIGINT
     * sum, zero-frame docs at the −12 floor. */
-  private def audioSpectralOracle: String = {
+  /** The d → sv → fr → ff → fe → fa chain shared by the spectral
+    * feature oracle and its SemDeDup composition: per-doc bin sums
+    * `fa(doc_id, nf, sm0..sm8)` over the generated butterfly
+    * expressions. */
+  private def spectralCtes: String = {
     val (res, ims) = fftButterflySql(n = 16, bins = 9)
     val ffCols = (0 until 9).map(k =>
       s"${res(k)} AS r$k, ${ims(k)} AS i$k").mkString(",\n       |    ")
@@ -1007,11 +1046,7 @@ object MultimodalQueries {
       .mkString(",\n       |    ")
     val faCols = (0 until 9).map(k =>
       s"CAST(sum(em$k) AS BIGINT) AS sm$k").mkString(",\n       |    ")
-    val bandCols = (0 until 9).map(k =>
-      s"""floor(log10(coalesce(CAST(fa.sm$k AS DOUBLE) / 1e6 / fa.nf, 0.0)
-         |      + 1e-12) * 1e6 + 0.5) / 1e6 AS band$k""".stripMargin)
-      .mkString(",\n       |  ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, coalesce(text, '') AS text,
        |    octet_length(encode(coalesce(text, ''))) AS len
        |  FROM documents),
@@ -1035,12 +1070,182 @@ object MultimodalQueries {
        |fa AS (
        |  SELECT doc_id, count(*) AS nf,
        |    $faCols
-       |  FROM fe GROUP BY 1)
+       |  FROM fe GROUP BY 1)""".stripMargin
+  }
+
+  /** Anchored log10 band value of bin `k` off the `fa` rollup (the
+    * engine's exact operation order; zero-frame docs coalesce to the
+    * −12 floor). */
+  private def spectralBandSql(k: Int): String =
+    s"floor(log10(coalesce(CAST(fa.sm$k AS DOUBLE) / 1e6 / fa.nf, 0.0)" +
+      s" + 1e-12) * 1e6 + 0.5) / 1e6"
+
+  private def audioSpectralOracle: String = {
+    val bandCols = (0 until 9).map(k =>
+      s"${spectralBandSql(k)} AS band$k").mkString(",\n       |  ")
+    s"""WITH $spectralCtes
        |SELECT d.doc_id,
        |  CAST(d.len AS BIGINT) AS n_samples,
        |  CAST(coalesce(fa.nf, 0) AS BIGINT) AS n_frames,
        |  $bandCols
        |FROM d LEFT JOIN fa ON fa.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** The spectral embedding fed to the SemDeDup leg: the same band
+    * values float32-cast exactly as the engine's Array[Float], then
+    * the standard Lloyd-cells + within-cell cosine replay at dim 9. */
+  private def audioSpectralNeardupOracle(threshold: Double): String = {
+    val evCols = (0 until 9)
+      .map(k => s"CAST(CAST(${spectralBandSql(k)} AS FLOAT) AS DOUBLE)")
+      .mkString(",\n       |    ")
+    s"""WITH $spectralCtes,
+       |emb0 AS (
+       |  SELECT d.doc_id AS vec_id, [
+       |    $evCols] AS e
+       |  FROM d LEFT JOIN fa ON fa.doc_id = d.doc_id
+       |  WHERE d.len > 0),
+       |emb AS (SELECT vec_id, e,
+       |          list_sum(list_transform(e, x -> x * x)) AS xx
+       |        FROM emb0),
+       |${SimilarityQueries.lloyd2Ctes("emb", 4, dim = 9)},
+       |s2 AS (
+       |  SELECT m.vec_id, c.cid, ${SimilarityQueries.d2Sql("m", "c", dim = 9)} AS d
+       |  FROM emb m CROSS JOIN c1cc c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |scored AS (
+       |  SELECT aa.vec_id AS a, ab.vec_id AS b,
+       |    list_sum(list_transform(range(1, 10), i -> ea.e[i] * eb.e[i]))
+       |      / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(eb.e, x -> x * x)))) AS cos
+       |  FROM assigned aa
+       |  JOIN assigned ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+       |  JOIN emb0 ea ON aa.vec_id = ea.vec_id
+       |  JOIN emb0 eb ON ab.vec_id = eb.vec_id)
+       |SELECT a, b, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
+  /** The butterfly schedule as MATERIALIZED stage CTEs (`fs1..fsP`,
+    * then `fe(doc_id, f, em<bins>)`): the same symbolic run as
+    * [[fftButterflySql]], but each stage's 2n columns land in a
+    * physical intermediate instead of one nested expression tree —
+    * at n = 64 the single-expression form is ~25x the node count, and
+    * DuckDB's optimizer re-expands multiply-referenced CTEs, so the
+    * MATERIALIZED barrier is what keeps the fingerprint replay's
+    * planning and memory bounded. Arithmetic is IDENTICAL: stage
+    * columns are the engine loop's array state after that stage. */
+  private def fftStagedCtes(n: Int, emBins: Seq[Int], src: String): String = {
+    import graft.multimodal.Fft
+    def dlit(d: Double): String = s"(${java.lang.Double.toString(d)})"
+    val (ct, st) = Fft.twiddles(n)
+    var re = Array.tabulate(n)(q => s"xs[${Fft.bitrev(q, n) + 1}]")
+    var im = Array.fill[String](n)("(0.0)")
+    val sb = new StringBuilder
+    var len = 2
+    var stage = 0
+    var prev = src
+    while (len <= n) {
+      val newRe = re.clone()
+      val newIm = im.clone()
+      val step = n / len
+      var base = 0
+      while (base < n) {
+        var k = 0
+        while (k < len / 2) {
+          val m = k * step
+          val wr = dlit(ct(m))
+          val wi = dlit(-st(m))
+          val j1 = base + k
+          val j2 = base + k + len / 2
+          val tre = s"($wr * ${re(j2)} - $wi * ${im(j2)})"
+          val tim = s"($wr * ${im(j2)} + $wi * ${re(j2)})"
+          newRe(j2) = s"(${re(j1)} - $tre)"
+          newIm(j2) = s"(${im(j1)} - $tim)"
+          newRe(j1) = s"(${re(j1)} + $tre)"
+          newIm(j1) = s"(${im(j1)} + $tim)"
+          k += 1
+        }
+        base += len
+      }
+      stage += 1
+      val cols = (0 until n).map(q =>
+        s"${newRe(q)} AS r$q, ${newIm(q)} AS i$q").mkString(",\n    ")
+      sb.append(s"fs$stage AS MATERIALIZED (\n  SELECT doc_id, f,\n    " +
+        cols + s"\n  FROM $prev),\n")
+      prev = s"fs$stage"
+      re = Array.tabulate(n)(q => s"r$q")
+      im = Array.tabulate(n)(q => s"i$q")
+      len <<= 1
+    }
+    val feCols = emBins.map(k =>
+      s"CAST(floor((r$k * r$k + i$k * i$k) * 1e6 + 0.5) AS BIGINT) AS em$k")
+      .mkString(",\n    ")
+    sb.append(s"fe AS MATERIALIZED (\n  SELECT doc_id, f,\n    " +
+      feCols + s"\n  FROM $prev)")
+    sb.toString
+  }
+
+  /** DuckDB replay of the constellation fingerprints: the 64-point
+    * staged butterfly CTEs give bit-exact integer micro-unit energies
+    * per (frame, bin); peak picking, landmark pairing (dt asc, pick
+    * asc, first `fanout`), the (b1·64+b2)·64+dt hash, the hash
+    * self-join, and the aligned-offset vote all replay as plain
+    * SQL — every comparison over exact integers. */
+  private def audioFingerprintOracle(minVotes: Long): String = {
+    val unpivot = (1 to 32).map(k =>
+      s"SELECT doc_id, f, $k AS bin, em$k AS em FROM fe")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |sv AS (
+       |  SELECT doc_id, len, i,
+       |    ((unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256) / 32768.0
+       |      AS x
+       |  FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i FROM d)),
+       |fr AS (
+       |  SELECT doc_id, i // 64 AS f, list(x ORDER BY i) AS xs
+       |  FROM sv WHERE i < 64 * (len // 64)
+       |  GROUP BY 1, 2),
+       |${fftStagedCtes(n = 64, emBins = 1 to 32, src = "fr")},
+       |ue AS (
+       |  $unpivot),
+       |pk AS MATERIALIZED (
+       |  SELECT doc_id, f, bin, rn FROM (
+       |    SELECT doc_id, f, bin,
+       |      row_number() OVER (PARTITION BY doc_id, f
+       |                         ORDER BY em DESC, bin) AS rn
+       |    FROM ue) WHERE rn <= 2),
+       |lm AS MATERIALIZED (
+       |  SELECT doc_id, f, (b1 * 64 + b2) * 64 + dt AS hash FROM (
+       |    SELECT a.doc_id, a.f, a.bin AS b1, t.bin AS b2, t.f - a.f AS dt,
+       |      row_number() OVER (PARTITION BY a.doc_id, a.f, a.rn
+       |                         ORDER BY t.f - a.f, t.rn) AS pick
+       |    FROM pk a JOIN pk t ON t.doc_id = a.doc_id
+       |      AND t.f > a.f AND t.f <= a.f + 8)
+       |  WHERE pick <= 3),
+       |rh AS (
+       |  SELECT hash FROM lm GROUP BY hash
+       |  HAVING count(DISTINCT doc_id) <= 1000),
+       |lmf AS MATERIALIZED (
+       |  SELECT lm.doc_id, lm.f, lm.hash FROM lm JOIN rh USING (hash)),
+       |vt AS (
+       |  SELECT la.doc_id AS a, lb.doc_id AS b, la.f - lb.f AS "offset",
+       |    count(*) AS votes
+       |  FROM lmf la JOIN lmf lb
+       |    ON la.hash = lb.hash AND la.doc_id < lb.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT a, b, CAST("offset" AS BIGINT) AS "offset",
+       |  CAST(votes AS BIGINT) AS votes
+       |FROM (
+       |  SELECT a, b, "offset", votes,
+       |    row_number() OVER (PARTITION BY a, b
+       |                       ORDER BY votes DESC, "offset") AS rn
+       |  FROM vt) WHERE rn = 1 AND votes >= $minVotes""".stripMargin
   }
 
   /** DuckDB replay of the audio quality battery over the CONSTRUCTED
@@ -1566,6 +1771,9 @@ object MultimodalQueries {
     "q_audio_neardup" -> audioNeardupOracle(threshold = 0.99995),
     "q_audio_features" -> audioFeaturesOracle,
     "q_audio_spectral" -> audioSpectralOracle,
+    "q_audio_spectral_neardup" ->
+      audioSpectralNeardupOracle(threshold = 0.999),
+    "q_audio_fingerprint_matches" -> audioFingerprintOracle(minVotes = 10L),
     "q_audio_quality" -> audioQualityOracle,
     // utterance replay: the audioQuality sv/window chain over the
     // pad+text+pad+text payload, non-silent windows grouped into

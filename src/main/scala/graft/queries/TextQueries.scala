@@ -519,6 +519,46 @@ object TextQueries {
         .select(col("id").as("doc_id"),
           col("n_ngrams").as("n_fivegrams"), col("avg_logp"))
     },
+    // ...and the pruned model's PERSISTED lifecycle — the artifact the
+    // pruning exists to shrink: the 9 pruned count/rollup tables store
+    // BUCKETED on their scoring-join keys, the 4 per-order discounts
+    // (which can no longer re-derive — they came from the unpruned
+    // count-of-counts) store as a 4-row table, T recomputes from the
+    // stored (unpruned) order-2 table, and the ingest batch scores
+    // against the STORED model end to end
+    "q_fivegram_kn_pruned_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .withColumn("text", coalesce(col("text"), lit(""))),
+        col("doc_id"), 12, 2)
+      val corpus = docs.filter(col("split") =!= "test")
+      val batch = docs.filter(col("split") === "test")
+      val m = graft.operators.NgramLm.knCountsPruned(corpus,
+        "doc_id", "text", n = 5, thresholds = k => if (k >= 4) 1L else 0L)
+      for (k <- 1 to 5)
+        graft.sources.Sinks.writeBucketed(m.grams(k), s"graft_kn5p_g$k",
+          bucketCols = (1 to k).map(j => s"w$j"), numBuckets = 8)
+      for (k <- 2 to 5)
+        graft.sources.Sinks.writeBucketed(m.ctxs(k), s"graft_kn5p_x$k",
+          bucketCols = (1 until k).map(j => s"w$j"), numBuckets = 8)
+      import s.implicits._
+      // through writeBucketed for its true-replace semantics (a plain
+      // saveAsTable hits LOCATION_ALREADY_EXISTS when a previous JVM
+      // left the warehouse dir behind)
+      graft.sources.Sinks.writeBucketed(
+        m.discounts.toSeq.sortBy(_._1).toDF("ord", "d"), "graft_kn5p_d",
+        bucketCols = Seq("ord"), numBuckets = 1)
+      val stored = graft.operators.NgramLm.PrunedKnModel(
+        (1 to 5).map(k => k -> s.table(s"graft_kn5p_g$k")).toMap,
+        (2 to 5).map(k => k -> s.table(s"graft_kn5p_x$k")).toMap,
+        s.table("graft_kn5p_d").collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap,
+        s.table("graft_kn5p_g2").count())
+      graft.operators.NgramLm.scoreWithPrunedModel(batch, stored,
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"),
+          col("n_ngrams").as("n_fivegrams"), col("avg_logp"))
+    },
     // ...and the stored-model-size audit the pruning exists FOR: per
     // order, raw vs kept type counts — raw = Σnf over the UNPRUNED
     // rollup, pruned = Σpn, so the reduction is itself a verified
@@ -749,7 +789,8 @@ object TextQueries {
     * dd2..dd5, and T from the unpruned order 2 — statistics before
     * pruning, the Heafield et al. 2013 discipline the engine's
     * `knCountsPruned` implements. */
-  private def kn5LadderCtes(theta5: Long, theta4: Long): String = {
+  private def kn5LadderCtes(theta5: Long, theta4: Long,
+      src: String = "documents"): String = {
     def x(src: String, keys: Seq[String], th: Long): String =
       s"""SELECT ${keys.mkString(", ")}, sum(c)::BIGINT AS tot,
          |       count(*) AS nf,
@@ -772,7 +813,7 @@ object TextQueries {
        |  SELECT doc_id,
        |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
        |      x -> x <> '') AS toks
-       |  FROM documents),
+       |  FROM $src),
        |fg AS (
        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
@@ -848,6 +889,73 @@ object TextQueries {
        |        list_min(list_filter(r.rems, x -> x >= d.n_tokens))) AS idx
        |    FROM rec r JOIN d ON d.source = r.source AND d.shard = r.shard
        |      AND d.rn = r.k + 1))""".stripMargin
+
+  /** The pruned-5-gram scoring tail off a [[kn5LadderCtes]] block:
+    * `win`'s 5-gram windows left-join the pruned gram tables + the
+    * pruned-mass rollups, interpolate upward with the general
+    * (d·nf + (ptot − d·pn))/tot coefficient at every level (identical
+    * at θ=0 where ptot = pn = 0), and roll up the integer-micro-unit
+    * doc mean. A complete query body — ends with the final SELECT. */
+  private def kn5PrunedScoreCtes(win: String): String =
+    s"""j AS (
+       |  SELECT g.doc_id,
+       |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
+       |      x5.ptot AS ptot5, x5.pn AS pn5,
+       |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
+       |      x4.ptot AS ptot4, x4.pn AS pn4,
+       |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
+       |      x3.ptot AS ptot3, x3.pn AS pn3,
+       |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
+       |      x2.ptot AS ptot2, x2.pn AS pn2,
+       |    coalesce(u.c, 0) / tt.t AS p1
+       |  FROM $win g
+       |  LEFT JOIN p5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
+       |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
+       |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
+       |    AND g.w4 = x5.w4
+       |  LEFT JOIN p4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
+       |    AND g.w5 = m4.w4
+       |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
+       |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
+       |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
+       |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
+       |  LEFT JOIN x2 ON g.w4 = x2.w1
+       |  LEFT JOIN c1 u ON g.w5 = u.w1
+       |  CROSS JOIN tt),
+       |p2s AS (
+       |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
+       |    c4c, tot4, nf4, ptot4, pn4, c3c, tot3, nf3, ptot3, pn3,
+       |    CASE WHEN tot2 IS NOT NULL THEN
+       |      greatest(coalesce(c2c, 0) - dd2.d, 0.0) / tot2
+       |        + (dd2.d * nf2 + (ptot2 - dd2.d * pn2)) / tot2 * p1
+       |    ELSE p1 END AS p2
+       |  FROM j CROSS JOIN dd2),
+       |p3s AS (
+       |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
+       |    c4c, tot4, nf4, ptot4, pn4,
+       |    CASE WHEN tot3 IS NOT NULL THEN
+       |      greatest(coalesce(c3c, 0) - dd3.d, 0.0) / tot3
+       |        + (dd3.d * nf3 + (ptot3 - dd3.d * pn3)) / tot3 * p2
+       |    ELSE p2 END AS p3
+       |  FROM p2s CROSS JOIN dd3),
+       |p4s AS (
+       |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
+       |    CASE WHEN tot4 IS NOT NULL THEN
+       |      greatest(coalesce(c4c, 0) - dd4.d, 0.0) / tot4
+       |        + (dd4.d * nf4 + (ptot4 - dd4.d * pn4)) / tot4 * p3
+       |    ELSE p3 END AS p4
+       |  FROM p3s CROSS JOIN dd4),
+       |sc AS (
+       |  SELECT doc_id, floor(log10(greatest(
+       |    CASE WHEN tot5 IS NOT NULL THEN
+       |      greatest(coalesce(c5c, 0) - dd5.d, 0.0) / tot5
+       |        + (dd5.d * nf5 + (ptot5 - dd5.d * pn5)) / tot5 * p4
+       |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
+       |  FROM p4s CROSS JOIN dd5)
+       |SELECT doc_id, count(*)::BIGINT AS n_fivegrams,
+       |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+       |FROM sc GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_seq_packing_bfd" ->
@@ -1733,65 +1841,34 @@ object TextQueries {
     // (d·nf + (ptot − d·pn))/tot — identical at θ=0 where ptot=pn=0
     "q_fivegram_kn_pruned" ->
       s"""WITH ${kn5LadderCtes(theta5 = 1, theta4 = 1)},
-        |j AS (
-        |  SELECT g.doc_id,
-        |    m5.c AS c5c, x5.tot AS tot5, x5.nf AS nf5,
-        |      x5.ptot AS ptot5, x5.pn AS pn5,
-        |    m4.c AS c4c, x4.tot AS tot4, x4.nf AS nf4,
-        |      x4.ptot AS ptot4, x4.pn AS pn4,
-        |    m3.c AS c3c, x3.tot AS tot3, x3.nf AS nf3,
-        |      x3.ptot AS ptot3, x3.pn AS pn3,
-        |    m2.c AS c2c, x2.tot AS tot2, x2.nf AS nf2,
-        |      x2.ptot AS ptot2, x2.pn AS pn2,
-        |    coalesce(u.c, 0) / tt.t AS p1
-        |  FROM fg g
-        |  LEFT JOIN p5 m5 ON g.w1 = m5.w1 AND g.w2 = m5.w2 AND g.w3 = m5.w3
-        |    AND g.w4 = m5.w4 AND g.w5 = m5.w5
-        |  LEFT JOIN x5 ON g.w1 = x5.w1 AND g.w2 = x5.w2 AND g.w3 = x5.w3
-        |    AND g.w4 = x5.w4
-        |  LEFT JOIN p4 m4 ON g.w2 = m4.w1 AND g.w3 = m4.w2 AND g.w4 = m4.w3
-        |    AND g.w5 = m4.w4
-        |  LEFT JOIN x4 ON g.w2 = x4.w1 AND g.w3 = x4.w2 AND g.w4 = x4.w3
-        |  LEFT JOIN c3 m3 ON g.w3 = m3.w1 AND g.w4 = m3.w2 AND g.w5 = m3.w3
-        |  LEFT JOIN x3 ON g.w3 = x3.w1 AND g.w4 = x3.w2
-        |  LEFT JOIN c2 m2 ON g.w4 = m2.w1 AND g.w5 = m2.w2
-        |  LEFT JOIN x2 ON g.w4 = x2.w1
-        |  LEFT JOIN c1 u ON g.w5 = u.w1
-        |  CROSS JOIN tt),
-        |p2s AS (
-        |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
-        |    c4c, tot4, nf4, ptot4, pn4, c3c, tot3, nf3, ptot3, pn3,
-        |    CASE WHEN tot2 IS NOT NULL THEN
-        |      greatest(coalesce(c2c, 0) - dd2.d, 0.0) / tot2
-        |        + (dd2.d * nf2 + (ptot2 - dd2.d * pn2)) / tot2 * p1
-        |    ELSE p1 END AS p2
-        |  FROM j CROSS JOIN dd2),
-        |p3s AS (
-        |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
-        |    c4c, tot4, nf4, ptot4, pn4,
-        |    CASE WHEN tot3 IS NOT NULL THEN
-        |      greatest(coalesce(c3c, 0) - dd3.d, 0.0) / tot3
-        |        + (dd3.d * nf3 + (ptot3 - dd3.d * pn3)) / tot3 * p2
-        |    ELSE p2 END AS p3
-        |  FROM p2s CROSS JOIN dd3),
-        |p4s AS (
-        |  SELECT doc_id, c5c, tot5, nf5, ptot5, pn5,
-        |    CASE WHEN tot4 IS NOT NULL THEN
-        |      greatest(coalesce(c4c, 0) - dd4.d, 0.0) / tot4
-        |        + (dd4.d * nf4 + (ptot4 - dd4.d * pn4)) / tot4 * p3
-        |    ELSE p3 END AS p4
-        |  FROM p3s CROSS JOIN dd4),
-        |sc AS (
-        |  SELECT doc_id, floor(log10(greatest(
-        |    CASE WHEN tot5 IS NOT NULL THEN
-        |      greatest(coalesce(c5c, 0) - dd5.d, 0.0) / tot5
-        |        + (dd5.d * nf5 + (ptot5 - dd5.d * pn5)) / tot5 * p4
-        |    ELSE p4 END, 1e-12)) * 1e6 + 0.5) / 1e6 AS logp
-        |  FROM p4s CROSS JOIN dd5)
-        |SELECT doc_id, count(*)::BIGINT AS n_fivegrams,
-        |  floor(CAST(sum(CAST(round(logp * 1e6) AS BIGINT)) AS DOUBLE)
-        |    / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
-        |FROM sc GROUP BY 1""".stripMargin,
+        |${kn5PrunedScoreCtes(win = "fg")}""".stripMargin,
+    // the pruned model's PERSISTED lifecycle: ladder trained on the
+    // md5-bucket corpus split (bkt < 14), batch docs (bkt >= 14)
+    // scored against it — parquet round-trips the integer gram/rollup
+    // tables and the 6dp-anchored discount scalars exactly, so
+    // persistence cannot change values
+    "q_fivegram_kn_pruned_persisted" ->
+      s"""WITH s0 AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |      AS INTEGER) AS bkt
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, text FROM s0 WHERE bkt < 14),
+        |batch AS (SELECT doc_id, text FROM s0 WHERE bkt >= 14),
+        |${kn5LadderCtes(theta5 = 1, theta4 = 1, src = "corpus")},
+        |fgb AS (
+        |  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+        |    toks[CAST(i + 1 AS INTEGER)] AS w2,
+        |    toks[CAST(i + 2 AS INTEGER)] AS w3,
+        |    toks[CAST(i + 3 AS INTEGER)] AS w4,
+        |    toks[CAST(i + 4 AS INTEGER)] AS w5
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split_regex(text, '\\s+'),
+        |                  x -> x <> '') AS toks
+        |              FROM batch))),
+        |${kn5PrunedScoreCtes(win = "fgb")}""".stripMargin,
     // stored-model-size audit replay: per order, raw types = |cK| and
     // pruned types = the θ-matching count — the same integers the
     // engine reads back as Σnf / Σpn over its rollups

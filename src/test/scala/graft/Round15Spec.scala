@@ -66,6 +66,51 @@ class Round15Spec extends SparkSpec {
       "greedy did not overflow on this corpus — comparison is vacuous")
   }
 
+  test("q_fivegram_kn_pruned_persisted: the stored pruned model " +
+      "round-trips — scoring from the read-back tables matches the " +
+      "in-memory model exactly") {
+    val rows = graft.SparkEntry
+      .queries("q_fivegram_kn_pruned_persisted")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rows.nonEmpty)
+    // recompute without persistence: split-train a pruned model and
+    // score the test split directly
+    val docs = graft.operators.Sampling.split(
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumn("text", coalesce(col("text"), lit(""))),
+      col("doc_id"), 12, 2)
+    val m = graft.operators.NgramLm.knCountsPruned(
+      docs.filter(col("split") =!= "test"), "doc_id", "text", n = 5,
+      thresholds = k => if (k >= 4) 1L else 0L)
+    val direct = graft.operators.NgramLm.scoreWithPrunedModel(
+        docs.filter(col("split") === "test"), m, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rows === direct)
+  }
+
+  test("q_audio_fingerprint_matches: candidate generation is the hash " +
+      "equi-join — no cartesian, the vote window partitioned by pair") {
+    val df = graft.SparkEntry
+      .queries("q_audio_fingerprint_matches")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+    val unpartitionedWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]"))
+    assert(!unpartitionedWindow, p)
+  }
+
+  test("q_audio_spectral_neardup: the SemDeDup composition keeps the " +
+      "cell-join shape — no cartesian over the corpus") {
+    val p = graft.SparkEntry
+      .queries("q_audio_spectral_neardup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_doremi_kn5 composes the 5-gram loss inside the exchange " +
       "budget and still sums weights to ~1 on the simplex") {
     val df = graft.SparkEntry.queries("q_doremi_kn5")(spark, sf0001)

@@ -213,6 +213,32 @@ class MultimodalSpec extends SparkSpec {
     assert(short.bands.forall(_ === -12.0))
   }
 
+  test("audioFingerprints + matches: byte-identical clips align at " +
+      "offset 0 with every landmark voting; an unrelated clip stays " +
+      "unmatched") {
+    // 256 bytes = 4 frames of 64 -> anchors in frames 0..2
+    val payload = Array.tabulate[Byte](256)(i =>
+      ((i * 37 + 11) % 101 + 60).toByte)
+    val other = Array.tabulate[Byte](256)(i =>
+      ((i * 53 + 29) % 97 + 60).toByte)
+    val m = Multimodal.asMedia(
+      Seq((1L, payload), (2L, payload), (3L, other))
+        .toDF("id", "payload"),
+      "id", "payload", "text/plain")
+    val fps = Multimodal.audioFingerprints(
+      Multimodal.encodePcmWav(m), frameSize = 64)
+    val perDoc = fps.collect().groupBy(_.id).view.mapValues(_.length).toMap
+    assert(perDoc(1L) === perDoc(2L) && perDoc(1L) > 0)
+    assert(perDoc(1L) === perDoc(3L)) // fp COUNT is length-determined
+    // identical landmark sets: every one votes at offset 0, so the
+    // pair clears even the maximal threshold; the unrelated doc's
+    // incidental matches cannot reach it
+    val got = Multimodal.audioFingerprintMatches(fps,
+        minVotes = perDoc(1L).toLong)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 0L)), s"got $got")
+  }
+
   test("utteranceSegments: two bursts split at the silent gap, " +
       "all-silence emits nothing, boundaries exact") {
     // samples via byte payload: 0x80 -> amplitude 0 (silence); 0xFF ->

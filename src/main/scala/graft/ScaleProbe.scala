@@ -708,6 +708,22 @@ object ScaleProbe {
             "doc_id", "text", "source", capacity = 512L, shards = 4 * n)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"audio_fp_extract_${n}x") {
+        // landmark extraction is the same record-parallel FFT pass as
+        // audio_spectral (zero shuffles) — linear by construction; the
+        // MATCHING stage is deliberately not amplified here: content
+        // duplication multiplies every hash bucket n×, so its Σ(bucket²)
+        // join grows n² ON THE DUPLICATED corpus — the phash_pairs
+        // framing, it measures the data's dup mass, not a plan defect
+        val media = multimodal.Multimodal.asMedia(
+          docsN.filter(length(encode(col("text"), "UTF-8")) > 0)
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/plain")
+        multimodal.Multimodal.audioFingerprints(
+            multimodal.Multimodal.encodePcmWav(media, sampleRate = 8000),
+            frameSize = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"scene_changes_${n}x") {
         // mux → real demux → per-frame decode+histogram (map-only) →
         // per-video lag window (frames co-locate per id; no global

@@ -806,6 +806,38 @@ object Multimodal {
       .select(col("a"), col("b"), col("offset"), col("votes"))
   }
 
+  /** Match a QUERY fingerprint set against a stored INDEX — the
+    * Shazam deployment shape ([[audioFingerprintMatches]] is the
+    * corpus-self-dedup twin): one equi-join of the query landmarks
+    * against the (persisted, hash-bucketed) index, the same
+    * aligned-offset vote, with `maxHashFreq` computed on the INDEX
+    * side (it is the stored side's degenerate-bucket stat). Output:
+    * (q, m, offset, votes), every (query id, index id) pair whose best
+    * offset accumulates >= `minVotes`. */
+  def audioFingerprintLookup(query: Dataset[AudioFingerprint],
+      index: Dataset[AudioFingerprint], minVotes: Long,
+      maxHashFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = index.toDF()
+    val rare = idx.groupBy(col("hash"))
+      .agg(countDistinct(col("id")).as("__ids"))
+      .filter(col("__ids") <= maxHashFreq)
+      .select(col("hash"))
+    val idxF = idx.join(rare, Seq("hash"))
+    val votes = query.toDF()
+      .select(col("hash"), col("id").as("q"), col("frame").as("fq"))
+      .join(idxF.select(col("hash"), col("id").as("m"),
+        col("frame").as("fm")), Seq("hash"))
+      .groupBy(col("q"), col("m"), (col("fq") - col("fm")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q"), col("m"))
+      .orderBy(col("votes").desc, col("offset").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("votes") >= minVotes)
+      .select(col("q"), col("m"), col("offset"), col("votes"))
+  }
+
   case class AudioQuality(id: Long, media_type: String, sample_rate: Int,
       n_samples: Long, peak: Int, clipped_samples: Long, clip_ratio: Double,
       n_windows: Long, silent_windows: Long, silence_ratio: Double,

@@ -329,6 +329,32 @@ object MultimodalQueries {
         frameSize = 64, peaksPerFrame = 2, fanout = 3, maxDt = 8)
       Multimodal.audioFingerprintMatches(fps, minVotes = 10L)
     },
+    // ...and the fingerprint INDEX lifecycle — the Shazam deployment
+    // shape: the corpus split's landmarks persist BUCKETED ON THE HASH
+    // (the join key, so lookups co-locate), and the ingest batch's
+    // landmarks join the STORED index; maxHashFreq is an index-side
+    // stat, exactly where a deployment computes it
+    "q_audio_fp_incremental_persisted" -> { (s, dir) =>
+      val docs = graft.operators.Sampling.split(
+        table(s, dir, "documents")
+          .filter(length(encode(col("text"), "UTF-8")) > 0),
+        col("doc_id"), 12, 2)
+      def fps(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.audioFingerprints(
+          Multimodal.encodePcmWav(
+            Multimodal.asMedia(
+              df.withColumn("payload", encode(col("text"), "UTF-8")),
+              "doc_id", "payload", "text/plain"),
+            sampleRate = 8000),
+          frameSize = 64, peaksPerFrame = 2, fanout = 3, maxDt = 8)
+      graft.sources.Sinks.writeBucketed(
+        fps(docs.filter(col("split") =!= "test")).toDF(),
+        "graft_afp_idx", bucketCols = Seq("hash"), numBuckets = 8)
+      import s.implicits._
+      val stored = s.table("graft_afp_idx").as[Multimodal.AudioFingerprint]
+      Multimodal.audioFingerprintLookup(
+        fps(docs.filter(col("split") === "test")), stored, minVotes = 10L)
+    },
     // ...and the SPECTRAL upgrade of the same composition (round 15):
     // the FFT log-band embedding — the representation published
     // audio-dedup pipelines actually use — feeds the identical
@@ -1138,7 +1164,8 @@ object MultimodalQueries {
     * MATERIALIZED barrier is what keeps the fingerprint replay's
     * planning and memory bounded. Arithmetic is IDENTICAL: stage
     * columns are the engine loop's array state after that stage. */
-  private def fftStagedCtes(n: Int, emBins: Seq[Int], src: String): String = {
+  private def fftStagedCtes(n: Int, emBins: Seq[Int], src: String,
+      prefix: String = "f"): String = {
     import graft.multimodal.Fft
     def dlit(d: Double): String = s"(${java.lang.Double.toString(d)})"
     val (ct, st) = Fft.twiddles(n)
@@ -1174,9 +1201,9 @@ object MultimodalQueries {
       stage += 1
       val cols = (0 until n).map(q =>
         s"${newRe(q)} AS r$q, ${newIm(q)} AS i$q").mkString(",\n    ")
-      sb.append(s"fs$stage AS MATERIALIZED (\n  SELECT doc_id, f,\n    " +
+      sb.append(s"${prefix}s$stage AS MATERIALIZED (\n  SELECT doc_id, f,\n    " +
         cols + s"\n  FROM $prev),\n")
-      prev = s"fs$stage"
+      prev = s"${prefix}s$stage"
       re = Array.tabulate(n)(q => s"r$q")
       im = Array.tabulate(n)(q => s"i$q")
       len <<= 1
@@ -1184,7 +1211,7 @@ object MultimodalQueries {
     val feCols = emBins.map(k =>
       s"CAST(floor((r$k * r$k + i$k * i$k) * 1e6 + 0.5) AS BIGINT) AS em$k")
       .mkString(",\n    ")
-    sb.append(s"fe AS MATERIALIZED (\n  SELECT doc_id, f,\n    " +
+    sb.append(s"${prefix}e AS MATERIALIZED (\n  SELECT doc_id, f,\n    " +
       feCols + s"\n  FROM $prev)")
     sb.toString
   }
@@ -1195,39 +1222,51 @@ object MultimodalQueries {
     * asc, first `fanout`), the (b1·64+b2)·64+dt hash, the hash
     * self-join, and the aligned-offset vote all replay as plain
     * SQL — every comparison over exact integers. */
-  private def audioFingerprintOracle(minVotes: Long): String = {
+  /** One side's full landmark chain (samples → frames → staged
+    * butterflies → integer energies → top-2 peaks → (b1,b2,dt)
+    * landmarks) off a `(doc_id, text, len)` source CTE, every CTE name
+    * `prefix`ed so two sides coexist in one query. Ends in
+    * `<prefix>lm(doc_id, f, hash)`. */
+  private def landmarkCtes(src: String, prefix: String): String = {
     val unpivot = (1 to 32).map(k =>
-      s"SELECT doc_id, f, $k AS bin, em$k AS em FROM fe")
+      s"SELECT doc_id, f, $k AS bin, em$k AS em FROM ${prefix}e")
       .mkString("\n       |  UNION ALL ")
-    s"""WITH d AS (
-       |  SELECT doc_id, text, octet_length(encode(text)) AS len
-       |  FROM documents WHERE octet_length(encode(text)) > 0),
-       |sv AS (
+    s"""${prefix}sv AS (
        |  SELECT doc_id, len, i,
        |    ((unicode(text[CAST(i + 1 AS INTEGER)]) - 128) * 256) / 32768.0
        |      AS x
-       |  FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i FROM d)),
-       |fr AS (
+       |  FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i
+       |        FROM $src)),
+       |${prefix}fr AS (
        |  SELECT doc_id, i // 64 AS f, list(x ORDER BY i) AS xs
-       |  FROM sv WHERE i < 64 * (len // 64)
+       |  FROM ${prefix}sv WHERE i < 64 * (len // 64)
        |  GROUP BY 1, 2),
-       |${fftStagedCtes(n = 64, emBins = 1 to 32, src = "fr")},
-       |ue AS (
+       |${fftStagedCtes(n = 64, emBins = 1 to 32, src = s"${prefix}fr",
+          prefix = prefix)},
+       |${prefix}ue AS (
        |  $unpivot),
-       |pk AS MATERIALIZED (
+       |${prefix}pk AS MATERIALIZED (
        |  SELECT doc_id, f, bin, rn FROM (
        |    SELECT doc_id, f, bin,
        |      row_number() OVER (PARTITION BY doc_id, f
        |                         ORDER BY em DESC, bin) AS rn
-       |    FROM ue) WHERE rn <= 2),
-       |lm AS MATERIALIZED (
+       |    FROM ${prefix}ue) WHERE rn <= 2),
+       |${prefix}lm AS MATERIALIZED (
        |  SELECT doc_id, f, (b1 * 64 + b2) * 64 + dt AS hash FROM (
        |    SELECT a.doc_id, a.f, a.bin AS b1, t.bin AS b2, t.f - a.f AS dt,
        |      row_number() OVER (PARTITION BY a.doc_id, a.f, a.rn
        |                         ORDER BY t.f - a.f, t.rn) AS pick
-       |    FROM pk a JOIN pk t ON t.doc_id = a.doc_id
+       |    FROM ${prefix}pk a JOIN ${prefix}pk t ON t.doc_id = a.doc_id
        |      AND t.f > a.f AND t.f <= a.f + 8)
-       |  WHERE pick <= 3),
+       |  WHERE pick <= 3)""".stripMargin
+  }
+
+  private def audioFingerprintOracle(minVotes: Long): String = {
+    s"""WITH d AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |${landmarkCtes(src = "d", prefix = "f")},
+       |lm AS (SELECT doc_id, f, hash FROM flm),
        |rh AS (
        |  SELECT hash FROM lm GROUP BY hash
        |  HAVING count(DISTINCT doc_id) <= 1000),
@@ -1247,6 +1286,40 @@ object MultimodalQueries {
        |                       ORDER BY votes DESC, "offset") AS rn
        |  FROM vt) WHERE rn = 1 AND votes >= $minVotes""".stripMargin
   }
+
+  /** DuckDB replay of the persisted fingerprint-index lookup: the
+    * corpus (bkt < 14) and batch (bkt >= 14) sides each build their
+    * landmark chain, the `maxHashFreq` cap computes on the INDEX side,
+    * and the batch joins the surviving index landmarks — parquet
+    * round-trips the integer fingerprints exactly, so persistence
+    * cannot change votes. */
+  private def audioFingerprintLookupOracle(minVotes: Long): String =
+    s"""WITH s0 AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+       |      AS INTEGER) AS bkt
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |dc AS (SELECT doc_id, text, len FROM s0 WHERE bkt < 14),
+       |db AS (SELECT doc_id, text, len FROM s0 WHERE bkt >= 14),
+       |${landmarkCtes(src = "dc", prefix = "c")},
+       |${landmarkCtes(src = "db", prefix = "b")},
+       |rh AS (
+       |  SELECT hash FROM clm GROUP BY hash
+       |  HAVING count(DISTINCT doc_id) <= 1000),
+       |cf AS MATERIALIZED (
+       |  SELECT clm.doc_id, clm.f, clm.hash FROM clm JOIN rh USING (hash)),
+       |vt AS (
+       |  SELECT blm.doc_id AS q, cf.doc_id AS m, blm.f - cf.f AS "offset",
+       |    count(*) AS votes
+       |  FROM blm JOIN cf ON blm.hash = cf.hash
+       |  GROUP BY 1, 2, 3)
+       |SELECT q, m, CAST("offset" AS BIGINT) AS "offset",
+       |  CAST(votes AS BIGINT) AS votes
+       |FROM (
+       |  SELECT q, m, "offset", votes,
+       |    row_number() OVER (PARTITION BY q, m
+       |                       ORDER BY votes DESC, "offset") AS rn
+       |  FROM vt) WHERE rn = 1 AND votes >= $minVotes""".stripMargin
 
   /** DuckDB replay of the audio quality battery over the CONSTRUCTED
     * payload (80 PCM-zero bytes ++ text bytes ++ 10 full-scale bytes
@@ -1774,6 +1847,8 @@ object MultimodalQueries {
     "q_audio_spectral_neardup" ->
       audioSpectralNeardupOracle(threshold = 0.999),
     "q_audio_fingerprint_matches" -> audioFingerprintOracle(minVotes = 10L),
+    "q_audio_fp_incremental_persisted" ->
+      audioFingerprintLookupOracle(minVotes = 10L),
     "q_audio_quality" -> audioQualityOracle,
     // utterance replay: the audioQuality sv/window chain over the
     // pad+text+pad+text payload, non-silent windows grouped into

@@ -103,6 +103,35 @@ class Round15Spec extends SparkSpec {
     assert(!unpartitionedWindow, p)
   }
 
+  test("q_audio_fp_incremental_persisted: the stored index round-trips " +
+      "— lookup against the read-back landmarks matches the in-memory " +
+      "index exactly") {
+    val rows = graft.SparkEntry
+      .queries("q_audio_fp_incremental_persisted")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.operators.Sampling.split(
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(length(encode(col("text"), "UTF-8")) > 0),
+      col("doc_id"), 12, 2)
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      graft.multimodal.Multimodal.audioFingerprints(
+        graft.multimodal.Multimodal.encodePcmWav(
+          graft.multimodal.Multimodal.asMedia(
+            df.withColumn("payload", encode(col("text"), "UTF-8")),
+            "doc_id", "payload", "text/plain"),
+          sampleRate = 8000),
+        frameSize = 64, peaksPerFrame = 2, fanout = 3, maxDt = 8)
+    val direct = graft.multimodal.Multimodal.audioFingerprintLookup(
+        fps(docs.filter(col("split") === "test")),
+        fps(docs.filter(col("split") =!= "test")), minVotes = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows === direct)
+  }
+
   test("q_audio_spectral_neardup: the SemDeDup composition keeps the " +
       "cell-join shape — no cartesian over the corpus") {
     val p = graft.SparkEntry

@@ -694,6 +694,11 @@ object Multimodal {
       frameSize <= 64, s"frameSize must be a power of two in [4, 64], " +
       s"got $frameSize (bins must pack into 6 bits)")
     require(peaksPerFrame >= 1 && fanout >= 1)
+    // the peak picker selects from the frameSize/2 non-DC bins; asking
+    // for more would index best = -1 on the exhausted pool
+    require(peaksPerFrame <= frameSize / 2,
+      s"peaksPerFrame must be <= frameSize/2 = ${frameSize / 2} " +
+        s"(the non-DC bin count), got $peaksPerFrame")
     require(maxDt >= 1 && maxDt < 64, s"maxDt must be in [1, 63], got $maxDt")
     val spark = media.sparkSession
     import spark.implicits._

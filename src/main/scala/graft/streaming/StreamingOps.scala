@@ -998,6 +998,37 @@ object StreamingOps {
         col("st_chunk").isNotNull.as("reused"))
   }
 
+  /** Streaming twin of the fingerprint-index lookup
+    * ([[graft.multimodal.Multimodal.audioFingerprintLookup]] /
+    * q_audio_fp_incremental_persisted): each arriving `(id, payload)`
+    * row extracts its constellation landmarks STATELESSLY (frames,
+    * FFT, integer peak picking, and pairing are pure per-payload
+    * functions — no state store, no watermark) and probes the STATIC
+    * stored index via a stream-static equi-join on the landmark hash.
+    * Emits one `(q, m, fq, fm, hash)` row per matching landmark: the
+    * offset-histogram vote (groupBy (q, m, offset)) is a STATEFUL
+    * aggregation on an unbounded stream, so the rollup belongs in the
+    * sink — every query clip's landmarks derive from its single input
+    * row, so any per-trigger foreachBatch computes exact votes, the
+    * [[streamingKnScores]] doc-mean argument. The `maxHashFreq`
+    * degenerate-bucket cap is INDEX-side preprocessing: apply it when
+    * building the stored index (as audioFingerprintLookup does), not
+    * per trigger. */
+  def streamingAudioFingerprintProbe(stream: DataFrame, idCol: String,
+      payloadCol: String, mediaType: String, index: DataFrame,
+      frameSize: Int = 64, peaksPerFrame: Int = 2, fanout: Int = 3,
+      maxDt: Int = 8): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.audioFingerprints(
+        Multimodal.asMedia(stream, idCol, payloadCol, mediaType),
+        frameSize, peaksPerFrame, fanout, maxDt)
+      .toDF()
+      .select(col("hash"), col("id").as("q"), col("frame").as("fq"))
+      .join(index.select(col("hash"), col("id").as("m"),
+        col("frame").as("fm")), Seq("hash"))
+      .select(col("q"), col("m"), col("fq"), col("fm"), col("hash"))
+  }
+
   /** Streaming KN-LM scoring against a STATIC stored model (the
     * persisted q_bigram_kn_incremental_persisted tables): each
     * streamed doc explodes to bigrams and scores them through the same

@@ -629,6 +629,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint probe against a static index: union of " +
+      "landmark matches over micro-batches == the batch join exactly") {
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(encode(col("text"), "UTF-8")) > 0)
+    def wav(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.encodePcmWav(
+        Multimodal.asMedia(
+          df.withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "text/plain"),
+        sampleRate = 8000)
+    // static index from the even docs; odd docs arrive as WAV payloads
+    val index = Multimodal.audioFingerprints(
+      wav(docs.filter(col("doc_id") % 2 === 0)), frameSize = 64)
+      .toDF().cache()
+    index.count()
+    val batchWav = wav(docs.filter(col("doc_id") % 2 === 1)).toDF()
+      .select(col("id").as("doc_id"), col("payload"))
+    val tmp = Files.createTempDirectory("graft_afp_stream").toFile
+    tmp.deleteOnExit()
+    batchWav.repartition(3).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val stream = spark.readStream.schema(batchWav.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.getAbsolutePath)
+    val q = StreamingOps.streamingAudioFingerprintProbe(stream,
+        "doc_id", "payload", "audio/wav", index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("afp_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("afp_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      val oneShot = StreamingOps.streamingAudioFingerprintProbe(
+          spark.read.schema(batchWav.schema).parquet(tmp.getAbsolutePath),
+          "doc_id", "payload", "audio/wav", index)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      assert(streamed.sorted.toSeq === oneShot.sorted.toSeq)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      index.unpersist()
+    }
+  }
+
   test("streaming KN-LM scoring against a static model: union of " +
       "scored bigrams over micro-batches == the batch stage exactly") {
     import graft.operators.NgramLm

@@ -19,8 +19,10 @@ object WordCount {
   def counts(lines: Dataset[(Long, String)]): Dataset[(String, Long)] = {
     val spark = lines.sparkSession
     import spark.implicits._
+    // tiny single-split inputs fan out so the tokenize flatMap and the
+    // map-side combine run at cluster parallelism (Parallelism scaladoc)
     MapReduce.runReduced[Long, String, String, Long](
-      lines,
+      Parallelism.fanOutDs(lines),
       (_, line) => tokens(line).map(w => (w, 1L)),
       _ + _)
   }

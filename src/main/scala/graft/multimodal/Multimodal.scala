@@ -55,14 +55,21 @@ object Multimodal {
 
   /** Wrap any table with a binary payload column into the canonical
     * media schema. (Test data has no real media; callers typically
-    * `encode(text)` or read raw files via `spark.read.format("binaryFile")`.) */
+    * `encode(text)` or read raw files via `spark.read.format("binaryFile")`.)
+    *
+    * This is the entry of every codec-CPU pipeline (decode, FFT,
+    * mux/demux), so a tiny single-split input is fanned out here once
+    * ([[graft.core.Parallelism.fanOut]]) and every downstream
+    * mapPartitions stage inherits full-cluster parallelism; at
+    * production input sizes the fan-out is a no-op by its size guard. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
       mediaType: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    graft.core.Parallelism.fanOut(
+      df.select(col(idCol).cast("long").as("id"),
         lit(mediaType).as("media_type"),
-        col(payloadCol).cast("binary").as("payload"))
+        col(payloadCol).cast("binary").as("payload")))
       .as[MediaRecord]
   }
 
@@ -788,7 +795,14 @@ object Multimodal {
   def audioFingerprintMatches(fps: Dataset[AudioFingerprint],
       minVotes: Long, maxHashFreq: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.functions._
-    val f = fps.toDF()
+    // THREE consumers read `fps` (the rare-hash aggregate plus both
+    // legs of the candidate self-join), and the fingerprint subtree is
+    // the expensive part (decode + per-frame FFT). Eager-pin it once so
+    // extraction runs one time, not three — the muxAv compute-once
+    // pattern; blocks are ContextCleaner-reclaimed (never the
+    // CacheManager), and the fingerprint table is ~1% of the audio
+    // bytes, the standard materialization at scale.
+    val f = fps.toDF().localCheckpoint(true)
     val rare = f.groupBy(col("hash"))
       .agg(countDistinct(col("id")).as("__ids"))
       .filter(col("__ids") <= maxHashFreq)

@@ -46,7 +46,10 @@ object Bpe {
     * set. One shuffle; at 100 TB this is the vocabulary, not the
     * corpus. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    // read-side fan-out so the tokenize explode + map-side combine run
+    // at cluster parallelism on tiny single-split inputs (Parallelism)
+    graft.core.Parallelism.fanOut(docs.select(col(textCol).as("__raw")))
+      .select(explode(TextAnalysis.tokens(col("__raw"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Initial encoding: each character its own symbol —

@@ -42,10 +42,16 @@ object Dedup {
 
   /** Distinct word n-gram shingles per row: (id, shingle). Tokens are
     * materialized per row before n-gramming (see TextAnalysis.wordNgrams
-    * scaladoc — the fused expression re-tokenizes per element). */
+    * scaladoc — the fused expression re-tokenizes per element).
+    * Tiny single-split inputs fan out first
+    * ([[graft.core.Parallelism.fanOut]]) so the tokenize/n-gram explode
+    * — the CPU-heavy stage every dedup path starts with — runs at full
+    * cluster parallelism instead of on the lone scan task; a no-op at
+    * production input sizes by the size guard. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
+    graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextAnalysis.tokens(col("__txt")).as("__toks"))
       .select(col("id"),
         explode(array_distinct(TextAnalysis.ngramsFromTokens(col("__toks"), n))).as("shingle"))
 
@@ -120,8 +126,12 @@ object Dedup {
     * broadcasts it only when it genuinely fits. */
   def lineLevelDedup(df: DataFrame, idCol: String, textCol: String,
       minChars: Int = 10): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // read-side fan-out: the line explode + md5 runs at cluster
+    // parallelism on tiny single-split inputs (Parallelism scaladoc)
+    val lines = graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__raw")))
+      .select(col("id"),
+        posexplode(split(col("__raw"), "\n")).as(Seq("pos", "line")))
     val tagged = lines.withColumn("__h",
       when(length(col("line")) >= minChars, md5(col("line").cast("binary"))))
     val freq = tagged.where(col("__h").isNotNull)
@@ -468,9 +478,13 @@ object Dedup {
     require(minOccurrences >= 2L,
       "minOccurrences must be >= 2: every gram occurs at least once")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val norm = df.select(col(idCol).as("id"),
-      trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
-        "\\s+", " ")).as("__s"))
+    // fan tiny single-split inputs out so the kgram-hash explode runs
+    // at cluster parallelism (Parallelism scaladoc)
+    val norm = graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__raw")))
+      .select(col("id"),
+        trim(regexp_replace(lower(coalesce(col("__raw"), lit(""))),
+          "\\s+", " ")).as("__s"))
     val hs = norm
       .select(col("id"),
         posexplode(call_function("kgram_hashes", col("__s"), lit(minLen))))
@@ -500,9 +514,11 @@ object Dedup {
   def charGramIndex(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(
+    // read-side fan-out, as in [[duplicateCharSpans]]
+    graft.core.Parallelism.fanOut(df.select(col(textCol).as("__raw")))
+      .select(
         explode(call_function("kgram_hashes",
-          trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+          trim(regexp_replace(lower(coalesce(col("__raw"), lit(""))),
             "\\s+", " ")), lit(minLen))).as("h"))
       .distinct()
   }
@@ -524,9 +540,12 @@ object Dedup {
       idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2 codepoints: $minLen")
     graft.functions.GraftFunctions.register(batch.sparkSession)
-    val norm = batch.select(col(idCol).as("id"),
-      trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
-        "\\s+", " ")).as("__s"))
+    // read-side fan-out, as in [[duplicateCharSpans]]
+    val norm = graft.core.Parallelism.fanOut(
+        batch.select(col(idCol).as("id"), col(textCol).as("__raw")))
+      .select(col("id"),
+        trim(regexp_replace(lower(coalesce(col("__raw"), lit(""))),
+          "\\s+", " ")).as("__s"))
     val hs = norm
       .select(col("id"),
         posexplode(call_function("kgram_hashes", col("__s"), lit(minLen))))
@@ -1358,8 +1377,12 @@ object Dedup {
          |             + (j - ($m - (($lenExpr) % $m))) * ((($lenExpr) div $m) + 1) END,
          |  'ln', CASE WHEN j < $m - (($lenExpr) % $m)
          |        THEN (($lenExpr) div $m) ELSE (($lenExpr) div $m) + 1 END))""".stripMargin
-    val base = df.select(col(idCol).cast("long").as("id"),
-        col(strCol).as("s"), length(col(strCol)).as("len"))
+    // read-side fan-out: the probe side's triple explode (partner
+    // lengths × segments × shifts) is the CPU-heavy stage and would
+    // otherwise run on the lone scan task (Parallelism scaladoc)
+    val base = graft.core.Parallelism.fanOut(
+        df.select(col(idCol).cast("long").as("id"),
+          col(strCol).as("s"), length(col(strCol)).as("len")))
       .filter(col("len") >= 1)
     // candidate generation carries ONLY (key, id): the strings rejoin
     // AFTER the pair distinct, so the segment shuffle moves ids and

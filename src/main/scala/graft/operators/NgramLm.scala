@@ -56,8 +56,13 @@ object NgramLm {
     * projection + explode, no shuffle. Docs with < 2 tokens emit
     * nothing. */
   def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    df.select(col(idCol).as("id"), t.as("__t"))
+    // tiny single-split inputs fan out (raw text, BEFORE tokenizing —
+    // the exchange ships the smaller bytes and the tokenize+explode
+    // parallelizes above it); streaming frames and production-sized
+    // inputs pass through (Parallelism)
+    graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), toks(col("__txt")).as("__t"))
       .withColumn("__bg", explode(zip_with(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
         slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
@@ -70,10 +75,17 @@ object NgramLm {
     * each keyed on its scoring-join key, so they persist naturally as
     * bucketed tables (see the q_bigram_kn_incremental_persisted
     * lifecycle). */
+  /** With `pin = true` the bigram table is EAGERLY localCheckpoint'ed
+    * before ctx/cont derive from it: all three tables' consumers (the
+    * persisted lifecycle's three writes, or self-contained scoring's
+    * join legs) otherwise each re-run the corpus tokenize+count
+    * shuffle — the [[knCounts]] pin rationale at order 2. */
   def bigramModel(corpus: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val big = bigrams(corpus, idCol, textCol)
+      textCol: String, pin: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val big0 = bigrams(corpus, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val big = if (pin) big0.localCheckpoint(true) else big0
     val ctx = big.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
@@ -178,8 +190,11 @@ object NgramLm {
   def ngramWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"order must be >= 1, got $n")
-    val t = toks(col(textCol))
-    df.select(col(idCol).as("id"), t.as("__t"))
+    // same read-side fan-out as [[bigrams]] — the n-gram slice explode
+    // is the CPU-heavy stage of every KN train/score pass
+    graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), toks(col("__txt")).as("__t"))
       .filter(size(col("__t")) >= n) // also keeps `sequence` ascending
       .withColumn("__g", explode(transform(
         sequence(lit(1), size(col("__t")) - lit(n - 1)),
@@ -252,13 +267,51 @@ object NgramLm {
     // order) sums to null — the same "no discounting evidence" case as
     // n1 = n2 = 0, so it takes the same deterministic 0.75 default
     // rather than an opaque NPE at getLong
-    if (row.isNullAt(0) || row.isNullAt(1)) return 0.75
-    val n1 = row.getLong(0)
-    val n2 = row.getLong(1)
-    if (n1 + 2 * n2 == 0) 0.75
-    else math.max(math.min(
-      math.floor(n1.toDouble / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
-      0.999999), 0.000001)
+    discountOf(
+      if (row.isNullAt(0)) None else Some(row.getLong(0)),
+      if (row.isNullAt(1)) None else Some(row.getLong(1)))
+  }
+
+  /** The shared Chen–Goodman scalar: D = n1/(n1 + 2·n2), 6dp-anchored
+    * and clamped into (0,1); missing/degenerate count-of-counts take
+    * the deterministic 0.75 default ([[estimateDiscount]]'s contract,
+    * factored so the batched estimator below is bit-identical). */
+  private def discountOf(n1Opt: Option[Long], n2Opt: Option[Long]): Double =
+    (n1Opt, n2Opt) match {
+      case (Some(n1), Some(n2)) if n1 + 2 * n2 != 0 =>
+        math.max(math.min(
+          math.floor(n1.toDouble / (n1 + 2.0 * n2) * 1e6 + 0.5) / 1e6,
+          0.999999), 0.000001)
+      case _ => 0.75
+    }
+
+  /** [[estimateDiscount]] for several orders in ONE Spark action, plus
+    * each order's stored type count: per order one bounded aggregate
+    * leg (n1, n2, ntypes = COUNT(*)), union'd into a single ≤|orders|-row
+    * collect — replacing one driver round-trip PER ORDER (an order-5
+    * estimated-discount model paid 5 actions: 4 discounts + the
+    * T = |order-2 types| count; this is 1). The per-order scalar math
+    * is [[discountOf]], shared with the one-table path, so estimates
+    * are bit-identical. `types(2)` is the model scalar T. */
+  def discountStats(counts: Map[Int, DataFrame], orders: Seq[Int])
+      : (Map[Int, Double], Map[Int, Long]) = {
+    require(orders.nonEmpty && orders.forall(counts.contains),
+      s"missing orders ${orders.filterNot(counts.contains).mkString(",")}")
+    val legs = orders.map { k =>
+      counts(k).agg(
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+          count(lit(1)).as("ntypes"))
+        .select(lit(k).as("ord"), col("n1"), col("n2"), col("ntypes"))
+    }
+    val rows = legs.reduce(_ unionAll _).collect()
+    val ds = rows.map { r =>
+      r.getInt(0) -> discountOf(
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toMap
+    val types = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    (ds, types)
   }
 
   /** The per-window scoring stage: `(id, w1 … wn, logp)` — n-gram
@@ -412,8 +465,9 @@ object NgramLm {
     (2 to n).foreach(k => require(thresholds(k) >= 0L,
       s"threshold($k) must be >= 0, got ${thresholds(k)}"))
     val full = knCounts(corpus, idCol, textCol, n, pin = true)
-    val ds = (2 to n).map(k => k -> estimateDiscount(full(k))).toMap
-    val t = full(2).count()
+    // one action for all per-order discounts AND T (was n actions)
+    val (ds, types) = discountStats(full, 2 to n)
+    val t = types(2)
     val ctxs = (2 to n).map { k =>
       val th = thresholds(k)
       k -> full(k).groupBy((1 until k).map(j => col(s"w$j")): _*)

@@ -379,17 +379,25 @@ object TextAnalysis {
   def winnowFingerprintsFast(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"),
-        trim(regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " "))
+    // tiny single-split inputs fan out so the rolling-hash scan — the
+    // dominant cost of every winnow path — runs at cluster parallelism
+    // (Parallelism scaladoc; a no-op at production input sizes)
+    graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__raw")))
+      .select(col("id"),
+        trim(regexp_replace(lower(coalesce(col("__raw"), lit(""))), "\\s+", " "))
           .as("__s"))
       .filter(length(col("__s")) >= k + window - 1)
       .select(col("id"),
         expr(s"winnow_fps(__s, $k, $window)").as("fps"))
   }
 
-  /** Term frequencies per (id, term): one explode + count. */
+  /** Term frequencies per (id, term): one explode + count (read-side
+    * fan-out on tiny single-split inputs — Parallelism scaladoc). */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    graft.core.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__raw")))
+      .select(col("id"), tokens(col("__raw")).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
 

@@ -94,9 +94,14 @@ object Validation {
     * column lists in ONE call, or tightening rsd (halving it ≈ 4× the
     * registers), grows it linearly/quadratically; chunk the column
     * list across calls if the driver warns. */
-  def profile(df: DataFrame, cols: Seq[String],
+  def profile(df0: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    // read-side fan-out: the HLL++ register updates are the profiler's
+    // real per-row cost, and a tiny single-split input would otherwise
+    // run the entire map-side aggregation on one core (Parallelism
+    // scaladoc; a no-op at production input sizes)
+    val df = graft.core.Parallelism.fanOut(df0)
     val numeric: Set[String] = df.schema.fields
       .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSet

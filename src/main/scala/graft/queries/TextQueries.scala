@@ -375,14 +375,16 @@ object TextQueries {
         col("doc_id"), 12, 2)
       val corpus = docs.filter(col("split") =!= "test")
       val batch = docs.filter(col("split") === "test")
+      // pin the bigram counts once (ctx/cont derive from big — without
+      // the pin each write re-runs the corpus tokenize+count shuffle),
+      // then overlap the three independent writes (guide §2.6)
       val (big, ctx, cont) = graft.operators.NgramLm
-        .bigramModel(corpus, "doc_id", "text")
-      graft.sources.Sinks.writeBucketed(big, "graft_kn_big",
-        bucketCols = Seq("w1", "w2"), numBuckets = 8)
-      graft.sources.Sinks.writeBucketed(ctx, "graft_kn_ctx",
-        bucketCols = Seq("w1"), numBuckets = 8)
-      graft.sources.Sinks.writeBucketed(cont, "graft_kn_cont",
-        bucketCols = Seq("w2"), numBuckets = 8)
+        .bigramModel(corpus, "doc_id", "text", pin = true)
+      import graft.sources.Sinks.BucketedWrite
+      graft.sources.Sinks.writeBucketedAll(Seq(
+        BucketedWrite(big, "graft_kn_big", Seq("w1", "w2"), 8),
+        BucketedWrite(ctx, "graft_kn_ctx", Seq("w1"), 8),
+        BucketedWrite(cont, "graft_kn_cont", Seq("w2"), 8)))
       val sBig = s.table("graft_kn_big")
       val t = sBig.count()
       graft.operators.NgramLm.scoreWithModel(batch, sBig,
@@ -446,9 +448,9 @@ object TextQueries {
         .withColumn("text", coalesce(col("text"), lit("")))
       val counts = graft.operators.NgramLm
         .knCounts(docs, "doc_id", "text", n = 5, pin = true)
-      val ds: Map[Int, Double] = (2 to 5).map(k =>
-        k -> graft.operators.NgramLm.estimateDiscount(counts(k))).toMap
-      val t = counts(2).count()
+      // one driver action for all four discounts + T (was five)
+      val (ds, types) = graft.operators.NgramLm.discountStats(counts, 2 to 5)
+      val t = types(2)
       graft.operators.NgramLm.scoreWithKnCounts(docs, counts, t,
           "doc_id", "text", n = 5, discounts = ds)
         .select(col("id").as("doc_id"),
@@ -466,13 +468,18 @@ object TextQueries {
         col("doc_id"), 12, 2)
       val corpus = docs.filter(col("split") =!= "test")
       val batch = docs.filter(col("split") === "test")
-      val m = graft.operators.NgramLm.knCounts(corpus, "doc_id", "text", n = 3)
-      graft.sources.Sinks.writeBucketed(m(3), "graft_kn3_c3",
-        bucketCols = Seq("w1", "w2", "w3"), numBuckets = 8)
-      graft.sources.Sinks.writeBucketed(m(2), "graft_kn3_c2",
-        bucketCols = Seq("w1", "w2"), numBuckets = 8)
-      graft.sources.Sinks.writeBucketed(m(1), "graft_kn3_c1",
-        bucketCols = Seq("w1"), numBuckets = 8)
+      // pin = true: each lower order derives from the order above, so
+      // the three writes below would otherwise re-run the corpus
+      // explode+count chain once per table (m(1)'s write re-aggregating
+      // 3 → 2 → 1); pinned, each write scans materialized blocks — and
+      // the three independent writes overlap (guide §2.6)
+      val m = graft.operators.NgramLm.knCounts(corpus, "doc_id", "text",
+        n = 3, pin = true)
+      import graft.sources.Sinks.BucketedWrite
+      graft.sources.Sinks.writeBucketedAll(Seq(
+        BucketedWrite(m(3), "graft_kn3_c3", Seq("w1", "w2", "w3"), 8),
+        BucketedWrite(m(2), "graft_kn3_c2", Seq("w1", "w2"), 8),
+        BucketedWrite(m(1), "graft_kn3_c1", Seq("w1"), 8)))
       val stored = Map(3 -> s.table("graft_kn3_c3"),
         2 -> s.table("graft_kn3_c2"), 1 -> s.table("graft_kn3_c1"))
       val t = stored(2).count()
@@ -494,8 +501,10 @@ object TextQueries {
       // scoring joins) each re-read blocks instead of re-aggregating
       val counts = graft.operators.NgramLm
         .knCounts(docs, "doc_id", "text", n = 2, pin = true)
-      val d = graft.operators.NgramLm.estimateDiscount(counts(2))
-      val t = counts(2).count()
+      // one driver action for the discount + T (was two)
+      val (dm, types) = graft.operators.NgramLm.discountStats(counts, Seq(2))
+      val d = dm(2)
+      val t = types(2)
       graft.operators.NgramLm.scoreWithKnCounts(docs, counts, t,
           "doc_id", "text", n = 2, discounts = _ => d)
         .select(col("id").as("doc_id"),
@@ -535,19 +544,21 @@ object TextQueries {
       val batch = docs.filter(col("split") === "test")
       val m = graft.operators.NgramLm.knCountsPruned(corpus,
         "doc_id", "text", n = 5, thresholds = k => if (k >= 4) 1L else 0L)
-      for (k <- 1 to 5)
-        graft.sources.Sinks.writeBucketed(m.grams(k), s"graft_kn5p_g$k",
-          bucketCols = (1 to k).map(j => s"w$j"), numBuckets = 8)
-      for (k <- 2 to 5)
-        graft.sources.Sinks.writeBucketed(m.ctxs(k), s"graft_kn5p_x$k",
-          bucketCols = (1 until k).map(j => s"w$j"), numBuckets = 8)
       import s.implicits._
+      import graft.sources.Sinks.BucketedWrite
+      // all ten writes derive from the PINNED unpruned ladder (grams =
+      // filters, ctxs = one agg each over checkpointed blocks) and are
+      // mutually independent — overlap them (guide §2.6); each goes
       // through writeBucketed for its true-replace semantics (a plain
       // saveAsTable hits LOCATION_ALREADY_EXISTS when a previous JVM
       // left the warehouse dir behind)
-      graft.sources.Sinks.writeBucketed(
-        m.discounts.toSeq.sortBy(_._1).toDF("ord", "d"), "graft_kn5p_d",
-        bucketCols = Seq("ord"), numBuckets = 1)
+      graft.sources.Sinks.writeBucketedAll(
+        (1 to 5).map(k => BucketedWrite(m.grams(k), s"graft_kn5p_g$k",
+          (1 to k).map(j => s"w$j"), 8)) ++
+        (2 to 5).map(k => BucketedWrite(m.ctxs(k), s"graft_kn5p_x$k",
+          (1 until k).map(j => s"w$j"), 8)) :+
+        BucketedWrite(m.discounts.toSeq.sortBy(_._1).toDF("ord", "d"),
+          "graft_kn5p_d", Seq("ord"), 1))
       val stored = graft.operators.NgramLm.PrunedKnModel(
         (1 to 5).map(k => k -> s.table(s"graft_kn5p_g$k")).toMap,
         (2 to 5).map(k => k -> s.table(s"graft_kn5p_x$k")).toMap,

@@ -79,6 +79,40 @@ object Sinks {
     ws.saveAsTable(table)
   }
 
+  /** One [[writeBucketed]] call's arguments, for [[writeBucketedAll]]. */
+  case class BucketedWrite(df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int, sortCols: Seq[String] = Nil)
+
+  /** Run several INDEPENDENT bucketed-table writes concurrently — the
+    * optimization-guide §2.6 move ("overlap independent jobs"): a
+    * multi-table model persist (the order-n KN lifecycle stores 3-10
+    * tables) otherwise runs each small write job serially, and every
+    * job's straggler tail leaves the cluster idle; with a few writes in
+    * flight the next write's tasks back-fill the freed executors.
+    * Catalog state and table contents are identical to running the
+    * [[writeBucketed]] calls sequentially; callers must target DISTINCT
+    * tables whose inputs don't read each other's output. The first
+    * failure propagates (remaining writes still run to completion —
+    * same as Spark's own concurrent-action semantics). */
+  def writeBucketedAll(writes: Seq[BucketedWrite], maxInFlight: Int = 4): Unit = {
+    require(writes.map(_.table).distinct.size == writes.size,
+      "writeBucketedAll targets must be distinct tables")
+    if (writes.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxInFlight, writes.size)))
+    try {
+      val futs = writes.map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            writeBucketed(w.df, w.table, w.bucketCols, w.numBuckets, w.sortCols)
+        })
+      }
+      futs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")

@@ -36,12 +36,21 @@ class Round15Spec extends SparkSpec {
     assert(audit(2)._3 === 0L && audit(3)._3 === 0L)
   }
 
-  test("q_audio_spectral: record-parallel end to end — zero exchanges " +
-      "in the executed plan") {
+  test("q_audio_spectral: record-parallel end to end — no hash/range " +
+      "exchange; at most the single read-side fan-out (round 16)") {
     val df = graft.SparkEntry.queries("q_audio_spectral")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges === 0, s"expected a shuffle-free plan:\n$p")
+    // round 16: tiny single-split inputs fan out once at asMedia
+    // (Parallelism.fanOut, a round-robin exchange of the raw payloads)
+    // so the FFT mapPartitions runs at cluster parallelism; the
+    // computation itself stays shuffle-free — no hash or range
+    // partitioning anywhere, and nothing above the decode.
+    val hashOrRange = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(hashOrRange === 0, s"expected no data shuffle:\n$p")
+    val roundRobin = p.linesIterator.count(_.contains("roundrobin"))
+    assert(roundRobin <= 1, s"expected at most the one read-side fan-out:\n$p")
   }
 
   test("q_seq_packing_bfd: ONE hash exchange (the group/shard cell " +

@@ -106,10 +106,32 @@ object MediaCodecs {
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * containers ship with java.desktop). Only 16-bit signed mono PCM is
-    * accepted — anything else fails loudly. */
+    * accepted — anything else fails loudly.
+    *
+    * Canonical little-endian RIFF/WAVE PCM16-mono payloads (what
+    * [[Multimodal.encodePcmWav]] produces) take a direct chunk-parser
+    * fast path ([[parseRiffPcm16Mono]]): `AudioSystem.getAudioInputStream`
+    * resolves its reader through a JVM-GLOBAL synchronized provider
+    * registry (`JDK13Services.getProviders`) on EVERY call, and under
+    * the round-16 read-side fan-out that per-row lock serialized the
+    * 32-way audio stages into a convoy (measured 2–3× slower than
+    * single-task). Anything the strict parser does not recognize —
+    * AIFF, AU, multi-channel or non-PCM WAVs, malformed chunks — falls
+    * back to the full javax.sound path, so accepted formats, decoded
+    * samples, and error messages are unchanged (equivalence pinned in
+    * MultimodalCodecSpec). */
   object JavaSoundCodec extends PcmAudioCodec {
     val name = "jdk-javasound"
-    def decodePcm(payload: Array[Byte], id: Long): (Int, Array[Int]) = {
+    def decodePcm(payload: Array[Byte], id: Long): (Int, Array[Int]) =
+      parseRiffPcm16Mono(payload) match {
+        case Some(res) => res
+        case None => decodePcmJavaSound(payload, id)
+      }
+
+    /** The original registry-resolved decode — the fallback for every
+      * container the strict fast-path parser declines. */
+    private[multimodal] def decodePcmJavaSound(payload: Array[Byte],
+        id: Long): (Int, Array[Int]) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = ais.getFormat
@@ -129,6 +151,52 @@ object MediaCodecs {
         i += 1
       }
       (math.round(fmt.getSampleRate), samples)
+    }
+
+    /** Strict canonical-WAV parser: returns the (sampleRate, samples)
+      * of a little-endian RIFF/WAVE whose fmt chunk says linear PCM,
+      * 1 channel, 16 bits — None for everything else (fall back, don't
+      * guess). Chunk walk honors the even-byte padding rule; samples
+      * decode exactly as the javax.sound path does for this format
+      * (LE int16, sign-extended). */
+    private[multimodal] def parseRiffPcm16Mono(
+        p: Array[Byte]): Option[(Int, Array[Int])] = {
+      def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = (u16(o).toLong | (u16(o + 2).toLong << 16))
+      def tag(o: Int, s: String): Boolean =
+        p(o) == s.charAt(0) && p(o + 1) == s.charAt(1) &&
+          p(o + 2) == s.charAt(2) && p(o + 3) == s.charAt(3)
+      if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var off = 12
+      var rate = -1L
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= p.length) {
+        val sz = u32(off + 4)
+        if (sz < 0 || off + 8 + sz > p.length) return None // malformed
+        if (tag(off, "fmt ")) {
+          if (sz < 16) return None
+          fmtOk = u16(off + 8) == 1 && u16(off + 10) == 1 &&
+            u16(off + 22) == 16
+          rate = u32(off + 12)
+          if (!fmtOk || rate < 1 || rate > Int.MaxValue) return None
+        } else if (tag(off, "data") && dataOff < 0) {
+          dataOff = off + 8
+          dataLen = sz.toInt
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+      if (!fmtOk || dataOff < 0) return None
+      val n = dataLen / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (p(dataOff + 2 * i + 1).toInt << 8) |
+          (p(dataOff + 2 * i) & 0xff)
+        i += 1
+      }
+      Some((rate.toInt, samples))
     }
   }
 

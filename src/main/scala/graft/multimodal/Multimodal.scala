@@ -397,21 +397,23 @@ object Multimodal {
   }
 
   /** REAL audio encode: each payload byte becomes one 16-bit PCM
-    * sample (`(b − 128) · 256`, mono, signed little-endian) and the
-    * stream is wrapped into a genuine RIFF/WAVE container by the JDK's
-    * `javax.sound.sampled` codec (java.desktop ships WAV/AIFF/AU —
-    * no external libs). PCM WAV is lossless, so samples survive the
-    * round trip exactly: every decoded sample is a deterministic
-    * function of the input bytes even though the container's header
-    * bytes are writer-internal — the same oracle-ability argument as
-    * [[encodeGrayPng]]. */
+    * sample (`(b − 128) · 256`, mono, signed little-endian) in a
+    * genuine RIFF/WAVE container. The container header is written
+    * directly ([[pcmWavBytes]]) — BYTE-IDENTICAL to what
+    * `javax.sound.sampled.AudioSystem.write` emits for this format
+    * (pinned in MultimodalCodecSpec), but without `AudioSystem.write`'s
+    * JVM-GLOBAL provider-registry lock (`JDK13Services.getProviders` is
+    * a synchronized static): under the round-16 read-side fan-out the
+    * audio stages run tens of tasks per executor, and one registry
+    * lookup PER ROW turned them into a lock convoy (measured: the
+    * audio family 2–3× SLOWER 32-way than single-task). PCM WAV is
+    * lossless, so samples survive the round trip exactly — the same
+    * oracle-ability argument as [[encodeGrayPng]]. */
   def encodePcmWav(media: Dataset[MediaRecord], sampleRate: Int = 8000): Dataset[MediaRecord] = {
     require(sampleRate >= 1)
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      val fmt = new javax.sound.sampled.AudioFormat(
-        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
       it.map { r =>
         val pcm = new Array[Byte](r.payload.length * 2)
         var i = 0
@@ -421,36 +423,49 @@ object Multimodal {
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, r.payload.length.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        MediaRecord(r.id, "audio/wav", bos.toByteArray)
+        MediaRecord(r.id, "audio/wav", pcmWavBytes(pcm, sampleRate))
       }
     }
   }
 
+  /** The canonical 44-byte RIFF/WAVE header + PCM data for 16-bit
+    * signed mono little-endian samples — exactly the bytes
+    * `AudioSystem.write(..., Type.WAVE, ...)` produces for this format
+    * (MultimodalCodecSpec pins the equality), produced lock-free (see
+    * [[encodePcmWav]]'s scaladoc for why that matters under fan-out). */
+  private[multimodal] def pcmWavBytes(pcm: Array[Byte],
+      sampleRate: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new Array[Byte](44 + pcm.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + pcm.length)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate = rate · blockAlign
+      .putShort(2.toShort) // blockAlign = 16-bit mono
+      .putShort(16.toShort)
+      .put("data".getBytes(ascii)).putInt(pcm.length).put(pcm)
+    out
+  }
+
   /** Wrap RAW 16-bit signed mono LE PCM bytes as a genuine RIFF/WAVE
-    * stream via javax.sound — the re-containering step after an AVI
-    * audio-track demux ([[AviMjpeg.demuxAudioPcm]] returns the bare
-    * sample bytes; this puts them back into the container the real
+    * stream — the re-containering step after an AVI audio-track demux
+    * ([[AviMjpeg.demuxAudioPcm]] returns the bare sample bytes; this
+    * puts them back into the container the real
     * [[MediaCodecs.JavaSoundCodec]] decode path expects). Wrapping the
     * track [[encodePcmWav]] muxed yields the byte-exact WAV that
     * encoding the source directly would have produced — pinned in
-    * MultimodalCodecSpec. */
+    * MultimodalCodecSpec (as is byte-equality of the direct header
+    * writer with `AudioSystem.write`'s output). */
   def wrapPcmWav(pcm: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
     require(sampleRate >= 1)
     require((pcm.length & 1) == 0,
       s"pcm must be whole 16-bit samples, got ${pcm.length} bytes")
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    pcmWavBytes(pcm, sampleRate)
   }
 
   /** REAL compressed-audio encode: payload bytes → 16-bit PCM samples

@@ -113,6 +113,50 @@ class MultimodalCodecSpec extends SparkSpec {
     } finally MediaCodecs.unregisterAudio("audio/wav")
   }
 
+  test("round 16 lock-free WAV path: direct header writer is byte-" +
+      "identical to AudioSystem.write; the fast-path parser decodes " +
+      "identically to the javax.sound fallback and declines non-" +
+      "canonical containers") {
+    // writer ≡ AudioSystem.write for 16-bit signed mono LE PCM, across
+    // sizes including empty and large
+    for (n <- Seq(0, 1, 2, 7, 129, 4096); rate <- Seq(8000, 44100)) {
+      val pcm = Array.tabulate(2 * n)(i => ((i * 31 + 7) % 251).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(Multimodal.pcmWavBytes(pcm, rate).toSeq === bos.toByteArray.toSeq,
+        s"writer diverged from AudioSystem at n=$n rate=$rate")
+    }
+    // parser fast path ≡ the registry-resolved decode on canonical WAVs
+    for (n <- Seq(0, 3, 129, 1000)) {
+      val pcm = Array.tabulate(2 * n)(i => ((i * 17 + 3) % 255).toByte)
+      val wav = Multimodal.pcmWavBytes(pcm, 8000)
+      val fast = MediaCodecs.JavaSoundCodec.parseRiffPcm16Mono(wav)
+      assert(fast.isDefined, s"fast path declined a canonical WAV (n=$n)")
+      val slow = MediaCodecs.JavaSoundCodec.decodePcmJavaSound(wav, 1L)
+      assert(fast.get._1 === slow._1)
+      assert(fast.get._2.toSeq === slow._2.toSeq)
+    }
+    // non-canonical containers are declined (AIFF → fallback territory;
+    // the public decodePcm still handles it via javax.sound)
+    val fmtBe = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = Array.tabulate(64)(i => (i * 3).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmtBe, 32L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    assert(MediaCodecs.JavaSoundCodec.parseRiffPcm16Mono(aiff).isEmpty)
+    // and the public path still decodes AIFF exactly as before
+    val (r2, s2) = MediaCodecs.JavaSoundCodec.decodePcm(aiff, 2L)
+    assert(r2 === 8000 && s2.length === 32)
+  }
+
   test("explicit codec argument overrides the registry for one call") {
     val png = Multimodal.encodeGrayPng(media(payloads.take(2): _*), width = 8)
     CountingCodecs.imageCalls.set(0)

@@ -46,6 +46,28 @@ object Parallelism {
   def fanOutDs[T](ds: Dataset[T]): Dataset[T] =
     if (shouldFanOut(ds)) ds.repartition(target(ds)) else ds
 
+  /** [[fanOut]]'s mirror image for the WRITE side of a bucketed table:
+    * fan a tiny input IN to exactly `numBuckets` hash partitions on the
+    * bucket columns. A bucketed write emits one file per (task, bucket)
+    * pair with data, so a map-only pipeline that kept [[fanOut]]'s 32
+    * partitions into the sink pays up to 32× the files — and every
+    * footer — of the same table written from one partition (measured:
+    * q_audio_fp_incremental_persisted 2.0× slower end-to-end from the
+    * 256-file index alone). `repartition(n, cols)` hash-partitions with
+    * the same Murmur3-pmod the bucket id uses, so each task then holds
+    * exactly one bucket and the table lands as ONE file per bucket.
+    * The same < [[TinyInputBytes]] stats guard keeps this a no-op at
+    * production sizes, where many files per bucket is the correct
+    * layout and collapsing to `numBuckets` tasks would serialize the
+    * write. Identity on streaming frames. */
+  def fanIn(df: DataFrame, numBuckets: Int, cols: Seq[String]): DataFrame =
+    if (!df.isStreaming &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(TinyInputBytes))
+      df.repartition(numBuckets,
+        cols.map(org.apache.spark.sql.functions.col): _*)
+    else df
+
   private def target(ds: Dataset[_]): Int =
     ds.sparkSession.sparkContext.defaultParallelism
 

@@ -97,11 +97,18 @@ object Validation {
   def profile(df0: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    // read-side fan-out: the HLL++ register updates are the profiler's
-    // real per-row cost, and a tiny single-split input would otherwise
-    // run the entire map-side aggregation on one core (Parallelism
-    // scaladoc; a no-op at production input sizes)
-    val df = graft.core.Parallelism.fanOut(df0)
+    // NO read-side fan-out here, by measurement: profiling is ONE
+    // map-side-combined aggregation pass, and at bench scale the
+    // fan-out exchange costs more than 32-way HLL++ updates save —
+    // even projected to the profiled columns first, the round-robin
+    // repartition's local sort + shuffle of 600k rows measured
+    // q_profile_lineitem at 4.2s (full-width: 6.1s) vs 2.7s baseline
+    // in a healthy window, while at production input sizes the guard
+    // makes fanOut a no-op anyway — so the branch could only ever
+    // slow the measured case. Contrast the fanned-out families
+    // (codecs, FFT, explodes): their per-row CPU is orders of
+    // magnitude heavier than an HLL register update.
+    val df = df0.select(cols.distinct.map(col): _*)
     val numeric: Set[String] = df.schema.fields
       .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSet

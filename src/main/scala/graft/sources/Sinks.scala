@@ -73,7 +73,8 @@ object Sinks {
   def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
-    val w = df.write.mode("append").format("parquet")
+    val dfIn = graft.core.Parallelism.fanIn(df, numBuckets, bucketCols)
+    val w = dfIn.write.mode("append").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     ws.saveAsTable(table)
@@ -149,7 +150,10 @@ object Sinks {
     // crash-killed previous JVM doesn't) — delete only that
     if (!externalAtDefault && fs.exists(qualifiedDefault))
       fs.delete(qualifiedDefault, true)
-    val w = df.write.mode("overwrite").format("parquet")
+    // fan a tiny input in to one task per bucket (one file per bucket
+    // instead of tasks × buckets tiny files); no-op at production sizes
+    val dfIn = graft.core.Parallelism.fanIn(df, numBuckets, bucketCols)
+    val w = dfIn.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     ws.saveAsTable(table)

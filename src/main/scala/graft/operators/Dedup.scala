@@ -126,10 +126,12 @@ object Dedup {
     * broadcasts it only when it genuinely fits. */
   def lineLevelDedup(df: DataFrame, idCol: String, textCol: String,
       minChars: Int = 10): DataFrame = {
-    // read-side fan-out: the line explode + md5 runs at cluster
-    // parallelism on tiny single-split inputs (Parallelism scaladoc)
-    val lines = graft.core.Parallelism.fanOut(
-        df.select(col(idCol).as("id"), col(textCol).as("__raw")))
+    // NO read-side fan-out here, by same-box A/B measurement: the line
+    // split + md5 is too cheap per row to repay 32-way staging of the
+    // frequency aggregation and the join back (q_line_dedup measured
+    // 1.83× SLOWER fanned, anchors ~1.15; contrast the kgram/winnow
+    // paths, whose per-row scans are real CPU and keep their fan-out).
+    val lines = df.select(col(idCol).as("id"), col(textCol).as("__raw"))
       .select(col("id"),
         posexplode(split(col("__raw"), "\n")).as(Seq("pos", "line")))
     val tagged = lines.withColumn("__h",

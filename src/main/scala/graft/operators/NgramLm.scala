@@ -56,12 +56,15 @@ object NgramLm {
     * projection + explode, no shuffle. Docs with < 2 tokens emit
     * nothing. */
   def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tiny single-split inputs fan out (raw text, BEFORE tokenizing —
-    // the exchange ships the smaller bytes and the tokenize+explode
-    // parallelizes above it); streaming frames and production-sized
-    // inputs pass through (Parallelism)
-    graft.core.Parallelism.fanOut(
-        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+    // NO read-side fan-out here, by same-box A/B measurement: at order
+    // 2 the pair explode is one zip_with over the token array — too
+    // cheap to repay 32-way staging of every downstream stage
+    // (q_bigram_kn_score measured 1.62× SLOWER fanned, anchors ~1.15,
+    // while the order-≥3 window explode in [[ngramWindows]] measured
+    // 2× faster and keeps its fan-out). At production input sizes the
+    // fan-out was a guarded no-op anyway, so removing it only changes
+    // (and speeds) the measured case.
+    df.select(col(idCol).as("id"), col(textCol).as("__txt"))
       .select(col("id"), toks(col("__txt")).as("__t"))
       .withColumn("__bg", explode(zip_with(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),

@@ -19,10 +19,11 @@ object WordCount {
   def counts(lines: Dataset[(Long, String)]): Dataset[(String, Long)] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    // tiny single-split inputs fan out so the tokenize flatMap and the
-    // map-side combine run at cluster parallelism (Parallelism scaladoc)
+    // no read-side fan-out: whitespace tokenization is too cheap per
+    // row to repay the extra exchange (round-16 driver bench: fanned
+    // mr_wordcount ran 0.50x, 2.3x its baseline)
     MapReduce.runReduced[Long, String, String, Long](
-      Parallelism.fanOutDs(lines),
+      lines,
       (_, line) => tokens(line).map(w => (w, 1L)),
       _ + _)
   }

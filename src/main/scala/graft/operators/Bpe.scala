@@ -46,9 +46,10 @@ object Bpe {
     * set. One shuffle; at 100 TB this is the vocabulary, not the
     * corpus. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    // read-side fan-out so the tokenize explode + map-side combine run
-    // at cluster parallelism on tiny single-split inputs (Parallelism)
-    graft.core.Parallelism.fanOut(docs.select(col(textCol).as("__raw")))
+    // no read-side fan-out: the tokenize explode is cheap per row and
+    // the round-16 driver bench measured the fanned form 0.71x
+    // (q_bpe_train 1.8s -> 2.5s) — exchange overhead, no CPU payoff
+    docs.select(col(textCol).as("__raw"))
       .select(explode(TextAnalysis.tokens(col("__raw"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 

@@ -43,17 +43,24 @@ object Dedup {
   /** Distinct word n-gram shingles per row: (id, shingle). Tokens are
     * materialized per row before n-gramming (see TextAnalysis.wordNgrams
     * scaladoc — the fused expression re-tokenizes per element).
-    * Tiny single-split inputs fan out first
-    * ([[graft.core.Parallelism.fanOut]]) so the tokenize/n-gram explode
-    * — the CPU-heavy stage every dedup path starts with — runs at full
-    * cluster parallelism instead of on the lone scan task; a no-op at
-    * production input sizes by the size guard. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    graft.core.Parallelism.fanOut(
-        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+    *
+    * `fan = true` fans tiny single-split inputs out first
+    * ([[graft.core.Parallelism.fanOut]]); it is OPT-IN because the
+    * round-16 driver bench proved the criterion both ways: the fanned
+    * exchange pays only when heavy per-row CPU sits ABOVE it
+    * (minHashLshPairs' 128-minima hashing: 1.60x faster), and it
+    * actively hurts when the consumer is a checkpointed frame feeding
+    * an iterative loop (q_dedup_clusters went 3x SLOWER — the fan-out
+    * spread tiny checkpointed frames over defaultParallelism partitions
+    * and every CC round paid 32x the task overhead). Default off. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      fan: Boolean = false): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    (if (fan) graft.core.Parallelism.fanOut(in) else in)
       .select(col("id"), TextAnalysis.tokens(col("__txt")).as("__toks"))
       .select(col("id"),
         explode(array_distinct(TextAnalysis.ngramsFromTokens(col("__toks"), n))).as("shingle"))
+  }
 
   /** Exact dedup by content fingerprint: one row per distinct (normalized)
     * text with the smallest surviving id and the duplicate count.
@@ -480,8 +487,11 @@ object Dedup {
     require(minOccurrences >= 2L,
       "minOccurrences must be >= 2: every gram occurs at least once")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // fan tiny single-split inputs out so the kgram-hash explode runs
-    // at cluster parallelism (Parallelism scaladoc)
+    // fan-out KEPT here after a round-17 healthy-window A/B: the kgram
+    // posexplode emits ~len rows per doc and the fanned form measured
+    // 25% faster at 32 cores (2.58s vs 3.23s, anchors flat) — unlike
+    // the incremental/index variants below, where the A/B was flat and
+    // the fan-out was removed
     val norm = graft.core.Parallelism.fanOut(
         df.select(col(idCol).as("id"), col(textCol).as("__raw")))
       .select(col("id"),
@@ -516,8 +526,7 @@ object Dedup {
   def charGramIndex(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // read-side fan-out, as in [[duplicateCharSpans]]
-    graft.core.Parallelism.fanOut(df.select(col(textCol).as("__raw")))
+    df.select(col(textCol).as("__raw"))
       .select(
         explode(call_function("kgram_hashes",
           trim(regexp_replace(lower(coalesce(col("__raw"), lit(""))),
@@ -542,9 +551,7 @@ object Dedup {
       idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2 codepoints: $minLen")
     graft.functions.GraftFunctions.register(batch.sparkSession)
-    // read-side fan-out, as in [[duplicateCharSpans]]
-    val norm = graft.core.Parallelism.fanOut(
-        batch.select(col(idCol).as("id"), col(textCol).as("__raw")))
+    val norm = batch.select(col(idCol).as("id"), col(textCol).as("__raw"))
       .select(col("id"),
         trim(regexp_replace(lower(coalesce(col("__raw"), lit(""))),
           "\\s+", " ")).as("__s"))
@@ -1050,7 +1057,10 @@ object Dedup {
     // checkpoint stores 128-long signature rows as deserialized
     // objects and re-reads them per consumer, where the shared shuffle
     // write is compressed and the post-shuffle agg is trivial)
-    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), numHashes)
+    // fan = true: the 128-minima hashing above the explode is the one
+    // shingle consumer whose per-row CPU repays the fan-out exchange
+    // (driver-verified 1.60x in round 16; see shingles' scaladoc)
+    val sigs = minHashSignatures(shingles(df, idCol, textCol, n, fan = true), numHashes)
     val banded = bandedSignatures(sigs, numHashes, bands)
     val cands = banded.select(col("id").as("a"), col("band"), col("band_key"))
       .join(banded.select(col("id").as("b"), col("band"), col("band_key")),
@@ -1379,12 +1389,12 @@ object Dedup {
          |             + (j - ($m - (($lenExpr) % $m))) * ((($lenExpr) div $m) + 1) END,
          |  'ln', CASE WHEN j < $m - (($lenExpr) % $m)
          |        THEN (($lenExpr) div $m) ELSE (($lenExpr) div $m) + 1 END))""".stripMargin
-    // read-side fan-out: the probe side's triple explode (partner
-    // lengths × segments × shifts) is the CPU-heavy stage and would
-    // otherwise run on the lone scan task (Parallelism scaladoc)
-    val base = graft.core.Parallelism.fanOut(
-        df.select(col(idCol).cast("long").as("id"),
-          col(strCol).as("s"), length(col(strCol)).as("len")))
+    // no read-side fan-out: the round-16 driver bench measured the
+    // fanned form 0.68x (q_edit_distance_pairs 3.1s -> 4.6s) — the
+    // triple explode is cheap enough per row that the extra exchange
+    // and 32-partition task overhead dominate at bench scale
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"), length(col(strCol)).as("len"))
       .filter(col("len") >= 1)
     // candidate generation carries ONLY (key, id): the strings rejoin
     // AFTER the pair distinct, so the segment shuffle moves ids and

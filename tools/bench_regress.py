@@ -10,6 +10,7 @@ threshold.
 Usage:
     python3 tools/bench_regress.py [bench_full.json] [bench_baseline.json]
     python3 tools/bench_regress.py --update   # accept current as baseline
+    python3 tools/bench_regress.py --scaling bench_hi.json bench_lo.json
 
 Policy:
   - ratio = current_median / baseline_median, per query.
@@ -22,6 +23,16 @@ Policy:
   - After an accepted full run, refresh with --update and commit the
     new baseline alongside the code that changed the numbers.
 
+Scaling gate (--scaling): compare a high-core run against a low-core
+run of the SAME code (e.g. SPARK_GRAFT_CPUS=32 vs =8, back-to-back so
+the box factor cancels). Per query, scaling = t_lo / t_hi: > 1 means
+the extra cores helped, ~1 serial, < 1 the parallelism costs more than
+it buys. FAIL when scaling < SCALING_MIN (default 0.9) AND the query is
+over ABS_FLOOR at either core count -- the round-16 driver caught a
+whole class of regressions no same-core comparison could see (the full
+suite ran FASTER on 8 cores than 32 after over-eager read-side
+fan-out), so anti-scaling is a first-class gate, not a curiosity.
+
 Exit codes: 0 ok, 1 regression found, 2 usage/IO error.
 """
 import json
@@ -30,6 +41,7 @@ import os
 
 THRESHOLD = float(os.environ.get("BENCH_REGRESS_THRESHOLD", "2.0"))
 ABS_FLOOR = float(os.environ.get("BENCH_REGRESS_ABS_FLOOR", "0.4"))
+SCALING_MIN = float(os.environ.get("BENCH_REGRESS_SCALING_MIN", "0.9"))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CUR_DEFAULT = os.path.join(ROOT, "bench_full.json")
@@ -64,6 +76,37 @@ def main(argv):
                                  "tools/bench_regress.py --update"},
                       f, indent=1)
         print(f"baseline refreshed: {len(cur)} queries -> {BASE_DEFAULT}")
+        return 0
+
+    if argv and argv[0] == "--scaling":
+        if len(argv) != 3:
+            print("usage: bench_regress.py --scaling <hi-core bench_full.json> "
+                  "<lo-core bench_full.json>", file=sys.stderr)
+            return 2
+        try:
+            hi = load_queries(argv[1])
+            lo = load_queries(argv[2])
+        except (OSError, ValueError) as e:
+            print(f"bench_regress --scaling: cannot load inputs: {e}",
+                  file=sys.stderr)
+            return 2
+        rows = []
+        for q in sorted(set(hi) & set(lo)):
+            if hi[q] > 0 and lo[q] > 0:
+                rows.append((q, hi[q], lo[q], lo[q] / hi[q]))
+        anti = [(q, h, l, s) for q, h, l, s in rows
+                if s < SCALING_MIN and max(h, l) > ABS_FLOOR]
+        print(f"{'query':40s} {'t_hi':>8s} {'t_lo':>8s} {'scaling':>8s}")
+        for q, h, l, s in sorted(rows, key=lambda x: x[3]):
+            mark = "  ANTI" if (q, h, l, s) in anti else ""
+            print(f"{q:40s} {h:8.3f} {l:8.3f} {s:8.2f}{mark}")
+        if anti:
+            print(f"FAIL: {len(anti)} anti-scaling quer{'y' if len(anti) == 1 else 'ies'} "
+                  f"(scaling < {SCALING_MIN} with > {ABS_FLOOR}s runtime): "
+                  "the high-core run is slower than the low-core run of the "
+                  "same code -- added parallelism with negative return")
+            return 1
+        print(f"ok: {len(rows)} queries, none anti-scaling below {SCALING_MIN}")
         return 0
 
     cur_path = argv[0] if len(argv) > 0 else CUR_DEFAULT

@@ -822,22 +822,55 @@ object Multimodal {
       .agg(countDistinct(col("id")).as("__ids"))
       .filter(col("__ids") <= maxHashFreq)
       .select(col("hash"))
-    val fr = f.join(rare, Seq("hash"))
+    // PINNED exchanges (explicit partition count = the session's
+    // configured shuffle partitions — the same number ENSURE_REQUIREMENTS
+    // would use, so nothing changes at production scale): the landmark
+    // self-join fans out ~100x (round-17 probe: 87k fingerprint rows ->
+    // 9M pairs -> 6.9M vote groups at sf0.1, Σ bucket² = 18M), and AQE's
+    // partition coalescing — sized on the tiny JOIN INPUT, blind to the
+    // fanout above it — collapsed both exchanges to ~1 partition and ran
+    // the join plus the 6.9M-group aggregation single-threaded (measured
+    // 8.2s -> 1.7s on the vote aggregate alone from un-coalescing).
+    // Explicit-N repartitions are exempt from coalescing; both join legs
+    // share the ONE pinned hash shuffle (ReuseExchange), and hash(a,b)
+    // clusters (a,b,offset) and (a,b) alike, so both vote aggregates ride
+    // the second pinned shuffle with no further exchange (guide §2.4).
+    val np = f.sparkSession.sessionState.conf.numShufflePartitions
+    val fr = f.join(rare, Seq("hash")).repartition(np, col("hash"))
     val votes = fr
       .select(col("hash"), col("id").as("a"), col("frame").as("fa"))
       .join(fr.select(col("hash"), col("id").as("b"), col("frame").as("fb")),
         Seq("hash"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), (col("fa") - col("fb")).as("offset"))
+      .select(col("a"), col("b"), (col("fa") - col("fb")).as("offset"))
+      .repartition(np, col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("offset"))
       .agg(count(lit(1)).as("votes"))
-    // best offset per pair: votes desc, offset asc at ties — a window
-    // PARTITIONED BY the pair (nothing global)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a"), col("b"))
-      .orderBy(col("votes").desc, col("offset").asc)
-    votes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("votes") >= minVotes)
+    // best offset per pair: votes desc, offset asc at ties. max_by over
+    // the unique (votes, -offset) order — SELECTION-IDENTICAL to the
+    // former row_number window (offset is unique per pair, so the order
+    // key is total) but a hash aggregate instead of exchange+sort+rank:
+    // the vote table here is pairs × offsets (6.9M rows at sf0.1,
+    // round-17 probe) and the window path paid TWO full sorts of it
+    // (partial WindowGroupLimit sort + post-exchange sort); the
+    // aggregate pays none and map-side-combines before the exchange.
+    bestOffsetPerPair(votes, Seq("a", "b"))
+      .filter(col("votes") >= minVotes)
       .select(col("a"), col("b"), col("offset"), col("votes"))
+  }
+
+  /** (pairCols..., offset, votes) → one row per pair with its best
+    * offset: max votes, lowest offset on vote ties — the Shazam
+    * histogram argmax as a codegen'd hash aggregate (see
+    * [[audioFingerprintMatches]] for why not a ranking window). */
+  private def bestOffsetPerPair(votes: DataFrame,
+      pairCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    votes.groupBy(pairCols.map(col): _*)
+      .agg(max_by(struct(col("offset"), col("votes")),
+        struct(col("votes"), (-col("offset")).as("__negoff"))).as("__best"))
+      .select(pairCols.map(col) ++
+        Seq(col("__best.offset").as("offset"), col("__best.votes").as("votes")): _*)
   }
 
   /** Match a QUERY fingerprint set against a stored INDEX — the
@@ -858,17 +891,23 @@ object Multimodal {
       .filter(col("__ids") <= maxHashFreq)
       .select(col("hash"))
     val idxF = idx.join(rare, Seq("hash"))
+    // pinned (q, m) exchange for the same fanout-blind-coalescing
+    // reason as [[audioFingerprintMatches]]; the probe-side join keeps
+    // its planner freedom (the stored index is bucketed on hash, so a
+    // pinned repartition would defeat the bucket join)
+    val np = idx.sparkSession.sessionState.conf.numShufflePartitions
     val votes = query.toDF()
       .select(col("hash"), col("id").as("q"), col("frame").as("fq"))
       .join(idxF.select(col("hash"), col("id").as("m"),
         col("frame").as("fm")), Seq("hash"))
-      .groupBy(col("q"), col("m"), (col("fq") - col("fm")).as("offset"))
+      .select(col("q"), col("m"), (col("fq") - col("fm")).as("offset"))
+      .repartition(np, col("q"), col("m"))
+      .groupBy(col("q"), col("m"), col("offset"))
       .agg(count(lit(1)).as("votes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q"), col("m"))
-      .orderBy(col("votes").desc, col("offset").asc)
-    votes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("votes") >= minVotes)
+    // same argmax-by-votes aggregate as [[audioFingerprintMatches]] —
+    // selection-identical to the former ranking window, sort-free
+    bestOffsetPerPair(votes, Seq("q", "m"))
+      .filter(col("votes") >= minVotes)
       .select(col("q"), col("m"), col("offset"), col("votes"))
   }
 

@@ -40,6 +40,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The session's configured shuffle partition count — what
+    * ENSURE_REQUIREMENTS would give an exchange; used to PIN exchanges
+    * beneath fanout-heavy operators out of AQE coalescing's reach
+    * (coalescing sizes on the exchange INPUT and cannot see a
+    * 100x explode above it — see [[editDistancePairs]]). */
+  private def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Distinct word n-gram shingles per row: (id, shingle). Tokens are
     * materialized per row before n-gramming (see TextAnalysis.wordNgrams
     * scaladoc — the fused expression re-tokenizes per element).
@@ -1410,6 +1418,17 @@ object Dedup {
             expr("substring(s, seg.st + 1, seg.ln)").as("t"))).as("key"))
       .select(col("id_y"), col("len_y"),
         col("key.j").as("j"), col("key.t").as("t"))
+      // pinned exchange on the JOIN key (explicit N = the session's
+      // shuffle partitions, the same number ENSURE_REQUIREMENTS picks,
+      // so the plan is unchanged at production scale): the segment
+      // explode fans the tiny input out ~(2k+1)·(k+1)·(k+1)-fold, and
+      // AQE's coalescing — sized on the input, blind to the fanout —
+      // was collapsing the distinct+join exchanges to ~1 partition and
+      // running them single-threaded (round-17 probe: the whole query
+      // 2.11x faster with coalescing off). hash(len_y, j, t) clusters
+      // the 4-column distinct AND the candidate join, so ONE pinned
+      // shuffle per side serves both (guide §2.4)
+      .repartition(numShufflePartitions(df), col("len_y"), col("j"), col("t"))
       .distinct()
     // probe side: for every partner length lb in [len-k, len+k] that
     // EXISTS in the corpus, every segment of THAT partition, every
@@ -1434,11 +1453,17 @@ object Dedup {
             expr("substring(s, p + 1, seg.ln)").as("t"))).as("key"))
       .select(col("id_x"), col("len_y"),
         col("key.j").as("j"), col("key.t").as("t"))
+      // same pinned join-key exchange as the index side (see above)
+      .repartition(numShufflePartitions(df), col("len_y"), col("j"), col("t"))
       .distinct()
     val pairs = probe.join(index, Seq("len_y", "j", "t"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
+      // pinned for the same reason: the candidate join's output is the
+      // segment-match fanout, and a coalesced pair-dedup exchange would
+      // serialize both this distinct and the levenshtein verify above it
+      .repartition(numShufflePartitions(df), col("id_a"), col("id_b"))
       .distinct()
     pairs
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))

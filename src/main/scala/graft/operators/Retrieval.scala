@@ -34,7 +34,7 @@ object Retrieval {
     * sequential build — this is the [[graft.sources.Sinks.writeBucketedAll]]
     * concurrency pattern on the read side. Failures propagate (first
     * exception rethrown, pool always torn down). */
-  private def buildLegs[A, B](a: => A, b: => B): (A, B) = {
+  private[graft] def buildLegs[A, B](a: => A, b: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val fa = pool.submit(new java.util.concurrent.Callable[A] {
